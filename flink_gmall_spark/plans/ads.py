@@ -1,0 +1,271 @@
+"""ADS layer — the interactive batch query surface.
+
+Reproduces the semantics of every gmall-publisher MyBatis mapper query
+(SURVEY §2.5 A5-A12, §2.8 sorts/limits) over the driver tables. Each is a
+pure function (spark, sf_dir) → DataFrame; the reference's HTTP/JSON shell
+is a non-goal (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.functions.parity import MONEY, half_up_x100
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+TOP_BRANDS_LIMIT = 10
+USER_SCORES_LIMIT = 20
+
+# A9 weighted scoring (KeywordStatsMapper.java:13-18 multiIf: SEARCH 10,
+# ORDER 3, CART 2, CLICK 1) mapped onto event types.
+SCORE_WEIGHTS = {"purchase": 10, "signup": 3, "click": 2, "view": 1}
+
+
+def gmv_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 batch sum keyed by day (ProductStatsMapper.java:15-17:
+    sum(order_amount) where toYYYYMMDD(stt)=date)."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("gmv"),
+        F.count(F.lit(1)).alias("order_ct"),
+    )
+
+
+ORACLE_GMV_BY_DATE = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv,
+       CAST(count(*) AS BIGINT) AS order_ct
+FROM orders
+GROUP BY 1
+"""
+
+
+def top_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 group-by + HAVING + ORDER BY + LIMIT top-N
+    (ProductStatsMapper.java:35-40, trademark variant). Catalyst plans the
+    global sort+limit as TakeOrderedAndProject — no full sort at scale.
+    Tiebreak on brand keeps the limit total-ordered.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy(F.col("p_brand").alias("tm_name"))
+        .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).alias("amount_dec"))
+        .filter(F.col("amount_dec") > 0)
+    )
+    return (
+        agg.select("tm_name", F.col("amount_dec").cast("double").alias("order_amount"))
+        .orderBy(F.desc("order_amount"), F.asc("tm_name"))
+        .limit(TOP_BRANDS_LIMIT)
+    )
+
+
+ORACLE_TOP_BRANDS = f"""
+SELECT p.p_brand AS tm_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) > 0
+ORDER BY order_amount DESC, tm_name ASC
+LIMIT {TOP_BRANDS_LIMIT}
+"""
+
+
+def hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 conditional sum by hour (VisitorStatsMapper.java:19-22:
+    sum(if(is_new='1', uv_ct, 0)) ... group by toHour(stt))."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.hour("ts").cast("long").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("pv_ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast(MONEY))
+            .otherwise(F.lit(0).cast(MONEY))
+        )
+        .cast("double")
+        .alias("purchase_amount"),
+    )
+
+
+ORACLE_HOURLY_STATS = """
+SELECT CAST(hour(ts) AS BIGINT) AS hr,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+       count(DISTINCT user_id) AS uv_ct,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_amount
+FROM events
+GROUP BY 1
+"""
+
+
+def status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 group-by flag with sums (VisitorStatsMapper.java:13-16) + an
+    average derived as exact-decimal-sum / count (no float re-rounding)."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_orderstatus").alias("order_status")).agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).alias("amount_dec"),
+    )
+    return agg.select(
+        "order_status",
+        "order_ct",
+        F.col("amount_dec").cast("double").alias("total_amount"),
+        (F.col("amount_dec").cast("double") / F.col("order_ct")).alias("avg_amount"),
+    )
+
+
+ORACLE_STATUS_STATS = """
+SELECT o_orderstatus AS order_status,
+       CAST(count(*) AS BIGINT) AS order_ct,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_amount
+FROM orders
+GROUP BY 1
+"""
+
+
+def user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 weighted scoring agg + top-N (KeywordStatsMapper.java:13-18)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    expr = None
+    for etype, wgt in SCORE_WEIGHTS.items():
+        expr = (
+            F.when(F.col("event_type") == etype, wgt)
+            if expr is None
+            else expr.when(F.col("event_type") == etype, wgt)
+        )
+    score = expr.otherwise(0)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(score).cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(USER_SCORES_LIMIT)
+    )
+
+
+_SCORE_CASE = " ".join(
+    f"WHEN event_type = '{e}' THEN {w}" for e, w in SCORE_WEIGHTS.items()
+)
+
+ORACLE_USER_SCORES = f"""
+SELECT user_id,
+       CAST(sum(CASE {_SCORE_CASE} ELSE 0 END) AS BIGINT) AS score
+FROM events
+GROUP BY 1
+ORDER BY score DESC, user_id ASC
+LIMIT {USER_SCORES_LIMIT}
+"""
+
+
+def totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 batch counts (VisitorStatsMapper.java:24-30: count of non-null)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("ev_ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+        F.count("value").alias("value_ct"),
+        F.countDistinct("event_type").alias("type_ct"),
+    )
+
+
+ORACLE_TOTALS = """
+SELECT CAST(count(*) AS BIGINT) AS ev_ct,
+       count(DISTINCT user_id) AS uv_ct,
+       CAST(count(value) AS BIGINT) AS value_ct,
+       count(DISTINCT event_type) AS type_ct
+FROM events
+"""
+
+
+def province_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 province rollup (ProvinceStatsMapper.java:13-16:
+    sum(order_amount) group by province) through the full dim chain."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("province_name"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("order_amount"),
+            F.count(F.lit(1)).alias("order_ct"),
+        )
+    )
+
+
+ORACLE_PROVINCE_ROLLUP = """
+SELECT r.r_name AS region_name,
+       n.n_name AS province_name,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+       CAST(count(*) AS BIGINT) AS order_ct
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def visitor_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 post-aggregation derived ratios with HALF_UP 2dp parity
+    (gmall-publisher bean/VisitorStats.java:33-62: ujRate, pvPerSv...).
+
+    The ratio is computed with the integer HALF_UP trick (functions.parity)
+    so Spark and DuckDB agree bit-for-bit — never round() on doubles.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("pv_ct"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("purchase_ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+    )
+    return daily.select(
+        "dt",
+        "pv_ct",
+        "purchase_ct",
+        "uv_ct",
+        F.expr(half_up_x100("pv_ct", "uv_ct", "DIV")).alias("pv_per_uv"),
+        F.expr(half_up_x100("100 * purchase_ct", "pv_ct", "DIV")).alias("conversion_pct"),
+    )
+
+
+ORACLE_VISITOR_RATIOS = f"""
+WITH daily AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct,
+           count(DISTINCT user_id) AS uv_ct
+    FROM events
+    GROUP BY 1
+)
+SELECT dt, pv_ct, purchase_ct, uv_ct,
+       {half_up_x100("pv_ct", "uv_ct", "//")} AS pv_per_uv,
+       {half_up_x100("100 * purchase_ct", "pv_ct", "//")} AS conversion_pct
+FROM daily
+"""

@@ -1,0 +1,126 @@
+"""DWD layer — parse, clean, split, route (BaseLogApp / BaseDBApp semantics).
+
+Covers SURVEY §2.2 P1-P5 and §2.4 J4 on the driver's ``events`` table:
+the ``props`` JSON string plays the role of the ODS log envelope, the
+``event_type`` column plays the CDC ``table`` routing key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+# table_process analog (gmall bean/TableProcess.java:11-29, consumed by
+# TableProcessFunction.java:128-155): event_type -> sink route. 'error' is
+# deliberately unconfigured — unmatched records drop, as in the reference.
+ROUTING_CONFIG = [
+    ("view", "dwd_page_log", "kafka", "event_id,user_id,value"),
+    ("click", "dwd_display_log", "kafka", "event_id,user_id"),
+    ("purchase", "dwd_order_info", "kafka", "event_id,user_id,value"),
+    ("signup", "dim_user_info", "hbase", "event_id,user_id"),
+]
+ROUTING_SCHEMA = "source_table string, sink_table string, sink_type string, sink_columns string"
+
+
+def page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 JSON parse + P3 non-empty filter + P4 predicate filter.
+
+    gmall: BaseLogApp.java:48 (parse), BaseDBApp.java:54-62 (non-empty),
+    KeywordStatsApp.java:52-55 (predicate). The filter and the 4-column
+    projection push down into the parquet scan.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "view") & (F.length("props") > 0))
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.col("value").alias("value"),
+        )
+    )
+
+
+ORACLE_PAGE_VIEWS = """
+SELECT event_id,
+       user_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       value
+FROM events
+WHERE event_type = 'view' AND length(props) > 0
+"""
+
+
+def clean_dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 dirty-record side output: try-parse, corrupt rows branch off.
+
+    gmall routes unparseable records to an OutputTag (UniqueVisitApp.java:47-59);
+    Spark's idiom is ``from_json`` yielding NULL + two filters over one
+    parsed stream. Returned as branch counts so both branches are exercised.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("parsed", F.from_json("props", "k BIGINT"))
+    branched = parsed.withColumn(
+        "branch", F.when(F.col("parsed").isNotNull(), "clean").otherwise("dirty")
+    )
+    return branched.groupBy("branch").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+    )
+
+
+ORACLE_CLEAN_DIRTY_SPLIT = """
+SELECT CASE WHEN json_valid(props) THEN 'clean' ELSE 'dirty' END AS branch,
+       CAST(count(*) AS BIGINT) AS ct,
+       count(DISTINCT user_id) AS uv_ct
+FROM events
+GROUP BY 1
+"""
+
+
+def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 broadcast config join + P5 config-driven column pruning.
+
+    gmall: BaseDBApp.java:117-127 joins the CDC stream against broadcast
+    ``table_process`` state keyed on table/type and prunes columns per the
+    config CSV (TableProcessFunction.java:158-170). Here the low-volume
+    config is an in-memory DataFrame broadcast-joined to the event stream;
+    unmatched event types drop (inner join), and the projected column count
+    comes from the config row.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    cfg = spark.createDataFrame(ROUTING_CONFIG, ROUTING_SCHEMA)
+    routed = ev.join(
+        F.broadcast(cfg), ev.event_type == cfg.source_table, "inner"
+    )
+    return routed.groupBy("sink_table", "sink_type").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.countDistinct("user_id").alias("uv_ct"),
+        F.sum(F.size(F.split("sink_columns", ","))).cast("long").alias("col_writes"),
+    )
+
+
+_CFG_VALUES = ", ".join(
+    f"('{s}','{t}','{k}','{c}')" for s, t, k, c in ROUTING_CONFIG
+)
+
+ORACLE_CONFIG_ROUTING = f"""
+SELECT cfg.sink_table,
+       cfg.sink_type,
+       CAST(count(*) AS BIGINT) AS ct,
+       count(DISTINCT e.user_id) AS uv_ct,
+       CAST(sum(len(string_split(cfg.sink_columns, ','))) AS BIGINT) AS col_writes
+FROM events e
+JOIN (VALUES {_CFG_VALUES})
+     cfg(source_table, sink_table, sink_type, sink_columns)
+  ON e.event_type = cfg.source_table
+GROUP BY 1, 2
+"""

@@ -1,0 +1,227 @@
+"""DWS layer — windowed aggregate stats tables.
+
+Covers SURVEY §2.5 A1-A4, §2.6 T5/T6, §2.7 U1/U2, §2.3 F1/F2 over the
+driver tables. Transform functions are pure DataFrame→DataFrame so the
+Structured Streaming jobs (streaming.jobs) reuse them verbatim on an
+unbounded input — the batch/stream split exists only at the source/sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.functions.parity import MONEY
+from flink_gmall_spark.functions.tokenize import tokens_col
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+#: gmall uses 10 s tumbling windows (VisitorStatsApp.java:164); the events
+#: table's cadence is minutes, so the analog is 10 minutes. Epoch-aligned
+#: in both engines.
+VISITOR_WINDOW_SECONDS = 600
+_WIN_US = VISITOR_WINDOW_SECONDS * 1_000_000
+
+
+def visitor_stats_transform(ev: DataFrame) -> DataFrame:
+    """A1/U1/P6/P7: per-event-type projections to a common stats schema,
+    unioned, then a tumbling-window reduce (VisitorStatsApp.java:77-195).
+
+    The union-of-projections replaces Flink's "full join" design note
+    (VisitorStatsApp.java:26-39 → J5). uv comes from collect_set size — the
+    same HashSet-distinct trick the reference uses for order ids
+    (ProductStatsApp.java:220-228) and, unlike COUNT(DISTINCT), it is legal
+    inside a Structured Streaming aggregation, so stream and batch share
+    this exact plan.
+    """
+
+    _ZERO = F.lit(0).cast("long")
+    _DEC0 = F.lit(0).cast(MONEY)
+
+    def branch(event_type: str, **metrics: F.Column) -> DataFrame:
+        cols = [
+            F.col("ts"),
+            F.col("user_id"),
+            metrics.get("pv_ct", _ZERO).alias("pv_ct"),
+            metrics.get("click_ct", _ZERO).alias("click_ct"),
+            metrics.get("purchase_ct", _ZERO).alias("purchase_ct"),
+            metrics.get("error_ct", _ZERO).alias("error_ct"),
+            metrics.get("sv_ct", _ZERO).alias("sv_ct"),
+            metrics.get("amount", _DEC0).alias("amount"),
+        ]
+        return ev.filter(F.col("event_type") == event_type).select(*cols)
+
+    one = F.lit(1).cast("long")
+    unioned = (
+        branch("view", pv_ct=one)
+        .unionByName(branch("click", click_ct=one))
+        .unionByName(
+            branch("purchase", purchase_ct=one, amount=F.col("value").cast(MONEY))
+        )
+        .unionByName(branch("error", error_ct=one))
+        .unionByName(branch("signup", sv_ct=one))
+    )
+    w = F.window("ts", f"{VISITOR_WINDOW_SECONDS} seconds")
+    agg = unioned.groupBy(w.alias("w")).agg(
+        F.sum("pv_ct").alias("pv_ct"),
+        F.sum("click_ct").alias("click_ct"),
+        F.sum("purchase_ct").alias("purchase_ct"),
+        F.sum("error_ct").alias("error_ct"),
+        F.sum("sv_ct").alias("sv_ct"),
+        F.size(F.collect_set("user_id")).cast("long").alias("uv_ct"),
+        F.sum("amount").cast("double").alias("amount_sum"),
+    )
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "pv_ct",
+        "click_ct",
+        "purchase_ct",
+        "error_ct",
+        "sv_ct",
+        "uv_ct",
+        "amount_sum",
+    )
+
+
+def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return visitor_stats_transform(load(spark, sf_dir, "events"))
+
+
+ORACLE_VISITOR_STATS = f"""
+WITH w AS (
+    SELECT make_timestamp((epoch_us(ts) // {_WIN_US}) * {_WIN_US}) AS wstart, *
+    FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(wstart + INTERVAL {VISITOR_WINDOW_SECONDS} SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pv_ct,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_ct,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+       count(DISTINCT user_id) AS uv_ct,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS amount_sum
+FROM w
+GROUP BY wstart
+"""
+
+
+def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 keyed reduce with distinct-via-set + dim enrichment
+    (ProductStatsApp.java:201-314).
+
+    order_ct replicates the reference's merged-HashSet-of-order-ids exact
+    distinct; money sums are exact decimals (BigDecimal.add parity). The
+    ``part`` dim joins on the broadcast path after the aggregation — agg
+    first, enrich second, so the shuffle carries only (key, partials).
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("order_sku_num"),
+        F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("order_amount"),
+        F.countDistinct("l_orderkey").alias("order_ct"),
+        F.count(F.lit(1)).alias("item_ct"),
+    )
+    return (
+        agg.join(F.broadcast(part), agg.l_partkey == part.p_partkey, "left")
+        .select(
+            F.col("l_partkey").alias("sku_id"),
+            F.col("p_name").alias("sku_name"),
+            F.col("p_brand").alias("tm_name"),
+            "order_sku_num",
+            "order_amount",
+            "order_ct",
+            "item_ct",
+        )
+    )
+
+
+ORACLE_PRODUCT_STATS = """
+SELECT l.l_partkey AS sku_id,
+       any_value(p.p_name) AS sku_name,
+       any_value(p.p_brand) AS tm_name,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_sku_num,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+       count(DISTINCT l.l_orderkey) AS order_ct,
+       CAST(count(*) AS BIGINT) AS item_ct
+FROM lineitem l
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 SQL windowed COUNT(DISTINCT) + SUM, via the spark.sql entry point
+    (ProvinceStatsSqlApp.java:40-56 is the reference's Flink-SQL job).
+
+    Daily tumble over o_orderdate, keyed by the nation dim — the exact
+    shape of gmall's province_stats (window, province, count distinct
+    orders, amount sum).
+    """
+    tune(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT date_format(o.o_orderdate, 'yyyy-MM-dd') AS stt,
+               n.n_name AS province_name,
+               count(DISTINCT o.o_orderkey) AS order_ct,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    )
+
+
+ORACLE_PROVINCE_STATS = """
+SELECT strftime(o.o_orderdate, '%Y-%m-%d') AS stt,
+       n.n_name AS province_name,
+       count(DISTINCT o.o_orderkey) AS order_ct,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 tokenizer UDTF + explode + A4 windowed count
+    (KeywordStatsApp.java:40-67, KeywordUDTF.java:14-24).
+
+    The hot path stays JVM-side: split + filter higher-order functions +
+    explode (no Python in the loop); the Python ``ik_analyze`` UDF is the
+    registered SQL-visible variant for CJK inputs (functions.tokenize).
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens_col("text")).alias("keyword")
+    )
+    return toks.groupBy("keyword", "source").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.countDistinct("doc_id").alias("doc_ct"),
+    )
+
+
+ORACLE_KEYWORD_STATS = """
+SELECT u.keyword,
+       u.source,
+       CAST(count(*) AS BIGINT) AS ct,
+       count(DISTINCT u.doc_id) AS doc_ct
+FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS keyword
+    FROM documents
+) u
+GROUP BY 1, 2
+"""

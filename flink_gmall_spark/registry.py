@@ -1,0 +1,87 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY §2 (plus the LLM-data-pipeline
+operators) registers here as a (DataFrame builder, DuckDB oracle SQL)
+pair. ``__spark_entry__.py`` re-exports this; tests/test_parity.py runs
+every pair side-by-side exactly like the driver does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_gmall_spark.plans import ads, dwd, dwm, dws
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # None => non-SQL-expressible, rows-only check
+    bench: bool = False  # include in bench.py headline set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def _register(
+    name: str,
+    fn: QueryFn,
+    oracle: Optional[str],
+    bench: bool = False,
+    tags: tuple[str, ...] = (),
+) -> None:
+    assert name not in _REGISTRY, f"duplicate query name: {name}"
+    _REGISTRY[name] = Query(name, fn, oracle, bench, tags)
+
+
+# --- DWD (SURVEY §2.2 P1-P5, §2.4 J4) --------------------------------------
+_register("dwd_page_views", dwd.page_views, dwd.ORACLE_PAGE_VIEWS, bench=True, tags=("P1", "P3", "P4"))
+_register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY_SPLIT, tags=("P2",))
+_register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5"))
+
+# --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
+_register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3",))
+_register("dwm_order_detail_wide", dwm.order_detail_wide, dwm.ORACLE_ORDER_DETAIL_WIDE, bench=True, tags=("J1",))
+_register("dwm_payment_wide", dwm.payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2",))
+_register("t1_visit_flag", dwm.visit_flag, dwm.ORACLE_VISIT_FLAG, tags=("T1",))
+_register("t2_daily_uv", dwm.daily_uv, dwm.ORACLE_DAILY_UV, tags=("T2",))
+_register("t3_jump_out", dwm.jump_out, dwm.ORACLE_JUMP_OUT, tags=("T3",))
+
+# --- DWS (SURVEY §2.5 A1-A4, §2.7 U1/U2, §2.3 F1/F2) ------------------------
+_register("dws_visitor_stats", dws.visitor_stats, dws.ORACLE_VISITOR_STATS, bench=True, tags=("A1", "U1", "P6", "T6"))
+_register("dws_product_stats", dws.product_stats, dws.ORACLE_PRODUCT_STATS, bench=True, tags=("A2", "U2"))
+_register("dws_province_stats", dws.province_stats, dws.ORACLE_PROVINCE_STATS, bench=True, tags=("A3",))
+_register("dws_keyword_stats", dws.keyword_stats, dws.ORACLE_KEYWORD_STATS, bench=True, tags=("F1", "F2", "A4"))
+
+# --- ADS (SURVEY §2.5 A5-A12, §2.8) -----------------------------------------
+_register("ads_gmv_by_date", ads.gmv_by_date, ads.ORACLE_GMV_BY_DATE, tags=("A5",))
+_register("ads_top_brands", ads.top_brands, ads.ORACLE_TOP_BRANDS, bench=True, tags=("A6",))
+_register("ads_hourly_stats", ads.hourly_stats, ads.ORACLE_HOURLY_STATS, tags=("A7",))
+_register("ads_status_stats", ads.status_stats, ads.ORACLE_STATUS_STATS, tags=("A8",))
+_register("ads_user_scores", ads.user_scores, ads.ORACLE_USER_SCORES, tags=("A9",))
+_register("ads_totals", ads.totals, ads.ORACLE_TOTALS, tags=("A10",))
+_register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP, tags=("A11",))
+_register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
+
+
+def registry() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle}
+
+
+def bench_queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
