@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``ann_topk`` — brute-force cosine top-k: the exactness baseline. The
+  per-pair dot product is a strictly sequential JVM-side fold
+  (``aggregate(zip_with(...))``); the DuckDB oracle reproduces the *same
+  addition sequence* (``list_reduce``), so the doubles are bit-identical
+  in both engines and threshold/ranking decisions cannot diverge.
+- ``embedding_neardup_lsh`` — the scale path: random-hyperplane-style LSH
+  using the sign bits of the leading dimensions as the bucket key, then
+  exact cosine verification *within* buckets. Candidate generation is an
+  equi-join on the bucket key (shuffle-friendly, no all-pairs); at 100 TB
+  the bucket width (SIGN_BITS) trades recall for join fan-out.
+
+Similarities in output are rounded to 6dp — inputs are bit-identical (see
+above) so the rounding is only cosmetic, not a parity crutch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+TOPK = 10
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+SIGN_BITS = 8
+COSINE_THRESHOLD = 0.40
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    """Double-cast vector + its L2 norm (sequential fold, see module doc)."""
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))"
+        ),
+    )
+
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+)
+
+# DuckDB mirror: same multiply order, same left-fold addition sequence.
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform({v}, x -> x * x), (acc, x) -> acc + x))"
+)
+_DUCK_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors for the query vectors.
+
+    The query side is tiny (N_QUERIES rows) and broadcast; the corpus scan
+    streams once. Ranking is windowed row_number with a vec_id tiebreak.
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id"))
+    scored = pairs.withColumn(
+        "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
+    FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bit LSH buckets.
+
+    Bucket key = sign pattern of the first SIGN_BITS dimensions (each sign
+    bit is an independent hyperplane hash for cosine similarity); exact
+    cosine verifies within buckets. Pairs split across buckets are missed
+    by construction — the documented LSH recall trade; the oracle applies
+    the identical bucketing so the contract is exact.
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("v", i + 1) >= 0, "1").otherwise("0")
+            for i in range(SIGN_BITS)
+        ],
+    )
+    e = emb.withColumn("bucket", bucket)
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).withColumn(
+        "cos",
+        F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+    )
+    return pairs.filter(F.col("cos") >= COSINE_THRESHOLD).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round("cos", 6).alias("sim"),
+    )
+
+
+_DUCK_BUCKET = " || ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(SIGN_BITS)
+)
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, v, nrm, {_DUCK_BUCKET} AS bucket FROM e
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           {_DUCK_DOT.format(a='a.v', b='b2.v')} / (a.nrm * b2.nrm) AS cos
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS sim
+FROM pairs WHERE cos >= {COSINE_THRESHOLD}
+"""

@@ -1,0 +1,302 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the gmall reference surface (BASELINE.json north star): exact
+dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, and SimHash
+fingerprinting over the ``documents`` table.
+
+Scale design (100 TB point):
+- Exact dedup is a single hash aggregation on md5(text) — pure shuffle on
+  a 128-bit key, no driver state.
+- N-gram Jaccard self-joins on shingles; a document-frequency cap
+  (MAX_SHINGLE_DF) drops ubiquitous shingles so no single shuffle key
+  explodes quadratically — the standard frequent-shingle guard. AQE skew
+  join covers the residual tail.
+- MinHash uses ``BANDS`` bands x ``ROWS_PER_BAND`` hashes; candidate pairs
+  come from equality on a band signature (an equi-join, shuffle-friendly),
+  then exact Jaccard verifies. Collision probability for similarity s is
+  1-(1-s^r)^b — 0.97 recall at s=0.6 with b=8, r=2.
+- Hashes are md5 hex *strings* (lexicographic min) — portable bit-for-bit
+  between Spark and DuckDB, so every step is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+SHINGLE_K = 3
+MAX_SHINGLE_DF = 100  # frequent-shingle guard (see module docstring)
+JACCARD_THRESHOLD = 0.6
+BANDS = 8
+ROWS_PER_BAND = 2
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group documents by content hash, keep the smallest id."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_ct"),
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_ct
+FROM documents
+GROUP BY 1
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-k-gram shingles per doc, with the document-frequency
+    cap applied. Stays fully JVM-side (split/transform/explode)."""
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= SHINGLE_K
+    )
+    # Spark SQL array indexing is 0-based: i in [0, n-k]
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SHINGLE_K}),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            )
+        ).alias("s"),
+    )
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("s")
+    )
+    return sh.join(rare, "s").select("doc_id", "s")
+
+
+# DuckDB mirror of _shingles (1-based lists; range() end-exclusive).
+_DUCK_SHINGLES = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+sh_all AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {SHINGLE_K - 2}),
+               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
+    FROM toks
+    WHERE len(t) >= {SHINGLE_K}
+),
+rare AS (
+    SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+sh AS (
+    SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s)
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+)
+"""
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing >=1 shingle (optionally
+    restricted to candidate ``pairs``). Integer counts + one double
+    division — bit-identical in both engines."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"])
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-shingle Jaccard (all-pairs over
+    the shared-shingle join — the correctness baseline for minhash_lsh)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return _pair_jaccard(_shingles(docs))
+
+
+ORACLE_NGRAM_JACCARD = f"""{_DUCK_SHINGLES},
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: banded min-hash signatures generate candidate
+    pairs via an equi-join; exact Jaccard verifies. The scale path — work
+    is O(docs x bands) + a join on band signatures, never all-pairs."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    banded = sh.select(
+        "doc_id",
+        "s",
+        F.explode(F.expr(f"sequence(0, {BANDS - 1})")).alias("band"),
+    )
+    sig = banded.groupBy("doc_id", "band").agg(
+        F.concat(
+            F.min(F.expr(f"md5(concat(cast(band * {ROWS_PER_BAND} as string), ':', s))")),
+            F.min(
+                F.expr(
+                    f"md5(concat(cast(band * {ROWS_PER_BAND} + 1 as string), ':', s))"
+                )
+            ),
+        ).alias("sig")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs=cand)
+
+
+ORACLE_MINHASH_LSH = f"""{_DUCK_SHINGLES},
+banded AS (
+    SELECT doc_id, s, unnest(range(0, {BANDS})) AS band FROM sh
+),
+sig AS (
+    SELECT doc_id, band,
+           concat(min(md5(concat(CAST(band * {ROWS_PER_BAND} AS VARCHAR), ':', s))),
+                  min(md5(concat(CAST(band * {ROWS_PER_BAND} + 1 AS VARCHAR), ':', s)))) AS sig
+    FROM banded GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+FROM common c
+JOIN cand USING (doc_a, doc_b)
+JOIN sizes x ON c.doc_a = x.doc_id
+JOIN sizes y ON c.doc_b = y.doc_id
+WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit document fingerprints (as a 64-char bit string).
+
+    Per distinct token: md5's leading 16 hex digits give 64 bits; each bit
+    votes +/-1 per containing doc; the sign of the per-position vote sum is
+    the fingerprint bit (ties -> 1). Token hashes are computed once over
+    the (small) vocabulary, then broadcast-joined back to doc-tokens —
+    at 100 TB the vocabulary stays millions while doc-tokens are billions,
+    so the 64x bit explosion happens only on the vocab side.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    doc_toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    )
+    vocab_bits = (
+        doc_toks.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            F.explode(F.expr("sequence(0, 63)")).alias("j"),
+        )
+        .withColumn(
+            "vote",
+            F.expr(
+                "2 * (shiftright(instr('0123456789abcdef',"
+                " substring(md5(tok), 1 + CAST(j / 4 AS INT), 1)) - 1,"
+                " 3 - j % 4) & 1) - 1"
+            ),
+        )
+        .select("tok", "j", "vote")
+    )
+    votes = (
+        doc_toks.join(F.broadcast(vocab_bits), "tok")
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("sv"))
+        .withColumn("bit", F.when(F.col("sv") >= 0, "1").otherwise("0"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')"
+        ).alias("simhash")
+    )
+
+
+ORACLE_SIMHASH = """
+WITH doc_toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok
+    FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM doc_toks),
+vocab_bits AS (
+    SELECT tok, j,
+           2 * (((instr('0123456789abcdef', substring(md5(tok), 1 + CAST(j // 4 AS INT), 1)) - 1)
+                >> (3 - j % 4)) & 1) - 1 AS vote
+    FROM vocab, (SELECT unnest(range(0, 64)) AS j)
+),
+votes AS (
+    SELECT d.doc_id, v.j,
+           CASE WHEN sum(v.vote) >= 0 THEN '1' ELSE '0' END AS bit
+    FROM doc_toks d JOIN vocab_bits v USING (tok)
+    GROUP BY 1, 2
+)
+SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+FROM votes
+GROUP BY doc_id
+"""

@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
+processed by Arrow-batched pandas stages (``mapInPandas``).
+
+The pattern a 100 TB multimodal pipeline needs: payloads stay opaque bytes
+in the DataFrame (never exploded into rows), metadata rides alongside, and
+decode / feature-extract / resize / frame-sample run as per-batch pandas
+functions. The image/audio codecs are not in this container, so the decode
+stage is a deterministic byte-level feature extractor with the real codec
+path stubbed behind ``NotImplementedError`` — schema, batching and
+partitioning are the real, tested plumbing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+DECODE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, first_cp long, last_cp long"
+)
+
+
+def decode_image(payload: bytes) -> object:  # pragma: no cover - stub
+    """Real codec stage — requires PIL/libjpeg, absent in this container.
+
+    Deployment would do ``Image.open(io.BytesIO(payload))`` here inside the
+    same mapInPandas batch loop.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic per-batch feature extraction over binary payloads.
+
+    Runs once per Arrow batch (not per row): the payload column arrives as
+    Python bytes; features are byte length + first/last UTF-8 codepoint.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        texts = payloads.map(lambda b: bytes(b).decode("utf-8"))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "first_cp": texts.map(lambda s: ord(s[0]) if s else -1).astype("int64"),
+                "last_cp": texts.map(lambda s: ord(s[-1]) if s else -1).astype("int64"),
+            }
+        )
+
+
+def binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text → binary payload + metadata struct →
+    mapInPandas feature extraction. The oracle recomputes the same
+    features from the source text, proving the bytes survived the
+    round-trip through Arrow unharmed."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    binarized = docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return binarized.mapInPandas(_extract_features, DECODE_SCHEMA)
+
+
+ORACLE_BINARY_FEATURES = """
+SELECT doc_id,
+       'text/plain' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_cp,
+       CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substring(text, length(text), 1)) END AS BIGINT) AS last_cp
+FROM documents
+"""

@@ -1,0 +1,206 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot paths are JVM-side builtin expressions (split / higher-order
+filters / regexp) — no Python in the loop — and every output column is
+BIGINT/STRING or an integer-derived double, so DuckDB parity is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+# n-gram/stopword marker lists for the language-ID heuristic. The corpus
+# vocabulary is synthetic English-ish; the heuristic is deliberately
+# simple and deterministic (a fastText-style classifier would slot in as
+# a pandas UDF behind the same output contract).
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los", "y"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+MIN_TOKENS, MAX_TOKENS = 5, 10_000
+
+
+def _marker_count(lang: str) -> F.Column:
+    arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(
+        f"size(filter(t, x -> array_contains(array({arr}), x)))"
+    ).cast("long")
+
+
+def _duck_marker_count(lang: str) -> str:
+    arr = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(t, x -> list_contains([{arr}], x))) AS BIGINT)"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with a fixed tie order (en > es > de)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        tokens_col("text").alias("t"),
+    ).select(
+        "doc_id",
+        _marker_count("en").alias("en_ct"),
+        _marker_count("es").alias("es_ct"),
+        _marker_count("de").alias("de_ct"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_ct") >= F.col("es_ct")) & (F.col("en_ct") >= F.col("de_ct")),
+            "en",
+        )
+        .when(F.col("es_ct") >= F.col("de_ct"), "es")
+        .otherwise("de")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+_DUCK_T = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+)
+
+ORACLE_LANG_ID = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_T} AS t FROM documents),
+scored AS (
+    SELECT doc_id,
+           {_duck_marker_count('en')} AS en_ct,
+           {_duck_marker_count('es')} AS es_ct,
+           {_duck_marker_count('de')} AS de_ct
+    FROM toks
+)
+SELECT doc_id, en_ct, es_ct, de_ct,
+       CASE WHEN en_ct >= es_ct AND en_ct >= de_ct THEN 'en'
+            WHEN es_ct >= de_ct THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM scored
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality signals (length / stopword / alnum
+    ratios) + a keep/drop gate — the C4/Gopher-style filter shape.
+    Ratios stay integer-derived (x1000, integer division) for parity."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        tokens_col("text").alias("t"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+        .cast("long")
+        .alias("alnum_chars"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "alnum_chars",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "alnum_chars",
+        "stop_ct",
+        F.expr("CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * stop_ct) DIV n_tokens END")
+        .cast("long")
+        .alias("stop_ratio_x1000"),
+        F.expr("CASE WHEN n_chars = 0 THEN 0 ELSE (1000 * alnum_chars) DIV n_chars END")
+        .cast("long")
+        .alias("alnum_ratio_x1000"),
+        F.when(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("stop_ct") >= 1),
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("verdict"),
+    )
+
+
+_DUCK_STOPS = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLE_QUALITY_SCORES = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alnum_chars,
+           CAST(len({_DUCK_T}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({_DUCK_T}, x -> list_contains([{_DUCK_STOPS}], x))) AS BIGINT) AS stop_ct
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, alnum_chars, stop_ct,
+       CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE (1000 * stop_ct) // n_tokens END AS BIGINT) AS stop_ratio_x1000,
+       CAST(CASE WHEN n_chars = 0 THEN 0 ELSE (1000 * alnum_chars) // n_chars END AS BIGINT) AS alnum_ratio_x1000,
+       CASE WHEN n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS} AND stop_ct >= 1
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM base
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces + byte len
+    (the budget triad of an LLM-data pipeline)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(filter(split(text, ' '), x -> x <> ''))")
+        .cast("long")
+        .alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("char_len"),
+        F.octet_length("text").cast("long").alias("byte_len"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS char_len,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints over whitespace-normalized text (md5 + a short
+    prefix usable as a shard/bucket key)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+ORACLE_FINGERPRINTS = r"""
+WITH n AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id, md5(norm) AS fp, substring(md5(norm), 1, 8) AS fp_prefix,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM n
+"""

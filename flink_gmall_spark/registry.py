@@ -13,6 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_gmall_spark.operators import ann, dedup, multimodal, textstats
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -69,6 +70,20 @@ _register("ads_user_scores", ads.user_scores, ads.ORACLE_USER_SCORES, tags=("A9"
 _register("ads_totals", ads.totals, ads.ORACLE_TOTALS, tags=("A10",))
 _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP, tags=("A11",))
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
+
+
+# --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
+_register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))
+_register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.ORACLE_NGRAM_JACCARD, tags=("dedup",))
+_register("dedup_minhash_lsh", dedup.minhash_lsh_pairs, dedup.ORACLE_MINHASH_LSH, bench=True, tags=("dedup",))
+_register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, tags=("dedup",))
+_register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
+_register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, tags=("similarity",))
+_register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
+_register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
+_register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
+_register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPRINTS, tags=("text",))
+_register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 
 
 def registry() -> dict[str, Query]:
