@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_gmall_spark.operators import ann, dedup, multimodal, textstats
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
+from flink_gmall_spark.streaming import jobs as stream_jobs
+from flink_gmall_spark.streaming import state as stream_state
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -71,6 +73,16 @@ _register("ads_totals", ads.totals, ads.ORACLE_TOTALS, tags=("A10",))
 _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP, tags=("A11",))
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
 
+
+# --- Structured Streaming surface (SURVEY §2.6, §3.1) -----------------------
+# Same transforms as the batch plans, executed by the incremental engine
+# (file stream → state store → memory sink, availableNow); oracles shared
+# with the batch entries prove engine parity. t3's CEP variant is tested in
+# tests/test_streaming.py only (its tail depends on the watermark horizon,
+# which a batch oracle cannot express — SURVEY §7.3 rank 1).
+_register("stream_visitor_stats", stream_jobs.stream_visitor_stats, dws.ORACLE_VISITOR_STATS, tags=("A1", "T5", "T6", "streaming"))
+_register("stream_t1_visit_flag", stream_state.visit_flag_stream, dwm.ORACLE_VISIT_FLAG, tags=("T1", "streaming"))
+_register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_UV, tags=("T2", "T8", "streaming"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

@@ -1,0 +1,82 @@
+"""Structured Streaming jobs over the same tables.
+
+Each reference Flink job is one streaming query here (SURVEY §3.1): the
+batch plans in ``plans.dws`` are pure DataFrame transforms, so the stream
+jobs apply the *identical* transform to a ``readStream`` source and sink
+via availableNow triggers — batch/stream parity is by construction, and
+the DuckDB oracles double-check it.
+
+Production sources/sinks would be Kafka (``format("kafka")`` with a topic
+column for per-row routing, SURVEY §2.1 S3); tests and the driver use the
+file source + memory sink, which exercises the same incremental engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.plans.dws import visitor_stats_transform
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources.tables import path as table_path
+
+from pyspark.sql import types as T
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """Spark's file stream source wants a *directory*; the testdata packs
+    every table into one. Stage a stable per-table symlink dir in tmp."""
+    src = table_path(sf_dir, name)
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"fgs_stream_{name}_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream with the batch-inferred schema (no inference on
+    the stream path), including the nanos→micros ts conversion."""
+    p = table_path(sf_dir, name)
+    schema = spark.read.parquet(p).schema
+    df = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, name))
+    for f in schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the materialized table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 windowed visitor-stats aggregation executed by the
+    incremental streaming engine (state store + complete output), not the
+    batch planner. Same transform function, same oracle — this is the
+    engine-parity proof for the reference's flagship DWS job
+    (VisitorStatsApp). uv comes from collect_set size (the reference's
+    HashSet-distinct trick), which is streaming-legal unlike
+    COUNT(DISTINCT)."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events")
+    return run_to_memory(visitor_stats_transform(ev), "complete")

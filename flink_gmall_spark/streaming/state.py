@@ -1,0 +1,178 @@
+"""Custom keyed-state streaming operators via ``applyInPandasWithState``.
+
+These are the Spark-native rebuilds of the reference's three hand-written
+Flink state machines (SURVEY §2.6):
+
+- T1 ``visit_flag_stream``   — new-visitor flag repair (BaseLogApp.java:56-90,
+  keyed ValueState, unbounded).
+- T2 ``daily_uv_stream``     — daily first-visit dedup (UniqueVisitApp.java:67-106,
+  ValueState + 1-day TTL; TTL becomes a per-date membership check, so the
+  state is just the set of seen dates).
+- T3 ``jump_out_stream``     — CEP jump-out detection (UserJumpDetailApp.java:84-123,
+  pattern ``start .times(2).consecutive().within(10s)`` + timeout branch).
+  Rebuilt as an explicit per-key state machine with an event-time timeout:
+  a session-start event is emitted as a jump when its successor arrives
+  too late (> JUMP_GAP) or when the watermark passes its timeout — the
+  same two emit paths as Flink CEP's select + timeout side output.
+
+Each processes Arrow batches per key (not per row); state is a tuple of
+plain values/lists. Batch-mode oracles for all three live in plans.dwm.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_gmall_spark.plans.dwm import JUMP_GAP_US, SESSION_GAP_US
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.streaming.jobs import read_stream, run_to_memory
+
+
+def _t1_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """T1: first event per key keeps is_new='1'; later ones rewrite to '0'."""
+    (seen,) = state.get if state.exists else (False,)
+    out_ids: list[int] = []
+    out_flags: list[str] = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for eid in pdf["event_id"]:
+            out_ids.append(int(eid))
+            out_flags.append("0" if seen else "1")
+            seen = True
+    state.update((True,))
+    yield pd.DataFrame(
+        {"event_id": out_ids, "user_id": key[0], "is_new": out_flags}
+    )
+
+
+def visit_flag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    flagged = ev.groupBy("user_id").applyInPandasWithState(
+        _t1_fn,
+        outputStructType="event_id long, user_id long, is_new string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(flagged, "append")
+
+
+def _t2_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """T2: emit (user, date) once per new date. Order-independent output,
+    so cross-batch arrival order cannot perturb the result."""
+    (dates,) = state.get if state.exists else ([],)
+    seen = set(dates)
+    fresh: list[str] = []
+    for pdf in batches:
+        for dt in pdf["dt"]:
+            if dt not in seen:
+                seen.add(dt)
+                fresh.append(dt)
+    state.update((sorted(seen),))
+    yield pd.DataFrame({"user_id": key[0], "dt": fresh})
+
+
+def daily_uv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 streaming dedup, then a batch rollup of the emitted first-visits
+    to uv counts (matches plans.dwm.ORACLE_DAILY_UV)."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    )
+    firsts = ev.groupBy("user_id").applyInPandasWithState(
+        _t2_fn,
+        outputStructType="user_id long, dt string",
+        stateStructType="dates array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(firsts, "append")
+    return mem.groupBy("dt").agg(F.count(F.lit(1)).alias("uv_ct"))
+
+
+def _t3_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """T3 state machine. State: (last_ts_us, pending_start_event_id,
+    pending_start_us); pending is a session-start awaiting its successor."""
+    last_us, pend_id, pend_us = (
+        state.get if state.exists else (None, None, None)
+    )
+    out_ids: list[int] = []
+    out_us: list[int] = []
+
+    def emit(eid: int, us: int) -> None:
+        out_ids.append(eid)
+        out_us.append(us)
+
+    if state.hasTimedOut:
+        # Flink CEP's timeout branch: no successor before the watermark
+        # passed pending+gap → the start event is a confirmed jump-out.
+        if pend_id is not None:
+            emit(pend_id, pend_us)
+        state.update((last_us, None, None))
+        yield pd.DataFrame(
+            {"event_id": out_ids, "user_id": key[0],
+             "us": pd.Series(out_us, dtype="int64")}
+        )
+        return
+
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for eid, us in zip(pdf["event_id"], pdf["us"]):
+            eid, us = int(eid), int(us)
+            if pend_id is not None:
+                # successor arrived: late ⇒ the pending start was a jump
+                if us - pend_us > JUMP_GAP_US:
+                    emit(pend_id, pend_us)
+                pend_id, pend_us = None, None
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                pend_id, pend_us = eid, us  # session start, await successor
+            last_us = us
+    state.update((last_us, pend_id, pend_us))
+    if pend_id is not None:
+        state.setTimeoutTimestamp(pend_us // 1000 + JUMP_GAP_US // 1000 + 1)
+    yield pd.DataFrame(
+        {"event_id": out_ids, "user_id": key[0],
+         "us": pd.Series(out_us, dtype="int64")}
+    )
+
+
+def jump_out_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 streaming CEP. Emits every jump whose successor arrived, plus
+    timeout-confirmed jumps once the event-time watermark passes them;
+    starts still inside the watermark horizon at end-of-stream stay
+    pending (exactly Flink CEP's within()-window semantics)."""
+    tune(spark)
+    ev = (
+        read_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "0 seconds")
+        .select("event_id", "user_id", "ts", F.unix_micros("ts").alias("us"))
+    )
+    jumps = ev.groupBy("user_id").applyInPandasWithState(
+        _t3_fn,
+        outputStructType="event_id long, user_id long, us long",
+        stateStructType="last_us long, pend_id long, pend_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    mem = run_to_memory(jumps, "append")
+    return mem.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.timestamp_micros("us"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
