@@ -227,6 +227,42 @@ GROUP BY 1, 2
 """
 
 
+ORDER_STATUSES = ["O", "F", "P"]
+
+
+def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/wide-table surface (beyond the reference — Catalyst plans it
+    as one pass of conditional aggregates, which is also exactly how the
+    DuckDB oracle states it)."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .pivot("o_orderstatus", ORDER_STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast(MONEY)))
+    )
+    return pivoted.select(
+        "month",
+        *[
+            F.coalesce(F.col(s).cast("double"), F.lit(0.0)).alias(f"amount_{s.lower()}")
+            for s in ORDER_STATUSES
+        ],
+    )
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(coalesce(sum(CASE WHEN o_orderstatus = '{s}' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS amount_{s.lower()}"
+    for s in ORDER_STATUSES
+)
+
+ORACLE_MONTHLY_STATUS_PIVOT = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       {_PIVOT_COLS}
+FROM orders
+GROUP BY 1
+"""
+
+
 def visitor_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 post-aggregation derived ratios with HALF_UP 2dp parity
     (gmall-publisher bean/VisitorStats.java:33-62: ujRate, pvPerSv...).

@@ -7,7 +7,7 @@ the ``props`` JSON string plays the role of the ODS log envelope, the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_gmall_spark.session import tune
@@ -123,4 +123,74 @@ JOIN (VALUES {_CFG_VALUES})
      cfg(source_table, sink_table, sink_type, sink_columns)
   ON e.event_type = cfg.source_table
 GROUP BY 1, 2
+"""
+
+#: CDC payload schema for the order_info changelog (FIXTURES.md §2/§3.1).
+CDC_DATA_SCHEMA = "id BIGINT, order_status STRING, total_amount DOUBLE, create_time STRING"
+
+
+def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CDC envelope → P1 parse → S7/S8 dim upsert (last-writer-wins).
+
+    gmall consumes a Debezium-style ``{database, table, type, data}``
+    changelog (BaseDBApp.java:67-112) and upserts dims keyed on id
+    (DimSink.java:29-61 builds per-record Phoenix UPSERTs). Spark-native:
+    the changelog is a DataFrame of JSON envelopes; ``from_json`` parses
+    the after-image; the upsert is a row_number()-per-key merge — the same
+    dedup-to-latest plan a Delta ``MERGE INTO`` executes per micro-batch
+    in ``foreachBatch``.
+
+    The changelog here is synthesized deterministically from ``orders``:
+    every order emits an 'insert'; finished ('F') orders emit a later
+    'update' marking payment — so the merge genuinely overrides rows.
+    """
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def envelope(src: DataFrame, typ: str, status: F.Column, ts: F.Column, seq: int) -> DataFrame:
+        return src.select(
+            F.lit("gmall").alias("database"),
+            F.lit("order_info").alias("table"),
+            F.lit(typ).alias("type"),
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("id"),
+                    status.alias("order_status"),
+                    F.col("o_totalprice").alias("total_amount"),
+                    F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+                )
+            ).alias("data"),
+            # o_orderdate is TIMESTAMP_NTZ; cast to an instant (session TZ
+            # is pinned UTC, so this matches DuckDB's naive epoch_us).
+            F.unix_micros(ts.cast("timestamp")).alias("op_us"),
+            F.lit(seq).cast("long").alias("op_seq"),
+        )
+
+    inserts = envelope(orders, "insert", F.col("o_orderstatus"), F.col("o_orderdate"), 0)
+    updates = envelope(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        "update",
+        F.lit("PAID"),
+        F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
+        1,
+    )
+    env = inserts.unionByName(updates)
+    parsed = env.select(
+        "type",
+        "op_us",
+        "op_seq",
+        F.from_json("data", CDC_DATA_SCHEMA).alias("d"),
+    ).select("type", "op_us", "op_seq", "d.*")
+    w = Window.partitionBy("id").orderBy(F.desc("op_us"), F.desc("op_seq"))
+    latest = parsed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.select("id", "order_status", "total_amount", "create_time")
+
+
+ORACLE_CDC_DIM_UPSERT = """
+SELECT o_orderkey AS id,
+       CASE WHEN o_orderstatus = 'F' THEN 'PAID' ELSE o_orderstatus END AS order_status,
+       o_totalprice AS total_amount,
+       strftime(CASE WHEN o_orderstatus = 'F' THEN o_orderdate + INTERVAL 1 DAY
+                     ELSE o_orderdate END, '%Y-%m-%d %H:%M:%S') AS create_time
+FROM orders
 """

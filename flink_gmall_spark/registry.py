@@ -48,6 +48,7 @@ def _register(
 _register("dwd_page_views", dwd.page_views, dwd.ORACLE_PAGE_VIEWS, bench=True, tags=("P1", "P3", "P4"))
 _register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY_SPLIT, tags=("P2",))
 _register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5"))
+_register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "S7", "S8", "P1"))
 
 # --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
 _register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3",))
@@ -72,6 +73,7 @@ _register("ads_user_scores", ads.user_scores, ads.ORACLE_USER_SCORES, tags=("A9"
 _register("ads_totals", ads.totals, ads.ORACLE_TOTALS, tags=("A10",))
 _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP, tags=("A11",))
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
+_register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTHLY_STATUS_PIVOT, tags=("pivot",))
 
 
 # --- Structured Streaming surface (SURVEY §2.6, §3.1) -----------------------

@@ -69,6 +69,30 @@ def run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def write_exactly_once(result: DataFrame, out_dir: str, checkpoint: str):
+    """S6/T9: exactly-once batch-append sink via foreachBatch.
+
+    The reference relies on Kafka transactions (MyKafkaUtil.java:44-50,
+    Semantic.EXACTLY_ONCE, 5-min txn timeout) and JDBC micro-batching
+    (ClickHouseUtil.java:17-50). Spark-native: checkpointed source offsets
+    + an idempotent per-epoch write — each micro-batch lands in a
+    deterministic ``epoch=<id>`` partition, so a replayed batch overwrites
+    itself instead of duplicating. (With Delta on the classpath this
+    becomes a transactional ``MERGE``/append; parquet epochs are the
+    dependency-free equivalent.)
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 windowed visitor-stats aggregation executed by the
     incremental streaming engine (state store + complete output), not the

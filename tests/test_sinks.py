@@ -1,0 +1,37 @@
+"""Sink semantics: exactly-once foreachBatch epochs + Kafka gating."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from flink_gmall_spark.sources import kafka as kafka_io
+from flink_gmall_spark.streaming import jobs
+
+
+def test_exactly_once_epoch_sink_is_idempotent(spark, sf_dir):
+    """Replaying the same stream over the same checkpoint must not
+    duplicate rows (T9/S6: the reference's EXACTLY_ONCE Kafka txn analog)."""
+    out = tempfile.mkdtemp(prefix="fgs_eos_out_")
+    ckpt = tempfile.mkdtemp(prefix="fgs_eos_ckpt_")
+    src = jobs.read_stream(spark, sf_dir, "events").select("event_id", "user_id")
+
+    q = jobs.write_exactly_once(src, out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert first.count() == n_events
+    assert first.select("event_id").distinct().count() == n_events
+
+    # replay with the same checkpoint: offsets already committed → no-op
+    q2 = jobs.write_exactly_once(src, out, ckpt)
+    q2.awaitTermination()
+    again = spark.read.parquet(out)
+    assert again.count() == n_events
+
+
+def test_kafka_requires_integration(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_io.read_stream(spark, "ods_base_log")
