@@ -27,6 +27,8 @@ TOPK = 10
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 SIGN_BITS = 8
 COSINE_THRESHOLD = 0.40
+N_CELLS = 16  # IVF: vectors vec_id < 16 serve as deterministic centroids
+NPROBE = 4  # IVF: query probes its 4 nearest cells
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
@@ -104,6 +106,106 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
 FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    centroid cell; queries probe only their NPROBE nearest cells and rank
+    exactly within them.
+
+    The 100 TB shape: the centroid set is tiny and broadcast, cell
+    assignment is one streaming pass (no shuffle of the corpus beyond the
+    final per-cell grouping), and query cost is corpus_size * nprobe /
+    n_cells. Centroids here are the first N_CELLS vectors — a
+    deterministic stand-in for a k-means codebook (training is an offline
+    job; the serving plan is what this operator exercises). Recall is
+    partial by construction; the oracle applies identical probing.
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    affinity = emb.join(F.broadcast(cent), how="cross").withColumn(
+        "ccos", F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = affinity.withColumn("crank", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .select("query_id", "vec_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(qv, "query_id")
+        .join(emb, "vec_id")
+    )
+    scored = cand.withColumn(
+        "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+    )
+
+
+ORACLE_IVF_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < {N_CELLS}),
+affinity AS (
+    SELECT e.vec_id, cent.cid,
+           {_DUCK_DOT.format(a='e.v', b='cent.cv')} / (e.nrm * cent.cn) AS ccos
+    FROM e CROSS JOIN cent
+),
+ranked AS (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+    FROM affinity
+),
+cells AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, cid FROM ranked
+    WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM probes p JOIN cells c ON p.cid = c.cid
+    WHERE p.query_id <> c.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cos
+    FROM cand
+    JOIN e q ON cand.query_id = q.vec_id
+    JOIN e n ON cand.vec_id = n.vec_id
+),
+final AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
+FROM final WHERE rank <= {TOPK}
 """
 
 

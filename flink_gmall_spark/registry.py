@@ -93,6 +93,7 @@ _register("dedup_minhash_lsh", dedup.minhash_lsh_pairs, dedup.ORACLE_MINHASH_LSH
 _register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, tags=("dedup",))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, tags=("similarity",))
+_register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, tags=("similarity",))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))

@@ -1,0 +1,54 @@
+"""Physical-plan quality gates — the 100 TB design point, asserted.
+
+These tests pin the plan properties that matter at scale: predicate and
+projection pushdown into the parquet scan, broadcast (not shuffle) joins
+for dimension enrichment, partial aggregation before the exchange, and
+whole-stage codegen on the hot paths. A regression here is a performance
+bug even while correctness stays green.
+"""
+
+from __future__ import annotations
+
+from flink_gmall_spark.plans import ads, dwd, dwm, dws
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_page_views_pushdown(spark, sf_dir):
+    plan = plan_of(dwd.page_views(spark, sf_dir))
+    # event_type filter reaches the parquet reader...
+    assert "PushedFilters: [" in plan and "EqualTo(event_type,view)" in plan, plan
+    # ...and the scan reads only the referenced columns, not the table
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "event_type" in scan and "props" in scan
+
+
+def test_order_wide_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(dwm.order_wide(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_product_stats_partial_aggregation(spark, sf_dir):
+    plan = plan_of(dws.product_stats(spark, sf_dir))
+    # map-side combine before the shuffle (Flink's incremental ReduceFunction
+    # equivalent, SURVEY §4): partial_* functions must appear
+    assert "partial_" in plan, plan
+    # exact distinct rewrites to the two-level expand/agg, not a global
+    # single-node distinct
+    assert "Exchange hashpartitioning(l_partkey" in plan, plan
+
+
+def test_top_brands_is_take_ordered(spark, sf_dir):
+    plan = plan_of(ads.top_brands(spark, sf_dir))
+    # global ORDER BY + LIMIT must not be a full sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_visitor_stats_single_shuffle(spark, sf_dir):
+    plan = plan_of(dws.visitor_stats(spark, sf_dir))
+    # union-of-projections + one windowed agg = exactly one shuffle
+    # (+1 AQE coalesce read is fine); more means a planning regression
+    assert plan.count("Exchange hashpartitioning") == 1, plan
