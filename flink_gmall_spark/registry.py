@@ -83,6 +83,7 @@ _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTH
 # tests/test_streaming.py only (its tail depends on the watermark horizon,
 # which a batch oracle cannot express — SURVEY §7.3 rank 1).
 _register("stream_visitor_stats", stream_jobs.stream_visitor_stats, dws.ORACLE_VISITOR_STATS, tags=("A1", "T5", "T6", "streaming"))
+_register("stream_j1_order_detail_wide", stream_jobs.stream_order_detail_wide, dwm.ORACLE_ORDER_DETAIL_WIDE, tags=("J1", "T4", "streaming"))
 _register("stream_t1_visit_flag", stream_state.visit_flag_stream, dwm.ORACLE_VISIT_FLAG, tags=("T1", "streaming"))
 _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_UV, tags=("T2", "T8", "streaming"))
 

@@ -93,6 +93,49 @@ def write_exactly_once(result: DataFrame, out_dir: str, checkpoint: str):
     )
 
 
+def stream_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as a true stream-stream interval join (SURVEY §7.3 rank 2).
+
+    Flink: orderInfo.intervalJoin(orderDetail).between(-5s,+5s), inclusive
+    (OrderWideApp.java:96-105). Spark-native: both sides are unbounded
+    streams with watermarks; the equi-key + symmetric time-range predicate
+    makes Structured Streaming buffer each side's state exactly over the
+    join window and emit on match — inclusive bounds preserved. With
+    availableNow over finite input the emitted set equals the batch join,
+    which the shared DuckDB oracle checks.
+    """
+    tune(spark)
+    orders = (
+        read_stream(spark, sf_dir, "orders")
+        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_ts", "0 seconds")
+    )
+    lineitem = (
+        read_stream(spark, sf_dir, "lineitem")
+        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_ts", "0 seconds")
+    )
+    joined = lineitem.join(
+        orders,
+        F.expr(
+            "l_orderkey = o_orderkey"
+            " AND l_ts >= o_ts - INTERVAL 90 DAYS"
+            " AND l_ts <= o_ts + INTERVAL 90 DAYS"
+        ),
+        "inner",
+    )
+    result = joined.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").cast("long").alias("detail_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_extendedprice").alias("split_total_amount"),
+        F.datediff(F.to_date("l_ts"), F.to_date("o_ts")).cast("long").alias("ship_delay_days"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("create_date"),
+    )
+    return run_to_memory(result, "append")
+
+
 def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 windowed visitor-stats aggregation executed by the
     incremental streaming engine (state store + complete output), not the
