@@ -189,21 +189,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    banded = sh.select(
-        "doc_id",
-        "s",
-        F.explode(F.expr(f"sequence(0, {BANDS - 1})")).alias("band"),
+    # All BANDS x ROWS_PER_BAND min-hashes in ONE aggregation pass over the
+    # shingles (no 8x row explosion before the shuffle), then stack() to
+    # (doc_id, band, sig) — identical signatures to the banded-explode
+    # formulation the oracle states, at 1/BANDS the shuffle volume.
+    aggs = [
+        F.min(F.expr(f"md5(concat('{h}', ':', s))")).alias(f"m{h}")
+        for h in range(BANDS * ROWS_PER_BAND)
+    ]
+    sig_wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, concat(m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1})"
+        for b in range(BANDS)
     )
-    sig = banded.groupBy("doc_id", "band").agg(
-        F.concat(
-            F.min(F.expr(f"md5(concat(cast(band * {ROWS_PER_BAND} as string), ':', s))")),
-            F.min(
-                F.expr(
-                    f"md5(concat(cast(band * {ROWS_PER_BAND} + 1 as string), ':', s))"
-                )
-            ),
-        ).alias("sig")
-    )
+    sig = sig_wide.selectExpr("doc_id", f"stack({BANDS}, {stack_args}) AS (band, sig)")
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (

@@ -48,7 +48,7 @@ def _register(
 _register("dwd_page_views", dwd.page_views, dwd.ORACLE_PAGE_VIEWS, bench=True, tags=("P1", "P3", "P4"))
 _register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY_SPLIT, tags=("P2",))
 _register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5"))
-_register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "S7", "S8", "P1"))
+_register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, bench=True, tags=("S5", "S7", "S8", "P1"))
 
 # --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
 _register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3",))
@@ -56,7 +56,7 @@ _register("dwm_order_detail_wide", dwm.order_detail_wide, dwm.ORACLE_ORDER_DETAI
 _register("dwm_payment_wide", dwm.payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2",))
 _register("t1_visit_flag", dwm.visit_flag, dwm.ORACLE_VISIT_FLAG, tags=("T1",))
 _register("t2_daily_uv", dwm.daily_uv, dwm.ORACLE_DAILY_UV, tags=("T2",))
-_register("t3_jump_out", dwm.jump_out, dwm.ORACLE_JUMP_OUT, tags=("T3",))
+_register("t3_jump_out", dwm.jump_out, dwm.ORACLE_JUMP_OUT, bench=True, tags=("T3",))
 
 # --- DWS (SURVEY §2.5 A1-A4, §2.7 U1/U2, §2.3 F1/F2) ------------------------
 _register("dws_visitor_stats", dws.visitor_stats, dws.ORACLE_VISITOR_STATS, bench=True, tags=("A1", "U1", "P6", "T6"))
@@ -91,10 +91,10 @@ _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_U
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))
 _register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.ORACLE_NGRAM_JACCARD, tags=("dedup",))
 _register("dedup_minhash_lsh", dedup.minhash_lsh_pairs, dedup.ORACLE_MINHASH_LSH, bench=True, tags=("dedup",))
-_register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, tags=("dedup",))
+_register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, bench=True, tags=("dedup",))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
-_register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, tags=("similarity",))
-_register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, tags=("similarity",))
+_register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
+_register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
