@@ -248,6 +248,61 @@ WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
 """
 
 
+def apply_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filtering form of near-dedup: return the documents that
+    SURVIVE MinHash+LSH dedup under the greedy keep-smallest-id policy
+    (a document drops iff it near-duplicates a smaller-id document).
+
+    One anti-join over the pair list — the single-pass policy production
+    pipelines use in place of full transitive clustering (which needs
+    iterative connected components; that trade is deliberate and
+    documented). Output is the kept doc ids + their fingerprint-relevant
+    stats, ready to feed the text-analysis operators.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+ORACLE_APPLY_NEAR_DEDUP = f"""{_DUCK_SHINGLES},
+banded AS (
+    SELECT doc_id, s, unnest(range(0, {BANDS})) AS band FROM sh
+),
+sig AS (
+    SELECT doc_id, band,
+           concat(min(md5(concat(CAST(band * {ROWS_PER_BAND} AS VARCHAR), ':', s))),
+                  min(md5(concat(CAST(band * {ROWS_PER_BAND} + 1 AS VARCHAR), ':', s)))) AS sig
+    FROM banded GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+losers AS (
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM common c
+    JOIN cand USING (doc_a, doc_b)
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit document fingerprints (as a 64-char bit string).
 

@@ -263,6 +263,34 @@ GROUP BY 1
 """
 
 
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (status, priority) — all grouping-set subtotals in
+    one pass (Expand + hash agg). Beyond the reference surface; NULL
+    grouping markers normalize to 'ALL' for a stable string contract."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("order_amount"),
+    )
+    return agg.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+        "order_ct",
+        "order_amount",
+    )
+
+
+ORACLE_STATUS_PRIORITY_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS order_status,
+       coalesce(o_orderpriority, 'ALL') AS order_priority,
+       CAST(count(*) AS BIGINT) AS order_ct,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def visitor_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 post-aggregation derived ratios with HALF_UP 2dp parity
     (gmall-publisher bean/VisitorStats.java:33-62: ujRate, pvPerSv...).

@@ -193,6 +193,91 @@ GROUP BY 1, 2
 """
 
 
+#: session gap — same constant as the T3 state machine (plans.dwm).
+SESSION_GAP_SECONDS = 1800
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection: lag + running sum assigns session
+    sequence numbers per user, then per-session rollups.
+
+    This is the batch form of the per-key session state the reference
+    keeps implicitly across UniqueVisitApp/UserJumpDetailApp (session
+    start = no event within the gap); the streaming form is
+    ``session_window`` / the T3 state machine. Integer epoch-micros keep
+    every derived value exact in both engines.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > SESSION_GAP_SECONDS * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("is_start").over(wrun).cast("long")
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("us").alias("max_us"),
+            F.min("us").alias("min_us"),
+            F.sum("is_view").cast("long").alias("pv_ct"),
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "session_start",
+            "n_events",
+            # integer division end-to-end — float division truncates
+            # differently at representation boundaries
+            F.expr("(max_us - min_us) DIV 1000000").cast("long").alias("duration_s"),
+            "pv_ct",
+        )
+    )
+
+
+ORACLE_SESSION_STATS = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+                THEN 1 ELSE 0 END AS is_start,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
+       CAST(sum(is_view) AS BIGINT) AS pv_ct
+FROM sessions
+GROUP BY 1, 2
+"""
+
+
 def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 tokenizer UDTF + explode + A4 windowed count
     (KeywordStatsApp.java:40-67, KeywordUDTF.java:14-24).

@@ -74,6 +74,8 @@ _register("ads_totals", ads.totals, ads.ORACLE_TOTALS, tags=("A10",))
 _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP, tags=("A11",))
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
 _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTHLY_STATUS_PIVOT, tags=("pivot",))
+_register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATUS_PRIORITY_CUBE, tags=("cube",))
+_register("dws_session_stats", dws.session_stats, dws.ORACLE_SESSION_STATS, bench=True, tags=("sessionization",))
 
 
 # --- Structured Streaming surface (SURVEY §2.6, §3.1) -----------------------
@@ -92,6 +94,7 @@ _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True
 _register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.ORACLE_NGRAM_JACCARD, tags=("dedup",))
 _register("dedup_minhash_lsh", dedup.minhash_lsh_pairs, dedup.ORACLE_MINHASH_LSH, bench=True, tags=("dedup",))
 _register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, bench=True, tags=("dedup",))
+_register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
