@@ -278,6 +278,46 @@ GROUP BY 1, 2
 """
 
 
+def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side stats rollup (the ProductStats shape keyed on the
+    supply dimension): agg first, then broadcast-enrich with supplier ⋈
+    nation so the shuffle carries only (key, partials)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    agg = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("supply_qty"),
+        F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("supply_amount"),
+        F.countDistinct("l_orderkey").alias("order_ct"),
+    )
+    dim = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left"
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("province_name"))
+    return agg.join(F.broadcast(dim), agg.l_suppkey == dim.s_suppkey, "left").select(
+        F.col("l_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        "province_name",
+        "supply_qty",
+        "supply_amount",
+        "order_ct",
+    )
+
+
+ORACLE_SUPPLIER_STATS = """
+SELECT l.l_suppkey AS supplier_id,
+       any_value(s.s_name) AS supplier_name,
+       any_value(n.n_name) AS province_name,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supply_qty,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supply_amount,
+       count(DISTINCT l.l_orderkey) AS order_ct
+FROM lineitem l
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 tokenizer UDTF + explode + A4 windowed count
     (KeywordStatsApp.java:40-67, KeywordUDTF.java:14-24).
