@@ -71,6 +71,65 @@ def binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binarized.mapInPandas(_extract_features, DECODE_SCHEMA)
 
 
+FRAME_BYTES = 256
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_len long, frame_head long"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling stage: chunk each binary payload into fixed-size
+    frames and emit one row per frame — the row-shape a video/audio
+    frame-sampler produces (decode stubbed; chunking + fan-out is the
+    real plumbing). Runs per Arrow batch; output row count differs from
+    input (mapInPandas's UDTF-like property)."""
+    for pdf in batches:
+        doc_ids, idxs, lens, heads = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            for i in range(0, max(len(b), 1), FRAME_BYTES):
+                frame = b[i : i + FRAME_BYTES]
+                doc_ids.append(doc_id)
+                idxs.append(i // FRAME_BYTES)
+                lens.append(len(frame))
+                heads.append(frame[0] if frame else -1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_len": pd.Series(lens, dtype="int64"),
+                "frame_head": pd.Series(heads, dtype="int64"),
+            }
+        )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: binary payload → one row per fixed-size
+    frame via mapInPandas (the 1:N batch fan-out a frame-sampler needs).
+    The oracle reconstructs frame geometry arithmetically from the text
+    (char==byte positions; valid because the corpus is pure ASCII —
+    verified at every SF — the engine side chunks true bytes either way)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    binarized = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binarized.mapInPandas(_sample_frames, FRAME_SCHEMA)
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+),
+frames AS (
+    SELECT doc_id, n, unnest(range(0, greatest((n + {FRAME_BYTES} - 1) // {FRAME_BYTES}, 1))) AS frame_idx
+    FROM b
+)
+SELECT f.doc_id,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(least({FRAME_BYTES}, f.n - f.frame_idx * {FRAME_BYTES}) AS BIGINT) AS frame_len,
+       CAST(CASE WHEN f.n = 0 THEN -1
+                 ELSE ascii(substring(b.text, f.frame_idx * {FRAME_BYTES} + 1, 1)) END AS BIGINT) AS frame_head
+FROM frames f JOIN b ON f.doc_id = b.doc_id
+"""
+
 ORACLE_BINARY_FEATURES = """
 SELECT doc_id,
        'text/plain' AS modality,

@@ -263,6 +263,58 @@ GROUP BY 1
 """
 
 
+TOP_PER_BRAND = 3
+
+
+def top_sku_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (windowed rank) — the per-group variant of the
+    reference's global top-N mappers; planned as one shuffle on the group
+    key + per-partition rank, no global sort."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sku = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(MONEY)).alias("amount_dec"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("amount_dec"), F.asc("l_partkey")
+    )
+    return (
+        sku.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_PER_BRAND)
+        .select(
+            F.col("p_brand").alias("tm_name"),
+            F.col("l_partkey").alias("sku_id"),
+            "rank",
+            F.col("amount_dec").cast("double").alias("order_amount"),
+        )
+    )
+
+
+ORACLE_TOP_SKU_PER_BRAND = f"""
+WITH sku AS (
+    SELECT p.p_brand, l.l_partkey,
+           sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS amount_dec
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT p_brand, l_partkey, amount_dec,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY amount_dec DESC, l_partkey ASC) AS rank
+    FROM sku
+)
+SELECT p_brand AS tm_name, l_partkey AS sku_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(amount_dec AS DOUBLE) AS order_amount
+FROM ranked WHERE rank <= {TOP_PER_BRAND}
+"""
+
+
 def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE rollup over (status, priority) — all grouping-set subtotals in
     one pass (Expand + hash agg). Beyond the reference surface; NULL
