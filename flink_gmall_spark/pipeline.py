@@ -55,11 +55,19 @@ def build_warehouse(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str,
     agg = dws.visitor_stats_transform(ev)
     vs_path = os.path.join(out_dir, "visitor_stats")
     ckpt = os.path.join(out_dir, "_ckpt_visitor_stats")
+    def write_stats(batch_df: DataFrame, epoch_id: int) -> None:
+        # date-partitioned like a production stats table — ADS queries
+        # with a dt predicate prune partitions at the file level
+        (
+            batch_df.withColumn("dt", F.substring("stt", 1, 10))
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(vs_path)
+        )
+
     q = (
         agg.writeStream.outputMode("complete")
-        .foreachBatch(
-            lambda batch_df, epoch_id: batch_df.write.mode("overwrite").parquet(vs_path)
-        )
+        .foreachBatch(write_stats)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

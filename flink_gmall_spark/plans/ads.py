@@ -343,6 +343,25 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB pressure valves for exact
+    distinct/quantiles (HyperLogLog++ and GK quantile sketches, both
+    mergeable so they partial-aggregate like any sum).
+
+    No DuckDB oracle: sketch implementations differ across engines by
+    design, so the driver records the rows-only check; the accuracy
+    contract (rsd/eps tolerance vs exact) is tested in
+    tests/test_approx.py instead.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_uv"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50_value"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95_value"),
+    )
+
+
 def visitor_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 post-aggregation derived ratios with HALF_UP 2dp parity
     (gmall-publisher bean/VisitorStats.java:33-62: ujRate, pvPerSv...).

@@ -76,6 +76,7 @@ _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
 _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTHLY_STATUS_PIVOT, tags=("pivot",))
 _register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATUS_PRIORITY_CUBE, tags=("cube",))
+_register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check
 _register("dws_session_stats", dws.session_stats, dws.ORACLE_SESSION_STATS, bench=True, tags=("sessionization",))
 
 

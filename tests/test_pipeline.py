@@ -22,10 +22,18 @@ def test_build_warehouse_and_query(spark, sf_dir):
         "product_stats",
     }
 
-    # the materialized streamed stats equal the batch plan
-    vs = spark.read.parquet(tables["visitor_stats"])
+    # the materialized streamed stats equal the batch plan (modulo the dt
+    # partition column the sink adds)
     want_vs = dws.visitor_stats(spark, sf_dir)
+    vs = spark.read.parquet(tables["visitor_stats"]).select(*want_vs.columns)
     assert sorted(map(tuple, vs.collect())) == sorted(map(tuple, want_vs.collect()))
+
+    # partition pruning: a dt-filtered scan reads only that partition
+    one_day = spark.read.parquet(tables["visitor_stats"]).filter(
+        "dt = '2024-01-05'"
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan, plan
 
     # ADS over the stats table == the same rollup computed directly
     got = pipeline.ads_hourly_from_stats(spark, tables["visitor_stats"])
