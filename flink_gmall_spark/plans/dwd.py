@@ -129,22 +129,10 @@ GROUP BY 1, 2
 CDC_DATA_SCHEMA = "id BIGINT, order_status STRING, total_amount DOUBLE, create_time STRING"
 
 
-def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 CDC envelope → P1 parse → S7/S8 dim upsert (last-writer-wins).
-
-    gmall consumes a Debezium-style ``{database, table, type, data}``
-    changelog (BaseDBApp.java:67-112) and upserts dims keyed on id
-    (DimSink.java:29-61 builds per-record Phoenix UPSERTs). Spark-native:
-    the changelog is a DataFrame of JSON envelopes; ``from_json`` parses
-    the after-image; the upsert is a row_number()-per-key merge — the same
-    dedup-to-latest plan a Delta ``MERGE INTO`` executes per micro-batch
-    in ``foreachBatch``.
-
-    The changelog here is synthesized deterministically from ``orders``:
-    every order emits an 'insert'; finished ('F') orders emit a later
-    'update' marking payment — so the merge genuinely overrides rows.
-    """
-    tune(spark)
+def _order_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Debezium-style changelog synthesized from ``orders``:
+    one 'insert' per order, plus a later 'update' (status→PAID, +1 day)
+    for finished ('F') orders. Envelope shape per FIXTURES.md §2."""
     orders = load(spark, sf_dir, "orders")
 
     def envelope(src: DataFrame, typ: str, status: F.Column, ts: F.Column, seq: int) -> DataFrame:
@@ -174,7 +162,26 @@ def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
         1,
     )
-    env = inserts.unionByName(updates)
+    return inserts.unionByName(updates)
+
+
+def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 CDC envelope → P1 parse → S7/S8 dim upsert (last-writer-wins).
+
+    gmall consumes a Debezium-style ``{database, table, type, data}``
+    changelog (BaseDBApp.java:67-112) and upserts dims keyed on id
+    (DimSink.java:29-61 builds per-record Phoenix UPSERTs). Spark-native:
+    the changelog is a DataFrame of JSON envelopes; ``from_json`` parses
+    the after-image; the upsert is a row_number()-per-key merge — the same
+    dedup-to-latest plan a Delta ``MERGE INTO`` executes per micro-batch
+    in ``foreachBatch``.
+
+    The changelog here is synthesized deterministically from ``orders``:
+    every order emits an 'insert'; finished ('F') orders emit a later
+    'update' marking payment — so the merge genuinely overrides rows.
+    """
+    tune(spark)
+    env = _order_changelog(spark, sf_dir)
     parsed = env.select(
         "type",
         "op_us",
@@ -184,6 +191,54 @@ def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("id").orderBy(F.desc("op_us"), F.desc("op_seq"))
     latest = parsed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return latest.select("id", "order_status", "total_amount", "create_time")
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 slowly-changing-dimension history from the CDC changelog: each
+    op becomes a validity interval [op_time, next_op_time) per key, open
+    intervals capped at 9999-12-31 — the MERGE-less history-table pattern
+    (no Delta in this image; with it, this is the foreachBatch MERGE)."""
+    tune(spark)
+    env = _order_changelog(spark, sf_dir)
+    parsed = env.select(
+        "op_us",
+        "op_seq",
+        F.from_json("data", CDC_DATA_SCHEMA).alias("d"),
+    ).select("op_us", "op_seq", "d.*")
+    w = Window.partitionBy("id").orderBy("op_us", "op_seq")
+    hist = parsed.withColumn(
+        "valid_to_us", F.lead("op_us").over(w)
+    )
+    return hist.select(
+        "id",
+        "order_status",
+        "total_amount",
+        F.date_format(F.timestamp_micros("op_us"), "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.timestamp_micros("valid_to_us"), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+    )
+
+
+ORACLE_CDC_SCD2_HISTORY = """
+WITH ops AS (
+    SELECT o_orderkey AS id, o_orderstatus AS order_status,
+           o_totalprice AS total_amount, o_orderdate AS op_ts, 0 AS op_seq
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'PAID', o_totalprice, o_orderdate + INTERVAL 1 DAY, 1
+    FROM orders WHERE o_orderstatus = 'F'
+),
+hist AS (
+    SELECT *, lead(op_ts) OVER (PARTITION BY id ORDER BY op_ts, op_seq) AS valid_to_ts
+    FROM ops
+)
+SELECT id, order_status, total_amount,
+       strftime(op_ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to
+FROM hist
+"""
 
 
 ORACLE_CDC_DIM_UPSERT = """

@@ -278,6 +278,48 @@ GROUP BY 1, 2
 """
 
 
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (gap-merged event-time windows) — the
+    built-in form of gap sessionization; in streaming it is the stateful
+    merging-window operator. Window end = last event + gap, which the
+    oracle reproduces from the lag/cumsum formulation — proving the two
+    sessionization paths agree."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds")
+    return ev.groupBy(w.alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+ORACLE_SESSION_WINDOWS = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SECONDS * 1_000_000}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL {SESSION_GAP_SECONDS} SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier-side stats rollup (the ProductStats shape keyed on the
     supply dimension): agg first, then broadcast-enrich with supplier ⋈

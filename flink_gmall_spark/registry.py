@@ -49,6 +49,7 @@ _register("dwd_page_views", dwd.page_views, dwd.ORACLE_PAGE_VIEWS, bench=True, t
 _register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY_SPLIT, tags=("P2",))
 _register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5"))
 _register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, bench=True, tags=("S5", "S7", "S8", "P1"))
+_register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HISTORY, tags=("S5", "scd2"))
 
 # --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
 _register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3",))
@@ -78,6 +79,7 @@ _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTH
 _register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATUS_PRIORITY_CUBE, tags=("cube",))
 _register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check
 _register("dws_session_stats", dws.session_stats, dws.ORACLE_SESSION_STATS, bench=True, tags=("sessionization",))
+_register("dws_session_windows", dws.session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "T6"))
 
 
 # --- Structured Streaming surface (SURVEY §2.6, §3.1) -----------------------
