@@ -27,28 +27,6 @@ def dec_sum(col: str | Column, alias: str) -> Column:
     return F.sum(c.cast(MONEY)).cast("double").alias(alias)
 
 
-def ts_str(col: str | Column, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
-    """Render a timestamp as a string (session TZ pinned to UTC).
-
-    DuckDB oracle: ``strftime(ts, '%Y-%m-%d %H:%M:%S')``.
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(c, fmt)
-
-
-def window_bounds(ts_col: str, seconds: int) -> tuple[Column, Column]:
-    """Tumbling-window bounds as strings (gmall's stt/edt,
-    VisitorStatsApp.java:186-191). Spark's window() is epoch-aligned;
-    the DuckDB oracle reproduces it with integer epoch-micros floor
-    division: ``make_timestamp((epoch_us(ts) // S*1e6) * S*1e6)``.
-    """
-    w = F.window(ts_col, f"{seconds} seconds")
-    return (
-        F.date_format(w.start, "yyyy-MM-dd HH:mm:ss").alias("stt"),
-        F.date_format(w.end, "yyyy-MM-dd HH:mm:ss").alias("edt"),
-    )
-
-
 def half_up_x100(num_sql: str, den_sql: str, divop: str = "DIV") -> str:
     """SQL fragment: HALF_UP ratio at 2dp via pure integer arithmetic.
 

@@ -181,6 +181,54 @@ FROM documents
 """
 
 
+# Java-regex/RE2 compatible subset (no lookarounds/backrefs) so Spark and
+# DuckDB redact identically.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_DIGITS_RE = r"[0-9]{6,}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email addresses and long digit runs,
+    emit redaction counts + the hash of the scrubbed text (the pipeline
+    downstream consumes hashes/stats; full scrubbed text stays columnar).
+    Pure JVM regexp — the standard pre-training scrub shape."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(lower, PII_EMAIL_RE, "<EMAIL>"),
+        PII_DIGITS_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(lower, F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("email_ct"),
+        F.size(F.regexp_extract_all(lower, F.lit(PII_DIGITS_RE), 0))
+        .cast("long")
+        .alias("longnum_ct"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH s AS (
+    SELECT doc_id, lower(text) AS lt,
+           regexp_replace(regexp_replace(lower(text), '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_DIGITS_RE}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lt, '{PII_EMAIL_RE}')) AS BIGINT) AS email_ct,
+       CAST(len(regexp_extract_all(lt, '{PII_DIGITS_RE}')) AS BIGINT) AS longnum_ct,
+       md5(scrubbed) AS scrubbed_hash,
+       CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+FROM s
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints over whitespace-normalized text (md5 + a short
     prefix usable as a shard/bucket key)."""

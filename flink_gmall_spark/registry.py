@@ -106,6 +106,7 @@ _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("te
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
 _register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPRINTS, tags=("text",))
+_register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tags=("text",))
 _register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 _register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
 _register("ads_top_sku_per_brand", ads.top_sku_per_brand, ads.ORACLE_TOP_SKU_PER_BRAND, tags=("topk",))
