@@ -300,6 +300,95 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+CC_MAX_ITERATIONS = 20
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    MinHash pair graph by iterative min-label propagation (the
+    large-star/small-star family, simplified to symmetric propagation).
+
+    The engine's iterative-algorithm surface: a driver loop of DataFrame
+    joins with a convergence action per round, bounded by the component
+    diameter (≤ CC_MAX_ITERATIONS). Each doc ends labeled with the
+    smallest doc_id reachable through near-duplicate pairs — the full
+    transitive upgrade of apply_near_dedup's greedy policy. Singleton docs
+    label themselves. At 100 TB each round is one shuffle join; diameters
+    of near-dup clusters are tiny in practice (pairs are ~cliques).
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric edge list; isolated docs simply keep their own label
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).persist()
+    for _ in range(CC_MAX_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id")
+
+
+# the walk CTE is recursive — RECURSIVE must be declared on the first WITH
+ORACLE_CONNECTED_COMPONENTS = f"""{_DUCK_SHINGLES.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+{_DUCK_SIG_CTES},
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM common c
+    JOIN cand USING (doc_a, doc_b)
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+walk AS (
+    SELECT doc_id, doc_id AS label FROM documents
+    UNION
+    SELECT e.dst AS doc_id, w.label
+    FROM walk w JOIN edges e ON w.doc_id = e.src
+)
+SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk
+GROUP BY doc_id
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit document fingerprints (as a 64-char bit string).
 
