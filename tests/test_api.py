@@ -62,6 +62,47 @@ def test_keyword_stats_topn(spark, sf_dir, duck):
     )
 
 
+def test_product_stats_by_sku_topn(spark, sf_dir, duck):
+    df = api.product_stats_by_sku(spark, sf_dir, limit=5)
+    compare(
+        df,
+        duck,
+        """
+        SELECT l.l_partkey AS sku_id,
+               any_value(p.p_name) AS sku_name,
+               any_value(p.p_brand) AS tm_name,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_sku_num,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount,
+               count(DISTINCT l.l_orderkey) AS order_ct,
+               CAST(count(*) AS BIGINT) AS item_ct
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1 ORDER BY order_amount DESC, sku_id ASC LIMIT 5
+        """,
+        name="api.product_stats_by_sku",
+    )
+
+
+def test_visitor_stats_by_new_flag(spark, sf_dir, duck):
+    df = api.visitor_stats_by_new_flag(spark, sf_dir, "2024-01-02")
+    compare(
+        df,
+        duck,
+        """
+        WITH flagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+                        THEN '1' ELSE '0' END AS is_new
+            FROM events
+        )
+        SELECT is_new, CAST(count(*) AS BIGINT) AS pv_ct,
+               count(DISTINCT user_id) AS uv_ct
+        FROM flagged WHERE strftime(ts, '%Y-%m-%d') = '2024-01-02'
+        GROUP BY 1
+        """,
+        name="api.visitor_stats_by_new_flag",
+    )
+
+
 def test_province_stats_for_date(spark, sf_dir, duck):
     df = api.province_stats(spark, sf_dir, "1996-03-12")
     compare(
