@@ -85,13 +85,14 @@ _register("dws_session_windows", dws.session_windows, dws.ORACLE_SESSION_WINDOWS
 # --- Structured Streaming surface (SURVEY §2.6, §3.1) -----------------------
 # Same transforms as the batch plans, executed by the incremental engine
 # (file stream → state store → memory sink, availableNow); oracles shared
-# with the batch entries prove engine parity. t3's CEP variant is tested in
-# tests/test_streaming.py only (its tail depends on the watermark horizon,
-# which a batch oracle cannot express — SURVEY §7.3 rank 1).
+# with the batch entries prove engine parity. t3's CEP variant (SURVEY
+# §7.3 rank 1) carries its own horizon-aware oracle: the watermark-open
+# tail is excluded by an exact, engine-verified boundary rule.
 _register("stream_visitor_stats", stream_jobs.stream_visitor_stats, dws.ORACLE_VISITOR_STATS, tags=("A1", "T5", "T6", "streaming"))
 _register("stream_j1_order_detail_wide", stream_jobs.stream_order_detail_wide, dwm.ORACLE_ORDER_DETAIL_WIDE, tags=("J1", "T4", "streaming"))
 _register("stream_t1_visit_flag", stream_state.visit_flag_stream, dwm.ORACLE_VISIT_FLAG, tags=("T1", "streaming"))
 _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_UV, tags=("T2", "T8", "streaming"))
+_register("stream_t3_jump_out", stream_state.jump_out_stream, stream_state.ORACLE_JUMP_OUT_STREAM, tags=("T3", "T4", "streaming", "cep"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

@@ -152,6 +152,30 @@ def _t3_fn(
     )
 
 
+# Horizon-aware oracle for the streaming CEP operator: emitted = batch
+# jumps (plans.dwm.ORACLE_JUMP_OUT) EXCEPT session starts with no successor
+# whose event-time timeout the final watermark never passed. The timeout
+# fires iff wm_ms > pend_ms + JUMP_GAP_ms + 1 (the +1 from _t3_fn's
+# setTimeoutTimestamp, 'beyond' = strictly greater) — verified exact
+# against the engine at sf0.001/0.01/0.1.
+ORACLE_JUMP_OUT_STREAM = f"""
+WITH s AS (
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+    FROM events
+),
+mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM s, mx
+WHERE (prev_us IS NULL OR us - prev_us > {SESSION_GAP_US})
+  AND (next_us IS NULL OR next_us - us > {JUMP_GAP_US})
+  AND (next_us IS NOT NULL
+       OR max_us // 1000 > us // 1000 + {JUMP_GAP_US // 1000} + 1)
+"""
+
+
 def jump_out_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 streaming CEP. Emits every jump whose successor arrived, plus
     timeout-confirmed jumps once the event-time watermark passes them;
