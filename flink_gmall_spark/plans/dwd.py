@@ -241,6 +241,81 @@ FROM hist
 """
 
 
+#: as-of probe offset: 36h after order creation — past the +1-day PAID
+#: update for 'F' orders, so the join genuinely selects different versions.
+ASOF_PROBE_HOURS = 36
+
+
+def cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: enrich each probe row with the dim
+    version valid at its timestamp — equi-join on the key plus half-open
+    interval containment [valid_from, valid_to) over the SCD2 history.
+
+    The as-of join the reference cannot express (Flink-CDC reads only the
+    latest image) and Spark lacks as a builtin; as a composition it is a
+    key equi-join + range predicate, which Catalyst executes as a hash
+    join on the unique key with the interval filter applied — no range
+    partitioning needed when the key is selective. Training-data analog:
+    joining feature values as-of each example's event time.
+    """
+    tune(spark)
+    hist = cdc_scd2_history(spark, sf_dir)
+    hist_us = hist.select(
+        "id",
+        F.col("order_status").alias("status_version"),
+        F.unix_micros(F.to_timestamp("valid_from", "yyyy-MM-dd HH:mm:ss")).alias("from_us"),
+        F.when(F.col("valid_to") == "9999-12-31 00:00:00", F.lit(2**62))
+        .otherwise(F.unix_micros(F.to_timestamp("valid_to", "yyyy-MM-dd HH:mm:ss")))
+        .alias("to_us"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    probes = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.unix_micros(
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {ASOF_PROBE_HOURS} HOURS")).cast("timestamp")
+        ).alias("probe_us"),
+    )
+    joined = probes.join(
+        hist_us,
+        (probes.id == hist_us.id)
+        & (F.col("probe_us") >= F.col("from_us"))
+        & (F.col("probe_us") < F.col("to_us")),
+        "inner",
+    )
+    return joined.select(
+        probes.id.alias("id"),
+        F.date_format(F.timestamp_micros("probe_us"), "yyyy-MM-dd HH:mm:ss").alias("probe_ts"),
+        F.col("status_version").alias("status_asof"),
+    )
+
+
+ORACLE_CDC_ASOF_JOIN = f"""
+WITH ops AS (
+    SELECT o_orderkey AS id, o_orderstatus AS order_status, o_orderdate AS op_ts, 0 AS op_seq
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'PAID', o_orderdate + INTERVAL 1 DAY, 1
+    FROM orders WHERE o_orderstatus = 'F'
+),
+hist AS (
+    SELECT *, lead(op_ts) OVER (PARTITION BY id ORDER BY op_ts, op_seq) AS valid_to_ts
+    FROM ops
+),
+probes AS (
+    SELECT o_orderkey AS id, o_orderdate + INTERVAL {ASOF_PROBE_HOURS} HOUR AS probe_ts
+    FROM orders
+)
+SELECT p.id,
+       strftime(p.probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_ts,
+       h.order_status AS status_asof
+FROM probes p
+JOIN hist h
+  ON p.id = h.id
+ AND p.probe_ts >= h.op_ts
+ AND (h.valid_to_ts IS NULL OR p.probe_ts < h.valid_to_ts)
+"""
+
+
 ORACLE_CDC_DIM_UPSERT = """
 SELECT o_orderkey AS id,
        CASE WHEN o_orderstatus = 'F' THEN 'PAID' ELSE o_orderstatus END AS order_status,

@@ -50,6 +50,7 @@ _register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY
 _register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5"))
 _register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, bench=True, tags=("S5", "S7", "S8", "P1"))
 _register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HISTORY, tags=("S5", "scd2"))
+_register("dwd_cdc_asof_join", dwd.cdc_asof_join, dwd.ORACLE_CDC_ASOF_JOIN, tags=("asof", "scd2"))
 
 # --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
 _register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3",))
