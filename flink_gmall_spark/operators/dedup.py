@@ -434,6 +434,100 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_THRESHOLD = 3
+SIMHASH_BANDS = 4  # pigeonhole: hamming<=3 over 64 bits => >=1 of 4 16-bit bands equal
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one exact 16-bit
+    band of the 64-bit fingerprint (pigeonhole-complete for hamming <=
+    HAMMING_THRESHOLD since 3 differing bits cannot touch all 4 bands),
+    then the exact hamming distance filters. Candidate generation is an
+    equi-join on (band_idx, band_bits) — never all-pairs.
+
+    Scope note (measured on this corpus): simhash is the web-scale
+    primitive for FEATURE-RICH documents; with ~30 distinct tokens per doc
+    the per-bit vote sums sit near zero, so fingerprints are coarse —
+    token-set-similar docs collide at hamming 0 while 0.99-shingle-jaccard
+    pairs can land beyond the threshold. MinHash (minhash_lsh_pairs) is
+    the primary near-dup contract here; this operator exists for the
+    long-document regime and is oracle-exact either way.
+    """
+    tune(spark)
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BANDS - 1})")).alias("bi"),
+    ).withColumn("bits", F.expr("substring(simhash, 1 + bi * 16, 16)"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        "64 - size(filter(sequence(1, 64), i -> substring(ha, i, 1) = substring(hb, i, 1)))"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH doc_toks AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS tok
+    FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM doc_toks),
+vocab_bits AS (
+    SELECT tok, j,
+           2 * (((instr('0123456789abcdef', substring(md5(tok), 1 + CAST(j // 4 AS INT), 1)) - 1)
+                >> (3 - j % 4)) & 1) - 1 AS vote
+    FROM vocab, (SELECT unnest(range(0, 64)) AS j)
+),
+votes AS (
+    SELECT d.doc_id, v.j,
+           CASE WHEN sum(v.vote) >= 0 THEN '1' ELSE '0' END AS bit
+    FROM doc_toks d JOIN vocab_bits v USING (tok)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+    FROM votes GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash, bi, substring(simhash, 1 + bi * 16, 16) AS bits
+    FROM fp, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS bi)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM bands a JOIN bands b
+      ON a.bi = b.bi AND a.bits = b.bits AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(64 - len(list_filter(range(1, 65), i -> substring(ha, i, 1) = substring(hb, i, 1))) AS BIGINT) AS hamming
+FROM cand
+WHERE 64 - len(list_filter(range(1, 65), i -> substring(ha, i, 1) = substring(hb, i, 1))) <= {HAMMING_THRESHOLD}
+"""
+
+
 ORACLE_SIMHASH = """
 WITH doc_toks AS (
     SELECT doc_id,

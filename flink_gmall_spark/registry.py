@@ -100,6 +100,7 @@ _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True
 _register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.ORACLE_NGRAM_JACCARD, tags=("dedup",))
 _register("dedup_minhash_lsh", dedup.minhash_lsh_pairs, dedup.ORACLE_MINHASH_LSH, bench=True, tags=("dedup",))
 _register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, bench=True, tags=("dedup",))
+_register("dedup_simhash_pairs", dedup.simhash_pairs, dedup.ORACLE_SIMHASH_PAIRS, tags=("dedup",))
 _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
