@@ -263,6 +263,57 @@ GROUP BY 1
 """
 
 
+KEYWORD_SOURCE_WEIGHTS = {"src0": 10, "src1": 3, "src2": 2}  # else 1
+KEYWORD_LIMIT = 20
+
+
+def keyword_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 literal shape (KeywordStatsMapper.java:13-18): keyword counts
+    weighted per source via multiIf, summed, top-N with tiebreak."""
+    tune(spark)
+    from flink_gmall_spark.plans.dws import keyword_stats
+
+    kw = keyword_stats(spark, sf_dir)
+    weight = None
+    for src, wgt in KEYWORD_SOURCE_WEIGHTS.items():
+        weight = (
+            F.when(F.col("source") == src, wgt)
+            if weight is None
+            else weight.when(F.col("source") == src, wgt)
+        )
+    weight = weight.otherwise(1)
+    return (
+        kw.groupBy("keyword")
+        .agg(F.sum(F.col("ct") * weight).cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("keyword"))
+        .limit(KEYWORD_LIMIT)
+    )
+
+
+_KW_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in KEYWORD_SOURCE_WEIGHTS.items()
+)
+
+ORACLE_KEYWORD_WEIGHTED = f"""
+WITH kw AS (
+    SELECT u.keyword, u.source, count(*) AS ct
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t <> '')) AS keyword
+        FROM documents
+    ) u
+    GROUP BY 1, 2
+)
+SELECT keyword,
+       CAST(sum(ct * CASE {_KW_CASE} ELSE 1 END) AS BIGINT) AS score
+FROM kw
+GROUP BY 1
+ORDER BY score DESC, keyword ASC
+LIMIT {KEYWORD_LIMIT}
+"""
+
+
 TOP_PER_BRAND = 3
 
 

@@ -73,6 +73,7 @@ _register("ads_top_brands", ads.top_brands, ads.ORACLE_TOP_BRANDS, bench=True, t
 _register("ads_hourly_stats", ads.hourly_stats, ads.ORACLE_HOURLY_STATS, tags=("A7",))
 _register("ads_status_stats", ads.status_stats, ads.ORACLE_STATUS_STATS, tags=("A8",))
 _register("ads_user_scores", ads.user_scores, ads.ORACLE_USER_SCORES, tags=("A9",))
+_register("ads_keyword_weighted", ads.keyword_weighted, ads.ORACLE_KEYWORD_WEIGHTED, tags=("A9",))
 _register("ads_totals", ads.totals, ads.ORACLE_TOTALS, tags=("A10",))
 _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP, tags=("A11",))
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
@@ -90,6 +91,7 @@ _register("dws_session_windows", dws.session_windows, dws.ORACLE_SESSION_WINDOWS
 # §7.3 rank 1) carries its own horizon-aware oracle: the watermark-open
 # tail is excluded by an exact, engine-verified boundary rule.
 _register("stream_visitor_stats", stream_jobs.stream_visitor_stats, dws.ORACLE_VISITOR_STATS, tags=("A1", "T5", "T6", "streaming"))
+_register("stream_product_stats", stream_jobs.stream_product_stats, dws.ORACLE_PRODUCT_STATS, tags=("A2", "streaming"))
 _register("stream_j1_order_detail_wide", stream_jobs.stream_order_detail_wide, dwm.ORACLE_ORDER_DETAIL_WIDE, tags=("J1", "T4", "streaming"))
 _register("stream_t1_visit_flag", stream_state.visit_flag_stream, dwm.ORACLE_VISIT_FLAG, tags=("T1", "streaming"))
 _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_UV, tags=("T2", "T8", "streaming"))

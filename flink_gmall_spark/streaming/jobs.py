@@ -136,6 +136,40 @@ def stream_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(result, "append")
 
 
+def stream_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 on the incremental engine: stream-static broadcast join (dim
+    enrichment before aggregation, the streaming-legal order) + unwindowed
+    keyed aggregation in complete mode, with exact distinct via
+    collect_set — the literal HashSet-of-order-ids trick the reference's
+    ProductStatsApp keeps in its ReduceFunction (COUNT DISTINCT itself is
+    illegal in streaming aggs). Shares ORACLE_PRODUCT_STATS."""
+    tune(spark)
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.sources import load as load_batch
+
+    li = read_stream(spark, sf_dir, "lineitem")
+    part = load_batch(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+    agg = joined.groupBy("l_partkey").agg(
+        F.first("p_name").alias("sku_name"),
+        F.first("p_brand").alias("tm_name"),
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("order_sku_num"),
+        F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("order_amount"),
+        F.size(F.collect_set("l_orderkey")).cast("long").alias("order_ct"),
+        F.count(F.lit(1)).alias("item_ct"),
+    )
+    result = agg.select(
+        F.col("l_partkey").alias("sku_id"),
+        "sku_name",
+        "tm_name",
+        "order_sku_num",
+        "order_amount",
+        "order_ct",
+        "item_ct",
+    )
+    return run_to_memory(result, "complete")
+
+
 def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 windowed visitor-stats aggregation executed by the
     incremental streaming engine (state store + complete output), not the
