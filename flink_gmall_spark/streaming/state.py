@@ -22,7 +22,6 @@ plain values/lists. Batch-mode oracles for all three live in plans.dwm.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 
