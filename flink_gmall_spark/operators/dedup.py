@@ -326,6 +326,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).persist()
+    changed = 0
     for _ in range(CC_MAX_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -353,6 +354,15 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Unconverged labels are silently wrong (non-transitive); the
+        # oracle's recursive closure would mismatch with no diagnostic.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{CC_MAX_ITERATIONS} rounds ({changed} labels still "
+            "improving); raise CC_MAX_ITERATIONS for graphs with "
+            "diameter beyond it"
+        )
     return labels.select("doc_id", "cluster_id")
 
 

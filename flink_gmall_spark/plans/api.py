@@ -73,7 +73,8 @@ def visitor_stats_by_new_flag(spark: SparkSession, sf_dir: str, date: str) -> Da
 
 
 def keyword_stats(spark: SparkSession, sf_dir: str, limit: int = 10) -> DataFrame:
-    """KeywordStatsMapper.java:13-18: weighted keyword score, top N."""
+    """Unweighted keyword top-N by total count (the source-weighted
+    variant of KeywordStatsMapper.java:13-18 is ads.keyword_weighted)."""
     kw = dws.keyword_stats(spark, sf_dir)
     weighted = kw.groupBy("keyword").agg(
         F.sum(F.col("ct")).cast("long").alias("ct"),

@@ -76,8 +76,12 @@ def clean_dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#  Spark from_json with a struct schema yields NULL for valid-but-non-object
+#  JSON ('5', '[1]', 'true'), classifying it dirty; match that tokenization
+#  with json_type = 'OBJECT' so both engines agree on scalar/array JSON.
 ORACLE_CLEAN_DIRTY_SPLIT = """
-SELECT CASE WHEN json_valid(props) THEN 'clean' ELSE 'dirty' END AS branch,
+SELECT CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+            THEN 'clean' ELSE 'dirty' END AS branch,
        CAST(count(*) AS BIGINT) AS ct,
        count(DISTINCT user_id) AS uv_ct
 FROM events

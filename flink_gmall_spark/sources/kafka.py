@@ -27,15 +27,22 @@ DEFAULT_BOOTSTRAP = "localhost:9092"
 
 
 def _require_kafka(spark: SparkSession) -> None:
-    jars = spark.sparkContext.getConf().get("spark.jars.packages", "")
-    if "spark-sql-kafka" not in jars:
+    """Probe the JVM classpath for the Kafka data source, however it was
+    supplied (spark.jars.packages, --jars, spark.jars, or a bundled
+    distribution) — string-matching one conf key would wrongly reject
+    legitimate setups."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
         raise RuntimeError(
             "Kafka integration needs the spark-sql-kafka-0-10 package on the "
-            "classpath (start the session with spark.jars.packages="
-            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
-            "use the file-source mode (sources.tables / streaming.jobs) in "
-            "environments without a broker."
-        )
+            "classpath (e.g. spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> or "
+            "--jars); use the file-source mode (sources.tables / "
+            "streaming.jobs) in environments without a broker."
+        ) from None
 
 
 def read_stream(

@@ -36,8 +36,13 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"fgs_stream_{name}_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # Atomic staging: symlink to a unique name, then rename into place.
+    # A bare exists-check + symlink is a TOCTOU race between concurrent
+    # sessions, and a stale link (testdata regenerated) must be replaced.
+    if os.path.realpath(link) != os.path.realpath(src):
+        tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        os.symlink(src, tmp)
+        os.replace(tmp, link)
     return d
 
 
