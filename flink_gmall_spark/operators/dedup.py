@@ -21,7 +21,7 @@ Scale design (100 TB point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
@@ -55,7 +55,23 @@ GROUP BY 1
 """
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
+# How the document-frequency cap is applied (semantics identical; the
+# choice is a physical strategy, like AQE picking a join):
+# - "window": one shuffle by shingle + windowed count. The exchange on s
+#   is then REUSED by the verification self-join (also keyed on s), so the
+#   whole operator runs with the minimum stage count — fastest up to
+#   ~corpus-fits-in-cluster-memory scales.
+# - "antijoin": document frequencies via partial (map-side) aggregation,
+#   then a broadcast anti-join against the tiny frequent-shingle set. The
+#   raw posting rows of a hot shingle (stopword trigram at billions of
+#   docs) never concentrate on one reducer — the skew-safe plan for the
+#   100 TB point, at the cost of recomputing the narrow explode subtree
+#   per consumer. Window functions have no partial aggregation and no AQE
+#   skew splitting, hence the switch.
+FREQ_FILTER_STRATEGY = "window"
+
+
+def _shingles(docs: DataFrame, strategy: str | None = None) -> DataFrame:
     """Distinct word-k-gram shingles per doc, with the document-frequency
     cap applied. Stays fully JVM-side (split/transform/explode)."""
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
@@ -73,13 +89,19 @@ def _shingles(docs: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     )
-    rare = (
+    if (strategy or FREQ_FILTER_STRATEGY) == "window":
+        return (
+            sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+            .filter(F.col("df") <= MAX_SHINGLE_DF)
+            .select("doc_id", "s")
+        )
+    frequent = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("s")
     )
-    return sh.join(rare, "s", "left_semi").select("doc_id", "s")
+    return sh.join(frequent, "s", "left_anti").select("doc_id", "s")
 
 
 # DuckDB mirror of _shingles (1-based lists; range() end-exclusive).
@@ -110,10 +132,16 @@ sizes AS (
 """
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard for doc pairs sharing >=1 shingle (optionally
     restricted to candidate ``pairs``). Integer counts + one double
-    division — bit-identical in both engines.
+    division — bit-identical in both engines. Callers that already
+    aggregate per-doc (minhash signatures) pass their shingle counts in as
+    ``sizes`` so the per-doc aggregation is planned once and reused.
 
     Scale note: with candidates given, the shingle self-join runs only
     over documents that appear in some candidate pair (semi-join
@@ -125,12 +153,12 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     (hint-forced broadcasts spawned jobs that each recomputed the
     upstream DAG — measured 4x slower).
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is not None:
-        cand_docs = (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .union(pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # no distinct: left_semi tolerates duplicate keys on the right
+        cand_docs = pairs.select(F.col("doc_a").alias("doc_id")).union(
+            pairs.select(F.col("doc_b").alias("doc_id"))
         )
         sh = sh.join(cand_docs, "doc_id", "left_semi")
     a = sh.alias("a")
@@ -198,7 +226,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16-bit collision rate, and exact-Jaccard verification removes any
     # residual false positives.
     hashed = sh.withColumn("h", F.expr("concat(md5(s), md5(concat('x', s)))"))
-    aggs = [
+    # shingle count rides along in the same aggregation — the Jaccard
+    # denominator sizes come for free from the signature shuffle
+    aggs = [F.count(F.lit(1)).alias("n")] + [
         F.min(F.expr(f"substring(h, {1 + c * CHUNK_HEX}, {CHUNK_HEX})")).alias(f"m{c}")
         for c in range(BANDS * ROWS_PER_BAND)
     ]
@@ -220,7 +250,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, pairs=cand)
+    return _pair_jaccard(sh, pairs=cand, sizes=sig_wide.select("doc_id", "n"))
 
 
 # DuckDB mirror of the chunked banded signatures + candidate join.

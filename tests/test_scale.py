@@ -51,3 +51,14 @@ def test_append_mode_window_watermark_semantics(spark, sf_dir):
     assert sorted(map(tuple, got.itertuples(index=False))) == sorted(
         map(tuple, closed.itertuples(index=False))
     )
+
+
+def test_shingle_freq_strategies_agree(spark, sf_dir):
+    """The skew-safe anti-join DF-cap (100 TB path) must produce the same
+    shingle set as the default windowed count (min-stage path)."""
+    from flink_gmall_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    win = dedup._shingles(docs, strategy="window")
+    anti = dedup._shingles(docs, strategy="antijoin")
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, anti.collect()))
