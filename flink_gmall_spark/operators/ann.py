@@ -266,3 +266,140 @@ pairs AS (
 SELECT vec_a, vec_b, round(cos, 6) AS sim
 FROM pairs WHERE cos >= {COSINE_THRESHOLD}
 """
+
+
+N_BLOCK_QUERIES = 32
+_BLOCK_MARGIN = 8  # local top-(K+margin) per partition absorbs 6dp ties
+
+
+def block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k via blocked numpy GEMM (mapInPandas).
+
+    The Arrow/vectorized-Python path for the same contract as ann_topk:
+    the (tiny) query matrix rides into every executor inside the UDF
+    closure — the pandas-UDF equivalent of a broadcast join — and each
+    Arrow batch of corpus vectors is scored with ONE dense matmul
+    (Q @ M.T), then reduced to a per-partition local top-(K+margin) per
+    query before anything shuffles. The global window re-ranks the tiny
+    union of local winners. At 100 TB this is the canonical shape:
+    compute stays in BLAS, shuffle volume is O(partitions x queries x k),
+    and the corpus is scanned exactly once.
+
+    Parity note: GEMM sums in a different order than the sequential fold
+    the rest of this module uses, so ranking and output use round(cos, 6)
+    (with neighbor_id tiebreak) — agreement at 6dp is guaranteed by the
+    ~1e-13 relative error bound of 64-term float64 dot products.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_BLOCK_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # bounded: N_BLOCK_QUERIES rows — the "broadcast small side"
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    kk = TOPK + _BLOCK_MARGIN
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mn = np.sqrt((M * M).sum(axis=1))
+            cos = (Q @ M.T) / (qn[:, None] * mn[None, :])
+            take = min(kk, cos.shape[1])
+            # local top-take per query, self-matches masked
+            cos[qids[:, None] == ids[None, :]] = -np.inf
+            idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    "neighbor_id": ids[idx].ravel(),
+                    "cos": np.take_along_axis(cos, idx, axis=1).ravel(),
+                }
+            )
+            yield out[out["cos"] != -np.inf]
+
+    local = emb.mapInPandas(score, "query_id long, neighbor_id long, cos double")
+    ranked = local.withColumn("sim", F.round("cos", 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+ORACLE_BLOCK_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round({_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm), 6) AS sim
+    FROM e q JOIN e ON q.vec_id < {N_BLOCK_QUERIES} AND q.vec_id <> e.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, centroid) rows — the
+    codebook-training / cluster-profiling primitive (a k-means iteration
+    is exactly this groupBy with labels replaced by assignments).
+
+    Vector components are exploded to (label, dim) and summed as
+    DECIMAL(27,15) — decimal addition is associative/commutative, so the
+    result is independent of partitioning and task order (a double sum is
+    not), then divided once and rounded. One partial-aggregated shuffle
+    on (label, dim): at 100 TB this is a bounded-key aggregation
+    (labels x 64 dims), never a wide row.
+    """
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.expr("transform(embedding, x -> cast(x AS double))")).alias(
+            "dim0", "x"
+        ),
+    )
+    agg = comp.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        F.sum(F.expr("cast(x AS decimal(27,15))")).alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("centroid"),
+        F.col("n").alias("n_vecs"),
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH comp AS (
+    SELECT label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {'i': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(u.i AS BIGINT) AS dim,
+       round(CAST(sum(CAST(u.x AS DECIMAL(27,15))) AS DOUBLE) / count(*), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM comp
+GROUP BY label, u.i
+"""

@@ -1,0 +1,349 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+The steps between "raw crawl" and "training shards" that the BASELINE
+north star calls for, beyond dedup/similarity (operators.dedup /
+operators.ann): length bucketing, concat-and-chunk sequence packing,
+deterministic stratified sampling, benchmark decontamination, tf-idf
+term salience, and quality-argmax near-dup resolution.
+
+Parity conventions (memory: spark-duckdb-parity-playbook): outputs are
+BIGINT/STRING only (scores are integer-scaled, sampling thresholds are
+hex-string comparisons), so every operator is hash-exact against its
+DuckDB oracle.
+
+Scale design (100 TB point):
+- Everything is groupBy/window/join on bounded keys — no driver loops,
+  no collects.
+- pack_chunks partitions its running sum by language; a production
+  deployment shards the window key further ((lang, shard_id) with
+  per-shard budgets) so no single window partition exceeds an executor —
+  the chunk ids then become (shard, chunk) pairs, same plan shape.
+- decontaminate joins train-side shingles against the (small) holdout
+  shingle set — AQE broadcasts the holdout side at runtime; the join
+  never materializes train x train.
+- sample_stratified / keep_best are one narrow filter / one windowed
+  shuffle respectively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
+from flink_gmall_spark.operators.dedup import ORACLE_SIMHASH, simhash_fingerprints
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+# token arrays in DuckDB — identical tokenization to tokens_col
+_DUCK_T = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+)
+
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+# per-language sampling rates as 6-hex-digit md5-prefix thresholds:
+# keep iff substring(md5(seed || doc_id), 1, 6) < threshold. Lexicographic
+# order on lowercase hex == numeric order, so rate r maps to the hex
+# string of floor(r * 16^6) — portable bit-for-bit across engines, no
+# int(hex) conversion needed.
+SAMPLE_SEED = "strat42:"
+SAMPLE_RATE_HEX = {
+    "en": "800000",  # 0.5
+    "es": "400000",  # 0.25
+    "de": "400000",  # 0.25
+    "fr": "200000",  # 0.125
+    "zh": "200000",  # 0.125
+}
+SAMPLE_DEFAULT_HEX = "100000"  # 0.0625 for unconfigured languages
+
+HOLDOUT_MOD = 97  # doc_id % 97 == 0 stands in for the benchmark/eval set
+DECONTAM_MIN_OVERLAP = 5  # >= this many shared distinct shingles => contaminated
+
+TFIDF_TOP_N = 3
+TFIDF_SCALE = 1_000_000  # integer-scaled score: tf * SCALE DIV df
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language over power-of-two buckets —
+    the curriculum/packing planner's input (how much corpus sits in each
+    sequence-length class). One partial-aggregated shuffle."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    bucket = F.when(F.col("n_tok") <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(F.col("n_tok").cast("double"))).cast("long")
+    )
+    return (
+        sized.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n_tok").alias("tok_ct"),
+        )
+    )
+
+
+ORACLE_LENGTH_BUCKETS = f"""
+WITH t AS (SELECT lang, CAST(len({_DUCK_T}) AS BIGINT) AS n_tok FROM documents)
+SELECT lang,
+       CASE WHEN n_tok <= 0 THEN -1
+            ELSE CAST(floor(log2(CAST(n_tok AS DOUBLE))) AS BIGINT) END AS len_bucket,
+       CAST(count(*) AS BIGINT) AS doc_ct,
+       CAST(sum(n_tok) AS BIGINT) AS tok_ct
+FROM t
+GROUP BY 1, 2
+"""
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language, documents are
+    concatenated in doc_id order and cut into PACK_BUDGET-token training
+    chunks; each document reports the chunk span it lands in.
+
+    This is the packing discipline LLM pretraining actually uses (concat
+    with EOS, fixed-length chunks, documents may straddle boundaries) —
+    unlike greedy bin packing it is a pure prefix-sum, so it scales as one
+    window per language shard (see module docstring for the 100 TB
+    sharding note).
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    res = sized.withColumn("start_off", start).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr(f"start_off DIV {PACK_BUDGET}").alias("first_chunk"),
+        F.expr(f"(start_off + n_tok - 1) DIV {PACK_BUDGET}").alias("last_chunk"),
+    )
+    return res.withColumn(
+        "chunks_spanned", (F.col("last_chunk") - F.col("first_chunk") + 1)
+    )
+
+
+ORACLE_PACK_CHUNKS = f"""
+WITH sized AS (
+    SELECT doc_id, lang, CAST(len({_DUCK_T}) AS BIGINT) AS n_tok
+    FROM documents
+    WHERE len({_DUCK_T}) > 0
+),
+off AS (
+    SELECT doc_id, lang, n_tok,
+           COALESCE(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+    FROM sized
+)
+SELECT doc_id, lang, n_tok,
+       start_off // {PACK_BUDGET} AS first_chunk,
+       (start_off + n_tok - 1) // {PACK_BUDGET} AS last_chunk,
+       (start_off + n_tok - 1) // {PACK_BUDGET}
+         - start_off // {PACK_BUDGET} + 1 AS chunks_spanned
+FROM off
+"""
+
+
+def _rate_hex_col() -> F.Column:
+    c = F.lit(SAMPLE_DEFAULT_HEX)
+    for lang, hexthr in SAMPLE_RATE_HEX.items():
+        c = F.when(F.col("lang") == lang, hexthr).otherwise(c)
+    return c
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    via an md5-prefix threshold on the seeded doc_id — reproducible across
+    engines, runs, and cluster layouts (no RNG state), and purely a narrow
+    filter: zero shuffles at any scale."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "hx",
+        F.expr(f"substring(md5(concat('{SAMPLE_SEED}', CAST(doc_id AS STRING))), 1, 6)"),
+    )
+    return (
+        keyed.filter(F.col("hx") < _rate_hex_col())
+        .select("doc_id", "lang", "source")
+    )
+
+
+_DUCK_RATE_HEX = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{k}' THEN '{v}'" for k, v in SAMPLE_RATE_HEX.items())
+    + f" ELSE '{SAMPLE_DEFAULT_HEX}' END"
+)
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5('{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6) < {_DUCK_RATE_HEX}
+"""
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    DECONTAM_MIN_OVERLAP distinct word-3-gram shingles with any holdout
+    (eval-set) document — the n-gram-overlap rule used to scrub eval
+    leakage from pretraining corpora. Holdout membership here is the
+    deterministic doc_id % HOLDOUT_MOD == 0 slice standing in for an
+    external benchmark table; swapping in a real one changes only the
+    holdout DataFrame.
+
+    Plan shape: train-shingles ⋈ holdout-shingles on the shingle string —
+    the holdout side is tiny so AQE broadcasts it; cost is one pass over
+    the train shingles. Reuses dedup._shingles (same DF-cap guard).
+    """
+    from flink_gmall_spark.operators.dedup import _shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hold = sh.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
+        F.col("doc_id").alias("hold_id"), "s"
+    )
+    train = sh.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+    hits = train.join(hold, "s")
+    agg = hits.groupBy("doc_id").agg(
+        F.countDistinct("s").alias("overlap_ct"),
+        F.countDistinct("hold_id").alias("hold_docs"),
+    )
+    return agg.filter(F.col("overlap_ct") >= DECONTAM_MIN_OVERLAP)
+
+
+# mirrors _shingles (window strategy ≡ groupBy df — semantics identical)
+_DUCK_SH = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+sh_all AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
+    FROM toks
+    WHERE len(t) >= 3
+),
+rare AS (
+    SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100
+),
+sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s))
+"""
+
+ORACLE_DECONTAMINATE = f"""{_DUCK_SH}
+SELECT t.doc_id,
+       count(DISTINCT t.s) AS overlap_ct,
+       count(DISTINCT h.doc_id) AS hold_docs
+FROM sh t
+JOIN sh h ON t.s = h.s
+WHERE h.doc_id % {HOLDOUT_MOD} = 0 AND t.doc_id % {HOLDOUT_MOD} <> 0
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.s) >= {DECONTAM_MIN_OVERLAP}
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-N salient terms by integer-scaled df-normalized
+    term frequency (score = tf * SCALE DIV df — monotone in tf/df, the
+    tf-idf ranking family with an exact cross-engine total order; true
+    log-idf would rank by floats whose ties are engine-dependent).
+
+    Plan: one shuffle for per-(doc, term) tf, one partial-aggregated
+    shuffle for df, a shuffle join back, one window for top-N — each keyed
+    on term or doc, never all-pairs.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df, "tok").withColumn(
+        "score", F.expr(f"tf * {TFIDF_SCALE} DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "tok", "tf", "df", "score", "rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_DUCK_T}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           tf.tf * {TFIDF_SCALE} // df.df AS score
+    FROM tf JOIN df USING (tok)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, tok, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_N}
+"""
+
+
+def keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax near-dup resolution: group documents by their
+    64-bit SimHash fingerprint (hamming-0 near-dup classes) and keep the
+    highest-quality member (longest text, doc_id as the total-order
+    tiebreak) — the keep-best upgrade of exact_dedup's keep-smallest-id.
+
+    One windowed shuffle over the fingerprint table; at 100 TB the
+    fingerprint groupBy is the same shuffle the dedup itself needs.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    fp = simhash_fingerprints(spark, sf_dir)
+    g = fp.join(docs, "doc_id")
+    w = Window.partitionBy("simhash")
+    wr = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .withColumn("group_ct", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "simhash",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "group_ct",
+        )
+    )
+
+
+ORACLE_KEEP_BEST = f"""
+WITH fp AS ({ORACLE_SIMHASH}),
+g AS (
+    SELECT d.doc_id, fp.simhash, CAST(d.n_chars AS BIGINT) AS n_chars,
+           row_number() OVER (
+               PARTITION BY fp.simhash ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY fp.simhash) AS group_ct
+    FROM fp JOIN documents d USING (doc_id)
+)
+SELECT doc_id, simhash, n_chars, CAST(group_ct AS BIGINT) AS group_ct
+FROM g WHERE rn = 1
+"""

@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_gmall_spark.operators import ann, dedup, multimodal, textstats
+from flink_gmall_spark.operators import ann, curation, dedup, multimodal, textstats
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
 from flink_gmall_spark.streaming import jobs as stream_jobs
 from flink_gmall_spark.streaming import state as stream_state
@@ -116,6 +116,17 @@ _register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tag
 _register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 _register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
 _register("ads_top_sku_per_brand", ads.top_sku_per_brand, ads.ORACLE_TOP_SKU_PER_BRAND, tags=("topk",))
+
+# --- Corpus curation (training-data pipeline, round 2) -----------------------
+_register("curation_length_buckets", curation.length_buckets, curation.ORACLE_LENGTH_BUCKETS, tags=("curation",))
+_register("curation_pack_chunks", curation.pack_chunks, curation.ORACLE_PACK_CHUNKS, bench=True, tags=("curation", "packing"))
+_register("curation_sample_stratified", curation.sample_stratified, curation.ORACLE_SAMPLE_STRATIFIED, tags=("curation", "sampling"))
+_register("curation_decontaminate", curation.decontaminate, curation.ORACLE_DECONTAMINATE, bench=True, tags=("curation", "dedup"))
+_register("curation_tfidf_top_terms", curation.tfidf_top_terms, curation.ORACLE_TFIDF_TOP_TERMS, bench=True, tags=("curation", "text"))
+_register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST, tags=("curation", "dedup"))
+_register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
+_register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
+_register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
 
 
 def registry() -> dict[str, Query]:

@@ -186,3 +186,26 @@ def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = read_stream(spark, sf_dir, "events")
     return run_to_memory(visitor_stats_transform(ev), "complete")
+
+
+def stream_event_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: state-store-backed dropDuplicates
+    over the event stream — the unbounded-dedup primitive behind the
+    reference's UV-style jobs, applied to (user_id, event_type).
+
+    Output is the distinct key set, so emission order / partition
+    placement cannot leak into the result and the batch DISTINCT oracle
+    is exact. In production the same query runs with a watermark +
+    dropDuplicatesWithinWatermark to bound state; with availableNow over
+    a finite fixture the unbounded form is deterministic."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events")
+    res = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(res, "append")
+
+
+ORACLE_EVENT_DISTINCT = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
