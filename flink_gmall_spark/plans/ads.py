@@ -8,7 +8,7 @@ is a non-goal (SURVEY §7.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_gmall_spark.functions.parity import MONEY, half_up_x100
@@ -454,4 +454,85 @@ SELECT dt, pv_ct, purchase_ct, uv_ct,
        {half_up_x100("pv_ct", "uv_ct", "//")} AS pv_per_uv,
        {half_up_x100("100 * purchase_ct", "pv_ct", "//")} AS conversion_pct
 FROM daily
+"""
+
+
+def gmv_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily GMV — the trailing-window trend line
+    every ADS dashboard adds over gmv_by_date. One aggregation shuffle on
+    date plus one window over the (tiny) daily series; decimal daily sums
+    keep partition-order independence, and the moving mean divides by the
+    actual frame size so the leading edge is exact."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt")
+    ).agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias("gmv_dec"))
+    w = Window.orderBy("dt").rowsBetween(-6, 0)
+    return daily.select(
+        "dt",
+        F.col("gmv_dec").cast("double").alias("gmv"),
+        F.round(
+            F.sum("gmv_dec").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("gmv_ma7"),
+    )
+
+
+ORACLE_GMV_MOVING_AVG = """
+WITH daily AS (
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS gmv_dec
+    FROM orders GROUP BY 1
+)
+SELECT dt,
+       CAST(gmv_dec AS DOUBLE) AS gmv,
+       round(CAST(sum(gmv_dec) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS gmv_ma7
+FROM daily
+WINDOW w AS (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+PCTLS = [0.25, 0.50, 0.75, 0.90, 0.99]
+
+
+def amount_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-amount percentiles per order status — the latency/SLA
+    style quantile query ads_approx_stats answers with sketches, here in
+    its exact form (Spark `percentile`, linear interpolation over the
+    sorted set — identical definition to DuckDB quantile_cont; inputs are
+    exact decimals cast to double so interpolation arithmetic is
+    bit-reproducible). Exact percentiles need the full value multiset per
+    group: the sketch variant stays the 100 TB default, this is the
+    ground-truth/backfill path.
+    """
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    amt = F.col("o_totalprice").cast(MONEY).cast("double")
+    qs = ", ".join(str(p) for p in PCTLS)
+    agg = orders.select("o_orderstatus", amt.alias("amt")).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.expr(f"percentile(amt, array({qs}))").alias("p"),
+        F.count(F.lit(1)).alias("order_ct"),
+    )
+    cols = [
+        F.round(F.element_at("p", i + 1), 4).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(PCTLS)
+    ]
+    return agg.select("o_orderstatus", *cols, "order_ct")
+
+
+_DUCK_PCTL_COLS = ",\n       ".join(
+    f"round(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), {p}), 4)"
+    f" AS p{int(p * 100)}"
+    for p in PCTLS
+)
+
+ORACLE_AMOUNT_PERCENTILES = f"""
+SELECT o_orderstatus,
+       {_DUCK_PCTL_COLS},
+       CAST(count(*) AS BIGINT) AS order_ct
+FROM orders
+GROUP BY o_orderstatus
 """

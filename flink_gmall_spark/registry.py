@@ -80,6 +80,8 @@ _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, t
 _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTHLY_STATUS_PIVOT, tags=("pivot",))
 _register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATUS_PRIORITY_CUBE, tags=("cube",))
 _register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check
+_register("ads_gmv_moving_avg", ads.gmv_moving_avg, ads.ORACLE_GMV_MOVING_AVG, tags=("window-frame",))
+_register("ads_amount_percentiles", ads.amount_percentiles, ads.ORACLE_AMOUNT_PERCENTILES, tags=("quantiles",))
 _register("dws_session_stats", dws.session_stats, dws.ORACLE_SESSION_STATS, bench=True, tags=("sessionization",))
 _register("dws_session_windows", dws.session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "T6"))
 

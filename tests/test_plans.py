@@ -52,3 +52,39 @@ def test_visitor_stats_single_shuffle(spark, sf_dir):
     # union-of-projections + one windowed agg = exactly one shuffle
     # (+1 AQE coalesce read is fine); more means a planning regression
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sample_stratified_no_shuffle(spark, sf_dir):
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.sample_stratified(spark, sf_dir))
+    # pure narrow filter: sampling must never repartition the corpus
+    assert "Exchange" not in plan, plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" not in scan, scan  # projection pruned to id/lang/source
+
+
+def test_pack_chunks_single_window_shuffle(spark, sf_dir):
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.pack_chunks(spark, sf_dir))
+    # one exchange for the per-language running-sum window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_block_topk_is_arrow_pandas(spark, sf_dir):
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.block_topk(spark, sf_dir))
+    # the GEMM runs as an Arrow-batched pandas stage, not row-at-a-time
+    assert "MapInPandas" in plan, plan
+    # shuffle volume is only the local winners: one window exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_partial_aggregation(spark, sf_dir):
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.tfidf_top_terms(spark, sf_dir))
+    assert "partial_" in plan, plan  # map-side combine on tf and df aggs

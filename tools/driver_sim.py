@@ -59,6 +59,15 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
+# --only name1,name2 verifies a subset (fast iteration); default = all.
+only = None
+for i, a in enumerate(sys.argv):
+    if a == "--only" and i + 1 < len(sys.argv):
+        only = set(sys.argv[i + 1].split(","))
+if only:
+    missing = only - set(qs)
+    assert not missing, f"--only names not in registry: {missing}"
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = []
 for name in sorted(qs):
     sdf = qs[name](spark, SF)
