@@ -98,6 +98,7 @@ _register("stream_j1_order_detail_wide", stream_jobs.stream_order_detail_wide, d
 _register("stream_t1_visit_flag", stream_state.visit_flag_stream, dwm.ORACLE_VISIT_FLAG, tags=("T1", "streaming"))
 _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_UV, tags=("T2", "T8", "streaming"))
 _register("stream_t3_jump_out", stream_state.jump_out_stream, stream_state.ORACLE_JUMP_OUT_STREAM, tags=("T3", "T4", "streaming", "cep"))
+_register("stream_session_windows", stream_jobs.stream_session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "streaming"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

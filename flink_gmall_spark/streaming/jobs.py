@@ -209,3 +209,29 @@ def stream_event_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENT_DISTINCT = """
 SELECT DISTINCT user_id, event_type FROM events
 """
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization on the incremental engine —
+    the stateful MERGING window operator (unlike tumbling windows, open
+    sessions merge when a bridging event arrives), exercised in complete
+    mode so every final merged session is emitted and the batch
+    sessionization oracle applies verbatim. Production would run
+    append + watermark to bound state; complete over availableNow is the
+    deterministic finite-input form of the same state machine."""
+    from flink_gmall_spark.plans.dws import SESSION_GAP_SECONDS
+
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events")
+    w = F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds")
+    agg = (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "complete")
