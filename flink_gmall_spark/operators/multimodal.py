@@ -138,3 +138,62 @@ SELECT doc_id,
        CAST(CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substring(text, length(text), 1)) END AS BIGINT) AS last_cp
 FROM documents
 """
+
+
+RESIZE_TARGET = 64  # downsample every payload to <= this many samples
+
+RESIZE_SCHEMA = "doc_id long, orig_len long, stride long, resized_len long, resized_sum long, resized_head long"
+
+
+def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize stage: stride-downsample each payload to <= RESIZE_TARGET
+    samples (the thumbnail/waveform-decimation shape: output size is
+    bounded regardless of input size). A real image resize would decode
+    first (see decode_image); the byte-stride keeps the stage
+    deterministic and testable while exercising identical plumbing —
+    binary in, bounded binary out, per Arrow batch."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "orig_len", "stride", "resized_len", "resized_sum", "resized_head")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            stride = max(1, -(-n // RESIZE_TARGET))
+            r = b[::stride]
+            rows["doc_id"].append(doc_id)
+            rows["orig_len"].append(n)
+            rows["stride"].append(stride)
+            rows["resized_len"].append(len(r))
+            rows["resized_sum"].append(int(sum(r)))
+            rows["resized_head"].append(r[0] if r else -1)
+        yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+def resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize/decimation: binary payload → bounded-size sample
+    via mapInPandas. The oracle recomputes the stride arithmetic over the
+    (ASCII, see frame_sample) source text."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    binarized = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binarized.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+ORACLE_RESIZE = f"""
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+),
+s AS (
+    SELECT doc_id, n,
+           greatest(1, (n + {RESIZE_TARGET} - 1) // {RESIZE_TARGET}) AS stride
+    FROM b
+)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS orig_len,
+       CAST(s.stride AS BIGINT) AS stride,
+       CAST((s.n + s.stride - 1) // s.stride AS BIGINT) AS resized_len,
+       CAST(COALESCE(list_sum(list_transform(
+           range(0, (s.n + s.stride - 1) // s.stride),
+           i -> ascii(substring(b.text, i * s.stride + 1, 1)))), 0) AS BIGINT) AS resized_sum,
+       CAST(CASE WHEN s.n = 0 THEN -1 ELSE ascii(substring(b.text, 1, 1)) END AS BIGINT) AS resized_head
+FROM s JOIN b USING (doc_id)
+"""

@@ -118,6 +118,7 @@ _register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPR
 _register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tags=("text",))
 _register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 _register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
+_register("multimodal_resize", multimodal.resize, multimodal.ORACLE_RESIZE, tags=("multimodal",))
 _register("ads_top_sku_per_brand", ads.top_sku_per_brand, ads.ORACLE_TOP_SKU_PER_BRAND, tags=("topk",))
 
 # --- Corpus curation (training-data pipeline, round 2) -----------------------
