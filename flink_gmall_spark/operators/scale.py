@@ -54,3 +54,28 @@ def salted_count_distinct(df: DataFrame, key: str, distinct_col: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("p_dct"))
     )
     return phase1.groupBy(key).agg(F.sum("p_dct").cast("long").alias("dct"))
+
+
+def salted_status_rollup(spark, sf_dir: str) -> DataFrame:
+    """Registry face of the salted two-phase aggregation: order totals per
+    status (3 wildly skewed groups — exactly the single-hot-key shape AQE
+    cannot re-plan, since skew-join splitting does not apply to
+    aggregations). Phase 1 fans each status over SALT_BUCKETS reducers on
+    a content-derived salt; phase 2 combines partials. The oracle is the
+    straight GROUP BY — salting must be invisible in the result."""
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    out = salted_sum_count(orders, "o_orderstatus", "o_totalprice", "o_orderkey")
+    return out.select("o_orderstatus", "total", "ct")
+
+
+ORACLE_SALTED_STATUS_ROLLUP = """
+SELECT o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(count(*) AS BIGINT) AS ct
+FROM orders
+GROUP BY o_orderstatus
+"""

@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_gmall_spark.operators import ann, curation, dedup, multimodal, textstats
+from flink_gmall_spark.operators import ann, curation, dedup, multimodal, scale, textstats
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
 from flink_gmall_spark.streaming import jobs as stream_jobs
 from flink_gmall_spark.streaming import state as stream_state
@@ -131,6 +131,7 @@ _register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST
 _register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
 _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
+_register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 
 
 def registry() -> dict[str, Query]:
