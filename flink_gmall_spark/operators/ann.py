@@ -403,3 +403,110 @@ SELECT CAST(label AS BIGINT) AS label,
 FROM comp
 GROUP BY label, u.i
 """
+
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2  # fixed, unrolled in the oracle
+
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 AS double), (acc, x) -> acc + x)"
+)
+_DUCK_SQDIST = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (acc, x) -> acc + x)"
+)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (Lloyd's) over the embedding corpus: KMEANS_ITERS
+    rounds of assign (argmin squared L2, cid tiebreak) + recompute
+    (per-dimension DECIMAL-sum means), deterministic end to end — init is
+    the first K_CLUSTERS vectors, distances are sequential folds, and
+    centroid means are partition-order-independent, so the DuckDB oracle
+    (the same two rounds unrolled as CTEs) hash-matches exactly.
+
+    The engine's iterative-ML surface: each round is one broadcast of the
+    tiny centroid table + one corpus scan + one bounded-key ((cid, dim))
+    aggregation — the canonical distributed Lloyd's step. At 100 TB (and
+    more rounds) each iteration's assignment would persist/checkpoint to
+    cut DAG growth; at 2 unrolled rounds the declarative DAG lets
+    exchange reuse dedupe instead.
+    """
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        d = e.join(F.broadcast(cent), how="cross").withColumn(
+            "dist", F.expr(_SQDIST.format(a="v", b="cv"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "dist")
+        )
+        comp = assign.select("cid", F.posexplode("v").alias("dim", "x"))
+        vals = (
+            comp.groupBy("cid", "dim")
+            .agg(
+                F.sum(F.expr("cast(x AS decimal(27,15))")).alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cid", "dim", (F.col("sx").cast("double") / F.col("n")).alias("val")
+            )
+        )
+        cent = vals.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, val))), s -> s.val)"
+            ).alias("cv")
+        )
+    return assign.select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), F.round("dist", 6).alias("dist")
+    )
+
+
+_DUCK_ASSIGN = """
+{out} AS (
+    SELECT vec_id, v, cid, dist FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               {dist} AS dist,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+
+_DUCK_RECENTER = """
+{out} AS (
+    SELECT cid, list(val ORDER BY dim) AS cv FROM (
+        SELECT cid, u.dim AS dim,
+               CAST(sum(CAST(u.x AS DECIMAL(27,15))) AS DOUBLE) / count(*) AS val
+        FROM (
+            SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+                       i -> {{'dim': i, 'x': v[i]}})) AS u
+            FROM {assign}
+        )
+        GROUP BY cid, u.dim
+    )
+    GROUP BY cid
+)"""
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}),
+{_DUCK_ASSIGN.format(out='a1', cent='c0', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))},
+{_DUCK_RECENTER.format(out='c1', assign='a1')},
+{_DUCK_ASSIGN.format(out='a2', cent='c1', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))}
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(dist, 6) AS dist FROM a2
+"""

@@ -347,3 +347,84 @@ g AS (
 SELECT doc_id, simhash, n_chars, CAST(group_ct AS BIGINT) AS group_ct
 FROM g WHERE rn = 1
 """
+
+
+MIX_SEED = "mix42:"
+_HEX6 = 16 ** 6  # 6-hex-digit threshold space
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: downsample over-represented sources to a per-source
+    token budget (half the mean source size — self-scaling, so every SF
+    exercises both branches). Rates are computed in pure integer
+    arithmetic (budget * 16^6 DIV source_tokens) and applied as the same
+    md5-prefix hex threshold sample_stratified uses; sources within
+    budget keep everything.
+
+    Plan shape: per-source token totals are one bounded-key aggregation,
+    the resulting rate table is tiny and broadcast back onto the corpus,
+    and the sample itself is a narrow filter. Output is the per-source
+    mixture summary (docs/tokens kept + the applied threshold) — the
+    mixture report a data-recipe pipeline logs.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    src = sized.groupBy("source").agg(F.sum("n_tok").alias("tok_s"))
+    tot = src.agg(
+        F.sum("tok_s").alias("total"), F.count(F.lit(1)).alias("ns")
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok_s",
+        F.expr("(total DIV ns) DIV 2").alias("budget"),
+        F.expr(
+            f"CASE WHEN tok_s <= (total DIV ns) DIV 2 THEN 'zzzzzz' "
+            f"ELSE format_string('%06x', least({_HEX6 - 1}, "
+            f"((total DIV ns) DIV 2) * {_HEX6} DIV tok_s)) END"
+        ).alias("thr"),
+    )
+    kept = (
+        sized.join(F.broadcast(rates), "source")
+        .filter(
+            F.expr(
+                f"substring(md5(concat('{MIX_SEED}', CAST(doc_id AS STRING))), 1, 6)"
+            )
+            < F.col("thr")
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.first("thr").alias("thr"),
+        F.first("tok_s").alias("source_tokens"),
+        F.first("budget").alias("budget"),
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+
+
+ORACLE_MIXTURE_SAMPLE = f"""
+WITH sized AS (
+    SELECT doc_id, source, CAST(len({_DUCK_T}) AS BIGINT) AS n_tok FROM documents
+),
+src AS (SELECT source, sum(n_tok) AS tok_s FROM sized GROUP BY 1),
+tot AS (SELECT sum(tok_s) AS total, count(*) AS ns FROM src),
+rates AS (
+    SELECT source, tok_s, (total // ns) // 2 AS budget,
+           CASE WHEN tok_s <= (total // ns) // 2 THEN 'zzzzzz'
+                ELSE printf('%06x', CAST(least({_HEX6 - 1},
+                     ((total // ns) // 2) * {_HEX6} // tok_s) AS BIGINT)) END AS thr
+    FROM src, tot
+)
+SELECT s.source,
+       any_value(r.thr) AS thr,
+       any_value(r.tok_s) AS source_tokens,
+       any_value(r.budget) AS budget,
+       CAST(count(*) AS BIGINT) AS docs_kept,
+       CAST(sum(s.n_tok) AS BIGINT) AS tokens_kept
+FROM sized s
+JOIN rates r USING (source)
+WHERE substring(md5('{MIX_SEED}' || CAST(s.doc_id AS VARCHAR)), 1, 6) < r.thr
+GROUP BY s.source
+"""

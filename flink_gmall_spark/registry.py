@@ -127,9 +127,11 @@ _register("curation_pack_chunks", curation.pack_chunks, curation.ORACLE_PACK_CHU
 _register("curation_sample_stratified", curation.sample_stratified, curation.ORACLE_SAMPLE_STRATIFIED, tags=("curation", "sampling"))
 _register("curation_decontaminate", curation.decontaminate, curation.ORACLE_DECONTAMINATE, bench=True, tags=("curation", "dedup"))
 _register("curation_tfidf_top_terms", curation.tfidf_top_terms, curation.ORACLE_TFIDF_TOP_TERMS, bench=True, tags=("curation", "text"))
+_register("curation_mixture_sample", curation.mixture_sample, curation.ORACLE_MIXTURE_SAMPLE, tags=("curation", "sampling", "mixing"))
 _register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST, tags=("curation", "dedup"))
 _register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
 _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
+_register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 
