@@ -11,7 +11,11 @@ distinct pre-dedups on the salted key).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SALT_BUCKETS = 16
@@ -77,5 +81,67 @@ SELECT o_orderstatus,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(count(*) AS BIGINT) AS ct
 FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --- Bucketed co-located join (the big-fact ⋈ big-fact scale path) ----------
+
+BUCKET_N = 8
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:
+    """Materialize ``table`` once per session as a bucketed+sorted parquet
+    table on ``key`` (hash-bucketed into BUCKET_N files, like Hive
+    bucketing). Subsequent scans expose the bucketing to the planner, so
+    equi-joins and aggregations on ``key`` need no Exchange — the physical
+    layout IS the shuffle, paid once at write time.
+
+    This is the fact⋈fact strategy for dims too big to broadcast (SCALE.md
+    §Joins): at 100 TB both orders and lineitem are bucketed on the order
+    key at load time and every downstream join co-locates for free."""
+    from flink_gmall_spark.sources import load
+
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    name = f"fgs_bkt_{table}_{tag}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(tempfile.gettempdir(), "fgs_bucketed", name)
+        (
+            load(spark, sf_dir, table)
+            .write.format("parquet")
+            .bucketBy(BUCKET_N, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return name
+
+
+def bucketed_orders_join(spark, sf_dir: str) -> DataFrame:
+    """Registry face of the bucketed join: lineitem ⋈ orders on the order
+    key with BOTH sides bucketed on that key — the plan contains a
+    SortMergeJoin with zero Exchange below it (pinned in test_plans.py);
+    the only shuffle in the whole query is the final tiny status rollup.
+    The merge hint keeps AQE from 'helpfully' broadcasting the small test
+    table, which would hide the co-location this operator demonstrates."""
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.session import tune
+
+    tune(spark)
+    li = spark.table(_bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
+    o = spark.table(_bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
+    j = li.hint("merge").join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("item_ct"),
+        F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("revenue"),
+    )
+
+
+ORACLE_BUCKETED_ORDERS_JOIN = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS item_ct,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """

@@ -536,3 +536,88 @@ SELECT o_orderstatus,
 FROM orders
 GROUP BY o_orderstatus
 """
+
+
+# --- Set operations (year-over-year cohort segmentation) ---------------------
+
+RETAIN_YEAR_A, RETAIN_YEAR_B = 1999, 2000
+
+
+def customer_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer segmentation via set operations: the
+    customers active in both years (INTERSECT), only the first year
+    (EXCEPT — churned), and only the second (EXCEPT — acquired). The
+    reference surface has no set ops (SURVEY §2.7: unions only); this
+    completes the engine's set-operator family. Each branch plans as a
+    left-semi/anti-style hash aggregate over the same two pruned scans —
+    no full-table materialization."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == RETAIN_YEAR_A).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == RETAIN_YEAR_B).select("o_custkey")
+
+    def seg(df: DataFrame, label: str) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("segment"), F.col("o_custkey").alias("custkey")
+        )
+
+    return (
+        seg(a.intersect(b), "retained")
+        .unionByName(seg(a.subtract(b), "churned"))
+        .unionByName(seg(b.subtract(a), "acquired"))
+    )
+
+
+ORACLE_CUSTOMER_RETENTION = f"""
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = {RETAIN_YEAR_A}),
+     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = {RETAIN_YEAR_B})
+SELECT 'retained' AS segment, o_custkey AS custkey
+FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'churned', o_custkey
+FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'acquired', o_custkey
+FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+"""
+
+
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total) over the
+    customer dimension chain — the multi-level aggregation companion to
+    the CUBE entry (ads_status_priority_cube). One expand + one hash agg;
+    both dims ride broadcast joins so the fact side never shuffles before
+    the rollup. Subtotal rows label their collapsed level 'ALL'."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    j = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    agg = j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("revenue"),
+    )
+    return agg.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        "order_ct",
+        "revenue",
+    )
+
+
+ORACLE_REGION_NATION_ROLLUP = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(count(*) AS BIGINT) AS order_ct,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""

@@ -13,7 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_gmall_spark.operators import ann, curation, dedup, multimodal, scale, textstats
+from flink_gmall_spark.operators import ann, curation, dedup, multimodal, scale, textstats, udaf
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
 from flink_gmall_spark.streaming import jobs as stream_jobs
 from flink_gmall_spark.streaming import state as stream_state
@@ -134,6 +134,11 @@ _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS
 _register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
+_register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
+_register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
+_register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))
+_register("ads_region_nation_rollup", ads.region_nation_rollup, ads.ORACLE_REGION_NATION_ROLLUP, tags=("rollup", "grouping-sets"))
+_register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 
 
 def registry() -> dict[str, Query]:

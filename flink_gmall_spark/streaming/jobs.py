@@ -141,6 +141,58 @@ def stream_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(result, "append")
 
 
+def stream_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 as a true stream-stream interval join: payment joined back to
+    its order-side record within [order_ts, order_ts + 7 days] — the
+    one-sided window of PaymentWideApp.java:88-96 (reference buffers
+    15 min of order-wide state; same shape, fixture-scaled). Both sides
+    are branches of the same events stream with watermarks; the one-sided
+    range bounds the order-side state retention exactly like the
+    symmetric J1 case. Shares ORACLE_PAYMENT_WIDE with the batch plan."""
+    from flink_gmall_spark.plans.dwm import PAYMENT_JOIN_DAYS
+
+    tune(spark)
+    ev_pay = read_stream(spark, sf_dir, "events")
+    ev_base = read_stream(spark, sf_dir, "events")
+    pay = (
+        ev_pay.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("payment_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("pay_ts"),
+            F.col("value").alias("payment_amount"),
+        )
+        .withWatermark("pay_ts", "0 seconds")
+    )
+    base = (
+        ev_base.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("order_id"),
+            F.col("user_id").alias("base_user"),
+            F.col("ts").alias("order_ts"),
+        )
+        .withWatermark("order_ts", "0 seconds")
+    )
+    joined = pay.join(
+        base,
+        F.expr(
+            "user_id = base_user"
+            " AND pay_ts >= order_ts"
+            f" AND pay_ts <= order_ts + INTERVAL {PAYMENT_JOIN_DAYS} DAYS"
+        ),
+        "inner",
+    )
+    result = joined.select(
+        "payment_id",
+        "order_id",
+        "user_id",
+        "payment_amount",
+        F.date_format("pay_ts", "yyyy-MM-dd HH:mm:ss").alias("callback_time"),
+        F.date_format("order_ts", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+    )
+    return run_to_memory(result, "append")
+
+
 def stream_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 on the incremental engine: stream-static broadcast join (dim
     enrichment before aggregation, the streaming-legal order) + unwindowed

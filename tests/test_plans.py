@@ -88,3 +88,16 @@ def test_tfidf_partial_aggregation(spark, sf_dir):
 
     plan = plan_of(curation.tfidf_top_terms(spark, sf_dir))
     assert "partial_" in plan, plan  # map-side combine on tf and df aggs
+
+
+def test_bucketed_join_no_join_shuffle(spark, sf_dir):
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.bucketed_orders_join(spark, sf_dir))
+    # both sides bucketed on the join key: the SMJ gets its partitioning
+    # from the file layout — the only exchange is the tiny status rollup
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange hashpartitioning(o_orderstatus" in plan, plan
+    # bucket pruning metadata visible on both scans
+    assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 2, plan
