@@ -211,13 +211,34 @@ WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, materialize_shingles: bool = False
+) -> DataFrame:
     """MinHash+LSH near-dup: banded min-hash signatures generate candidate
     pairs via an equi-join; exact Jaccard verifies. The scale path — work
-    is O(docs x bands) + a join on band signatures, never all-pairs."""
+    is O(docs x bands) + a join on band signatures, never all-pairs.
+
+    ``materialize_shingles`` snapshots the shingle subtree to parquet and
+    re-reads it, so the three consumers (signatures, verify-a, verify-b)
+    scan a file instead of recomputing tokenize+explode. Measured at
+    sf0.1/local[32]: first (cold-plan) run 4.6 s vs 10.6 s baseline, but
+    steady-state 2.9 s vs 2.8 s — AQE exchange reuse already dedupes the
+    subtree at runtime, so the default stays off; the flag is the right
+    call only for cold single-shot runs or when the shingle set feeds
+    MANY separate actions (e.g. iterative connected components over a
+    fresh corpus)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
+    if materialize_shingles:
+        import hashlib as _hl
+        import os as _os
+        import tempfile as _tf
+
+        tag = _hl.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+        p = _os.path.join(_tf.gettempdir(), f"fgs_shingles_{tag}")
+        sh.write.mode("overwrite").parquet(p)
+        sh = spark.read.parquet(p)
     # All BANDS x ROWS_PER_BAND min-hashes in ONE aggregation pass over the
     # shingles (no row explosion before the shuffle), and all 16 hash
     # functions derived as 16-bit chunks of just TWO md5 calls per shingle

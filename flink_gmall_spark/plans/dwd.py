@@ -185,7 +185,14 @@ def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     'update' marking payment — so the merge genuinely overrides rows.
     """
     tune(spark)
-    env = _order_changelog(spark, sf_dir)
+    return dim_upsert_merge(_order_changelog(spark, sf_dir))
+
+
+def dim_upsert_merge(env: DataFrame) -> DataFrame:
+    """The upsert itself, independent of how the envelope was sourced:
+    parse the after-image, keep the last writer per key. Shared by the
+    DataFrame-synthesized changelog above and the ``gmall_cdc`` Python
+    data source (sources.pydatasource)."""
     parsed = env.select(
         "type",
         "op_us",
@@ -195,6 +202,54 @@ def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("id").orderBy(F.desc("op_us"), F.desc("op_seq"))
     latest = parsed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return latest.select("id", "order_status", "total_amount", "create_time")
+
+
+def cdc_dim_upsert_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as a first-class pluggable connector: the same changelog read
+    through the registered ``gmall_cdc`` Python data source (PySpark 4
+    Data Source API, one partition per parquet row group, Arrow-batched)
+    and merged by the identical last-writer-wins plan — shares
+    ORACLE_CDC_DIM_UPSERT, proving source-independence of the pipeline."""
+    from flink_gmall_spark.sources.pydatasource import GmallCDCDataSource
+    from flink_gmall_spark.sources.tables import path as table_path
+
+    tune(spark)
+    spark.dataSource.register(GmallCDCDataSource)
+    env = (
+        spark.read.format("gmall_cdc")
+        .option("path", table_path(sf_dir, "orders"))
+        .load()
+    )
+    return dim_upsert_merge(env)
+
+
+def cdc_dim_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7/T9 sink semantics, end to end: the dim-upsert result written
+    through the custom two-phase-commit sink (sources.pydatasource
+    ``gmall_dim_sink``) and read back FROM THE MANIFEST ONLY — the
+    exactly-once visibility rule. Hash-matching ORACLE_CDC_DIM_UPSERT
+    proves no row was lost, duplicated, or mangled crossing the sink
+    (JSON round-trip included)."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from flink_gmall_spark.sources.pydatasource import GmallDimSinkDataSource
+
+    tune(spark)
+    spark.dataSource.register(GmallDimSinkDataSource)
+    out = dim_upsert_merge(_order_changelog(spark, sf_dir))
+    d = os.path.join(
+        tempfile.gettempdir(), "fgs_dim_sink", uuid.uuid4().hex[:12]
+    )
+    out.write.format("gmall_dim_sink").option("path", d).mode("append").save()
+    with open(os.path.join(d, "_MANIFEST.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    schema = (
+        "id long, order_status string, total_amount double, create_time string"
+    )
+    return spark.read.schema(schema).json(manifest["files"])
 
 
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:

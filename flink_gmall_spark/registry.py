@@ -49,6 +49,8 @@ _register("dwd_page_views", dwd.page_views, dwd.ORACLE_PAGE_VIEWS, bench=True, t
 _register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY_SPLIT, tags=("P2",))
 _register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5"))
 _register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, bench=True, tags=("S5", "S7", "S8", "P1"))
+_register("source_pyds_cdc_upsert", dwd.cdc_dim_upsert_pysource, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource"))
+_register("sink_pyds_dim_roundtrip", dwd.cdc_dim_upsert_sink_roundtrip, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S6", "S7", "T9", "connector", "python-datasource"))
 _register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HISTORY, tags=("S5", "scd2"))
 _register("dwd_cdc_asof_join", dwd.cdc_asof_join, dwd.ORACLE_CDC_ASOF_JOIN, tags=("asof", "scd2"))
 
@@ -97,8 +99,13 @@ _register("stream_product_stats", stream_jobs.stream_product_stats, dws.ORACLE_P
 _register("stream_j1_order_detail_wide", stream_jobs.stream_order_detail_wide, dwm.ORACLE_ORDER_DETAIL_WIDE, tags=("J1", "T4", "streaming"))
 _register("stream_t1_visit_flag", stream_state.visit_flag_stream, dwm.ORACLE_VISIT_FLAG, tags=("T1", "streaming"))
 _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_UV, tags=("T2", "T8", "streaming"))
+# stream_t2_daily_uv_tws (transformWithStateInPandas) is implemented in
+# streaming.state but NOT registered: the API's state-server protocol
+# needs google.protobuf, absent from this image. tests/test_streaming.py
+# runs it against the same oracle whenever protobuf is importable.
 _register("stream_t3_jump_out", stream_state.jump_out_stream, stream_state.ORACLE_JUMP_OUT_STREAM, tags=("T3", "T4", "streaming", "cep"))
 _register("stream_session_windows", stream_jobs.stream_session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "streaming"))
+_register("stream_keyword_stats", stream_jobs.stream_keyword_stats, dws.ORACLE_KEYWORD_STATS, tags=("F2", "A4", "streaming"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

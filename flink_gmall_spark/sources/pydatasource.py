@@ -1,0 +1,197 @@
+"""Custom connector via the Python Data Source API (PySpark ≥ 4).
+
+The reference's CDC source (S5, BaseDBApp.java:67-112) is a *pluggable
+connector* — Flink's MySQLSource emitting a Debezium-style
+``{database, table, type, data}`` envelope per changelog op. This module
+is the Spark-4-native equivalent: a registered data source, so any
+session can ``spark.read.format("gmall_cdc")`` and get the envelope
+stream without knowing how it is produced.
+
+Scale shape: one InputPartition per parquet row group — partition
+planning mirrors the file layout, so executors read row groups in
+parallel and no payload routes through the driver. Rows are produced as
+Arrow RecordBatches (vectorized pandas build, one batch per op type per
+row group), not Python-object rows — the Arrow fast path of the data
+source API. The envelope payload is identical to plans.dwd's
+DataFrame-synthesized changelog (insert per order + later PAID update
+for finished orders), which is what lets the dim-upsert merge over this
+source share ORACLE_CDC_DIM_UPSERT bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+CDC_SOURCE_SCHEMA = (
+    "database string, table string, type string, data string, "
+    "op_us long, op_seq long"
+)
+
+_ORDER_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+class GmallCDCDataSource(DataSource):
+    """``spark.read.format("gmall_cdc").option("path", orders_parquet)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gmall_cdc"
+
+    def schema(self) -> str:
+        return CDC_SOURCE_SCHEMA
+
+    def reader(self, schema) -> "_CDCEnvelopeReader":
+        return _CDCEnvelopeReader(self.options)
+
+
+class _CDCEnvelopeReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(self.path).metadata.num_row_groups
+        return [InputPartition(i) for i in range(n)]
+
+    def read(self, partition):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pa.schema(
+            [
+                ("database", pa.string()),
+                ("table", pa.string()),
+                ("type", pa.string()),
+                ("data", pa.string()),
+                ("op_us", pa.int64()),
+                ("op_seq", pa.int64()),
+            ]
+        )
+        rg = (
+            pq.ParquetFile(self.path)
+            .read_row_group(partition.value, columns=_ORDER_COLS)
+            .to_pandas()
+        )
+
+        def envelope(df: pd.DataFrame, typ: str, status, ts, seq: int):
+            data = [
+                json.dumps(
+                    {
+                        "id": int(k),
+                        "order_status": s,
+                        "total_amount": float(a),
+                        "create_time": t,
+                    }
+                )
+                for k, s, a, t in zip(
+                    df["o_orderkey"],
+                    status,
+                    df["o_totalprice"],
+                    ts.dt.strftime("%Y-%m-%d %H:%M:%S"),
+                )
+            ]
+            out = pd.DataFrame(
+                {
+                    "database": "gmall",
+                    "table": "order_info",
+                    "type": typ,
+                    "data": data,
+                    "op_us": ts.astype("int64") // 1000,
+                    "op_seq": seq,
+                }
+            )
+            return pa.RecordBatch.from_pandas(out, schema=arrow_schema)
+
+        yield envelope(rg, "insert", rg["o_orderstatus"], rg["o_orderdate"], 0)
+        fin = rg[rg["o_orderstatus"] == "F"]
+        if len(fin):
+            yield envelope(
+                fin,
+                "update",
+                ["PAID"] * len(fin),
+                fin["o_orderdate"] + pd.Timedelta(days=1),
+                1,
+            )
+
+
+# --- Custom sink: batched dim writes with two-phase commit ------------------
+
+
+@dataclass
+class _SinkCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class GmallDimSinkDataSource(DataSource):
+    """``df.write.format("gmall_dim_sink").option("path", dir).save()``
+
+    The sink-side counterpart of the connector above — the reference's
+    JDBC batch sink (S6, ClickHouseUtil.java:17-50) and Phoenix dim
+    upserts (S7, DimSink.java:29-61) re-expressed as a Spark data source
+    with a real two-phase commit: executors write per-partition staging
+    files and return commit messages; the driver publishes a manifest
+    listing exactly the committed files. Readers that trust only the
+    manifest get exactly-once visibility — a failed/retried task's
+    orphan staging file is never listed (the idempotence the reference
+    approximates with Kafka transactions, T9).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "gmall_dim_sink"
+
+    def writer(self, schema, overwrite: bool) -> "_DimSinkWriter":
+        return _DimSinkWriter(self.options["path"])
+
+
+class _DimSinkWriter(DataSourceWriter):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def write(self, iterator) -> _SinkCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        # one buffered file per partition — the batched-insert analogue
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _SinkCommit(file=fname, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)

@@ -240,6 +240,27 @@ def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(visitor_stats_transform(ev), "complete")
 
 
+def stream_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 tokenizer + A4 keyword counting on the incremental engine
+    (KeywordStatsApp's shape as one streaming query). Tokenization stays
+    a JVM-side explode on the stream — the UDTF path needs no Python in
+    the micro-batch loop; exact per-keyword doc counts use the
+    collect_set trick (COUNT DISTINCT is illegal in streaming aggs).
+    Shares ORACLE_KEYWORD_STATS with the batch plan."""
+    from flink_gmall_spark.functions.tokenize import tokens_col
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens_col("text")).alias("keyword")
+    )
+    agg = toks.groupBy("keyword", "source").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.size(F.collect_set("doc_id")).cast("long").alias("doc_ct"),
+    )
+    return run_to_memory(agg, "complete")
+
+
 def stream_event_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: state-store-backed dropDuplicates
     over the event stream — the unbounded-dedup primitive behind the

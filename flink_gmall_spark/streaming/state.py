@@ -103,6 +103,85 @@ def daily_uv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mem.groupBy("dt").agg(F.count(F.lit(1)).alias("uv_ct"))
 
 
+class _DailyUVProcessor:
+    """T2 on the transformWithState API (Spark ≥ 4.0): the same
+    seen-dates membership state as ``_t2_fn``, held in a named
+    ``ValueState`` on the RocksDB state store — the modern multi-state /
+    timer-capable replacement for ``applyInPandasWithState``'s single
+    state tuple. Declared here so the engine exercises BOTH stateful
+    APIs against one oracle."""
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState("seen", "dates array<string>")
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = self._seen.get()
+        seen = set(cur[0]) if cur is not None else set()
+        fresh: list[str] = []
+        for pdf in rows:
+            for dt in pdf["dt"]:
+                if dt not in seen:
+                    seen.add(dt)
+                    fresh.append(dt)
+        self._seen.update((sorted(seen),))
+        yield pd.DataFrame({"user_id": key[0], "dt": fresh})
+
+    def close(self) -> None:
+        pass
+
+
+def daily_uv_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 via ``transformWithStateInPandas`` — result-identical to
+    ``daily_uv_stream`` and checked by the same oracle. Requires the
+    RocksDB state store provider (transformWithState's backing store);
+    the provider is flipped for this query and restored after, since the
+    HDFS-backed default serves the applyInPandasWithState entries.
+
+    Environment gate: the API's Python↔JVM state protocol rides on
+    protobuf; without ``google.protobuf`` installed the streaming runner
+    crashes at init, so this raises a clear error instead (and stays out
+    of the registry — see registry.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(google.protobuf) for its state-server protocol; install "
+            "protobuf to enable this entry point"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so module import works even if the API moves
+    proc = type(
+        "_DailyUVProcessorTWS", (_DailyUVProcessor, StatefulProcessor), {}
+    )()
+
+    tune(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_stream(spark, sf_dir, "events").select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+        )
+        firsts = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType="user_id long, dt string",
+            outputMode="append",
+            timeMode="none",
+        )
+        mem = run_to_memory(firsts, "append")
+        return mem.groupBy("dt").agg(F.count(F.lit(1)).alias("uv_ct"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _t3_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:

@@ -101,3 +101,21 @@ def test_bucketed_join_no_join_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning(o_orderstatus" in plan, plan
     # bucket pruning metadata visible on both scans
     assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 2, plan
+
+
+def test_dim_join_degrades_to_smj_without_broadcast(spark, sf_dir):
+    """When a dim outgrows the broadcast threshold the same declarative
+    plan must degrade to a shuffled join, not fail or collect — the
+    dims-stop-fitting-in-memory contingency of SCALE.md §Joins. Simulated
+    by disabling auto-broadcast; order_detail_wide carries no broadcast
+    hint, so the planner must re-decide from size estimates."""
+    df = dwm.order_detail_wide(spark, sf_dir)  # builder runs tune() — set after
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        plan = plan_of(df)  # physical planning happens here, under -1
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set(key, prev)

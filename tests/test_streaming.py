@@ -60,3 +60,20 @@ def test_stream_jump_out_matches_batch_up_to_watermark(spark, sf_dir):
     merged = got.merge(want, on="event_id", suffixes=("_s", "_b"))
     assert (merged["user_id_s"] == merged["user_id_b"]).all()
     assert (merged["ts_str_s"] == merged["ts_str_b"]).all()
+
+
+def test_stream_daily_uv_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas variant of T2 — runs only where the
+    protobuf package (its state-server protocol) is installed; without
+    it the entry point must fail fast with a clear message."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            state.daily_uv_stream_tws(spark, sf_dir)
+        return
+    got = state.daily_uv_stream_tws(spark, sf_dir).toPandas()
+    want = dwm.daily_uv(spark, sf_dir).toPandas()
+    assert frames_equal(got, want)
