@@ -252,3 +252,51 @@ SELECT doc_id, md5(norm) AS fp, substring(md5(norm), 1, 8) AS fp_prefix,
        CAST(length(norm) AS BIGINT) AS norm_len
 FROM n
 """
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style quality rule):
+    the fraction of word-bigrams that are repeats of an earlier bigram in
+    the same document. Entirely narrow — tokenize, bigram transform, and
+    the distinct count all happen inside one projection per row, so the
+    operator runs with ZERO shuffles at any corpus size (asserted in
+    test_plans.py); a quality-filter pass over 100 TB is a pure scan."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    g = toks.withColumn(
+        "g2",
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"),
+    )
+    return g.select(
+        "doc_id",
+        F.size("g2").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("g2")).cast("long").alias("distinct_bigrams"),
+        (
+            (F.size("g2") - F.size(F.array_distinct("g2"))).cast("double")
+            / F.size("g2")
+        ).alias("rep_ratio"),
+    )
+
+
+ORACLE_REPETITION_SCORES = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])) AS g2
+    FROM toks
+    WHERE len(t) >= 2
+)
+SELECT doc_id,
+       CAST(len(g2) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(g2)) AS BIGINT) AS distinct_bigrams,
+       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS rep_ratio
+FROM g
+"""

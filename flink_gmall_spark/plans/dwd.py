@@ -252,6 +252,28 @@ def cdc_dim_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.schema(schema).json(manifest["files"])
 
 
+def cdc_dim_upsert_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 in its true deployment shape: the CDC connector as an UNBOUNDED
+    source (``gmall_cdc_stream``, SimpleDataSourceStreamReader) tailed by
+    the incremental engine — row-group offsets tracked per trigger with
+    all-available-per-read draining, exactly how BaseDBApp tails the
+    binlog topic forever. The drained envelope then feeds the same
+    last-writer-wins merge and must hash-match ORACLE_CDC_DIM_UPSERT."""
+    from flink_gmall_spark.sources.pydatasource import GmallCDCStreamDataSource
+    from flink_gmall_spark.sources.tables import path as table_path
+    from flink_gmall_spark.streaming.jobs import run_to_memory
+
+    tune(spark)
+    spark.dataSource.register(GmallCDCStreamDataSource)
+    env_stream = (
+        spark.readStream.format("gmall_cdc_stream")
+        .option("path", table_path(sf_dir, "orders"))
+        .load()
+    )
+    env = run_to_memory(env_stream, "append")
+    return dim_upsert_merge(env)
+
+
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 slowly-changing-dimension history from the CDC changelog: each
     op becomes a validity interval [op_time, next_op_time) per key, open

@@ -392,3 +392,47 @@ FROM (
 ) u
 GROUP BY 1, 2
 """
+
+
+SLIDE_SIZE_S = 6 * 3600  # 6-hour windows ...
+SLIDE_STEP_S = 3 * 3600  # ... sliding every 3 hours (2 windows per event)
+
+
+def sliding_visitor_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows — the window kind the
+    reference never uses (SURVEY §2.6: tumbling only) but any DWS layer
+    needs for overlapping trend panes. ``window(ts, size, slide)`` fans
+    each event into size/slide window copies before one hash aggregation;
+    the oracle mirrors the fan-out arithmetic exactly (each event lands
+    in the two slide-aligned panes covering it). Exact uv per pane via
+    COUNT(DISTINCT) — batch mode, so the two-level expand plan applies."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", f"{SLIDE_SIZE_S} seconds", f"{SLIDE_STEP_S} seconds")
+    agg = ev.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+    )
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "pv",
+        "uv",
+    )
+
+
+ORACLE_SLIDING_VISITOR_WINDOWS = f"""
+WITH fanned AS (
+    SELECT user_id,
+           (epoch_us(ts) // {SLIDE_STEP_S * 1_000_000}) * {SLIDE_STEP_S * 1_000_000}
+             - k * {SLIDE_STEP_S * 1_000_000} AS w_start_us
+    FROM events, (SELECT unnest(range(0, {SLIDE_SIZE_S // SLIDE_STEP_S})) AS k)
+)
+SELECT strftime(make_timestamp(w_start_us), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(make_timestamp(w_start_us + {SLIDE_SIZE_S * 1_000_000}),
+                '%Y-%m-%d %H:%M:%S') AS edt,
+       CAST(count(*) AS BIGINT) AS pv,
+       count(DISTINCT user_id) AS uv
+FROM fanned
+GROUP BY w_start_us
+"""

@@ -51,6 +51,7 @@ _register("dwd_config_routing", dwd.config_routing, dwd.ORACLE_CONFIG_ROUTING, t
 _register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, bench=True, tags=("S5", "S7", "S8", "P1"))
 _register("source_pyds_cdc_upsert", dwd.cdc_dim_upsert_pysource, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource"))
 _register("sink_pyds_dim_roundtrip", dwd.cdc_dim_upsert_sink_roundtrip, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S6", "S7", "T9", "connector", "python-datasource"))
+_register("stream_pyds_cdc_upsert", dwd.cdc_dim_upsert_stream_source, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource", "streaming"))
 _register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HISTORY, tags=("S5", "scd2"))
 _register("dwd_cdc_asof_join", dwd.cdc_asof_join, dwd.ORACLE_CDC_ASOF_JOIN, tags=("asof", "scd2"))
 
@@ -85,6 +86,7 @@ _register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketc
 _register("ads_gmv_moving_avg", ads.gmv_moving_avg, ads.ORACLE_GMV_MOVING_AVG, tags=("window-frame",))
 _register("ads_amount_percentiles", ads.amount_percentiles, ads.ORACLE_AMOUNT_PERCENTILES, tags=("quantiles",))
 _register("dws_session_stats", dws.session_stats, dws.ORACLE_SESSION_STATS, bench=True, tags=("sessionization",))
+_register("dws_sliding_windows", dws.sliding_visitor_windows, dws.ORACLE_SLIDING_VISITOR_WINDOWS, tags=("sliding-window", "T6"))
 _register("dws_session_windows", dws.session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "T6"))
 
 
@@ -123,6 +125,7 @@ _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUAL
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
 _register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPRINTS, tags=("text",))
 _register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tags=("text",))
+_register("text_repetition", textstats.repetition_scores, textstats.ORACLE_REPETITION_SCORES, tags=("text", "quality"))
 _register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 _register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
 _register("multimodal_resize", multimodal.resize, multimodal.ORACLE_RESIZE, tags=("multimodal",))

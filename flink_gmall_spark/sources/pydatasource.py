@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -195,3 +196,74 @@ class _DimSinkWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.file):
                 os.remove(m.file)
+
+
+# --- Streaming flavor of the CDC connector ----------------------------------
+
+
+class _CDCEnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """SimpleDataSourceStreamReader over the same changelog: the offset is
+    the next unread parquet row group; each ``read`` hands the engine all
+    groups that have appeared since the last offset (the Kafka-like
+    all-available-per-trigger policy — availableNow falls back to
+    single-batch execution for Python streaming sources, so draining must
+    not depend on multiple triggers). ``readBetweenOffsets`` re-derives
+    any committed range, which is what makes checkpoint replay exact.
+    Rows are returned as a materialized list: the engine's prefetch cache
+    copies the iterator, which a generator cannot survive."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+
+    def _num_row_groups(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_row_groups
+
+    def _rows_for(self, rg: int):
+        batch_reader = _CDCEnvelopeReader({"path": self.path})
+        for batch in batch_reader.read(InputPartition(rg)):
+            for row in batch.to_pylist():
+                yield (
+                    row["database"],
+                    row["table"],
+                    row["type"],
+                    row["data"],
+                    row["op_us"],
+                    row["op_seq"],
+                )
+
+    def initialOffset(self) -> dict:
+        return {"rg": 0}
+
+    def read(self, start: dict):
+        n = self._num_row_groups()
+        rg = start["rg"]
+        if rg >= n:
+            return [], start
+        rows = [r for g in range(rg, n) for r in self._rows_for(g)]
+        return rows, {"rg": n}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            r for g in range(start["rg"], end["rg"]) for r in self._rows_for(g)
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class GmallCDCStreamDataSource(DataSource):
+    """``spark.readStream.format("gmall_cdc_stream")`` — the unbounded
+    form of the CDC connector (the reference's actual deployment shape:
+    BaseDBApp tails the changelog forever)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gmall_cdc_stream"
+
+    def schema(self) -> str:
+        return CDC_SOURCE_SCHEMA
+
+    def simpleStreamReader(self, schema) -> _CDCEnvelopeStreamReader:
+        return _CDCEnvelopeStreamReader(self.options)

@@ -119,3 +119,12 @@ def test_dim_join_degrades_to_smj_without_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" not in plan, plan
     finally:
         spark.conf.set(key, prev)
+
+
+def test_repetition_no_shuffle(spark, sf_dir):
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.repetition_scores(spark, sf_dir))
+    # tokenize + bigram + distinct-count all inside one projection:
+    # a quality-filter pass is a pure scan at any corpus size
+    assert "Exchange" not in plan, plan
