@@ -428,3 +428,48 @@ JOIN rates r USING (source)
 WHERE substring(md5('{MIX_SEED}' || CAST(s.doc_id AS VARCHAR)), 1, 6) < r.thr
 GROUP BY s.source
 """
+
+
+BIGRAM_TOP_N = 100
+
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram language-model counts: the global top-N word
+    bigrams by frequency — the classic LM-counts job (and the frequency
+    table a tokenizer-training or contamination-analysis pass starts
+    from). One explode + one partial→final count; the global top-N plans
+    as TakeOrderedAndProject (per-partition heaps), never a full sort.
+    Total order: count desc, then the bigram string — ties cannot float."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("t")).filter(F.size("t") >= 2)
+    g = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        g.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("bigram"))
+        .limit(BIGRAM_TOP_N)
+    )
+
+
+ORACLE_BIGRAM_COUNTS = f"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+g AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> concat(t[i], ' ', t[i+1]))) AS bigram
+    FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS ct
+FROM g
+GROUP BY bigram
+ORDER BY ct DESC, bigram ASC
+LIMIT {BIGRAM_TOP_N}
+"""

@@ -621,3 +621,158 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
 """
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers that never ordered, rolled up per
+    nation. The anti join plans as a broadcast/shuffled hash join with
+    NO result materialization of the big side's payload — the idiomatic
+    existence-complement at any scale (reference has no semi/anti ops;
+    SURVEY §2.4 'Catalyst provides them for free')."""
+    tune(spark)
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    inactive = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        inactive.join(F.broadcast(nation), inactive.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("inactive_ct"))
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT n_name, CAST(count(*) AS BIGINT) AS inactive_ct
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name
+"""
+
+
+def yoy_spend_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer-join surface: per-customer spend in two adjacent years,
+    keeping customers present in either year (nulls coalesced to 0) with
+    the year-over-year delta — the join type the retention set-op query
+    cannot express (it loses the measures)."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def spend(year: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast(MONEY)).alias(alias))
+        )
+
+    a = spend(RETAIN_YEAR_A, "spend_a").withColumnRenamed("o_custkey", "ck_a")
+    b = spend(RETAIN_YEAR_B, "spend_b").withColumnRenamed("o_custkey", "ck_b")
+    j = a.join(b, a.ck_a == b.ck_b, "full_outer")
+    zero = F.lit(0).cast(MONEY)
+    return j.select(
+        F.coalesce("ck_a", "ck_b").alias("custkey"),
+        F.coalesce("spend_a", zero).cast("double").alias("spend_a"),
+        F.coalesce("spend_b", zero).cast("double").alias("spend_b"),
+        (F.coalesce("spend_b", zero) - F.coalesce("spend_a", zero))
+        .cast("double")
+        .alias("delta"),
+    )
+
+
+ORACLE_YOY_SPEND_FULL_OUTER = f"""
+WITH a AS (
+    SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders WHERE year(o_orderdate) = {RETAIN_YEAR_A} GROUP BY 1
+),
+b AS (
+    SELECT o_custkey AS ck, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders WHERE year(o_orderdate) = {RETAIN_YEAR_B} GROUP BY 1
+)
+SELECT coalesce(a.ck, b.ck) AS custkey,
+       CAST(coalesce(a.spend, 0) AS DOUBLE) AS spend_a,
+       CAST(coalesce(b.spend, 0) AS DOUBLE) AS spend_b,
+       CAST(coalesce(b.spend, 0) - coalesce(a.spend, 0) AS DOUBLE) AS delta
+FROM a FULL OUTER JOIN b ON a.ck = b.ck
+"""
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, view → click-after-view →
+    purchase-after-that-click, each stage requiring an event strictly
+    after the previous stage's earliest satisfying event (the sequential
+    pattern Flink would express in CEP and warehouses as min-timestamp
+    chaining). One shuffle on the user key; stages are conditional mins
+    over the same pass. Output: one row per funnel stage with the user
+    count that reached it."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    t_click = (
+        per_user.join(
+            clicks,
+            (F.col("user_id") == F.col("c_uid")) & (F.col("c_ts") > F.col("t_view")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min("c_ts").alias("t_click"),
+        )
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    funnel = (
+        t_click.join(
+            buys,
+            (F.col("user_id") == F.col("p_uid")) & (F.col("p_ts") > F.col("t_click")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min("p_ts").alias("t_buy"),
+        )
+    )
+    return funnel.select(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("clicked_after_view"),
+        F.sum(F.when(F.col("t_buy").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("purchased_after_click"),
+    )
+
+
+ORACLE_CONVERSION_FUNNEL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT v.user_id, min(e.ts) AS t_click
+    FROM v JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY 1
+),
+p AS (
+    SELECT c.user_id, min(e.ts) AS t_buy
+    FROM c JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click
+"""

@@ -108,6 +108,7 @@ _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_U
 _register("stream_t3_jump_out", stream_state.jump_out_stream, stream_state.ORACLE_JUMP_OUT_STREAM, tags=("T3", "T4", "streaming", "cep"))
 _register("stream_session_windows", stream_jobs.stream_session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "streaming"))
 _register("stream_keyword_stats", stream_jobs.stream_keyword_stats, dws.ORACLE_KEYWORD_STATS, tags=("F2", "A4", "streaming"))
+_register("stream_windowed_append", stream_jobs.stream_windowed_append, stream_jobs.ORACLE_WINDOWED_APPEND, tags=("T5", "T6", "T7", "streaming", "append-mode"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))
@@ -138,6 +139,7 @@ _register("curation_sample_stratified", curation.sample_stratified, curation.ORA
 _register("curation_decontaminate", curation.decontaminate, curation.ORACLE_DECONTAMINATE, bench=True, tags=("curation", "dedup"))
 _register("curation_tfidf_top_terms", curation.tfidf_top_terms, curation.ORACLE_TFIDF_TOP_TERMS, bench=True, tags=("curation", "text"))
 _register("curation_mixture_sample", curation.mixture_sample, curation.ORACLE_MIXTURE_SAMPLE, tags=("curation", "sampling", "mixing"))
+_register("curation_bigram_counts", curation.bigram_counts, curation.ORACLE_BIGRAM_COUNTS, tags=("curation", "text", "lm-counts"))
 _register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST, tags=("curation", "dedup"))
 _register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
 _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
@@ -148,6 +150,9 @@ _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKET
 _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
 _register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))
 _register("ads_region_nation_rollup", ads.region_nation_rollup, ads.ORACLE_REGION_NATION_ROLLUP, tags=("rollup", "grouping-sets"))
+_register("ads_customers_no_orders", ads.customers_without_orders, ads.ORACLE_CUSTOMERS_WITHOUT_ORDERS, tags=("anti-join",))
+_register("ads_yoy_spend_full_outer", ads.yoy_spend_full_outer, ads.ORACLE_YOY_SPEND_FULL_OUTER, tags=("full-outer-join",))
+_register("ads_conversion_funnel", ads.conversion_funnel, ads.ORACLE_CONVERSION_FUNNEL, tags=("funnel", "cep"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 
 

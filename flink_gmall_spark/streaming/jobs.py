@@ -308,3 +308,63 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+WM_DELAY_S = 60  # watermark delay for the append-mode windowed entry
+
+
+def stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in APPEND output mode — the production emission
+    contract (T7): a window row is emitted exactly once, when the
+    watermark passes its end, and never updated again (what the
+    reference's 10 s windows + ClickHouse append-only tables rely on).
+    With availableNow over the finite fixture the final watermark lands
+    at max(ts) − delay, so the emitted set is exactly the windows whose
+    end ≤ that horizon; the oracle encodes the same boundary rule, making
+    watermark semantics themselves hash-checked."""
+    from flink_gmall_spark.plans.dws import VISITOR_WINDOW_SECONDS
+
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").withWatermark(
+        "ts", f"{WM_DELAY_S} seconds"
+    )
+    w = F.window("ts", f"{VISITOR_WINDOW_SECONDS} seconds")
+    agg = ev.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.size(F.collect_set("user_id")).cast("long").alias("uv"),
+    )
+    result = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "pv",
+        "uv",
+    )
+    return run_to_memory(result, "append")
+
+
+def _oracle_windowed_append() -> str:
+    from flink_gmall_spark.plans.dws import VISITOR_WINDOW_SECONDS
+
+    win_us = VISITOR_WINDOW_SECONDS * 1_000_000
+    return f"""
+WITH horizon AS (
+    -- Spark tracks the watermark in epoch millis: floor(max event time)
+    -- to ms, minus the delay; a window emits iff its end <= watermark
+    SELECT ((max(epoch_us(ts)) // 1000) - {WM_DELAY_S * 1000}) * 1000 AS wm_us
+    FROM events
+),
+w AS (
+    SELECT (epoch_us(ts) // {win_us}) * {win_us} AS wstart_us, user_id
+    FROM events
+)
+SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(make_timestamp(wstart_us + {win_us}), '%Y-%m-%d %H:%M:%S') AS edt,
+       CAST(count(*) AS BIGINT) AS pv,
+       count(DISTINCT user_id) AS uv
+FROM w
+WHERE wstart_us + {win_us} <= (SELECT wm_us FROM horizon)
+GROUP BY wstart_us
+"""
+
+
+ORACLE_WINDOWED_APPEND = _oracle_windowed_append()

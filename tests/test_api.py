@@ -119,3 +119,29 @@ def test_province_stats_for_date(spark, sf_dir, duck):
         """,
         name="api.province_stats",
     )
+
+
+def test_observe_metrics_on_query(spark, sf_dir):
+    """df.observe: per-action operational metrics (row counts, sums)
+    collected by the engine alongside the query — the monitoring hook a
+    production warehouse attaches to every sink write (the reference
+    relies on external ClickHouse row counts for the same purpose)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.plans import dwd
+
+    obs = Observation("pv_metrics")
+    # DISTINCT aggregates are illegal in observed metrics — approx (HLL,
+    # merge-commutative, deterministic on fixed data) is the sanctioned form
+    df = dwd.page_views(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("user_id").alias("users"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = dwd.page_views(spark, sf_dir).agg(
+        F.count(F.lit(1)), F.approx_count_distinct("user_id")
+    ).first()
+    assert got["rows"] == direct[0] and got["users"] == direct[1], got
