@@ -35,3 +35,30 @@ def test_exactly_once_epoch_sink_is_idempotent(spark, sf_dir):
 def test_kafka_requires_integration(spark):
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_io.read_stream(spark, "ods_base_log")
+
+
+def test_pyds_sink_abort_leaves_no_manifest(spark, sf_dir):
+    """Two-phase commit, failure leg: when a task fails mid-write the
+    driver must call abort and publish NO manifest — readers that trust
+    only the manifest (sink_pyds_dim_roundtrip) therefore never observe a
+    partial write. A poisoned UDF fails one partition after others may
+    have staged files."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.sources.pydatasource import GmallDimSinkDataSource
+
+    spark.dataSource.register(GmallDimSinkDataSource)
+    d = os.path.join(tempfile.gettempdir(), "fgs_sink_abort", uuid.uuid4().hex[:8])
+
+    @F.udf("long")
+    def poison(v):
+        if v == 7:
+            raise RuntimeError("boom")
+        return v
+
+    df = spark.range(0, 16, 1, 4).select(poison("id").alias("id"))
+    with pytest.raises(Exception):
+        df.write.format("gmall_dim_sink").option("path", d).mode("append").save()
+    assert not os.path.exists(os.path.join(d, "_MANIFEST.json"))
