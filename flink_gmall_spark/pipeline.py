@@ -94,3 +94,51 @@ def ads_hourly_from_stats(spark: SparkSession, visitor_stats_path: str) -> DataF
         # to decimal so the re-aggregation stays order-independent
         F.sum(F.col("amount_sum").cast("decimal(18,2)")).cast("double").alias("amount_sum"),
     )
+
+
+def pipeline_e2e_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole warehouse as one driver-checkable query: materialize
+    ODS→DWD→DWM→DWS into a scratch dir (visitor stats through the
+    incremental engine + exactly-once epoch sink, date-partitioned), then
+    answer the publisher's hourly rollup FROM THE MATERIALIZED STATS
+    TABLE — so the oracle checks the full chain: parse, window, stream,
+    sink, partitioned re-read, re-aggregate. Decimal discipline across
+    the sink boundary (2dp exactified doubles recast to DECIMAL before
+    re-summing) is what keeps the final hash exact."""
+    import os
+    import tempfile
+    import uuid
+
+    out = os.path.join(tempfile.gettempdir(), "fgs_wh", uuid.uuid4().hex[:8])
+    tables = build_warehouse(spark, sf_dir, out)
+    return ads_hourly_from_stats(spark, tables["visitor_stats"])
+
+
+def _oracle_pipeline_e2e_hourly() -> str:
+    from flink_gmall_spark.plans.dws import VISITOR_WINDOW_SECONDS
+
+    win_us = VISITOR_WINDOW_SECONDS * 1_000_000
+    return f"""
+WITH w AS (
+    SELECT make_timestamp((epoch_us(ts) // {win_us}) * {win_us}) AS wstart, *
+    FROM events
+),
+stats AS (
+    SELECT wstart,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS pv_ct,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_ct,
+           sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS amount_sum
+    FROM w
+    GROUP BY wstart
+)
+SELECT CAST(hour(wstart) AS BIGINT) AS hr,
+       CAST(sum(pv_ct) AS BIGINT) AS pv_ct,
+       CAST(sum(purchase_ct) AS BIGINT) AS purchase_ct,
+       CAST(sum(amount_sum) AS DOUBLE) AS amount_sum
+FROM stats
+GROUP BY 1
+"""
+
+
+ORACLE_PIPELINE_E2E_HOURLY = _oracle_pipeline_e2e_hourly()

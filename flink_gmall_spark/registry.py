@@ -13,6 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_gmall_spark import pipeline
 from flink_gmall_spark.operators import ann, curation, dedup, multimodal, scale, textstats, udaf
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
 from flink_gmall_spark.streaming import jobs as stream_jobs
@@ -31,6 +32,14 @@ class Query:
 
 
 _REGISTRY: dict[str, Query] = {}
+
+# SURVEY §2 traceability: every operator ID from the inventory appears in
+# some entry's tags, with two deliberate exceptions —
+# - S1-S4 (Kafka source/sink/DDL): implemented in sources/kafka.py but
+#   environment-gated (no broker or kafka jars in this image; the probe
+#   and its error contract are covered by tests/test_sinks.py).
+# - S9/S10 (HTTP log collector, Redis dim cache): explicit non-goals
+#   (SURVEY §7.4) — replaced by the test driver and broadcast joins.
 
 
 def _register(
@@ -56,7 +65,7 @@ _register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HIST
 _register("dwd_cdc_asof_join", dwd.cdc_asof_join, dwd.ORACLE_CDC_ASOF_JOIN, tags=("asof", "scd2"))
 
 # --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
-_register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3",))
+_register("dwm_order_wide", dwm.order_wide, dwm.ORACLE_ORDER_WIDE, bench=True, tags=("J3", "P8"))
 _register("dwm_order_detail_wide", dwm.order_detail_wide, dwm.ORACLE_ORDER_DETAIL_WIDE, bench=True, tags=("J1",))
 _register("dwm_payment_wide", dwm.payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2",))
 _register("t1_visit_flag", dwm.visit_flag, dwm.ORACLE_VISIT_FLAG, tags=("T1",))
@@ -64,7 +73,7 @@ _register("t2_daily_uv", dwm.daily_uv, dwm.ORACLE_DAILY_UV, tags=("T2",))
 _register("t3_jump_out", dwm.jump_out, dwm.ORACLE_JUMP_OUT, bench=True, tags=("T3",))
 
 # --- DWS (SURVEY §2.5 A1-A4, §2.7 U1/U2, §2.3 F1/F2) ------------------------
-_register("dws_visitor_stats", dws.visitor_stats, dws.ORACLE_VISITOR_STATS, bench=True, tags=("A1", "U1", "P6", "T6"))
+_register("dws_visitor_stats", dws.visitor_stats, dws.ORACLE_VISITOR_STATS, bench=True, tags=("A1", "U1", "P6", "P7", "J5", "T6"))
 _register("dws_product_stats", dws.product_stats, dws.ORACLE_PRODUCT_STATS, bench=True, tags=("A2", "U2"))
 _register("dws_province_stats", dws.province_stats, dws.ORACLE_PROVINCE_STATS, bench=True, tags=("A3",))
 _register("dws_keyword_stats", dws.keyword_stats, dws.ORACLE_KEYWORD_STATS, bench=True, tags=("F1", "F2", "A4"))
@@ -105,10 +114,11 @@ _register("stream_t2_daily_uv", stream_state.daily_uv_stream, dwm.ORACLE_DAILY_U
 # streaming.state but NOT registered: the API's state-server protocol
 # needs google.protobuf, absent from this image. tests/test_streaming.py
 # runs it against the same oracle whenever protobuf is importable.
-_register("stream_t3_jump_out", stream_state.jump_out_stream, stream_state.ORACLE_JUMP_OUT_STREAM, tags=("T3", "T4", "streaming", "cep"))
+_register("stream_t3_jump_out", stream_state.jump_out_stream, stream_state.ORACLE_JUMP_OUT_STREAM, tags=("T3", "T4", "U3", "streaming", "cep"))
 _register("stream_session_windows", stream_jobs.stream_session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "streaming"))
 _register("stream_keyword_stats", stream_jobs.stream_keyword_stats, dws.ORACLE_KEYWORD_STATS, tags=("F2", "A4", "streaming"))
 _register("stream_windowed_append", stream_jobs.stream_windowed_append, stream_jobs.ORACLE_WINDOWED_APPEND, tags=("T5", "T6", "T7", "streaming", "append-mode"))
+_register("stream_left_outer_join", stream_jobs.stream_left_outer_interval_join, stream_jobs.ORACLE_LEFT_OUTER_INTERVAL, tags=("J1", "T4", "streaming", "outer-join"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))
@@ -146,6 +156,7 @@ _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS
 _register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
+_register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
 _register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))

@@ -368,3 +368,83 @@ GROUP BY wstart_us
 
 
 ORACLE_WINDOWED_APPEND = _oracle_windowed_append()
+
+
+def stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hardest streaming
+    join semantic: matched rows emit immediately, while an unmatched left
+    row emits its null-padded form only when the watermark proves no
+    future right row can join it (state eviction, not end-of-stream).
+    With availableNow the final global watermark is min(max event time)
+    across both sources, so the emitted null rows are exactly the
+    unmatched orders whose join window [o_ts − 90d, o_ts + 90d] closed
+    before that horizon — the oracle encodes both legs (matches + the
+    horizon-filtered antijoin), making eviction timing itself
+    hash-checked, like the CEP entry."""
+    tune(spark)
+    orders = (
+        read_stream(spark, sf_dir, "orders")
+        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_ts", "0 seconds")
+    )
+    lineitem = (
+        read_stream(spark, sf_dir, "lineitem")
+        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_ts", "0 seconds")
+    )
+    joined = orders.join(
+        lineitem,
+        F.expr(
+            "o_orderkey = l_orderkey"
+            " AND l_ts >= o_ts - INTERVAL 90 DAYS"
+            " AND l_ts <= o_ts + INTERVAL 90 DAYS"
+        ),
+        "left_outer",
+    )
+    result = joined.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("create_date"),
+        F.col("l_linenumber").cast("long").alias("detail_id"),
+        F.col("l_extendedprice").alias("split_total_amount"),
+    )
+    return run_to_memory(result, "append")
+
+
+_OUTER_WIN_US = 90 * 24 * 3600 * 1_000_000
+
+ORACLE_LEFT_OUTER_INTERVAL = f"""
+WITH horizon AS (
+    SELECT least(
+        (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) FROM orders),
+        (SELECT max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) FROM lineitem)
+    ) AS wm_us
+),
+matched AS (
+    SELECT o.o_orderkey AS order_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           CAST(l.l_linenumber AS BIGINT) AS detail_id,
+           l.l_extendedprice AS split_total_amount
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate - INTERVAL 90 DAY
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+),
+unmatched AS (
+    SELECT o.o_orderkey AS order_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           CAST(NULL AS BIGINT) AS detail_id,
+           CAST(NULL AS DOUBLE) AS split_total_amount
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate - INTERVAL 90 DAY
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    )
+    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) + {_OUTER_WIN_US}
+        < (SELECT wm_us FROM horizon)
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+"""
