@@ -300,3 +300,52 @@ SELECT doc_id,
        CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS rep_ratio
 FROM g
 """
+
+
+RARE_DF_THRESHOLD = 5  # a token is 'rare' if its corpus frequency is below this
+
+
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-informed quality signal (the integer-exact cousin of
+    CCNet-style LM filtering): per document, the share of token
+    OCCURRENCES whose corpus-wide frequency falls below
+    RARE_DF_THRESHOLD. High ratios flag gibberish / OCR noise; near-zero
+    flags boilerplate. Two bounded aggregations (corpus counts are
+    vocabulary-sized, broadcast back to the token stream) and pure
+    integer sums — order-independence for free, unlike log-prob scores
+    whose float sums would be partition-order-dependent."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    flagged = toks.join(F.broadcast(corpus), "tok")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("cf") < RARE_DF_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+        (
+            F.sum(F.when(F.col("cf") < RARE_DF_THRESHOLD, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rare_ratio"),
+    )
+
+
+ORACLE_RARE_TOKEN_RATIO = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+corpus AS (
+    SELECT tok, count(*) AS cf FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c.cf < {RARE_DF_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN c.cf < {RARE_DF_THRESHOLD} THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS rare_ratio
+FROM toks t JOIN corpus c USING (tok)
+GROUP BY t.doc_id
+"""

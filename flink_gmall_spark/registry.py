@@ -137,6 +137,7 @@ _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_CO
 _register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPRINTS, tags=("text",))
 _register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tags=("text",))
 _register("text_repetition", textstats.repetition_scores, textstats.ORACLE_REPETITION_SCORES, tags=("text", "quality"))
+_register("text_rare_token_ratio", textstats.rare_token_ratio, textstats.ORACLE_RARE_TOKEN_RATIO, tags=("text", "quality", "corpus-stats"))
 _register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 _register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
 _register("multimodal_resize", multimodal.resize, multimodal.ORACLE_RESIZE, tags=("multimodal",))
