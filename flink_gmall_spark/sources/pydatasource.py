@@ -240,9 +240,13 @@ class _CDCEnvelopeStreamReader(SimpleDataSourceStreamReader):
         n = self._num_row_groups()
         rg = start["rg"]
         if rg >= n:
-            return [], start
+            # caught up: empty batch, offset unchanged. Note the shape:
+            # the engine needs an object that is both next()-able and
+            # copy.copy()-able — a list_iterator qualifies, a bare list
+            # or a generator does not.
+            return iter([]), start
         rows = [r for g in range(rg, n) for r in self._rows_for(g)]
-        return rows, {"rg": n}
+        return iter(rows), {"rg": n}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return [

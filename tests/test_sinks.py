@@ -62,3 +62,42 @@ def test_pyds_sink_abort_leaves_no_manifest(spark, sf_dir):
     with pytest.raises(Exception):
         df.write.format("gmall_dim_sink").option("path", d).mode("append").save()
     assert not os.path.exists(os.path.join(d, "_MANIFEST.json"))
+
+
+def test_pyds_stream_source_checkpoint_replay(spark, sf_dir):
+    """The custom streaming source must honor checkpointed offsets: a
+    second availableNow run over the same checkpoint sees the committed
+    row-group offset and reads zero new rows — the source half of
+    exactly-once (the sink half is the epoch/manifest tests above)."""
+    import uuid
+
+    from flink_gmall_spark.sources.pydatasource import GmallCDCStreamDataSource
+    from flink_gmall_spark.sources.tables import path as table_path
+
+    spark.dataSource.register(GmallCDCStreamDataSource)
+    base = os.path.join(tempfile.gettempdir(), "fgs_ckpt_src", uuid.uuid4().hex[:8])
+    ckpt = os.path.join(base, "ckpt")
+
+    def run_once() -> int:
+        env = (
+            spark.readStream.format("gmall_cdc_stream")
+            .option("path", table_path(sf_dir, "orders"))
+            .load()
+        )
+        totals = []
+
+        def count_batch(batch_df, epoch_id):
+            totals.append(batch_df.count())
+
+        q = (
+            env.writeStream.foreachBatch(count_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(totals)
+
+    first = run_once()
+    assert first > 0
+    assert run_once() == 0, "committed offsets were re-read"
