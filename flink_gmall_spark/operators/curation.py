@@ -473,3 +473,108 @@ GROUP BY bigram
 ORDER BY ct DESC, bigram ASC
 LIMIT {BIGRAM_TOP_N}
 """
+
+
+# keep iff bigram-repetition ratio (n2-d2)/n2 <= REP_NUM/REP_DEN — integer
+# cross-multiplication, so the gate is bit-exact with no float compare
+REP_NUM, REP_DEN = 3, 50
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-side end-to-end: MinHash near-dedup (greedy
+    keep-smallest-id) → repetition quality gate → concat-and-chunk
+    packing, as ONE declarative plan. This is the actual
+    crawl-to-training-shards shape; hash-matching its composed oracle
+    proves the stages compose without drift (id policy, tokenization,
+    gate arithmetic, prefix-sum) — the curation twin of
+    pipeline_e2e_hourly. Output: every surviving document with its chunk
+    span."""
+    from flink_gmall_spark.operators.dedup import minhash_lsh_pairs
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    losers = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    toks = kept.select("doc_id", "lang", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    g = toks.withColumn(
+        "g2",
+        F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"),
+    )
+    gate = g.filter(
+        (F.size("g2") - F.size(F.array_distinct("g2"))) * REP_DEN
+        <= F.size("g2") * REP_NUM
+    ).select("doc_id", "lang", F.size("t").cast("long").alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return gate.withColumn("start_off", start).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr(f"start_off DIV {PACK_BUDGET}").alias("first_chunk"),
+        F.expr(f"(start_off + n_tok - 1) DIV {PACK_BUDGET}").alias("last_chunk"),
+    )
+
+
+def _oracle_curation_pipeline() -> str:
+    from flink_gmall_spark.operators.dedup import (
+        _DUCK_SHINGLES,
+        _DUCK_SIG_CTES,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""{_DUCK_SHINGLES},
+{_DUCK_SIG_CTES},
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+losers AS (
+    SELECT DISTINCT c.doc_b AS doc_id
+    FROM common c
+    JOIN cand USING (doc_a, doc_b)
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+),
+keptt AS (
+    SELECT d.doc_id, d.lang, {_DUCK_T} AS t
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+),
+qual AS (
+    SELECT doc_id, lang, t,
+           list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])) AS g2
+    FROM keptt
+    WHERE len(t) >= 2
+),
+gate AS (
+    SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok
+    FROM qual
+    WHERE (len(g2) - len(list_distinct(g2))) * {REP_DEN} <= len(g2) * {REP_NUM}
+),
+off AS (
+    SELECT doc_id, lang, n_tok,
+           COALESCE(sum(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+    FROM gate
+)
+SELECT doc_id, lang, n_tok,
+       start_off // {PACK_BUDGET} AS first_chunk,
+       (start_off + n_tok - 1) // {PACK_BUDGET} AS last_chunk
+FROM off
+"""
+
+
+ORACLE_CURATION_PIPELINE = _oracle_curation_pipeline()

@@ -151,11 +151,13 @@ _register("curation_decontaminate", curation.decontaminate, curation.ORACLE_DECO
 _register("curation_tfidf_top_terms", curation.tfidf_top_terms, curation.ORACLE_TFIDF_TOP_TERMS, bench=True, tags=("curation", "text"))
 _register("curation_mixture_sample", curation.mixture_sample, curation.ORACLE_MIXTURE_SAMPLE, tags=("curation", "sampling", "mixing"))
 _register("curation_bigram_counts", curation.bigram_counts, curation.ORACLE_BIGRAM_COUNTS, tags=("curation", "text", "lm-counts"))
+_register("curation_pipeline_e2e", curation.curation_pipeline, curation.ORACLE_CURATION_PIPELINE, tags=("curation", "e2e", "dedup", "packing"))
 _register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST, tags=("curation", "dedup"))
 _register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
 _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
 _register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
+_register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, stream_jobs.ORACLE_DEDUP_FINGERPRINTS, tags=("dedup", "streaming", "ingestion"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))

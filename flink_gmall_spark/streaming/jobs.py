@@ -448,3 +448,25 @@ SELECT * FROM matched
 UNION ALL
 SELECT * FROM unmatched
 """
+
+
+def stream_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup on content: the document stream deduped
+    by normalized-text fingerprint in the state store — what a crawl
+    ingestion pipeline runs so re-fetched pages never reach the corpus
+    twice. Output is the distinct fingerprint set (with its doc count
+    folded in batch afterwards would break streaming purity; the set
+    itself is arrival-order-independent, so the DISTINCT oracle is
+    exact). Production bounds state with dropDuplicatesWithinWatermark."""
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp")
+    ).dropDuplicates(["fp"])
+    return run_to_memory(fp, "append")
+
+
+ORACLE_DEDUP_FINGERPRINTS = r"""
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
