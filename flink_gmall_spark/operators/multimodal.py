@@ -197,3 +197,61 @@ SELECT s.doc_id,
        CAST(CASE WHEN s.n = 0 THEN -1 ELSE ascii(substring(b.text, 1, 1)) END AS BIGINT) AS resized_head
 FROM s JOIN b USING (doc_id)
 """
+
+
+EMBED_BUCKETS = 16
+
+EMBED_SCHEMA = "doc_id long, bucket long, ct long"
+
+
+def _embed_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-embedding stage (the 'CLIP-embed the payload' slot): a
+    deterministic byte-nibble histogram stands in for the model forward
+    pass (decode_image documents the real-codec seam). One output row
+    per (payload, bucket) — long form keeps the driver-comparable
+    surface scalar (arrays don't hash portably)."""
+    for pdf in batches:
+        doc_ids, buckets, cts = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            hist = [0] * EMBED_BUCKETS
+            for byte in b:
+                hist[byte >> 4] += 1
+            for i, ct in enumerate(hist):
+                doc_ids.append(doc_id)
+                buckets.append(i)
+                cts.append(ct)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "bucket": pd.Series(buckets, dtype="int64"),
+                "ct": pd.Series(cts, dtype="int64"),
+            }
+        )
+
+
+def embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: binary payload → fixed-width feature
+    vector (here the 16-bucket byte-nibble histogram) via mapInPandas —
+    the stage that turns opaque payloads into vectors the similarity
+    operators (operators.ann) consume. Output size is docs × 16
+    regardless of payload size: bounded, like a real embedding."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    binarized = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return binarized.mapInPandas(_embed_stub, EMBED_SCHEMA)
+
+
+ORACLE_EMBED_STUB = f"""
+WITH b AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+),
+x AS (
+    SELECT doc_id, text, n, unnest(range(0, {EMBED_BUCKETS})) AS bucket FROM b
+)
+SELECT doc_id,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(len(list_filter(range(1, n + 1),
+                i -> ascii(substring(text, i, 1)) // 16 = bucket)) AS BIGINT) AS ct
+FROM x
+"""

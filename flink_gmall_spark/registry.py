@@ -141,6 +141,7 @@ _register("text_rare_token_ratio", textstats.rare_token_ratio, textstats.ORACLE_
 _register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
 _register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
 _register("multimodal_resize", multimodal.resize, multimodal.ORACLE_RESIZE, tags=("multimodal",))
+_register("multimodal_embed_stub", multimodal.embed_stub, multimodal.ORACLE_EMBED_STUB, tags=("multimodal", "similarity"))
 _register("ads_top_sku_per_brand", ads.top_sku_per_brand, ads.ORACLE_TOP_SKU_PER_BRAND, tags=("topk",))
 
 # --- Corpus curation (training-data pipeline, round 2) -----------------------
