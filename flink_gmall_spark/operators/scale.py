@@ -102,7 +102,12 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     key at load time and every downstream join co-locates for free."""
     from flink_gmall_spark.sources import load
 
-    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    # tag includes the application id: concurrent sessions (driver + CI)
+    # must not overwrite each other's files mid-read — same reason the
+    # stream staging dir renames atomically. Within a session the catalog
+    # check makes materialization once-only.
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{os.path.realpath(sf_dir)}|{app}".encode()).hexdigest()[:8]
     name = f"fgs_bkt_{table}_{tag}"
     if not spark.catalog.tableExists(name):
         path = os.path.join(tempfile.gettempdir(), "fgs_bucketed", name)

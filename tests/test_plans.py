@@ -128,3 +128,31 @@ def test_repetition_no_shuffle(spark, sf_dir):
     # tokenize + bigram + distinct-count all inside one projection:
     # a quality-filter pass is a pure scan at any corpus size
     assert "Exchange" not in plan, plan
+
+
+def test_sliding_windows_expand_then_two_level_distinct(spark, sf_dir):
+    plan = plan_of(dws.sliding_visitor_windows(spark, sf_dir))
+    # the pane fan-out is an Expand BEFORE any shuffle — never a
+    # self-join or N window passes
+    assert "Expand" in plan, plan
+    # exactly the two exchanges of the exact-distinct rewrite:
+    # (window, user) dedup shuffle, then the (window) final rollup
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange hashpartitioning(window" in plan, plan
+
+
+def test_rare_token_ratio_broadcasts_corpus_counts(spark, sf_dir):
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.rare_token_ratio(spark, sf_dir))
+    # vocabulary-sized corpus counts broadcast back to the token stream;
+    # the token stream itself shuffles only for the per-doc rollup
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_take_min_not_sort(spark, sf_dir):
+    plan = plan_of(ads.conversion_funnel(spark, sf_dir))
+    # stage timestamps are conditional mins (partial-aggregated), never a
+    # per-user ORDER BY
+    assert "partial_min" in plan, plan
+    assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
