@@ -274,6 +274,28 @@ def cdc_dim_upsert_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_upsert_merge(env)
 
 
+def cdc_dim_upsert_dist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executor-parallel form of the streaming connector
+    (``gmall_cdc_stream_dist``, DataSourceStreamReader): the driver plans
+    row-group offset ranges, executors read their partitions Arrow-
+    batched — the shape that holds at 1000 executors, vs. the Simple
+    reader whose reads run on the driver. Same envelope, same merge,
+    same oracle."""
+    from flink_gmall_spark.sources.pydatasource import GmallCDCDistStreamDataSource
+    from flink_gmall_spark.sources.tables import path as table_path
+    from flink_gmall_spark.streaming.jobs import run_to_memory
+
+    tune(spark)
+    spark.dataSource.register(GmallCDCDistStreamDataSource)
+    env_stream = (
+        spark.readStream.format("gmall_cdc_stream_dist")
+        .option("path", table_path(sf_dir, "orders"))
+        .load()
+    )
+    env = run_to_memory(env_stream, "append")
+    return dim_upsert_merge(env)
+
+
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 slowly-changing-dimension history from the CDC changelog: each
     op becomes a validity interval [op_time, next_op_time) per key, open

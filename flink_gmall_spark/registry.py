@@ -61,6 +61,7 @@ _register("dwd_cdc_dim_upsert", dwd.cdc_dim_upsert, dwd.ORACLE_CDC_DIM_UPSERT, b
 _register("source_pyds_cdc_upsert", dwd.cdc_dim_upsert_pysource, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource"))
 _register("sink_pyds_dim_roundtrip", dwd.cdc_dim_upsert_sink_roundtrip, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S6", "S7", "T9", "connector", "python-datasource"))
 _register("stream_pyds_cdc_upsert", dwd.cdc_dim_upsert_stream_source, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource", "streaming"))
+_register("stream_pyds_cdc_dist", dwd.cdc_dim_upsert_dist_stream, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource", "streaming", "scale"))
 _register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HISTORY, tags=("S5", "scd2"))
 _register("dwd_cdc_asof_join", dwd.cdc_asof_join, dwd.ORACLE_CDC_ASOF_JOIN, tags=("asof", "scd2"))
 
