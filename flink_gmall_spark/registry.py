@@ -160,6 +160,7 @@ _register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS
 _register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
 _register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, stream_jobs.ORACLE_DEDUP_FINGERPRINTS, tags=("dedup", "streaming", "ingestion"))
+_register("stream_config_routing", stream_jobs.stream_config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5", "streaming", "broadcast-state"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))

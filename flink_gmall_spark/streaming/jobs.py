@@ -470,3 +470,26 @@ ORACLE_DEDUP_FINGERPRINTS = r"""
 SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
 FROM documents
 """
+
+
+def stream_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 on the incremental engine: the low-volume routing config
+    broadcast-joined to the event STREAM — Spark's replacement for
+    Flink's broadcast-state pattern (BaseDBApp.java:117-127): instead of
+    pushing config deltas into per-task broadcast state, the stream-
+    static join re-resolves the config table per micro-batch, so config
+    updates land at batch boundaries with no state machinery. Distinct
+    user counts via collect_set (COUNT DISTINCT is illegal in streaming
+    aggs); shares ORACLE_CONFIG_ROUTING."""
+    from flink_gmall_spark.plans.dwd import ROUTING_CONFIG, ROUTING_SCHEMA
+
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events")
+    cfg = spark.createDataFrame(ROUTING_CONFIG, ROUTING_SCHEMA)
+    routed = ev.join(F.broadcast(cfg), ev.event_type == cfg.source_table, "inner")
+    agg = routed.groupBy("sink_table", "sink_type").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.size(F.collect_set("user_id")).cast("long").alias("uv_ct"),
+        F.sum(F.size(F.split("sink_columns", ","))).cast("long").alias("col_writes"),
+    )
+    return run_to_memory(agg, "complete")
