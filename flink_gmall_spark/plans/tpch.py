@@ -1,0 +1,178 @@
+"""Classic TPC-H queries over the driver's star schema — the
+standard-benchmark face of the engine.
+
+The gmall reference never runs TPC-H, but the driver tables are TPC-H
+shaped, so the canonical pricing-summary (Q1), shipping-priority (Q3)
+and local-supplier-volume (Q5) queries run verbatim modulo two fixture
+adaptations: date constants shifted into the 1995-2001 data range, and
+``o_orderpriority`` standing in for the absent ``o_shippriority``.
+
+Parity discipline (memory: spark-duckdb-parity-playbook): computed money
+products round to integer CENTS per row via the explicit HALF_UP formula
+``floor(x * 100 + 0.5)`` evaluated identically in both engines — a
+double→DECIMAL cast is NOT portable here (engines disagree when the
+product lands a hair's breadth from a .xx5 boundary; observed on Q1's
+sum_charge). Integer cent sums are order-independent; the final
+``cents / 100.0`` is one deterministic double op. Raw 2dp columns still
+sum as DECIMAL. ORDER BY+LIMIT carries a key tiebreak for a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+Q1_CUTOFF = "2000-09-02"
+Q3_DATE = "1998-06-30"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "2000-01-01"
+
+_D = "decimal(18,2)"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report — the canonical wide aggregation
+    (8 aggregates over 2 group keys after a date filter pushed into the
+    scan). One partial→final hash agg; no joins."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= Q1_CUTOFF)
+    disc_price_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    charge_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+        + F.lit(0.5)
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_D)).alias("d_qty"),
+        F.sum(F.col("l_extendedprice").cast(_D)).alias("d_price"),
+        F.sum(disc_price_cents).alias("c_disc_price"),
+        F.sum(charge_cents).alias("c_charge"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)")).alias("d_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("d_qty").cast("double").alias("sum_qty"),
+        F.col("d_price").cast("double").alias("sum_base_price"),
+        (F.col("c_disc_price") / 100.0).alias("sum_disc_price"),
+        (F.col("c_charge") / 100.0).alias("sum_charge"),
+        (F.col("d_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("d_price").cast("double") / F.col("count_order")).alias("avg_price"),
+        (F.col("d_disc").cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+ORACLE_Q1 = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped high-revenue orders for one market segment —
+    selective join then top-10 by revenue (TakeOrderedAndProject), with
+    the order key as the total-order tiebreak."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < Q3_DATE)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > Q3_DATE)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    revenue_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg((F.sum(revenue_cents) / 100.0).alias("revenue"))
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+ORACLE_Q3 = f"""
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from local suppliers per nation in one region —
+    the 6-way join with the same-nation (customer = supplier) condition;
+    all dims broadcast, the fact side never shuffles before the rollup."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q5_FROM) & (F.col("o_orderdate") < Q5_TO)
+    )
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    revenue_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    return j.groupBy("n_name").agg(
+        (F.sum(revenue_cents) / 100.0).alias("revenue")
+    )
+
+
+ORACLE_Q5 = f"""
+SELECT n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
+GROUP BY n.n_name
+"""

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_gmall_spark import pipeline
 from flink_gmall_spark.operators import ann, curation, dedup, multimodal, scale, textstats, udaf
-from flink_gmall_spark.plans import ads, dwd, dwm, dws
+from flink_gmall_spark.plans import ads, dwd, dwm, dws, tpch
 from flink_gmall_spark.streaming import jobs as stream_jobs
 from flink_gmall_spark.streaming import state as stream_state
 
@@ -163,6 +163,11 @@ _register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, st
 _register("stream_config_routing", stream_jobs.stream_config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5", "streaming", "broadcast-state"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
+
+# --- TPC-H showcase (standard-benchmark face over the same tables) ----------
+_register("tpch_q1", tpch.q1_pricing_summary, tpch.ORACLE_Q1, bench=True, tags=("tpch",))
+_register("tpch_q3", tpch.q3_shipping_priority, tpch.ORACLE_Q3, tags=("tpch", "topk"))
+_register("tpch_q5", tpch.q5_local_supplier_volume, tpch.ORACLE_Q5, tags=("tpch",))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
 _register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))
