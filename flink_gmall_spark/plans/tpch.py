@@ -176,3 +176,157 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
 GROUP BY n.n_name
 """
+
+
+Q6_FROM, Q6_TO = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.02, 0.08
+Q6_QTY = 30
+Q10_FROM, Q10_TO = "1999-01-01", "1999-04-01"
+Q14_FROM, Q14_TO = "1998-01-01", "1999-01-01"
+Q18_QTY = 300
+
+_CENTS = "floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — a pure filter-and-sum whose
+    predicates all push into the parquet scan; the canonical
+    scan-efficiency probe (no join, no group key)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= Q6_FROM)
+        & (F.col("l_shipdate") < Q6_TO)
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_QTY)
+    )
+    cents = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + F.lit(0.5))
+    return f.agg((F.sum(cents) / 100.0).alias("revenue"))
+
+
+ORACLE_Q6 = f"""
+SELECT sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_TO} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned items in one quarter, top 20 by
+    lost revenue — selective fact filter, broadcast dims, TakeOrdered
+    with the customer key as tiebreak."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q10_FROM) & (F.col("o_orderdate") < Q10_TO)
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        (F.sum(cents) / 100.0).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+ORACLE_Q10 = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       sum(CAST({_CENTS} AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_FROM} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q10_TO} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share — conditional aggregation over
+    a broadcast part join; the share is one double division of two
+    deterministic integer-cent sums (no per-row float compare)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_FROM) & (F.col("l_shipdate") < Q14_TO)
+    )
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0)).alias("promo_c"),
+        F.sum(cents).alias("total_c"),
+    )
+    return agg.select(
+        (F.col("promo_c") / 100.0).alias("promo_revenue"),
+        (F.col("total_c") / 100.0).alias("total_revenue"),
+        (100.0 * F.col("promo_c") / F.col("total_c")).alias("promo_share_pct"),
+    )
+
+
+ORACLE_Q14 = f"""
+SELECT sum(CASE WHEN p.p_type = 'PROMO' THEN CAST({_CENTS} AS BIGINT) ELSE 0 END) / 100.0 AS promo_revenue,
+       sum(CAST({_CENTS} AS BIGINT)) / 100.0 AS total_revenue,
+       100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN CAST({_CENTS} AS BIGINT) ELSE 0 END)
+             / sum(CAST({_CENTS} AS BIGINT)) AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '{Q14_TO} 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — the HAVING-over-join shape: per-
+    order quantity rollup, threshold filter, customer enrichment. The
+    per-order aggregate reuses its own exchange for the join back."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D)).alias("d_qty"))
+        .filter(F.col("d_qty") > Q18_QTY)
+    )
+    j = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.col("o_totalprice").alias("o_totalprice"),
+        F.col("d_qty").cast("double").alias("total_qty"),
+    )
+
+
+ORACLE_Q18 = f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice,
+       CAST(q.d_qty AS DOUBLE) AS total_qty
+FROM (
+    SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS d_qty
+    FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY}
+) q
+JOIN orders o ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""

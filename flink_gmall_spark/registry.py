@@ -168,6 +168,10 @@ _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_P
 _register("tpch_q1", tpch.q1_pricing_summary, tpch.ORACLE_Q1, bench=True, tags=("tpch",))
 _register("tpch_q3", tpch.q3_shipping_priority, tpch.ORACLE_Q3, tags=("tpch", "topk"))
 _register("tpch_q5", tpch.q5_local_supplier_volume, tpch.ORACLE_Q5, tags=("tpch",))
+_register("tpch_q6", tpch.q6_forecast_revenue, tpch.ORACLE_Q6, tags=("tpch", "pushdown"))
+_register("tpch_q10", tpch.q10_returned_items, tpch.ORACLE_Q10, tags=("tpch", "topk"))
+_register("tpch_q14", tpch.q14_promo_effect, tpch.ORACLE_Q14, tags=("tpch",))
+_register("tpch_q18", tpch.q18_large_orders, tpch.ORACLE_Q18, tags=("tpch", "having"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
 _register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))
