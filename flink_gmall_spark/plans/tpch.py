@@ -330,3 +330,90 @@ FROM (
 JOIN orders o ON q.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+
+Q4_LATE_DAYS = 60
+Q4_FROM, Q4_TO = "1997-01-01", "1997-07-01"
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted): order-priority checking — count orders per
+    priority having at least one late-shipped lineitem (EXISTS → left
+    semi join; the fixture lacks commit/receipt dates, so 'late' is a
+    ship date more than Q4_LATE_DAYS past the order date, preserving
+    Q4's correlated-EXISTS shape exactly)."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_FROM) & (F.col("o_orderdate") < Q4_TO)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+ORACLE_Q4 = f"""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q4_TO} 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY 1
+"""
+
+
+Q19_CASES = [  # (brand, qty_lo, qty_hi, size_hi)
+    ("Brand#12", 1, 11, 5),
+    ("Brand#23", 10, 20, 10),
+    ("Brand#34", 20, 30, 15),
+]
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue — the canonical disjunctive
+    predicate (OR of brand/quantity/size conjunction groups) over the
+    part join; Catalyst extracts the common l_partkey=p_partkey
+    conjunct so the join stays an equi-join with the OR as a post-join
+    filter."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = None
+    for brand, lo, hi, size_hi in Q19_CASES:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    return j.filter(cond).agg((F.sum(cents) / 100.0).alias("revenue"))
+
+
+_Q19_DISJ = " OR ".join(
+    f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {lo} AND {hi}"
+    f" AND p.p_size BETWEEN 1 AND {sz})"
+    for b, lo, hi, sz in Q19_CASES
+)
+
+ORACLE_Q19 = f"""
+SELECT sum(CAST({_CENTS} AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_Q19_DISJ}
+"""
