@@ -417,3 +417,76 @@ FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE {_Q19_DISJ}
 """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — the left outer
+    join that must KEEP zero-order customers, then a second aggregation
+    over the first's result (distribution of counts). Two shuffles by
+    construction; the outer join's null side becomes the c_count=0
+    bucket."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+ORACLE_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+Q15_FROM, Q15_TO = "1998-01-01", "1998-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier — per-supplier quarterly revenue, keeping
+    the supplier(s) whose revenue EQUALS the global max (the view +
+    scalar-subquery shape; ties all surface, so no LIMIT nondeterminism).
+    The revenue subtree is one DAG used by both the rows and the max —
+    exchange reuse, not recompute."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q15_FROM) & (F.col("l_shipdate") < Q15_TO)
+    )
+    supp = load(spark, sf_dir, "supplier")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_c"))
+    max_rev = rev.agg(F.max("rev_c").alias("max_c"))
+    top = rev.join(max_rev, rev.rev_c == max_rev.max_c)
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+        F.col("s_suppkey"),
+        F.col("s_name"),
+        (F.col("rev_c") / 100.0).alias("total_revenue"),
+    )
+
+
+ORACLE_Q15 = f"""
+WITH rev AS (
+    SELECT l_suppkey, sum(CAST({_CENTS} AS BIGINT)) AS rev_c
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '{Q15_FROM} 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '{Q15_TO} 00:00:00'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.rev_c / 100.0 AS total_revenue
+FROM rev
+JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.rev_c = (SELECT max(rev_c) FROM rev)
+"""
