@@ -161,6 +161,7 @@ _register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
 _register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, stream_jobs.ORACLE_DEDUP_FINGERPRINTS, tags=("dedup", "streaming", "ingestion"))
 _register("stream_config_routing", stream_jobs.stream_config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5", "streaming", "broadcast-state"))
+_register("stream_province_stats", stream_jobs.stream_province_stats, dws.ORACLE_PROVINCE_STATS, tags=("A3", "streaming", "sql-entry"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 

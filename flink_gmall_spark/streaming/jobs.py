@@ -493,3 +493,33 @@ def stream_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("sink_columns", ","))).cast("long").alias("col_writes"),
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as a streaming SQL job — the exact deployment shape of the
+    reference's ProvinceStatsSqlApp (a Flink SQL query over an unbounded
+    table): the order stream registers as a temp view and spark.sql()
+    declares the rollup, executed by the incremental engine in complete
+    mode. COUNT(DISTINCT) is illegal in streaming aggregations, so the
+    SQL uses size(collect_set(...)) — the same rewrite the reference's
+    HashSet accumulators embody. Shares ORACLE_PROVINCE_STATS."""
+    from flink_gmall_spark.sources import load as load_batch
+
+    tune(spark)
+    orders = read_stream(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("s_orders")
+    load_batch(spark, sf_dir, "customer").createOrReplaceTempView("s_customer")
+    load_batch(spark, sf_dir, "nation").createOrReplaceTempView("s_nation")
+    agg = spark.sql(
+        """
+        SELECT date_format(o.o_orderdate, 'yyyy-MM-dd') AS stt,
+               n.n_name AS province_name,
+               CAST(size(collect_set(o.o_orderkey)) AS BIGINT) AS order_ct,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+        FROM s_orders o
+        JOIN s_customer c ON o.o_custkey = c.c_custkey
+        JOIN s_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    )
+    return run_to_memory(agg, "complete")
