@@ -613,3 +613,29 @@ SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
 FROM votes
 GROUP BY doc_id
 """
+
+
+def bag_of_words_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation-invariant dedup: documents grouped by the fingerprint
+    of their SORTED token multiset, so reordered/shuffled copies collapse
+    into one group — the dup class exact hashing misses and shingle
+    methods only partially catch (word order destroys most shingles).
+    Same single-hash-aggregation scale shape as exact_dedup."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(tokens_col("text")), " "))
+    return docs.groupBy(fp.alias("bow_fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_ct"),
+    )
+
+
+ORACLE_BAG_OF_WORDS = f"""
+SELECT md5(array_to_string(list_sort(
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '')), ' ')) AS bow_fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_ct
+FROM documents
+GROUP BY 1
+"""

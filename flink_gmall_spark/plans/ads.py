@@ -776,3 +776,39 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS viewed,
        CAST((SELECT count(*) FROM c) AS BIGINT) AS clicked_after_view,
        CAST((SELECT count(*) FROM p) AS BIGINT) AS purchased_after_click
 """
+
+
+def amount_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window function: orders bucketed into amount quartiles per
+    status, rolled up to quartile boundaries + counts. ntile is only
+    deterministic under a TOTAL order — the amount sort carries the
+    order key as tiebreak, the discipline every ranking query here
+    follows."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    q = orders.withColumn("quartile", F.ntile(4).over(w))
+    return q.groupBy("o_orderstatus", "quartile").agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("amount_sum"),
+        F.max(F.col("o_totalprice")).alias("upper_bound"),
+    )
+
+
+ORACLE_AMOUNT_QUARTILES = """
+WITH q AS (
+    SELECT o_orderstatus, o_totalprice,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+    FROM orders
+)
+SELECT o_orderstatus,
+       CAST(quartile AS INT) AS quartile,
+       CAST(count(*) AS BIGINT) AS order_ct,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount_sum,
+       max(o_totalprice) AS upper_bound
+FROM q
+GROUP BY 1, 2
+"""

@@ -95,6 +95,7 @@ _register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATU
 _register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check
 _register("ads_gmv_moving_avg", ads.gmv_moving_avg, ads.ORACLE_GMV_MOVING_AVG, tags=("window-frame",))
 _register("ads_amount_percentiles", ads.amount_percentiles, ads.ORACLE_AMOUNT_PERCENTILES, tags=("quantiles",))
+_register("ads_amount_quartiles", ads.amount_quartiles, ads.ORACLE_AMOUNT_QUARTILES, tags=("quantiles", "ntile"))
 _register("dws_session_stats", dws.session_stats, dws.ORACLE_SESSION_STATS, bench=True, tags=("sessionization",))
 _register("dws_sliding_windows", dws.sliding_visitor_windows, dws.ORACLE_SLIDING_VISITOR_WINDOWS, tags=("sliding-window", "T6"))
 _register("dws_session_windows", dws.session_windows, dws.ORACLE_SESSION_WINDOWS, tags=("sessionization", "T6"))
@@ -129,6 +130,7 @@ _register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, ben
 _register("dedup_simhash_pairs", dedup.simhash_pairs, dedup.ORACLE_SIMHASH_PAIRS, tags=("dedup",))
 _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
+_register("dedup_bag_of_words", dedup.bag_of_words_dedup, dedup.ORACLE_BAG_OF_WORDS, tags=("dedup",))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
