@@ -490,3 +490,104 @@ FROM rev
 JOIN supplier s ON rev.l_suppkey = s.s_suppkey
 WHERE rev.rev_c = (SELECT max(rev_c) FROM rev)
 """
+
+
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations — revenue per
+    (supplier nation, customer nation, ship year) for the unordered
+    nation pair: the symmetric-disjunction join predicate
+    ((A,B) OR (B,A)) evaluated after broadcast dim resolution."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+
+
+ORACLE_Q7 = f"""
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       sum(CAST({_CENTS} AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+   OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+"""
+
+
+Q17_FRACTION_NUM, Q17_FRACTION_DEN = 1, 5  # qty below 20% of the part's avg
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: no container column): average yearly revenue
+    lost to small-quantity orders — lineitems whose quantity falls below
+    one fifth of their part's average quantity. The correlated scalar
+    subquery becomes a per-part aggregate joined back to the fact; the
+    threshold compare is integer cross-multiplication
+    (den*qty*count < num*sum_qty), not a float avg."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    j = li.join(per_part, li.l_partkey == F.col("pp_key"))
+    small = j.filter(
+        F.col("l_quantity").cast("decimal(18,2)") * Q17_FRACTION_DEN * F.col("n_li")
+        < F.col("sum_qty") * Q17_FRACTION_NUM
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    return small.agg(
+        (F.sum(cents) / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("small_ct"),
+    )
+
+
+ORACLE_Q17 = f"""
+WITH per_part AS (
+    SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           count(*) AS n_li
+    FROM lineitem GROUP BY 1
+)
+SELECT sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS small_ct
+FROM lineitem l
+JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * {Q17_FRACTION_DEN} * p.n_li
+      < p.sum_qty * {Q17_FRACTION_NUM}
+"""
