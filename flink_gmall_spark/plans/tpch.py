@@ -591,3 +591,78 @@ JOIN per_part p ON l.l_partkey = p.l_partkey
 WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * {Q17_FRACTION_DEN} * p.n_li
       < p.sum_qty * {Q17_FRACTION_NUM}
 """
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_FROM, Q8_TO = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — one nation's share of a
+    region's import revenue for one part type, by order year. The share
+    is a conditional cents-sum over the total cents-sum per year: two
+    deterministic integers and one double division, no float compare
+    anywhere."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q8_FROM) & (F.col("o_orderdate") < Q8_TO)
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region.r_regionkey)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == Q8_NATION, cents).otherwise(0)).alias(
+            "nation_c"
+        ),
+        F.sum(cents).alias("total_c"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_c") / 100.0).alias("nation_revenue"),
+        (F.col("total_c") / 100.0).alias("total_revenue"),
+        (F.col("nation_c") / F.col("total_c").cast("double")).alias("mkt_share"),
+    )
+
+
+ORACLE_Q8 = f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       sum(CASE WHEN ns.n_name = '{Q8_NATION}' THEN CAST({_CENTS} AS BIGINT) ELSE 0 END) / 100.0 AS nation_revenue,
+       sum(CAST({_CENTS} AS BIGINT)) / 100.0 AS total_revenue,
+       sum(CASE WHEN ns.n_name = '{Q8_NATION}' THEN CAST({_CENTS} AS BIGINT) ELSE 0 END)
+         / CAST(sum(CAST({_CENTS} AS BIGINT)) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+WHERE p.p_type = '{Q8_TYPE}'
+  AND r.r_name = '{Q8_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q8_FROM} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q8_TO} 00:00:00'
+GROUP BY 1
+"""

@@ -180,6 +180,7 @@ _register("tpch_q19", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, tags=("tpch"
 _register("tpch_q13", tpch.q13_customer_distribution, tpch.ORACLE_Q13, tags=("tpch", "outer-join"))
 _register("tpch_q15", tpch.q15_top_supplier, tpch.ORACLE_Q15, tags=("tpch", "scalar-subquery"))
 _register("tpch_q7", tpch.q7_volume_shipping, tpch.ORACLE_Q7, tags=("tpch",))
+_register("tpch_q8", tpch.q8_market_share, tpch.ORACLE_Q8, tags=("tpch",))
 _register("tpch_q17", tpch.q17_small_quantity_revenue, tpch.ORACLE_Q17, tags=("tpch", "correlated-agg"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
