@@ -4,6 +4,14 @@ Every implemented operator from SURVEY §2 (plus the LLM-data-pipeline
 operators) registers here as a (DataFrame builder, DuckDB oracle SQL)
 pair. ``__spark_entry__.py`` re-exports this; tests/test_parity.py runs
 every pair side-by-side exactly like the driver does.
+
+Registration ORDER matters operationally: the external driver samples the
+first 50 registrations for its per-round correctness run. Rounds 1-2
+green-checked 62 distinct entries; the remaining 50 (TPC-H, curation,
+multimodal, UDAF, e2e pipeline, several streaming variants) register
+FIRST below so round 3 produces driver rows for them. The previously
+verified entries follow. Local parity (tests/test_parity.py) always runs
+all of them regardless of order.
 """
 
 from __future__ import annotations
@@ -53,6 +61,78 @@ def _register(
     _REGISTRY[name] = Query(name, fn, oracle, bench, tags)
 
 
+# =============================================================================
+# BLOCK A — never driver-verified before round 3 (sample-priority order).
+# =============================================================================
+
+# --- TPC-H showcase (standard-benchmark face over the same tables) ----------
+_register("tpch_q1", tpch.q1_pricing_summary, tpch.ORACLE_Q1, bench=True, tags=("tpch",))
+_register("tpch_q3", tpch.q3_shipping_priority, tpch.ORACLE_Q3, tags=("tpch", "topk"))
+_register("tpch_q4", tpch.q4_order_priority, tpch.ORACLE_Q4, tags=("tpch", "semi-join"))
+_register("tpch_q5", tpch.q5_local_supplier_volume, tpch.ORACLE_Q5, tags=("tpch",))
+_register("tpch_q6", tpch.q6_forecast_revenue, tpch.ORACLE_Q6, tags=("tpch", "pushdown"))
+_register("tpch_q7", tpch.q7_volume_shipping, tpch.ORACLE_Q7, tags=("tpch",))
+_register("tpch_q8", tpch.q8_market_share, tpch.ORACLE_Q8, tags=("tpch",))
+_register("tpch_q10", tpch.q10_returned_items, tpch.ORACLE_Q10, tags=("tpch", "topk"))
+_register("tpch_q13", tpch.q13_customer_distribution, tpch.ORACLE_Q13, tags=("tpch", "outer-join"))
+_register("tpch_q14", tpch.q14_promo_effect, tpch.ORACLE_Q14, tags=("tpch",))
+_register("tpch_q15", tpch.q15_top_supplier, tpch.ORACLE_Q15, tags=("tpch", "scalar-subquery"))
+_register("tpch_q17", tpch.q17_small_quantity_revenue, tpch.ORACLE_Q17, tags=("tpch", "correlated-agg"))
+_register("tpch_q18", tpch.q18_large_orders, tpch.ORACLE_Q18, tags=("tpch", "having"))
+_register("tpch_q19", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, tags=("tpch", "disjunctive"))
+
+# --- Corpus curation (training-data pipeline) -------------------------------
+_register("curation_length_buckets", curation.length_buckets, curation.ORACLE_LENGTH_BUCKETS, tags=("curation",))
+_register("curation_pack_chunks", curation.pack_chunks, curation.ORACLE_PACK_CHUNKS, bench=True, tags=("curation", "packing"))
+_register("curation_sample_stratified", curation.sample_stratified, curation.ORACLE_SAMPLE_STRATIFIED, tags=("curation", "sampling"))
+_register("curation_decontaminate", curation.decontaminate, curation.ORACLE_DECONTAMINATE, bench=True, tags=("curation", "dedup"))
+_register("curation_tfidf_top_terms", curation.tfidf_top_terms, curation.ORACLE_TFIDF_TOP_TERMS, bench=True, tags=("curation", "text"))
+_register("curation_mixture_sample", curation.mixture_sample, curation.ORACLE_MIXTURE_SAMPLE, tags=("curation", "sampling", "mixing"))
+_register("curation_bigram_counts", curation.bigram_counts, curation.ORACLE_BIGRAM_COUNTS, tags=("curation", "text", "lm-counts"))
+_register("curation_pipeline_e2e", curation.curation_pipeline, curation.ORACLE_CURATION_PIPELINE, tags=("curation", "e2e", "dedup", "packing"))
+_register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST, tags=("curation", "dedup"))
+_register("dedup_bag_of_words", dedup.bag_of_words_dedup, dedup.ORACLE_BAG_OF_WORDS, tags=("dedup",))
+
+# --- Similarity / clustering -------------------------------------------------
+_register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
+_register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
+_register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
+
+# --- Text / multimodal -------------------------------------------------------
+_register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPRINTS, tags=("text",))
+_register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tags=("text",))
+_register("text_repetition", textstats.repetition_scores, textstats.ORACLE_REPETITION_SCORES, tags=("text", "quality"))
+_register("text_rare_token_ratio", textstats.rare_token_ratio, textstats.ORACLE_RARE_TOKEN_RATIO, tags=("text", "quality", "corpus-stats"))
+_register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
+_register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
+_register("multimodal_resize", multimodal.resize, multimodal.ORACLE_RESIZE, tags=("multimodal",))
+_register("multimodal_embed_stub", multimodal.embed_stub, multimodal.ORACLE_EMBED_STUB, tags=("multimodal", "similarity"))
+
+# --- ADS extensions / joins / scale ------------------------------------------
+_register("ads_top_sku_per_brand", ads.top_sku_per_brand, ads.ORACLE_TOP_SKU_PER_BRAND, tags=("topk",))
+_register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))
+_register("ads_region_nation_rollup", ads.region_nation_rollup, ads.ORACLE_REGION_NATION_ROLLUP, tags=("rollup", "grouping-sets"))
+_register("ads_customers_no_orders", ads.customers_without_orders, ads.ORACLE_CUSTOMERS_WITHOUT_ORDERS, tags=("anti-join",))
+_register("ads_yoy_spend_full_outer", ads.yoy_spend_full_outer, ads.ORACLE_YOY_SPEND_FULL_OUTER, tags=("full-outer-join",))
+_register("ads_conversion_funnel", ads.conversion_funnel, ads.ORACLE_CONVERSION_FUNNEL, tags=("funnel", "cep"))
+_register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
+_register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
+_register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
+_register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
+
+# --- Streaming variants ------------------------------------------------------
+_register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
+_register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, stream_jobs.ORACLE_DEDUP_FINGERPRINTS, tags=("dedup", "streaming", "ingestion"))
+_register("stream_config_routing", stream_jobs.stream_config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5", "streaming", "broadcast-state"))
+_register("stream_province_stats", stream_jobs.stream_province_stats, dws.ORACLE_PROVINCE_STATS, tags=("A3", "streaming", "sql-entry"))
+_register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
+
+# =============================================================================
+# BLOCK B — driver-verified in rounds 1-2 (CORRECTNESS_r01/r02 green rows).
+# New round-3 entries append at the END: they rotate into the sample window
+# in a later round without displacing Block A.
+# =============================================================================
+
 # --- DWD (SURVEY §2.2 P1-P5, §2.4 J4) --------------------------------------
 _register("dwd_page_views", dwd.page_views, dwd.ORACLE_PAGE_VIEWS, bench=True, tags=("P1", "P3", "P4"))
 _register("dwd_clean_dirty_split", dwd.clean_dirty_split, dwd.ORACLE_CLEAN_DIRTY_SPLIT, tags=("P2",))
@@ -92,7 +172,7 @@ _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
 _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTHLY_STATUS_PIVOT, tags=("pivot",))
 _register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATUS_PRIORITY_CUBE, tags=("cube",))
-_register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check
+_register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check (self-validating vs exact, see plans/ads.py)
 _register("ads_gmv_moving_avg", ads.gmv_moving_avg, ads.ORACLE_GMV_MOVING_AVG, tags=("window-frame",))
 _register("ads_amount_percentiles", ads.amount_percentiles, ads.ORACLE_AMOUNT_PERCENTILES, tags=("quantiles",))
 _register("ads_amount_quartiles", ads.amount_quartiles, ads.ORACLE_AMOUNT_QUARTILES, tags=("quantiles", "ntile"))
@@ -130,66 +210,12 @@ _register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, ben
 _register("dedup_simhash_pairs", dedup.simhash_pairs, dedup.ORACLE_SIMHASH_PAIRS, tags=("dedup",))
 _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
-_register("dedup_bag_of_words", dedup.bag_of_words_dedup, dedup.ORACLE_BAG_OF_WORDS, tags=("dedup",))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
-_register("text_fingerprints", textstats.fingerprints, textstats.ORACLE_FINGERPRINTS, tags=("text",))
-_register("text_pii_scrub", textstats.pii_scrub, textstats.ORACLE_PII_SCRUB, tags=("text",))
-_register("text_repetition", textstats.repetition_scores, textstats.ORACLE_REPETITION_SCORES, tags=("text", "quality"))
-_register("text_rare_token_ratio", textstats.rare_token_ratio, textstats.ORACLE_RARE_TOKEN_RATIO, tags=("text", "quality", "corpus-stats"))
-_register("multimodal_binary_features", multimodal.binary_features, multimodal.ORACLE_BINARY_FEATURES, tags=("multimodal",))
-_register("multimodal_frame_sample", multimodal.frame_sample, multimodal.ORACLE_FRAME_SAMPLE, tags=("multimodal",))
-_register("multimodal_resize", multimodal.resize, multimodal.ORACLE_RESIZE, tags=("multimodal",))
-_register("multimodal_embed_stub", multimodal.embed_stub, multimodal.ORACLE_EMBED_STUB, tags=("multimodal", "similarity"))
-_register("ads_top_sku_per_brand", ads.top_sku_per_brand, ads.ORACLE_TOP_SKU_PER_BRAND, tags=("topk",))
-
-# --- Corpus curation (training-data pipeline, round 2) -----------------------
-_register("curation_length_buckets", curation.length_buckets, curation.ORACLE_LENGTH_BUCKETS, tags=("curation",))
-_register("curation_pack_chunks", curation.pack_chunks, curation.ORACLE_PACK_CHUNKS, bench=True, tags=("curation", "packing"))
-_register("curation_sample_stratified", curation.sample_stratified, curation.ORACLE_SAMPLE_STRATIFIED, tags=("curation", "sampling"))
-_register("curation_decontaminate", curation.decontaminate, curation.ORACLE_DECONTAMINATE, bench=True, tags=("curation", "dedup"))
-_register("curation_tfidf_top_terms", curation.tfidf_top_terms, curation.ORACLE_TFIDF_TOP_TERMS, bench=True, tags=("curation", "text"))
-_register("curation_mixture_sample", curation.mixture_sample, curation.ORACLE_MIXTURE_SAMPLE, tags=("curation", "sampling", "mixing"))
-_register("curation_bigram_counts", curation.bigram_counts, curation.ORACLE_BIGRAM_COUNTS, tags=("curation", "text", "lm-counts"))
-_register("curation_pipeline_e2e", curation.curation_pipeline, curation.ORACLE_CURATION_PIPELINE, tags=("curation", "e2e", "dedup", "packing"))
-_register("dedup_keep_best", curation.keep_best_dedup, curation.ORACLE_KEEP_BEST, tags=("curation", "dedup"))
-_register("sim_block_topk", ann.block_topk, ann.ORACLE_BLOCK_TOPK, bench=True, tags=("similarity", "pandas-udf"))
-_register("sim_label_centroids", ann.label_centroids, ann.ORACLE_LABEL_CENTROIDS, tags=("similarity", "clustering"))
-_register("sim_kmeans_assign", ann.kmeans_assign, ann.ORACLE_KMEANS_ASSIGN, tags=("similarity", "clustering", "iterative"))
-_register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
-_register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, stream_jobs.ORACLE_DEDUP_FINGERPRINTS, tags=("dedup", "streaming", "ingestion"))
-_register("stream_config_routing", stream_jobs.stream_config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5", "streaming", "broadcast-state"))
-_register("stream_province_stats", stream_jobs.stream_province_stats, dws.ORACLE_PROVINCE_STATS, tags=("A3", "streaming", "sql-entry"))
-_register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
-_register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
-
-# --- TPC-H showcase (standard-benchmark face over the same tables) ----------
-_register("tpch_q1", tpch.q1_pricing_summary, tpch.ORACLE_Q1, bench=True, tags=("tpch",))
-_register("tpch_q3", tpch.q3_shipping_priority, tpch.ORACLE_Q3, tags=("tpch", "topk"))
-_register("tpch_q5", tpch.q5_local_supplier_volume, tpch.ORACLE_Q5, tags=("tpch",))
-_register("tpch_q6", tpch.q6_forecast_revenue, tpch.ORACLE_Q6, tags=("tpch", "pushdown"))
-_register("tpch_q10", tpch.q10_returned_items, tpch.ORACLE_Q10, tags=("tpch", "topk"))
-_register("tpch_q14", tpch.q14_promo_effect, tpch.ORACLE_Q14, tags=("tpch",))
-_register("tpch_q18", tpch.q18_large_orders, tpch.ORACLE_Q18, tags=("tpch", "having"))
-_register("tpch_q4", tpch.q4_order_priority, tpch.ORACLE_Q4, tags=("tpch", "semi-join"))
-_register("tpch_q19", tpch.q19_discounted_revenue, tpch.ORACLE_Q19, tags=("tpch", "disjunctive"))
-_register("tpch_q13", tpch.q13_customer_distribution, tpch.ORACLE_Q13, tags=("tpch", "outer-join"))
-_register("tpch_q15", tpch.q15_top_supplier, tpch.ORACLE_Q15, tags=("tpch", "scalar-subquery"))
-_register("tpch_q7", tpch.q7_volume_shipping, tpch.ORACLE_Q7, tags=("tpch",))
-_register("tpch_q8", tpch.q8_market_share, tpch.ORACLE_Q8, tags=("tpch",))
-_register("tpch_q17", tpch.q17_small_quantity_revenue, tpch.ORACLE_Q17, tags=("tpch", "correlated-agg"))
-_register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
-_register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
-_register("ads_customer_retention", ads.customer_retention, ads.ORACLE_CUSTOMER_RETENTION, tags=("set-ops",))
-_register("ads_region_nation_rollup", ads.region_nation_rollup, ads.ORACLE_REGION_NATION_ROLLUP, tags=("rollup", "grouping-sets"))
-_register("ads_customers_no_orders", ads.customers_without_orders, ads.ORACLE_CUSTOMERS_WITHOUT_ORDERS, tags=("anti-join",))
-_register("ads_yoy_spend_full_outer", ads.yoy_spend_full_outer, ads.ORACLE_YOY_SPEND_FULL_OUTER, tags=("full-outer-join",))
-_register("ads_conversion_funnel", ads.conversion_funnel, ads.ORACLE_CONVERSION_FUNNEL, tags=("funnel", "cep"))
-_register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 
 
 def registry() -> dict[str, Query]:
