@@ -5,13 +5,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized through the noop sink (count() would let
-Catalyst prune the compute). Methodology: steady-state — each query runs
-twice and the second run is reported. The first run pays one-time
-Catalyst analysis + whole-stage-codegen compilation + JVM JIT (measured
-1.5-5 s per novel plan shape on this container, independent of data
-size); the engine this emulates is a long-running streaming warehouse
-where plans compile once and run for days, so warm numbers are the
-apples-to-apples throughput comparison.
+Catalyst prune the compute). Methodology: each query runs twice; the
+second (steady-state) run is the headline `queries`/`value`, and the
+first run is reported alongside in `queries_cold`/`value_cold`. The cold
+run pays one-time Catalyst analysis + whole-stage-codegen compilation +
+JVM JIT (measured 1.5-5 s per novel plan shape on this container,
+independent of data size); the engine this emulates is a long-running
+streaming warehouse where plans compile once and run for days, so warm is
+the apples-to-apples throughput comparison — but the cold column makes
+plan-compile regressions (which a scheduled batch job does pay) visible
+round-over-round.
 """
 
 from __future__ import annotations
@@ -38,10 +41,13 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in sorted(registry().items()):
         if not q.bench:
             continue
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -55,6 +61,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

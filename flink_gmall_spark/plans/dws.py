@@ -28,11 +28,15 @@ def visitor_stats_transform(ev: DataFrame) -> DataFrame:
     unioned, then a tumbling-window reduce (VisitorStatsApp.java:77-195).
 
     The union-of-projections replaces Flink's "full join" design note
-    (VisitorStatsApp.java:26-39 → J5). uv comes from collect_set size — the
-    same HashSet-distinct trick the reference uses for order ids
-    (ProductStatsApp.java:220-228) and, unlike COUNT(DISTINCT), it is legal
-    inside a Structured Streaming aggregation, so stream and batch share
-    this exact plan.
+    (VisitorStatsApp.java:26-39 → J5). uv is an exact distinct computed
+    scale-safely: a dropDuplicates([window, user_id]) branch (state/shuffle
+    keyed by the PAIR, so distinct users spread across reducers) contributes
+    uv=1 rows that a single windowed SUM folds in alongside the metric
+    sums. The earlier collect_set(user_id)-into-one-window-group form put
+    every distinct user of a window into one reducer's in-memory set — an
+    OOM hot key at DAU scale. dropDuplicates-then-aggregate is legal in a
+    Structured Streaming complete-mode query (dedup is not an aggregation),
+    so stream and batch still share this exact transform.
     """
 
     _ZERO = F.lit(0).cast("long")
@@ -62,13 +66,27 @@ def visitor_stats_transform(ev: DataFrame) -> DataFrame:
         .unionByName(branch("signup", sv_ct=one))
     )
     w = F.window("ts", f"{VISITOR_WINDOW_SECONDS} seconds")
-    agg = unioned.groupBy(w.alias("w")).agg(
+    metrics = unioned.select(
+        w.alias("w"), "pv_ct", "click_ct", "purchase_ct", "error_ct", "sv_ct",
+        "amount", _ZERO.alias("uv_ct"),
+    )
+    visitors = (
+        unioned.select(w.alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+        .select(
+            "w", _ZERO.alias("pv_ct"), _ZERO.alias("click_ct"),
+            _ZERO.alias("purchase_ct"), _ZERO.alias("error_ct"),
+            _ZERO.alias("sv_ct"), _DEC0.alias("amount"),
+            one.alias("uv_ct"),
+        )
+    )
+    agg = metrics.unionByName(visitors).groupBy("w").agg(
         F.sum("pv_ct").alias("pv_ct"),
         F.sum("click_ct").alias("click_ct"),
         F.sum("purchase_ct").alias("purchase_ct"),
         F.sum("error_ct").alias("error_ct"),
         F.sum("sv_ct").alias("sv_ct"),
-        F.size(F.collect_set("user_id")).cast("long").alias("uv_ct"),
+        F.sum("uv_ct").alias("uv_ct"),
         F.sum("amount").cast("double").alias("amount_sum"),
     )
     return agg.select(

@@ -47,11 +47,14 @@ def test_top_brands_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_visitor_stats_single_shuffle(spark, sf_dir):
+def test_visitor_stats_two_phase_distinct(spark, sf_dir):
     plan = plan_of(dws.visitor_stats(spark, sf_dir))
-    # union-of-projections + one windowed agg = exactly one shuffle
-    # (+1 AQE coalesce read is fine); more means a planning regression
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # exact UV must be the scale-safe two-phase form: a dedup shuffle keyed
+    # by (window, user_id) plus the final windowed agg shuffle on window —
+    # never a collect_set that gathers every user of a window on one task
+    assert "collect_set" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
 def test_sample_stratified_no_shuffle(spark, sf_dir):
