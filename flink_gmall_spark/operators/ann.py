@@ -269,7 +269,6 @@ FROM pairs WHERE cos >= {COSINE_THRESHOLD}
 
 
 N_BLOCK_QUERIES = 32
-_BLOCK_MARGIN = 8  # local top-(K+margin) per partition absorbs 6dp ties
 
 
 def block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,16 +278,19 @@ def block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (tiny) query matrix rides into every executor inside the UDF
     closure — the pandas-UDF equivalent of a broadcast join — and each
     Arrow batch of corpus vectors is scored with ONE dense matmul
-    (Q @ M.T), then reduced to a per-partition local top-(K+margin) per
-    query before anything shuffles. The global window re-ranks the tiny
-    union of local winners. At 100 TB this is the canonical shape:
-    compute stays in BLAS, shuffle volume is O(partitions x queries x k),
-    and the corpus is scanned exactly once.
+    (Q @ M.T), then reduced to a local top-K per query before anything
+    shuffles. The global window re-ranks the tiny union of local winners.
+    At 100 TB this is the canonical shape: compute stays in BLAS, shuffle
+    volume is O(partitions x queries x k), and the corpus is scanned
+    exactly once.
 
-    Parity note: GEMM sums in a different order than the sequential fold
+    Exactness: local selection uses the SAME total order as the global
+    window — (round(cos, 6) desc, neighbor_id asc) — so the global top-K
+    is provably a subset of the union of local top-Ks; no probabilistic
+    tie margin. GEMM sums in a different order than the sequential fold
     the rest of this module uses, so ranking and output use round(cos, 6)
-    (with neighbor_id tiebreak) — agreement at 6dp is guaranteed by the
-    ~1e-13 relative error bound of 64-term float64 dot products.
+    — agreement at 6dp is guaranteed by the ~1e-13 relative error bound
+    of 64-term float64 dot products.
     """
     import numpy as np
     import pandas as pd
@@ -303,7 +305,6 @@ def block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))
-    kk = TOPK + _BLOCK_MARGIN
 
     def score(batches):
         for pdf in batches:
@@ -313,15 +314,22 @@ def block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mn = np.sqrt((M * M).sum(axis=1))
             cos = (Q @ M.T) / (qn[:, None] * mn[None, :])
-            take = min(kk, cos.shape[1])
-            # local top-take per query, self-matches masked
+            # self-matches masked; select on ROUNDED sim with neighbor_id
+            # tiebreak — identical to the global window's total order
             cos[qids[:, None] == ids[None, :]] = -np.inf
-            idx = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+            sim = np.round(cos, 6)
+            take = min(TOPK, sim.shape[1])
+            sel_ids = np.empty((len(qids), take), dtype=np.int64)
+            sel_sim = np.empty((len(qids), take), dtype=np.float64)
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -sim[qi]))[:take]
+                sel_ids[qi] = ids[order]
+                sel_sim[qi] = sim[qi][order]
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, take),
-                    "neighbor_id": ids[idx].ravel(),
-                    "cos": np.take_along_axis(cos, idx, axis=1).ravel(),
+                    "neighbor_id": sel_ids.ravel(),
+                    "cos": sel_sim.ravel(),
                 }
             )
             yield out[out["cos"] != -np.inf]

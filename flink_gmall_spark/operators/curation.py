@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
-from flink_gmall_spark.operators.dedup import ORACLE_SIMHASH, simhash_fingerprints
+from flink_gmall_spark.operators.dedup import (
+    MAX_SHINGLE_DF,
+    ORACLE_SIMHASH,
+    simhash_fingerprints,
+)
 from flink_gmall_spark.session import tune
 from flink_gmall_spark.sources import load
 
@@ -234,7 +238,7 @@ sh_all AS (
     WHERE len(t) >= 3
 ),
 rare AS (
-    SELECT s FROM sh_all GROUP BY s HAVING count(*) <= 100
+    SELECT s FROM sh_all GROUP BY s HAVING count(*) <= {MAX_SHINGLE_DF}
 ),
 sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all JOIN rare USING (s))
 """

@@ -233,10 +233,15 @@ def minhash_lsh_pairs(
     if materialize_shingles:
         import hashlib as _hl
         import os as _os
-        import tempfile as _tf
 
-        tag = _hl.md5(_os.path.realpath(sf_dir).encode()).hexdigest()[:8]
-        p = _os.path.join(_tf.gettempdir(), f"fgs_shingles_{tag}")
+        from flink_gmall_spark.scratch import scratch_dir
+
+        # app id in the tag: two concurrent sessions (driver + CI) on the
+        # same sf_dir must not overwrite each other's parquet mid-read —
+        # same race scale._bucketed_table guards against.
+        app = spark.sparkContext.applicationId
+        tag = _hl.md5(f"{_os.path.realpath(sf_dir)}|{app}".encode()).hexdigest()[:8]
+        p = scratch_dir("shingles", tag)
         sh.write.mode("overwrite").parquet(p)
         sh = spark.read.parquet(p)
     # All BANDS x ROWS_PER_BAND min-hashes in ONE aggregation pass over the

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,11 +105,13 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
     # must not overwrite each other's files mid-read — same reason the
     # stream staging dir renames atomically. Within a session the catalog
     # check makes materialization once-only.
+    from flink_gmall_spark.scratch import scratch_dir
+
     app = spark.sparkContext.applicationId
     tag = hashlib.md5(f"{os.path.realpath(sf_dir)}|{app}".encode()).hexdigest()[:8]
     name = f"fgs_bkt_{table}_{tag}"
     if not spark.catalog.tableExists(name):
-        path = os.path.join(tempfile.gettempdir(), "fgs_bucketed", name)
+        path = scratch_dir("bucketed", name)
         (
             load(spark, sf_dir, table)
             .write.format("parquet")
@@ -149,4 +150,71 @@ SELECT o_orderstatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
+"""
+
+
+# --- AQE skew-join splitting (the runtime half of the skew story) -----------
+
+#: ~30% of lineitem rows remap onto ONE join key — a deliberate hot key
+#: (the reference's skew surface is hot mids on keyBy, BaseLogApp.java:53).
+SKEW_HOT_KEY = 1
+_SKEW_KEY = (
+    f"CASE WHEN l_orderkey % 10 < 3 THEN {SKEW_HOT_KEY} ELSE l_partkey END"
+)
+
+
+#: per-row incompressible payload: the "wide fact row" a real corpus
+#: carries through a join (at 100 TB each lineitem is a document, not 3
+#: numbers). md5-derived so Spark and DuckDB agree byte-for-byte, and
+#: lz4 in the shuffle cannot compress the hot partition away.
+_SKEW_PAYLOAD = (
+    "concat(md5(concat('a', l_orderkey, '-', l_linenumber)), "
+    "md5(concat('b', l_orderkey, '-', l_linenumber)))"
+)
+
+
+def skewed_part_join(spark, sf_dir: str) -> DataFrame:
+    """Registry face of AQE skew-join splitting: lineitem with a
+    synthesized hot key (30% of the fact lands on part {SKEW_HOT_KEY})
+    shuffle-joined to part, carrying an incompressible per-row payload.
+    On a real cluster the hot key's shuffle partition dwarfs the median
+    and AQE's OptimizeSkewedJoin splits it along MAPPER boundaries into
+    sub-partitions, each joined against a replicated copy of the
+    matching build rows — same result, no straggler. The merge hint only
+    disables broadcast (which would hide the shuffle being demonstrated);
+    the SPLITTING itself is AQE's runtime decision, asserted by the plan
+    gate in tests/test_scale.py. Two things the gate teaches about the
+    mechanism: thresholds are byte-based (scaled down there to sf-test
+    volume; at 100 TB the 256 MB defaults fire unaided), and a skewed
+    partition is only splittable if MULTIPLE map tasks feed it — the
+    single-row-group test parquet yields one mapper, so the gate stages
+    a multi-file copy, exactly the many-mapper shape any real cluster
+    input has. The oracle is the straight join+GROUP BY — splitting must
+    be invisible in the result."""
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("jk", F.expr(_SKEW_KEY))
+        .withColumn("payload", F.expr(_SKEW_PAYLOAD))
+    )
+    part = load(spark, sf_dir, "part")
+    j = li.hint("merge").join(part.hint("merge"), li.jk == part.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("item_ct"),
+        F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("qty"),
+        F.min("payload").alias("payload_fp"),
+    )
+
+
+ORACLE_SKEWED_PART_JOIN = f"""
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS item_ct,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       min({_SKEW_PAYLOAD}) AS payload_fp
+FROM lineitem JOIN part ON ({_SKEW_KEY}) = p_partkey
+GROUP BY p_brand
 """

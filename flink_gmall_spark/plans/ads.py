@@ -399,18 +399,51 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/quantiles (HyperLogLog++ and GK quantile sketches, both
     mergeable so they partial-aggregate like any sum).
 
-    No DuckDB oracle: sketch implementations differ across engines by
-    design, so the driver records the rows-only check; the accuracy
-    contract (rsd/eps tolerance vs exact) is tested in
-    tests/test_approx.py instead.
+    Raw sketch values are engine-specific by design, so instead of a
+    rows-only contract the query is SELF-VALIDATING: it computes the
+    exact statistics alongside the sketches IN THE SAME aggregation and
+    emits (a) the exact UV, hash-checked against DuckDB, and (b) one
+    boolean per sketch asserting its published error bound held —
+    HLL++ within 3*rsd of exact, percentile_approx inside the exact
+    [q-0.02, q+0.02] quantile envelope (eps = 1/accuracy = 1e-4 plus
+    interpolation slack — 0.02 dominates at any n). The oracle pins the
+    booleans to TRUE, so a sketch drifting out of tolerance is a HASH
+    MISMATCH, not a silent pass. Raw-value tolerances are additionally
+    exercised in tests/test_approx.py.
     """
     tune(spark)
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_uv"),
-        F.percentile_approx("value", 0.5, 10_000).alias("p50_value"),
-        F.percentile_approx("value", 0.95, 10_000).alias("p95_value"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+        F.countDistinct("user_id").alias("exact_uv"),
+        F.expr("percentile(value, 0.48)").alias("p50_lo"),
+        F.expr("percentile(value, 0.52)").alias("p50_hi"),
+        F.expr("percentile(value, 0.93)").alias("p95_lo"),
+        F.expr("percentile(value, 0.97)").alias("p95_hi"),
     )
+    return agg.select(
+        "event_type",
+        "exact_uv",
+        (
+            F.abs(F.col("approx_uv") - F.col("exact_uv"))
+            <= 3 * 0.02 * F.col("exact_uv")
+        ).alias("uv_ok"),
+        F.col("p50_approx").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_ok"),
+        F.col("p95_approx").between(F.col("p95_lo"), F.col("p95_hi")).alias("p95_ok"),
+    )
+
+
+ORACLE_APPROX_STATS = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_uv,
+       TRUE AS uv_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def visitor_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,17 +232,17 @@ def cdc_dim_upsert_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     (JSON round-trip included)."""
     import json
     import os
-    import tempfile
     import uuid
 
+    from flink_gmall_spark.scratch import scratch_dir
     from flink_gmall_spark.sources.pydatasource import GmallDimSinkDataSource
 
     tune(spark)
     spark.dataSource.register(GmallDimSinkDataSource)
     out = dim_upsert_merge(_order_changelog(spark, sf_dir))
-    d = os.path.join(
-        tempfile.gettempdir(), "fgs_dim_sink", uuid.uuid4().hex[:12]
-    )
+    # uuid tag: each run is a fresh 2PC epoch by design (the abort test
+    # relies on pristine dirs); scratch registry reaps them at exit.
+    d = scratch_dir("dim_sink", uuid.uuid4().hex[:12])
     out.write.format("gmall_dim_sink").option("path", d).mode("append").save()
     with open(os.path.join(d, "_MANIFEST.json"), encoding="utf-8") as f:
         manifest = json.load(f)

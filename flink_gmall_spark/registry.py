@@ -117,6 +117,7 @@ _register("ads_yoy_spend_full_outer", ads.yoy_spend_full_outer, ads.ORACLE_YOY_S
 _register("ads_conversion_funnel", ads.conversion_funnel, ads.ORACLE_CONVERSION_FUNNEL, tags=("funnel", "cep"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
+_register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 
@@ -172,7 +173,7 @@ _register("ads_province_rollup", ads.province_rollup, ads.ORACLE_PROVINCE_ROLLUP
 _register("ads_visitor_ratios", ads.visitor_ratios, ads.ORACLE_VISITOR_RATIOS, tags=("A12",))
 _register("ads_monthly_status_pivot", ads.monthly_status_pivot, ads.ORACLE_MONTHLY_STATUS_PIVOT, tags=("pivot",))
 _register("ads_status_priority_cube", ads.status_priority_cube, ads.ORACLE_STATUS_PRIORITY_CUBE, tags=("cube",))
-_register("ads_approx_stats", ads.approx_stats, None, tags=("approx",))  # sketches: rows-only check (self-validating vs exact, see plans/ads.py)
+_register("ads_approx_stats", ads.approx_stats, ads.ORACLE_APPROX_STATS, tags=("approx",))  # self-validating: in-engine error-bound booleans pinned TRUE by the oracle
 _register("ads_gmv_moving_avg", ads.gmv_moving_avg, ads.ORACLE_GMV_MOVING_AVG, tags=("window-frame",))
 _register("ads_amount_percentiles", ads.amount_percentiles, ads.ORACLE_AMOUNT_PERCENTILES, tags=("quantiles",))
 _register("ads_amount_quartiles", ads.amount_quartiles, ads.ORACLE_AMOUNT_QUARTILES, tags=("quantiles", "ntile"))

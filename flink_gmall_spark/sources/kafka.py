@@ -30,10 +30,13 @@ def _require_kafka(spark: SparkSession) -> None:
     """Probe the JVM classpath for the Kafka data source, however it was
     supplied (spark.jars.packages, --jars, spark.jars, or a bundled
     distribution) — string-matching one conf key would wrongly reject
-    legitimate setups."""
+    legitimate setups. Resolution goes through Spark's own loader
+    (Utils.classForName → MutableURLClassLoader): jars added via --jars /
+    spark.jars live there, NOT on py4j's system classloader, so a plain
+    java.lang.Class.forName would falsely reject exactly those setups."""
     try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider", True, False
         )
     except Exception:
         raise RuntimeError(
