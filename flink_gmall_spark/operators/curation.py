@@ -582,3 +582,44 @@ FROM off
 
 
 ORACLE_CURATION_PIPELINE = _oracle_curation_pipeline()
+
+
+DOMAIN_CAP = 40  # max docs kept per source domain
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the Common-Crawl-style guard against one
+    domain dominating the training mix: keep at most DOMAIN_CAP docs per
+    ``source``, selected by a deterministic priority (longest text first,
+    doc_id tiebreak — a stand-in for a quality score).
+
+    Scale shape: rank-within-group plans with Spark's WindowGroupLimit
+    pushdown (plan-gated) — each map task keeps only its local top-K per
+    source BEFORE the shuffle, so a billion-doc hot domain moves K rows
+    per partition, not the domain. This is the property that makes the
+    cap runnable at corpus scale where a naive window would funnel the
+    whole hot domain through one reducer's sort.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents
+)
+WHERE rk <= {DOMAIN_CAP}
+"""

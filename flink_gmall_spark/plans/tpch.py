@@ -666,3 +666,477 @@ WHERE p.p_type = '{Q8_TYPE}'
   AND o.o_orderdate < TIMESTAMP '{Q8_TO} 00:00:00'
 GROUP BY 1
 """
+
+
+# --- Q2/Q9/Q11/Q16/Q20 adaptations: no partsupp table in the driver ---------
+# schema, so the part↔supplier relation is DERIVED FROM LINEITEM (the pairs
+# that actually traded). Each query keeps its canonical structural pattern —
+# correlated min, profit decomposition, HAVING-over-global-total, NOT-IN
+# distinct count, nested semi-joins — which is what the plans exercise.
+
+Q2_SIZE = 15
+Q2_TYPE = "PROMO"
+Q2_REGION = "ASIA"
+#: HALF_UP cents of the double unit price; IEEE division+floor is
+#: bit-identical across engines (parity playbook).
+_UNIT_CENTS = "floor(l_extendedprice / l_quantity * 100 + 0.5)"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: supply relation from lineitem): for each part of
+    the chosen size+type, the region's supplier(s) offering the MINIMUM
+    unit price — the correlated scalar-min subquery realized as a
+    per-part aggregate equi-joined back, never a sort-per-group. Dims
+    broadcast; the only shuffle keys on l_partkey."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    )
+    rsupp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .filter(F.col("r_name") == Q2_REGION)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(rsupp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.expr(_UNIT_CENTS)).alias("cost_c"))
+    )
+    part_min = offers.groupBy(F.col("p_partkey").alias("pm_key")).agg(
+        F.min("cost_c").alias("min_c")
+    )
+    best = offers.join(
+        part_min,
+        (offers.p_partkey == F.col("pm_key")) & (offers.cost_c == F.col("min_c")),
+    )
+    return (
+        best.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_c") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+ORACLE_Q2 = f"""
+WITH rsupp AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q2_REGION}'
+),
+offers AS (
+    SELECT p.p_partkey, p.p_name, rs.s_suppkey, rs.s_name, rs.s_acctbal,
+           rs.n_name, min(CAST({_UNIT_CENTS} AS BIGINT)) AS cost_c
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN rsupp rs ON l.l_suppkey = rs.s_suppkey
+    WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}'
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+part_min AS (
+    SELECT p_partkey AS pm_key, min(cost_c) AS min_c FROM offers GROUP BY 1
+)
+SELECT o.s_acctbal, o.s_name, o.n_name, o.p_partkey, o.p_name,
+       o.cost_c / 100.0 AS supply_cost
+FROM offers o
+JOIN part_min m ON o.p_partkey = m.pm_key AND o.cost_c = m.min_c
+ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, o.p_partkey
+LIMIT 100
+"""
+
+
+Q9_NAME_FRAGMENT = "widget"
+#: supply cost stand-in: 60% of the part's retail price (deterministic).
+_Q9_PROFIT_CENTS = (
+    "floor((l_extendedprice * (1 - l_discount)"
+    " - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)"
+)
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: supply cost = 0.6 x retail price; no partsupp):
+    profit by supplier nation and order year over parts matching a name
+    fragment. The five-way star join broadcasts every dim; the fact
+    shuffles once for the (nation, year) aggregate."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_FRAGMENT)
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(F.expr(_Q9_PROFIT_CENTS)) / 100.0).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       sum(CAST({_Q9_PROFIT_CENTS} AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+GROUP BY 1, 2
+"""
+
+
+Q11_NATION = "NATION_5"
+Q11_FRACTION_DEN = 1000  # keep parts worth > 1/1000 of the nation's total
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: traded value from lineitem instead of
+    partsupp stock value): parts whose total traded value by one
+    nation's suppliers exceeds a fixed fraction of that nation's total —
+    the HAVING-over-global-scalar-subquery shape. The global total
+    reuses the per-part aggregate (one broadcast of a 1-row DF), and the
+    threshold compare is integer cross-multiplication, not a float
+    fraction."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    nsupp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == Q11_NATION)
+        .select("s_suppkey")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+    per_part = (
+        li.join(F.broadcast(nsupp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_c"))
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_c") * Q11_FRACTION_DEN > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("value_c") / 100.0).alias("part_value"),
+        )
+    )
+
+
+ORACLE_Q11 = f"""
+WITH nsupp AS (
+    SELECT s_suppkey FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = '{Q11_NATION}'
+),
+per_part AS (
+    SELECT l_partkey, sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_c
+    FROM lineitem l JOIN nsupp ns ON l.l_suppkey = ns.s_suppkey
+    GROUP BY 1
+)
+SELECT l_partkey AS ps_partkey, value_c / 100.0 AS part_value
+FROM per_part
+WHERE value_c * {Q11_FRACTION_DEN} > (SELECT sum(value_c) FROM per_part)
+"""
+
+
+Q12_YEAR = 1997
+Q12_LATE_DAYS = 60
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: no ship mode / commit+receipt dates in the
+    schema — lateness is ship date > order date + N days, grouped by
+    line status): counts of high- vs low-priority orders among late
+    shipments — the join + conditional-aggregation shape."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.year("l_shipdate") == Q12_YEAR)
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(F.col("l_linestatus").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+ORACLE_Q12 = f"""
+SELECT l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) = {Q12_YEAR}
+  AND l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY 1
+"""
+
+
+Q16_EXCLUDED_TYPE = "PROMO"
+Q16_SIZES = (5, 10, 15, 20, 25, 30, 35, 40)
+Q16_COMPLAINT_BAL = 1000.0  # acctbal below this = the NOT-IN supplier set
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier-part pairs from lineitem; the
+    complaints NOT-IN list is low-acctbal suppliers): distinct supplier
+    count per (brand, type, size) — distinct pairs first (one shuffle),
+    anti-join the exclusion list (broadcast), then count-distinct over
+    the pruned pairs."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") != Q16_EXCLUDED_TYPE)
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < Q16_COMPLAINT_BAL
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    kept = pairs.join(
+        F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part p ON pairs.l_partkey = p.p_partkey
+WHERE p.p_type <> '{Q16_EXCLUDED_TYPE}'
+  AND p.p_size IN {Q16_SIZES}
+  AND pairs.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_COMPLAINT_BAL})
+GROUP BY 1, 2, 3
+"""
+
+
+Q20_NATION = "NATION_7"
+Q20_NAME_FRAGMENT = "bolt"
+Q20_YEAR = 1997
+Q20_SHARE_NUM, Q20_SHARE_DEN = 1, 4  # >25% of all-time qty shipped in-year
+
+
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: availqty threshold becomes a shipped-quantity
+    concentration test): suppliers in one nation having SOME matching
+    part whose in-year shipped quantity exceeds a fraction of their
+    all-time quantity for that part — the nested-semi-join shape
+    (supplier IN (pairs WHERE correlated-agg threshold)). Integer
+    cross-multiply for the fraction; semi join keeps supplier rows
+    unduplicated."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q20_NAME_FRAGMENT)
+    ).select("p_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(qty).alias("all_qty"),
+            F.sum(F.when(F.year("l_shipdate") == Q20_YEAR, qty).otherwise(0)).alias(
+                "year_qty"
+            ),
+        )
+    )
+    hot_pairs = per_pair.filter(
+        F.col("year_qty") * Q20_SHARE_DEN > F.col("all_qty") * Q20_SHARE_NUM
+    ).select("l_suppkey")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == Q20_NATION)
+        .join(hot_pairs, supp.s_suppkey == hot_pairs.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+ORACLE_Q20 = f"""
+WITH per_pair AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS all_qty,
+           sum(CASE WHEN year(l_shipdate) = {Q20_YEAR}
+                    THEN CAST(l_quantity AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS year_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE '%{Q20_NAME_FRAGMENT}%'
+    GROUP BY 1, 2
+)
+SELECT s_name, s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = '{Q20_NATION}'
+  AND s.s_suppkey IN (
+      SELECT l_suppkey FROM per_pair
+      WHERE year_qty * {Q20_SHARE_DEN} > all_qty * {Q20_SHARE_NUM})
+"""
+
+
+Q21_TOP = 20
+
+
+def q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: no commit/receipt dates — 'kept waiting' is
+    being the LATEST shipper in a finished multi-supplier order): per
+    supplier, the count of 'F'-status orders involving >=2 suppliers
+    where this supplier's last ship date equals the order's max — the
+    EXISTS (other supplier) / NOT EXISTS (later shipper) pair realized
+    as one per-order aggregate joined back; ties at the max all count,
+    matching the EXISTS semantics. Top-N with full-key tiebreak."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    fli = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = fli.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    per_supp_order = fli.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    waiting = per_supp_order.join(
+        per_order,
+        (F.col("l_orderkey") == F.col("po_key"))
+        & (F.col("supp_max") == F.col("max_ship")),
+    ).filter(F.col("n_supp") >= 2)
+    supp = load(spark, sf_dir, "supplier")
+    counted = (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    return (
+        counted.select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOP)
+    )
+
+
+ORACLE_Q21 = f"""
+WITH fli AS (
+    SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+    SELECT l_orderkey, max(l_shipdate) AS max_ship,
+           count(DISTINCT l_suppkey) AS n_supp
+    FROM fli GROUP BY 1
+),
+per_supp_order AS (
+    SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_max
+    FROM fli GROUP BY 1, 2
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_supp_order pso
+JOIN per_order po ON pso.l_orderkey = po.l_orderkey
+                 AND pso.supp_max = po.max_ship
+JOIN supplier s ON pso.l_suppkey = s.s_suppkey
+WHERE po.n_supp >= 2
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+LIMIT {Q21_TOP}
+"""
+
+
+Q22_CODES = (1, 3, 5, 7, 9)  # c_nationkey % 10 stands in for phone prefix
+Q22_CUTOFF = "1999-01-01"  # every synthetic customer has SOME order, so
+# "idle" means lapsed: no order since the cutoff (pattern unchanged)
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: country code = c_nationkey % 10; no phone
+    column; idle = no order since the cutoff, because the synthetic data
+    gives every customer at least one order): customers from selected
+    codes with above-average positive balance and no recent orders — the
+    scalar-avg subquery + NOT EXISTS pair.
+    The average compare is exact decimal cross-multiplication
+    (bal * n > sum), the anti-join replaces NOT EXISTS, and the
+    threshold aggregate broadcasts as a 1-row DF."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.pmod(F.col("c_nationkey"), F.lit(10)).cast("int")
+    )
+    eligible = cust.filter(F.col("cntrycode").isin(*Q22_CODES))
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    thresh = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_bal"), F.count(F.lit(1)).alias("n_bal")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= Q22_CUTOFF)
+        .select("o_custkey")
+    )
+    rich_idle = (
+        eligible.join(F.broadcast(thresh))
+        .filter(bal * F.col("n_bal") > F.col("sum_bal"))
+        .join(orders, eligible.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich_idle.groupBy("cntrycode").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum(bal).cast("double").alias("totacctbal"),
+    )
+
+
+ORACLE_Q22 = f"""
+WITH eligible AS (
+    SELECT c_custkey, CAST(c_nationkey % 10 AS INT) AS cntrycode,
+           c_acctbal
+    FROM customer
+    WHERE CAST(c_nationkey % 10 AS INT) IN {Q22_CODES}
+),
+thresh AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS n_bal
+    FROM eligible WHERE c_acctbal > 0
+)
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM eligible e, thresh t
+WHERE CAST(e.c_acctbal AS DECIMAL(18,2)) * t.n_bal > t.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00')
+GROUP BY 1
+"""

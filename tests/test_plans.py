@@ -159,3 +159,13 @@ def test_funnel_take_min_not_sort(spark, sf_dir):
     # per-user ORDER BY
     assert "partial_min" in plan, plan
     assert "Sort " not in plan.replace("SortMergeJoin", ""), plan
+
+
+def test_domain_cap_window_group_limit(spark, sf_dir):
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.domain_cap(spark, sf_dir))
+    # per-key top-K must push a PARTIAL group limit below the shuffle —
+    # a hot domain moves K rows per map task, never the whole domain
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan[plan.index("Exchange") :], plan
