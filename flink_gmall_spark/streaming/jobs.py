@@ -523,3 +523,101 @@ def stream_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both eviction legs at
+    once: matched rows emit immediately; an unmatched ORDER emits its
+    null-right form when the watermark passes o_ts + 90d, and an
+    unmatched LINEITEM (shipped too long after its order) emits its
+    null-left form when the watermark passes l_ts + 90d. With
+    availableNow the final watermark is min(max event time) across both
+    sources, so BOTH eviction boundaries are encoded in the oracle — the
+    two NOT-EXISTS legs each carry their own horizon filter, making the
+    two-sided state-eviction timing hash-checked."""
+    tune(spark)
+    orders = (
+        read_stream(spark, sf_dir, "orders")
+        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_ts", "0 seconds")
+    )
+    lineitem = (
+        read_stream(spark, sf_dir, "lineitem")
+        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_ts", "0 seconds")
+    )
+    joined = orders.join(
+        lineitem,
+        F.expr(
+            "o_orderkey = l_orderkey"
+            " AND l_ts >= o_ts - INTERVAL 90 DAYS"
+            " AND l_ts <= o_ts + INTERVAL 90 DAYS"
+        ),
+        "full_outer",
+    )
+    result = joined.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.date_format("o_ts", "yyyy-MM-dd").alias("create_date"),
+        F.col("l_orderkey").alias("detail_order_id"),
+        F.col("l_linenumber").cast("long").alias("detail_id"),
+        F.col("l_extendedprice").alias("split_total_amount"),
+    )
+    return run_to_memory(result, "append")
+
+
+ORACLE_FULL_OUTER_INTERVAL = f"""
+WITH horizon AS (
+    SELECT least(
+        (SELECT max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) FROM orders),
+        (SELECT max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) FROM lineitem)
+    ) AS wm_us
+),
+matched AS (
+    SELECT o.o_orderkey AS order_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           l.l_orderkey AS detail_order_id,
+           CAST(l.l_linenumber AS BIGINT) AS detail_id,
+           l.l_extendedprice AS split_total_amount
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate - INTERVAL 90 DAY
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+),
+left_unmatched AS (
+    SELECT o.o_orderkey AS order_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           CAST(NULL AS BIGINT) AS detail_order_id,
+           CAST(NULL AS BIGINT) AS detail_id,
+           CAST(NULL AS DOUBLE) AS split_total_amount
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate - INTERVAL 90 DAY
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    )
+    AND epoch_us(CAST(o_orderdate AS TIMESTAMP)) + {_OUTER_WIN_US}
+        < (SELECT wm_us FROM horizon)
+),
+right_unmatched AS (
+    SELECT CAST(NULL AS BIGINT) AS order_id,
+           CAST(NULL AS VARCHAR) AS create_date,
+           l.l_orderkey AS detail_order_id,
+           CAST(l.l_linenumber AS BIGINT) AS detail_id,
+           l.l_extendedprice AS split_total_amount
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey
+          AND l.l_shipdate >= o.o_orderdate - INTERVAL 90 DAY
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    )
+    AND epoch_us(CAST(l_shipdate AS TIMESTAMP)) + {_OUTER_WIN_US}
+        < (SELECT wm_us FROM horizon)
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM left_unmatched
+UNION ALL
+SELECT * FROM right_unmatched
+"""

@@ -31,3 +31,57 @@ def test_tokenizer_total_and_deterministic(s):
     for tok in a:
         assert tok
         assert tok == tok.lower()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group key
+            st.integers(min_value=0, max_value=5),  # distinct-member id
+            st.integers(min_value=-(10**6), max_value=10**6),  # value (cents)
+        ),
+        max_size=60,
+    )
+)
+def test_salted_two_phase_equals_plain_python_model(rows):
+    """The salted two-phase rollup's algebra — partial (key, salt) sums
+    recombined per key — must equal the straight GROUP BY for ANY data,
+    including empty groups and negative values. Modeled in Python with
+    the same content-derived salting (hash % buckets) the engine uses."""
+    buckets = 4
+    phase1: dict[tuple[int, int], tuple[int, int]] = {}
+    for k, member, v in rows:
+        salt = hash(("m", member)) % buckets
+        s, c = phase1.get((k, salt), (0, 0))
+        phase1[(k, salt)] = (s + v, c + 1)
+    two_phase: dict[int, tuple[int, int]] = {}
+    for (k, _), (s, c) in phase1.items():
+        ts, tc = two_phase.get(k, (0, 0))
+        two_phase[k] = (ts + s, tc + c)
+    plain: dict[int, tuple[int, int]] = {}
+    for k, _, v in rows:
+        s, c = plain.get(k, (0, 0))
+        plain[k] = (s + v, c + 1)
+    assert two_phase == plain
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # window
+            st.integers(min_value=0, max_value=20),  # user
+        ),
+        max_size=80,
+    )
+)
+def test_two_phase_distinct_equals_set_count(rows):
+    """visitor_stats' UV algebra: dropDuplicates((window, user)) then
+    SUM(1) per window == |set(users)| per window — for any multiset."""
+    dedup = set(rows)
+    summed: dict[int, int] = {}
+    for w, _ in dedup:
+        summed[w] = summed.get(w, 0) + 1
+    want = {}
+    for w, u in rows:
+        want.setdefault(w, set()).add(u)
+    assert summed == {w: len(s) for w, s in want.items()}
