@@ -19,7 +19,7 @@ sum as DECIMAL. ORDER BY+LIMIT carries a key tiebreak for a total order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_gmall_spark.session import tune
@@ -708,12 +708,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.expr(_UNIT_CENTS)).alias("cost_c"))
     )
-    part_min = offers.groupBy(F.col("p_partkey").alias("pm_key")).agg(
-        F.min("cost_c").alias("min_c")
-    )
-    best = offers.join(
-        part_min,
-        (offers.p_partkey == F.col("pm_key")) & (offers.cost_c == F.col("min_c")),
+    # per-part min as a window over the SAME pass — an agg+self-join form
+    # would compute the offers subtree twice (measured 10 scans vs 3)
+    pw = Window.partitionBy("p_partkey")
+    best = offers.withColumn("min_c", F.min("cost_c").over(pw)).filter(
+        F.col("cost_c") == F.col("min_c")
     )
     return (
         best.select(

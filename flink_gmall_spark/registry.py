@@ -144,6 +144,7 @@ _register("tpch_q21", tpch.q21_last_shippers, tpch.ORACLE_Q21, tags=("tpch", "mu
 _register("tpch_q22", tpch.q22_idle_customers, tpch.ORACLE_Q22, tags=("tpch", "anti-join", "scalar-avg"))
 _register("curation_domain_cap", curation.domain_cap, curation.ORACLE_DOMAIN_CAP, tags=("curation", "window-group-limit", "per-key-topk"))
 _register("stream_full_outer_join", stream_jobs.stream_full_outer_interval_join, stream_jobs.ORACLE_FULL_OUTER_INTERVAL, tags=("J1", "T4", "streaming", "outer-join", "two-sided-eviction"))
+_register("stream_sliding_windows", stream_jobs.stream_sliding_windows, dws.ORACLE_SLIDING_VISITOR_WINDOWS, tags=("T6", "sliding-window", "streaming"))
 
 # =============================================================================
 # BLOCK B — driver-verified in rounds 1-2 (CORRECTNESS_r01/r02 green rows).

@@ -232,9 +232,9 @@ def stream_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental streaming engine (state store + complete output), not the
     batch planner. Same transform function, same oracle — this is the
     engine-parity proof for the reference's flagship DWS job
-    (VisitorStatsApp). uv comes from collect_set size (the reference's
-    HashSet-distinct trick), which is streaming-legal unlike
-    COUNT(DISTINCT)."""
+    (VisitorStatsApp). uv is the scale-safe two-phase exact distinct
+    (dropDuplicates on the (window, user) pair then a windowed SUM) —
+    legal as chained stateful operators where COUNT(DISTINCT) is not."""
     tune(spark)
     ev = read_stream(spark, sf_dir, "events")
     return run_to_memory(visitor_stats_transform(ev), "complete")
@@ -244,9 +244,12 @@ def stream_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 tokenizer + A4 keyword counting on the incremental engine
     (KeywordStatsApp's shape as one streaming query). Tokenization stays
     a JVM-side explode on the stream — the UDTF path needs no Python in
-    the micro-batch loop; exact per-keyword doc counts use the
-    collect_set trick (COUNT DISTINCT is illegal in streaming aggs).
-    Shares ORACLE_KEYWORD_STATS with the batch plan."""
+    the micro-batch loop. Exact per-keyword doc counts are the two-phase
+    distinct (dropDuplicates on the (keyword, source, doc) triple, then a
+    summed union branch): a stopword-grade hot keyword appears in EVERY
+    document, so the earlier collect_set(doc_id) form would gather a
+    corpus-sized set on one reducer — the same OOM trap visitor_stats'
+    UV had. Shares ORACLE_KEYWORD_STATS with the batch plan."""
     from flink_gmall_spark.functions.tokenize import tokens_col
 
     tune(spark)
@@ -254,9 +257,18 @@ def stream_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "source", F.explode(tokens_col("text")).alias("keyword")
     )
-    agg = toks.groupBy("keyword", "source").agg(
-        F.count(F.lit(1)).alias("ct"),
-        F.size(F.collect_set("doc_id")).cast("long").alias("doc_ct"),
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    occurrences = toks.select(
+        "keyword", "source", one.alias("ct"), zero.alias("doc_ct")
+    )
+    doc_hits = (
+        toks.dropDuplicates(["keyword", "source", "doc_id"])
+        .select("keyword", "source", zero.alias("ct"), one.alias("doc_ct"))
+    )
+    agg = occurrences.unionByName(doc_hits).groupBy("keyword", "source").agg(
+        F.sum("ct").alias("ct"),
+        F.sum("doc_ct").alias("doc_ct"),
     )
     return run_to_memory(agg, "complete")
 
@@ -329,9 +341,21 @@ def stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", f"{WM_DELAY_S} seconds"
     )
     w = F.window("ts", f"{VISITOR_WINDOW_SECONDS} seconds")
-    agg = ev.groupBy(w.alias("w")).agg(
-        F.count(F.lit(1)).alias("pv"),
-        F.size(F.collect_set("user_id")).cast("long").alias("uv"),
+    # two-phase exact uv (dedup on the (window, user) pair, folded by the
+    # windowed SUM) — the dedup→window-agg chain is a supported stateful
+    # pipeline in append mode, and it removes the per-window user set
+    # that made the collect_set form a single-reducer OOM at DAU scale
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    pv_rows = ev.select(w.alias("w"), one.alias("pv"), zero.alias("uv"))
+    uv_rows = (
+        ev.select(w.alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+        .select("w", zero.alias("pv"), one.alias("uv"))
+    )
+    agg = pv_rows.unionByName(uv_rows).groupBy("w").agg(
+        F.sum("pv").alias("pv"),
+        F.sum("uv").alias("uv"),
     )
     result = agg.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
@@ -479,18 +503,33 @@ def stream_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushing config deltas into per-task broadcast state, the stream-
     static join re-resolves the config table per micro-batch, so config
     updates land at batch boundaries with no state machinery. Distinct
-    user counts via collect_set (COUNT DISTINCT is illegal in streaming
-    aggs); shares ORACLE_CONFIG_ROUTING."""
+    user counts are the two-phase exact distinct (a routing group's user
+    set is corpus-wide — every user emitting that event type — so the
+    collect_set form was a single-reducer trap); shares
+    ORACLE_CONFIG_ROUTING."""
     from flink_gmall_spark.plans.dwd import ROUTING_CONFIG, ROUTING_SCHEMA
 
     tune(spark)
     ev = read_stream(spark, sf_dir, "events")
     cfg = spark.createDataFrame(ROUTING_CONFIG, ROUTING_SCHEMA)
     routed = ev.join(F.broadcast(cfg), ev.event_type == cfg.source_table, "inner")
-    agg = routed.groupBy("sink_table", "sink_type").agg(
-        F.count(F.lit(1)).alias("ct"),
-        F.size(F.collect_set("user_id")).cast("long").alias("uv_ct"),
-        F.sum(F.size(F.split("sink_columns", ","))).cast("long").alias("col_writes"),
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    rows = routed.select(
+        "sink_table", "sink_type", one.alias("ct"), zero.alias("uv_ct"),
+        F.size(F.split("sink_columns", ",")).cast("long").alias("col_w"),
+    )
+    users = (
+        routed.dropDuplicates(["sink_table", "sink_type", "user_id"])
+        .select(
+            "sink_table", "sink_type", zero.alias("ct"), one.alias("uv_ct"),
+            zero.alias("col_w"),
+        )
+    )
+    agg = rows.unionByName(users).groupBy("sink_table", "sink_type").agg(
+        F.sum("ct").alias("ct"),
+        F.sum("uv_ct").alias("uv_ct"),
+        F.sum("col_w").alias("col_writes"),
     )
     return run_to_memory(agg, "complete")
 
@@ -498,11 +537,15 @@ def stream_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 as a streaming SQL job — the exact deployment shape of the
     reference's ProvinceStatsSqlApp (a Flink SQL query over an unbounded
-    table): the order stream registers as a temp view and spark.sql()
-    declares the rollup, executed by the incremental engine in complete
-    mode. COUNT(DISTINCT) is illegal in streaming aggregations, so the
-    SQL uses size(collect_set(...)) — the same rewrite the reference's
-    HashSet accumulators embody. Shares ORACLE_PROVINCE_STATS."""
+    table): the join + projection register as temp views and spark.sql()
+    declares them, executed by the incremental engine in complete mode.
+    COUNT(DISTINCT) is illegal in streaming aggregations, and a
+    province-day's order-id set is unbounded at scale, so the exact
+    order_ct is the two-phase distinct — SQL cannot spell Deduplicate
+    (DISTINCT parses to a second Aggregate, illegal in a streaming
+    chain), so that one step is the dropDuplicates DataFrame call over
+    the SQL view, then a second SQL aggregation folds both branches.
+    Shares ORACLE_PROVINCE_STATS."""
     from flink_gmall_spark.sources import load as load_batch
 
     tune(spark)
@@ -510,15 +553,35 @@ def stream_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.createOrReplaceTempView("s_orders")
     load_batch(spark, sf_dir, "customer").createOrReplaceTempView("s_customer")
     load_batch(spark, sf_dir, "nation").createOrReplaceTempView("s_nation")
-    agg = spark.sql(
+    enriched = spark.sql(
         """
         SELECT date_format(o.o_orderdate, 'yyyy-MM-dd') AS stt,
                n.n_name AS province_name,
-               CAST(size(collect_set(o.o_orderkey)) AS BIGINT) AS order_ct,
-               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+               o.o_orderkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS amount
         FROM s_orders o
         JOIN s_customer c ON o.o_custkey = c.c_custkey
         JOIN s_nation n ON c.c_nationkey = n.n_nationkey
+        """
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    amounts = enriched.select(
+        "stt", "province_name", zero.alias("order_ct"), "amount"
+    )
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    distinct_orders = (
+        enriched.dropDuplicates(["stt", "province_name", "o_orderkey"])
+        .select("stt", "province_name", one.alias("order_ct"), dec0.alias("amount"))
+    )
+    unioned = amounts.unionByName(distinct_orders)
+    unioned.createOrReplaceTempView("s_province_branches")
+    agg = spark.sql(
+        """
+        SELECT stt, province_name,
+               CAST(sum(order_ct) AS BIGINT) AS order_ct,
+               CAST(sum(amount) AS DOUBLE) AS order_amount
+        FROM s_province_branches
         GROUP BY 1, 2
         """
     )
@@ -621,3 +684,36 @@ SELECT * FROM left_unmatched
 UNION ALL
 SELECT * FROM right_unmatched
 """
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows on the incremental engine: window(ts,
+    size, slide) fans each event into its covering panes inside the
+    state store. Exact per-pane uv uses the same two-phase distinct as
+    visitor_stats — dropDuplicates((window, user)) then SUM — because
+    COUNT(DISTINCT) is illegal in streaming aggregations and a
+    collect_set over a pane is the single-reducer trap at DAU scale.
+    Shares ORACLE_SLIDING_VISITOR_WINDOWS with the batch plan."""
+    from flink_gmall_spark.plans.dws import SLIDE_SIZE_S, SLIDE_STEP_S
+
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events")
+    w = F.window("ts", f"{SLIDE_SIZE_S} seconds", f"{SLIDE_STEP_S} seconds")
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    pv = ev.select(w.alias("w"), one.alias("pv"), zero.alias("uv"))
+    uv = (
+        ev.select(w.alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+        .select("w", zero.alias("pv"), one.alias("uv"))
+    )
+    agg = pv.unionByName(uv).groupBy("w").agg(
+        F.sum("pv").alias("pv"), F.sum("uv").alias("uv")
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "pv",
+        "uv",
+    )
+    return run_to_memory(out, "complete")
