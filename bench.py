@@ -40,34 +40,46 @@ def main() -> None:
     # warmup: JVM + parquet footer caches, not the queries under test
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
+    # Failure isolation: one broken query must cost one null row, never the
+    # whole BENCH file (round 3 lost ALL numbers to a single source-typing
+    # regression). Errors go to stderr; the JSON line always prints.
+    timings: dict[str, float | None] = {}
+    cold: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(registry().items()):
         if not q.bench:
             continue
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — isolate per query by design
+            timings[name] = None
+            cold[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
+        "queries_cold": cold,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

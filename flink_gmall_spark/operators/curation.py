@@ -149,10 +149,10 @@ off AS (
     FROM sized
 )
 SELECT doc_id, lang, n_tok,
-       start_off // {PACK_BUDGET} AS first_chunk,
-       (start_off + n_tok - 1) // {PACK_BUDGET} AS last_chunk,
-       (start_off + n_tok - 1) // {PACK_BUDGET}
-         - start_off // {PACK_BUDGET} + 1 AS chunks_spanned
+       CAST(start_off // {PACK_BUDGET} AS BIGINT) AS first_chunk,
+       CAST((start_off + n_tok - 1) // {PACK_BUDGET} AS BIGINT) AS last_chunk,
+       CAST((start_off + n_tok - 1) // {PACK_BUDGET}
+         - start_off // {PACK_BUDGET} + 1 AS BIGINT) AS chunks_spanned
 FROM off
 """
 
@@ -423,8 +423,8 @@ rates AS (
 )
 SELECT s.source,
        any_value(r.thr) AS thr,
-       any_value(r.tok_s) AS source_tokens,
-       any_value(r.budget) AS budget,
+       CAST(any_value(r.tok_s) AS BIGINT) AS source_tokens,
+       CAST(any_value(r.budget) AS BIGINT) AS budget,
        CAST(count(*) AS BIGINT) AS docs_kept,
        CAST(sum(s.n_tok) AS BIGINT) AS tokens_kept
 FROM sized s
@@ -575,8 +575,8 @@ off AS (
     FROM gate
 )
 SELECT doc_id, lang, n_tok,
-       start_off // {PACK_BUDGET} AS first_chunk,
-       (start_off + n_tok - 1) // {PACK_BUDGET} AS last_chunk
+       CAST(start_off // {PACK_BUDGET} AS BIGINT) AS first_chunk,
+       CAST((start_off + n_tok - 1) // {PACK_BUDGET} AS BIGINT) AS last_chunk
 FROM off
 """
 

@@ -34,14 +34,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Catalyst prunes columns / pushes predicates into
     the parquet reader, so callers select/filter freely.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the files; Spark reads it as long
-    nanos (legacy.parquet.nanosAsLong, set in session.RUNTIME_CONFS) and we
-    floor-convert to a micros timestamp — bit-identical to DuckDB's ns→us
-    truncation.
+    Timestamp normalization (the engine's single source-typing chokepoint):
+
+    * ``timestamp[us]`` with isAdjustedToUTC=false → Spark 4.1 reads
+      TIMESTAMP_NTZ. Every downstream event-time op (``unix_micros``,
+      ``withWatermark``, ``window``) requires TIMESTAMP, so cast here.
+      The session time zone is pinned UTC (session.RUNTIME_CONFS), so the
+      NTZ→TZ cast is value-preserving and hash-neutral vs the DuckDB
+      oracles (DuckDB timestamps are UTC-naive).
+    * Legacy TIMESTAMP(NANOS) fixtures arrive as long nanos
+      (legacy.parquet.nanosAsLong); floor-convert to micros — bit-identical
+      to DuckDB's ns→us truncation.
     """
     df = spark.read.parquet(path(sf_dir, name))
+    df = normalize_timestamps(df)
+    return df
+
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (UTC session TZ ⇒ value-
+    preserving) and legacy long-nanos ``ts`` to a micros timestamp. Applied
+    by every batch and stream read so no plan ever sees an NTZ event-time
+    column."""
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from flink_gmall_spark.plans.dws import visitor_stats_transform
 from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources.tables import normalize_timestamps
 from flink_gmall_spark.sources.tables import path as table_path
 
 from pyspark.sql import types as T
@@ -48,14 +49,12 @@ def _stream_dir(sf_dir: str, name: str) -> str:
 
 def read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source stream with the batch-inferred schema (no inference on
-    the stream path), including the nanos→micros ts conversion."""
+    the stream path), normalized through the same timestamp chokepoint as
+    the batch reader (NTZ→TIMESTAMP cast, legacy nanos→micros)."""
     p = table_path(sf_dir, name)
     schema = spark.read.parquet(p).schema
     df = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, name))
-    for f in schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:

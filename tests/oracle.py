@@ -51,6 +51,21 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        # Driver parity: the driver hashes the *rendered* values, so an
+        # int column on one side vs float on the other (e.g. DuckDB HUGEINT
+        # → pandas float) renders 0 vs 0.0 and hash-mismatches even when
+        # numerically equal. Fail here the way the driver would.
+        g_int = pd.api.types.is_integer_dtype(g)
+        w_int = pd.api.types.is_integer_dtype(w)
+        g_flt = pd.api.types.is_float_dtype(g)
+        w_flt = pd.api.types.is_float_dtype(w)
+        if (g_int and w_flt) or (g_flt and w_int):
+            raise AssertionError(
+                f"{name}: column {c!r} dtype kind mismatch: "
+                f"spark={g.dtype} duckdb={w.dtype} — the driver hashes "
+                f"rendered values, so int-vs-float is a hash fail; CAST the "
+                f"oracle column (or the Spark column) to align"
+            )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             g = g.astype("float64")
             w = w.astype("float64")
