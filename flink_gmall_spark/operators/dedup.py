@@ -644,3 +644,87 @@ SELECT md5(array_to_string(list_sort(
 FROM documents
 GROUP BY 1
 """
+
+
+CHUNK_DEDUP_W = 3  # tokens per dedup chunk (the "line" unit; see docstring)
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level first-occurrence dedup — the RefinedWeb/Dolma
+    "line-level dedup" pass: a repeated span survives only at its first
+    corpus occurrence (boilerplate headers/footers vanish from every
+    other document), ordered by (doc_id, position). The driver corpus has
+    no newlines, so the line unit is a deterministic fixed-width token
+    chunk (CHUNK_DEDUP_W; a production corpus would split on '\\n' and
+    the rest of the plan is unchanged).
+
+    Scale shape (100 TB): explode → ONE hash aggregation keyed on
+    md5(chunk) computing min (doc_id, idx) — partial map-side min, so a
+    boilerplate chunk repeated a billion times aggregates to one row per
+    map task before the shuffle — then an equi-join back on the 128-bit
+    key to flag survivors, and a per-doc reduce. No windows over raw
+    postings, no all-pairs; skew on hot chunks is absorbed by the partial
+    agg, and the final groupBy(doc_id) is the natural output partitioning
+    for a downstream rewrite of the kept text.
+    """
+    tune(spark)
+    W = CHUNK_DEDUP_W
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    ch = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) - 1) DIV {W}),"
+                f" i -> concat_ws(' ', slice(t, i * {W} + 1, {W})))"
+            )
+        ).alias("idx", "chunk"),
+    ).withColumn("n_tok", F.size(F.split("chunk", " "))).withColumn(
+        "h", F.md5("chunk")
+    )
+    firsts = ch.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("f"))
+    keep = (F.col("doc_id") == F.col("f.doc_id")) & (F.col("idx") == F.col("f.idx"))
+    return (
+        ch.join(firsts, "h")
+        .withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).alias("kept_chunks"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+ORACLE_CHUNK_DEDUP = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+ch AS (
+    SELECT doc_id, i AS idx,
+           array_to_string(t[i*{CHUNK_DEDUP_W}+1 : i*{CHUNK_DEDUP_W}+{CHUNK_DEDUP_W}], ' ') AS chunk,
+           len(t[i*{CHUNK_DEDUP_W}+1 : i*{CHUNK_DEDUP_W}+{CHUNK_DEDUP_W}]) AS n_tok
+    FROM toks, UNNEST(range(0, ((len(t)-1)//{CHUNK_DEDUP_W})+1)) AS u(i)
+    WHERE len(t) > 0
+),
+flagged AS (
+    SELECT doc_id, idx, n_tok,
+           row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1 AS keep
+    FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged
+GROUP BY doc_id
+"""

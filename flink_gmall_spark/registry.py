@@ -229,6 +229,7 @@ _register("dedup_simhash", dedup.simhash_fingerprints, dedup.ORACLE_SIMHASH, ben
 _register("dedup_simhash_pairs", dedup.simhash_pairs, dedup.ORACLE_SIMHASH_PAIRS, tags=("dedup",))
 _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
+_register("dedup_chunk_first_occurrence", dedup.chunk_dedup, dedup.ORACLE_CHUNK_DEDUP, tags=("dedup", "line-level"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
