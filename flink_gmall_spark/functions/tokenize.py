@@ -12,8 +12,15 @@ first:
 2. ``tokenize_udf`` — an array-returning Python UDF (the UDTF idiom:
    ``explode(tokenize(col))``), registered for SQL as ``ik_analyze``.
    Uses jieba when importable (the reference's IK smart mode analog),
-   else a deterministic fallback: CJK bigrams + lowercased alnum runs.
-   The fallback is pinned — golden tests rely on it.
+   else a deterministic forward-maximum-matching (FMM) segmenter over a
+   seed lexicon — the same dictionary-matching family IK itself belongs
+   to — with single-char emission for out-of-vocabulary CJK and bigram
+   backoff for OOV runs of length >= 2 (so unknown phrases still produce
+   joinable keywords instead of a char soup). Tokens are emitted in TEXT
+   ORDER (CJK and alnum runs interleaved), matching IK's stream order on
+   the reference's canonical probe (KeywordUtil.java:36-39). The fallback
+   is pinned — golden tests rely on it; the lexicon extends by appending
+   (never reordering) _SEED_LEXICON.
 """
 
 from __future__ import annotations
@@ -49,6 +56,57 @@ def tokens_col(text_col: str | Column) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+#: Seed lexicon for the jieba-less FMM leg. Common-word entries chosen to
+#: cover the reference's canonical IK probe (KeywordUtil.java:36-39) and
+#: its e-commerce/keyword domain; extend by APPENDING (golden tests pin
+#: current behavior). Longest-match-first is implicit in FMM.
+_SEED_LEXICON = frozenset(
+    {
+        # canonical probe vocabulary (product-title domain)
+        "深空", "灰色", "移动", "联通", "电信", "手机", "双卡", "双待",
+        # gmall / big-data domain
+        "尚硅谷", "大数据", "数据", "实时", "数仓", "项目", "课程",
+        "电商", "用户", "订单", "支付", "商品", "关键词", "统计",
+    }
+)
+_LEXICON_MAX_LEN = max(len(w) for w in _SEED_LEXICON)
+
+
+def _fmm_segment(run: str) -> list[str]:
+    """Forward maximum matching over _SEED_LEXICON: at each position take
+    the longest dictionary word; OOV chars accumulate and back off to
+    bigrams (len>=2) or a single char — deterministic, order-preserving."""
+    out: list[str] = []
+    oov: list[str] = []
+
+    def flush() -> None:
+        if not oov:
+            return
+        run_oov = "".join(oov)
+        if len(run_oov) == 1:
+            out.append(run_oov)
+        else:
+            out.extend(run_oov[i : i + 2] for i in range(len(run_oov) - 1))
+        oov.clear()
+
+    i = 0
+    while i < len(run):
+        for w in range(min(_LEXICON_MAX_LEN, len(run) - i), 1, -1):
+            if run[i : i + w] in _SEED_LEXICON:
+                flush()
+                out.append(run[i : i + w])
+                i += w
+                break
+        else:
+            oov.append(run[i])
+            i += 1
+    flush()
+    return out
+
+
+_RUNS = re.compile(r"[一-鿿]+|[a-z0-9]+")
+
+
 def _tokenize_py(text: str | None) -> list[str]:
     """Deterministic Python tokenizer (the ik_analyze stand-in)."""
     if not text:
@@ -56,14 +114,11 @@ def _tokenize_py(text: str | None) -> list[str]:
     if _HAVE_JIEBA and _CJK.search(text):  # pragma: no cover
         return [t for t in jieba.lcut_for_search(text) if t.strip()]
     out: list[str] = []
-    # CJK bigrams (IK-like smart segmentation fallback, pinned)
-    cjk_runs = re.findall(r"[一-鿿]+", text)
-    for run in cjk_runs:
-        if len(run) == 1:
-            out.append(run)
+    for run in _RUNS.findall(text.lower()):
+        if _CJK.search(run):
+            out.extend(_fmm_segment(run))
         else:
-            out.extend(run[i : i + 2] for i in range(len(run) - 1))
-    out.extend(_ALNUM_RUN.findall(text.lower()))
+            out.append(run)
     return out
 
 

@@ -518,3 +518,99 @@ c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}),
 {_DUCK_ASSIGN.format(out='a2', cent='c1', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))}
 SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(dist, 6) AS dist FROM a2
 """
+
+
+SEMDEDUP_K = 16  # cluster count for the bucketing pass (first-K init)
+SEMDEDUP_THRESHOLD = 0.40
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding corpus, then compare pairs ONLY within a cluster and
+    drop every vector that has a smaller-id neighbor above the cosine
+    threshold — "semantically identical" points collapse to their lowest
+    id. Output: the dropped vectors with the keeper they duplicate
+    (smallest qualifying neighbor id, that neighbor's similarity).
+
+    Scale shape (100 TB): one broadcast of the tiny centroid table + one
+    corpus scan for assignment (argmin squared L2, cid tiebreak), then a
+    self-equi-join keyed on cluster id — candidate pairs are bounded by
+    cluster size (the SemDeDup design point), never corpus-quadratic; a
+    production run raises SEMDEDUP_K so clusters stay ~constant-sized as
+    the corpus grows, keeping per-key join fan-out flat. Dot products are
+    strictly-sequential JVM folds, bit-identical to the DuckDB oracle.
+    """
+    tune(spark)
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    cent = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d = e.join(F.broadcast(cent), how="cross").withColumn(
+        "dist", F.expr(_SQDIST.format(a="v", b="cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    asg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    a = asg.select(
+        F.col("cid"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = asg.select(
+        F.col("cid"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    pairs = a.join(b, "cid").filter(F.col("keep_cand") < F.col("dup_id"))
+    scored = pairs.withColumn(
+        "cos", F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    ).filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    return (
+        scored.groupBy("dup_id")
+        .agg(
+            F.first("cid").alias("cid"),
+            F.min(F.struct("keep_cand", "cos")).alias("k"),
+        )
+        .select(
+            "dup_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("k.keep_cand").alias("kept_id"),
+            F.round("k.cos", 6).alias("sim"),
+        )
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}),
+asg AS (
+    SELECT vec_id, v, nrm, cid FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_SQDIST.format(a='e.v', b='c.cv')} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT a.vec_id AS dup_id, a.cid, b.vec_id AS keep_cand,
+           {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
+    FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+)
+SELECT dup_id,
+       CAST(any_value(cid) AS BIGINT) AS cid,
+       min(keep_cand) AS kept_id,
+       round(min_by(cos, keep_cand), 6) AS sim
+FROM scored
+WHERE cos >= {SEMDEDUP_THRESHOLD}
+GROUP BY dup_id
+"""

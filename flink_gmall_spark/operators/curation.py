@@ -623,3 +623,62 @@ FROM (
 )
 WHERE rk <= {DOMAIN_CAP}
 """
+
+
+BPE_TOP_N = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training corpus statistics: the first BPE merge
+    iteration — adjacent symbol-pair frequencies, weighted by word
+    frequency, global top-N (Sennrich et al. 2016). The table a BPE
+    trainer consults to pick its first merge.
+
+    Scale shape: the pair explosion runs over the DISTINCT-WORD frequency
+    table, not the corpus (the classic BPE trick) — at 100 TB the word
+    dictionary is orders of magnitude smaller than the token stream, and
+    it is produced by one partial-agg count. Top-N plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort). Total
+    order: count desc, then pair text — ties cannot float.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("pair"))
+        .limit(BPE_TOP_N)
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_DUCK_T}) AS w FROM documents
+    ) GROUP BY w HAVING len(w) >= 2
+),
+pairs AS (
+    SELECT freq, concat(w[i], ' ', w[i + 1]) AS pair
+    FROM words, UNNEST(range(1, len(w))) AS u(i)
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS ct
+FROM pairs
+GROUP BY pair
+ORDER BY ct DESC, pair ASC
+LIMIT {BPE_TOP_N}
+"""

@@ -230,9 +230,11 @@ _register("dedup_simhash_pairs", dedup.simhash_pairs, dedup.ORACLE_SIMHASH_PAIRS
 _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
 _register("dedup_chunk_first_occurrence", dedup.chunk_dedup, dedup.ORACLE_CHUNK_DEDUP, tags=("dedup", "line-level"))
+_register("curation_bpe_pair_counts", curation.bpe_pair_counts, curation.ORACLE_BPE_PAIR_COUNTS, tags=("curation", "text", "tokenizer-training", "topk"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
+_register("sim_semantic_dedup", ann.semantic_dedup, ann.ORACLE_SEMANTIC_DEDUP, tags=("similarity", "dedup", "clustering"))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))

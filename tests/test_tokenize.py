@@ -3,7 +3,7 @@ Golden outputs: dedup/keyword oracles depend on this never changing."""
 
 from __future__ import annotations
 
-from flink_gmall_spark.functions.tokenize import _tokenize_py
+from flink_gmall_spark.functions.tokenize import _fmm_segment, _tokenize_py
 
 
 def test_ascii_runs():
@@ -15,30 +15,40 @@ def test_ascii_runs():
     ]
 
 
-def test_cjk_bigrams_deterministic():
+def test_cjk_fmm_deterministic():
     # the reference's canonical tokenizer probe string is CJK
-    # (KeywordUtil.java:36-39); the pinned fallback emits bigrams
-    assert _tokenize_py("尚硅谷大数据") == ["尚硅", "硅谷", "谷大", "大数", "数据"]
+    # (KeywordUtil.java:36-39); the jieba-less leg segments via forward
+    # maximum matching over the seed lexicon
+    assert _tokenize_py("尚硅谷大数据") == ["尚硅谷", "大数据"]
     assert _tokenize_py("中") == ["中"]
 
 
 def test_mixed_and_edges():
-    assert _tokenize_py("大数据spark课程") == ["大数", "数据", "课程", "spark"]
+    # tokens come out in TEXT ORDER (CJK and alnum runs interleaved)
+    assert _tokenize_py("大数据spark课程") == ["大数据", "spark", "课程"]
     assert _tokenize_py("") == []
     assert _tokenize_py(None) == []
 
 
+def test_fmm_oov_bigram_backoff():
+    # an all-OOV CJK run backs off to bigrams (joinable keywords, not a
+    # char soup); a single OOV char passes through
+    assert _fmm_segment("魔法石头记") == ["魔法", "法石", "石头", "头记"]
+    assert _fmm_segment("魔") == ["魔"]
+    # OOV chars between dictionary words flush as their own unit
+    assert _fmm_segment("手机魔大数据") == ["手机", "魔", "大数据"]
+
+
 # The reference's canonical IK-analyzer probe (KeywordUtil.java:36-39).
-# IK smart mode would emit dictionary words (e.g. 深空, 灰色, 手机, 双卡,
-# 双待); the pinned jieba-less fallback emits CJK bigrams instead — same
-# recall surface for keyword stats, coarser segmentation. Divergence is
-# deliberate and documented (tokenize.py module docstring).
+# The jieba-less FMM leg reproduces IK smart mode's stream on this vector:
+# dictionary words in text order, alnum runs lowercased in place.
 _IK_CANONICAL = "Apple iPhoneXSMax (A2104) 256GB 深空灰色 移动联通电信 4G 手机双卡双待 "
-_IK_CANONICAL_BIGRAM_GOLDEN = [
-    "深空", "空灰", "灰色",
-    "移动", "动联", "联通", "通电", "电信",
-    "手机", "机双", "双卡", "卡双", "双待",
-    "apple", "iphonexsmax", "a2104", "256gb", "4g",
+_IK_CANONICAL_GOLDEN = [
+    "apple", "iphonexsmax", "a2104", "256gb",
+    "深空", "灰色",
+    "移动", "联通", "电信",
+    "4g",
+    "手机", "双卡", "双待",
 ]
 
 
@@ -49,7 +59,7 @@ def test_ik_canonical_string_fallback_golden():
         import pytest
 
         pytest.skip("fallback leg requires jieba-less image")
-    assert _tokenize_py(_IK_CANONICAL) == _IK_CANONICAL_BIGRAM_GOLDEN
+    assert _tokenize_py(_IK_CANONICAL) == _IK_CANONICAL_GOLDEN
 
 
 def test_ik_canonical_string_jieba():
@@ -75,4 +85,4 @@ def test_sql_registration(spark):
     rows = spark.sql(
         "SELECT explode(ik_analyze('Apple 手机 256GB')) AS kw"
     ).collect()
-    assert [r.kw for r in rows] == ["手机", "apple", "256gb"]
+    assert [r.kw for r in rows] == ["apple", "手机", "256gb"]
