@@ -169,3 +169,36 @@ def test_domain_cap_window_group_limit(spark, sf_dir):
     # a hot domain moves K rows per map task, never the whole domain
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan[plan.index("Exchange") :], plan
+
+
+def test_chunk_dedup_partial_min_before_shuffle(spark, sf_dir):
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.chunk_dedup(spark, sf_dir))
+    # first-occurrence must be an aggregation (partial map-side min), never
+    # a window over raw chunk postings — that's what absorbs hot-chunk skew
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_semantic_dedup_broadcast_centroids_equijoin_pairs(spark, sf_dir):
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.semantic_dedup(spark, sf_dir))
+    # centroid assignment: the codebook broadcasts (tiny side), the corpus
+    # streams — BroadcastNestedLoopJoin is the K x corpus assignment scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # pair generation must be keyed on the cluster id (bounded buckets) —
+    # a cartesian over the corpus would be the quadratic anti-pattern
+    assert "CartesianProduct" not in plan, plan
+    assert "cid" in plan, plan
+
+
+def test_bpe_pair_counts_take_ordered_over_dictionary(spark, sf_dir):
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.bpe_pair_counts(spark, sf_dir))
+    # global top-N plans as per-partition heaps, not a full sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # both aggregations (word freq, pair count) combine map-side
+    assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -1,0 +1,51 @@
+"""The source-layer timestamp chokepoint, unit-tested against every
+fixture shape the driver has shipped so far.
+
+Round-3 lesson: the driver regenerated `events.parquet` from
+TIMESTAMP(NANOS) (Spark: long nanos under nanosAsLong) to
+`timestamp[us]` isAdjustedToUTC=false (Spark: TIMESTAMP_NTZ), and every
+event-time operator silently rotted. `normalize_timestamps` must keep
+yielding a plain TIMESTAMP with identical UTC values no matter which
+shape arrives.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from flink_gmall_spark.sources.tables import load
+
+_UTC_VALS = [
+    datetime.datetime(2024, 1, 1, 0, 0, 0, 123456),
+    datetime.datetime(2024, 6, 30, 23, 59, 59, 999999),
+]
+
+
+def _write(tmp_path, arrow_type, values):
+    tbl = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                    "ts": pa.array(values, arrow_type)})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "arrow_type",
+    [
+        pa.timestamp("us"),              # round-3+ shape: TIMESTAMP_NTZ
+        pa.timestamp("us", tz="UTC"),    # plain TIMESTAMP (already right)
+        pa.timestamp("ns"),              # round-1/2 shape: long nanos
+    ],
+    ids=["ntz-us", "tz-us", "nanos"],
+)
+def test_ts_normalizes_to_timestamp_with_utc_values(spark, tmp_path, arrow_type):
+    sf_dir = _write(tmp_path, arrow_type, _UTC_VALS)
+    df = load(spark, sf_dir, "events")
+    (f,) = [f for f in df.schema.fields if f.name == "ts"]
+    assert isinstance(f.dataType, T.TimestampType), f.dataType
+    got = [r.ts for r in df.orderBy("event_id").collect()]
+    assert got == _UTC_VALS  # session TZ is UTC, so values are preserved

@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Compare two bench.py JSON outputs and flag per-query regressions.
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [ratio]
+
+Accepts either a raw bench.py line or the driver's BENCH_r{N}.json
+wrapper ({"parsed": {...}}). A query is flagged when new/old exceeds the
+ratio (default 1.3 — the round-over-round bar from the verdicts), when it
+failed (null), or when it disappeared. Exit 1 if anything is flagged, so
+this can gate a commit. Timings are only comparable between idle-machine
+runs at the same sf/cpus (see ROADMAP.md round-4 stamp).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d:
+        d = d["parsed"] or {}
+    return d
+
+
+def main() -> int:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    flagged = []
+    for name in sorted(set(qo) | set(qn)):
+        a, b = qo.get(name), qn.get(name)
+        if name not in qn:
+            flagged.append((name, a, b, "missing in new"))
+        elif b is None:
+            flagged.append((name, a, b, "failed (null)"))
+        elif a is None or name not in qo:
+            print(f"  new   {name}: {b:.3f}s (no old datapoint)")
+        elif a > 0 and b / a > bar:
+            flagged.append((name, a, b, f"{b / a:.2f}x > {bar}x"))
+        else:
+            print(f"  ok    {name}: {a:.3f}s -> {b:.3f}s")
+    print(f"total: {old.get('value')} -> {new.get('value')}")
+    for name, a, b, why in flagged:
+        print(f"  FLAG  {name}: {a} -> {b}  [{why}]")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
