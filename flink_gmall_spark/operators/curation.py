@@ -682,3 +682,66 @@ GROUP BY pair
 ORDER BY ct DESC, pair ASC
 LIMIT {BPE_TOP_N}
 """
+
+
+LM_SCALE = 1000  # integer-scaled mean: sum(ct) * SCALE DIV n — hash-exact
+
+
+def lm_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM fluency proxy (the CCNet perplexity-filter shape, made
+    integer-exact): score each document by the mean corpus frequency of
+    its word bigrams — text whose n-grams are common in the corpus LM
+    scores as fluent, gibberish scores low. A real perplexity filter
+    swaps the count table for KenLM probabilities; the dataflow (corpus
+    LM table ⋈ document n-grams → per-doc reduce) is identical.
+
+    Scale shape (100 TB): the bigram count table comes from one
+    partial-agg pass; scoring is an equi-join keyed on the bigram (the
+    LM table is corpus-sized, so this stays a shuffle join — broadcast
+    would not survive; AQE decides) followed by a per-doc reduce. The
+    arithmetic is BIGINT end to end (sum * SCALE DIV n), so the DuckDB
+    oracle hash-matches exactly — no float log-probs to diverge.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    g = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bigram"),
+    )
+    counts = g.groupBy("bigram").agg(F.count(F.lit(1)).alias("ct"))
+    return (
+        g.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(f"CAST(sum(ct) * {LM_SCALE} AS BIGINT) DIV count(1)").alias(
+                "lm_score"
+            ),
+        )
+    )
+
+
+ORACLE_LM_COMMONNESS = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_DUCK_T} AS t FROM documents WHERE len({_DUCK_T}) >= 2
+),
+g AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) AS bigram
+    FROM toks
+),
+counts AS (SELECT bigram, CAST(count(*) AS BIGINT) AS ct FROM g GROUP BY bigram)
+SELECT g.doc_id,
+       any_value(g.lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(c.ct) * {LM_SCALE} // count(*) AS BIGINT) AS lm_score
+FROM g JOIN counts c USING (bigram)
+GROUP BY g.doc_id
+"""

@@ -123,6 +123,7 @@ _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_P
 
 # --- Streaming variants ------------------------------------------------------
 _register("stream_dedup_distinct", stream_jobs.stream_event_distinct, stream_jobs.ORACLE_EVENT_DISTINCT, tags=("dedup", "streaming", "T2"))
+_register("stream_dedup_within_watermark", stream_jobs.stream_dedup_within_watermark, stream_jobs.ORACLE_DEDUP_WITHIN_WATERMARK, tags=("dedup", "streaming", "T8", "state-bounded"))
 _register("stream_dedup_fingerprints", stream_jobs.stream_dedup_fingerprints, stream_jobs.ORACLE_DEDUP_FINGERPRINTS, tags=("dedup", "streaming", "ingestion"))
 _register("stream_config_routing", stream_jobs.stream_config_routing, dwd.ORACLE_CONFIG_ROUTING, tags=("J4", "P5", "streaming", "broadcast-state"))
 _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_PAYMENT_WIDE, tags=("J2", "T4", "streaming"))
@@ -231,6 +232,7 @@ _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DE
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
 _register("dedup_chunk_first_occurrence", dedup.chunk_dedup, dedup.ORACLE_CHUNK_DEDUP, tags=("dedup", "line-level"))
 _register("curation_bpe_pair_counts", curation.bpe_pair_counts, curation.ORACLE_BPE_PAIR_COUNTS, tags=("curation", "text", "tokenizer-training", "topk"))
+_register("curation_lm_score", curation.lm_commonness_score, curation.ORACLE_LM_COMMONNESS, tags=("curation", "text", "quality", "lm-counts"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))

@@ -285,6 +285,20 @@ class _CDCEnvelopeDistStreamReader(DataSourceStreamReader):
 
     def __init__(self, options) -> None:
         self.path = options["path"]
+        # Admission control (the Kafka maxOffsetsPerTrigger analog): cap
+        # how many row groups each micro-batch admits so a deep backlog
+        # replays as bounded batches instead of one giant gulp — state
+        # stores, sinks, and checkpoints then see production-sized
+        # increments during recovery. 0/absent = uncapped. Driver-side
+        # reader state (_admitted) is the rate-limit cursor; committed
+        # offsets remain the source of truth on restart.
+        # CONSTRAINT: only meaningful with a continuous trigger
+        # (processingTime). Trigger.AvailableNow falls back to SINGLE
+        # batch execution for Python streaming sources (verified against
+        # Spark 4.1), so a capped latestOffset would end the run after one
+        # bounded batch — leave the option unset for availableNow drains.
+        self.max_rg_per_batch = int(options.get("maxrowgroupsperbatch", 0))
+        self._admitted = 0
 
     def _num_row_groups(self) -> int:
         import pyarrow.parquet as pq
@@ -295,7 +309,11 @@ class _CDCEnvelopeDistStreamReader(DataSourceStreamReader):
         return {"rg": 0}
 
     def latestOffset(self) -> dict:
-        return {"rg": self._num_row_groups()}
+        n = self._num_row_groups()
+        if not self.max_rg_per_batch:
+            return {"rg": n}
+        self._admitted = min(n, self._admitted + self.max_rg_per_batch)
+        return {"rg": self._admitted}
 
     def partitions(self, start: dict, end: dict):
         return [InputPartition(rg) for rg in range(start["rg"], end["rg"])]

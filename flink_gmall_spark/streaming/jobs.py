@@ -295,6 +295,37 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8-class state-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on (user_id, event_type, day) — the production form whose
+    per-key state is EVICTED once the watermark passes the first
+    occurrence's event time plus the delay, so state size tracks the
+    delay window, not history (the reference bounds the same job with a
+    1-day state TTL, UniqueVisitApp.java:78-81).
+
+    The delay here exceeds the fixture's time span, so every duplicate
+    falls inside its key's live window and the emitted set equals the
+    batch DISTINCT — which makes the oracle exact while still executing
+    the watermark-eviction operator (streaming-deduplication-within-
+    watermark node, state store + event-time timers) rather than the
+    unbounded dropDuplicates.
+    """
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").withWatermark("ts", "365 days")
+    res = ev.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        "ts",
+    ).dropDuplicatesWithinWatermark(["user_id", "event_type", "d"])
+    return run_to_memory(res.select("user_id", "event_type", "d"), "append")
+
+
+ORACLE_DEDUP_WITHIN_WATERMARK = """
+SELECT DISTINCT user_id, event_type, strftime(ts, '%Y-%m-%d') AS d FROM events
+"""
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization on the incremental engine —
     the stateful MERGING window operator (unlike tumbling windows, open
