@@ -218,3 +218,81 @@ SELECT p_brand,
 FROM lineitem JOIN part ON ({_SKEW_KEY}) = p_partkey
 GROUP BY p_brand
 """
+
+
+RANGE_BIN_US = 60_000_000  # 60 s time bins == the range-join window length
+
+
+def binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure NON-EQUI range join made shuffle-friendly by time binning:
+    for every 'error' event, count the 'purchase' events in the 60 s
+    window after it ([ts, ts+60s)) — incident-impact attribution with NO
+    shared key between the sides.
+
+    A naive plan is a BroadcastNestedLoopJoin / cartesian with a range
+    predicate — corpus-quadratic, the anti-pattern. The binned form is
+    the standard Spark rewrite: quantize the time axis into bins the
+    size of the window, explode each LEFT window to the (<= 2) bins it
+    overlaps, assign each right event its single bin, equi-join ON THE
+    BIN (plus the exact range predicate in the join condition), and
+    reduce per left row. Shuffle is keyed on the bin — cost scales with
+    events-per-bin x bins, never |errors| x |purchases|. At 100 TB the
+    bin width tunes join fan-out exactly like the LSH band width in
+    dedup; AQE's skew split absorbs hot bins (incident storms).
+
+    The LEFT OUTER join keeps zero-impact errors in the result (count
+    over the exploded bins sums matched purchases once each — a right
+    event has exactly one bin, so no pair can double-count).
+    """
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id"),
+            F.unix_micros("ts").alias("e_us"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"e_us DIV {RANGE_BIN_US}"),
+                    F.expr(f"(e_us + {RANGE_BIN_US} - 1) DIV {RANGE_BIN_US}"),
+                )
+            ),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.expr(f"unix_micros(ts) DIV {RANGE_BIN_US}").alias("bin"),
+    )
+    j = err.join(
+        pur,
+        (err["bin"] == pur["bin"])
+        & (F.col("p_us") >= F.col("e_us"))
+        & (F.col("p_us") < F.col("e_us") + F.lit(RANGE_BIN_US)),
+        "left",
+    )
+    return j.groupBy("event_id").agg(
+        F.first("stt").alias("stt"),
+        F.count("p_id").alias("purchase_ct"),
+    )
+
+
+ORACLE_BINNED_RANGE_JOIN = f"""
+SELECT e.event_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS stt,
+       CAST(count(p.event_id) AS BIGINT) AS purchase_ct
+FROM events e
+LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(e.ts)
+ AND epoch_us(p.ts) < epoch_us(e.ts) + {RANGE_BIN_US}
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+"""

@@ -202,3 +202,16 @@ def test_bpe_pair_counts_take_ordered_over_dictionary(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     # both aggregations (word freq, pair count) combine map-side
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.binned_range_join(spark, sf_dir))
+    # the bin key must turn the range predicate into a hash/merge
+    # equi-join; a nested-loop or cartesian is the quadratic anti-pattern
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
