@@ -6,12 +6,11 @@ pair. ``__spark_entry__.py`` re-exports this; tests/test_parity.py runs
 every pair side-by-side exactly like the driver does.
 
 Registration ORDER matters operationally: the external driver samples the
-first 50 registrations for its per-round correctness run. Rounds 1-2
-green-checked 62 distinct entries; the remaining 50 (TPC-H, curation,
-multimodal, UDAF, e2e pipeline, several streaming variants) register
-FIRST below so round 3 produces driver rows for them. The previously
-verified entries follow. Local parity (tests/test_parity.py) always runs
-all of them regardless of order.
+first 50 registrations for its per-round correctness run. The effective
+order is set by ``_SAMPLE_PRIORITY`` at the bottom of this module (the
+per-round evidence strategy lives there); the blocks below keep their
+historical grouping. Local parity (tests/test_parity.py) always runs
+every entry regardless of order.
 """
 
 from __future__ import annotations

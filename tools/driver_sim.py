@@ -5,6 +5,7 @@ SparkSession with a hostile timezone (Asia/Shanghai) and 200 shuffle
 partitions — the engine's tune() must override both or hashes diverge."""
 
 import hashlib
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -13,13 +14,18 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+# Default mirrors the driver's correctness SF; override to stress the
+# oracles at 10x (SIM_SF_DIR=/root/testdata/sf0.1).
+SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 
 spark = (
     SparkSession.builder.master("local[8]")
     .appName("driver-sim")
     .config("spark.sql.session.timeZone", "Asia/Shanghai")  # hostile
     .config("spark.sql.shuffle.partitions", "200")  # hostile default
+    # heap is NOT part of the hostile contract (tune() cannot change it
+    # post-JVM-start); default mirrors the driver, raise for sf0.1 stress
+    .config("spark.driver.memory", os.environ.get("SIM_DRIVER_MEM", "1g"))
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
