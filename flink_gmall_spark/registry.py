@@ -118,6 +118,7 @@ _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
 _register("scale_binned_range_join", scale.binned_range_join, scale.ORACLE_BINNED_RANGE_JOIN, tags=("range-join", "non-equi", "scale"))
+_register("stream_binned_range_join", stream_jobs.stream_binned_range_join, stream_jobs.ORACLE_STREAM_BINNED_RANGE, tags=("range-join", "non-equi", "streaming", "T4"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 

@@ -747,3 +747,81 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uv",
     )
     return run_to_memory(out, "complete")
+
+
+def stream_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binned NON-EQUI range join on the incremental engine: purchases
+    within 60 s after each error event, as a stream-stream join. Neither
+    side shares a key, so the time-axis bin (window-sized quantization,
+    see operators.scale.binned_range_join) becomes the required equi
+    key; the exact range predicate between the two watermarked event-time
+    columns is what lets Structured Streaming bound BOTH sides' state to
+    the join window — eviction follows the watermark exactly as in the
+    interval joins (J1/J2), but with no natural key at all.
+
+    Emits matched pairs in append mode (the streaming-legal shape — a
+    post-join per-error aggregation would need its own windowing); the
+    DuckDB oracle is the same inner non-equi join. Each pair emits once:
+    a purchase has exactly one bin and an error's exploded bins are
+    distinct.
+    """
+    from flink_gmall_spark.operators.scale import RANGE_BIN_US
+
+    tune(spark)
+    err = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "0 seconds")
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(e_ts) DIV {RANGE_BIN_US}"),
+                    F.expr(f"(unix_micros(e_ts) + {RANGE_BIN_US} - 1) DIV {RANGE_BIN_US}"),
+                )
+            ),
+        )
+    )
+    pur = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+        .withColumn("p_bin", F.expr(f"unix_micros(p_ts) DIV {RANGE_BIN_US}"))
+    )
+    joined = err.join(
+        pur,
+        F.expr(
+            "bin = p_bin"
+            " AND p_ts >= e_ts"
+            f" AND p_ts < e_ts + INTERVAL {RANGE_BIN_US // 1_000_000} SECONDS"
+        ),
+        "inner",
+    )
+    result = joined.select(
+        "error_id",
+        "purchase_id",
+        F.date_format("e_ts", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.expr("(unix_micros(p_ts) - unix_micros(e_ts)) DIV 1000000").alias("lag_s"),
+    )
+    return run_to_memory(result, "append")
+
+
+ORACLE_STREAM_BINNED_RANGE = """
+SELECT e.event_id AS error_id,
+       p.event_id AS purchase_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS stt,
+       CAST((epoch_us(p.ts) - epoch_us(e.ts)) // 1000000 AS BIGINT) AS lag_s
+FROM events e
+JOIN events p
+  ON e.event_type = 'error' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) >= epoch_us(e.ts)
+ AND epoch_us(p.ts) < epoch_us(e.ts) + 60000000
+"""
