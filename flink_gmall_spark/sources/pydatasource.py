@@ -211,10 +211,21 @@ class _CDCEnvelopeStreamReader(SimpleDataSourceStreamReader):
     not depend on multiple triggers). ``readBetweenOffsets`` re-derives
     any committed range, which is what makes checkpoint replay exact.
     Rows are returned as a materialized list: the engine's prefetch cache
-    copies the iterator, which a generator cannot survive."""
+    copies the iterator, which a generator cannot survive.
+
+    ``maxRowGroupsPerBatch`` (0/absent = uncapped) is the Kafka
+    maxOffsetsPerTrigger analog: each ``read`` admits at most that many
+    row groups, so a deep backlog replays as bounded micro-batches —
+    state stores, sinks and checkpoints see production-sized increments
+    during recovery. The bound derives from the PASSED start offset, so
+    it is restart-safe (unlike a driver-side cursor in ``latestOffset``,
+    see _CDCEnvelopeDistStreamReader). Only meaningful with a continuous
+    trigger: availableNow is single-batch for Python streaming sources
+    (verified on Spark 4.1) and would stop at the first capped batch."""
 
     def __init__(self, options) -> None:
         self.path = options["path"]
+        self.max_rg_per_batch = int(options.get("maxrowgroupsperbatch", 0))
 
     def _num_row_groups(self) -> int:
         import pyarrow.parquet as pq
@@ -246,13 +257,18 @@ class _CDCEnvelopeStreamReader(SimpleDataSourceStreamReader):
             # copy.copy()-able — a list_iterator qualifies, a bare list
             # or a generator does not.
             return iter([]), start
-        rows = [r for g in range(rg, n) for r in self._rows_for(g)]
-        return iter(rows), {"rg": n}
+        end = min(n, rg + self.max_rg_per_batch) if self.max_rg_per_batch else n
+        rows = [r for g in range(rg, end) for r in self._rows_for(g)]
+        return iter(rows), {"rg": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return [
-            r for g in range(start["rg"], end["rg"]) for r in self._rows_for(g)
-        ]
+        # same iterator contract as read(): the engine rejects a bare
+        # list ("Expected types: iterator") — only hit on RESTART when an
+        # uncommitted epoch replays, which is why a checkpoint test that
+        # stops cleanly never sees it
+        return iter(
+            [r for g in range(start["rg"], end["rg"]) for r in self._rows_for(g)]
+        )
 
     def commit(self, end: dict) -> None:
         pass
@@ -285,20 +301,6 @@ class _CDCEnvelopeDistStreamReader(DataSourceStreamReader):
 
     def __init__(self, options) -> None:
         self.path = options["path"]
-        # Admission control (the Kafka maxOffsetsPerTrigger analog): cap
-        # how many row groups each micro-batch admits so a deep backlog
-        # replays as bounded batches instead of one giant gulp — state
-        # stores, sinks, and checkpoints then see production-sized
-        # increments during recovery. 0/absent = uncapped. Driver-side
-        # reader state (_admitted) is the rate-limit cursor; committed
-        # offsets remain the source of truth on restart.
-        # CONSTRAINT: only meaningful with a continuous trigger
-        # (processingTime). Trigger.AvailableNow falls back to SINGLE
-        # batch execution for Python streaming sources (verified against
-        # Spark 4.1), so a capped latestOffset would end the run after one
-        # bounded batch — leave the option unset for availableNow drains.
-        self.max_rg_per_batch = int(options.get("maxrowgroupsperbatch", 0))
-        self._admitted = 0
 
     def _num_row_groups(self) -> int:
         import pyarrow.parquet as pq
@@ -309,11 +311,15 @@ class _CDCEnvelopeDistStreamReader(DataSourceStreamReader):
         return {"rg": 0}
 
     def latestOffset(self) -> dict:
-        n = self._num_row_groups()
-        if not self.max_rg_per_batch:
-            return {"rg": n}
-        self._admitted = min(n, self._admitted + self.max_rg_per_batch)
-        return {"rg": self._admitted}
+        # No admission control here, deliberately: ``latestOffset()`` in
+        # the Python DataSourceStreamReader API takes no start offset, so
+        # a per-trigger cap would need a driver-side cursor that resets on
+        # query restart — measured on Spark 4.1, that re-plans already
+        # committed ranges and DUPLICATES data. Rate limiting lives on the
+        # Simple reader (``maxRowGroupsPerBatch``), whose ``read(start)``
+        # derives the bound from the committed offset and is restart-safe
+        # by construction.
+        return {"rg": self._num_row_groups()}
 
     def partitions(self, start: dict, end: dict):
         return [InputPartition(rg) for rg in range(start["rg"], end["rg"])]

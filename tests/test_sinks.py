@@ -101,75 +101,3 @@ def test_pyds_stream_source_checkpoint_replay(spark, sf_dir):
     first = run_once()
     assert first > 0
     assert run_once() == 0, "committed offsets were re-read"
-
-
-def test_pyds_dist_stream_rate_limited_replay(spark):
-    """maxRowGroupsPerBatch admission control: a deep backlog must replay
-    as MULTIPLE bounded micro-batches (the Kafka maxOffsetsPerTrigger
-    analog) and still deliver every row exactly once. Runs under a
-    processingTime trigger — availableNow is single-batch for Python
-    streaming sources, so the cap is documented as continuous-trigger
-    only (pydatasource.py)."""
-    import time
-    import uuid
-
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from flink_gmall_spark.sources.pydatasource import GmallCDCDistStreamDataSource
-
-    spark.dataSource.register(GmallCDCDistStreamDataSource)
-    # the driver fixtures are single-row-group; synthesize a 4-group
-    # backlog with the connector's expected order schema
-    base = os.path.join(tempfile.gettempdir(), "fgs_rate", uuid.uuid4().hex[:8])
-    os.makedirs(base)
-    src = os.path.join(base, "orders.parquet")
-    n = 40
-    pq.write_table(
-        pa.Table.from_pandas(
-            pd.DataFrame(
-                {
-                    "o_orderkey": range(n),
-                    "o_orderstatus": ["F" if i % 3 == 0 else "O" for i in range(n)],
-                    "o_totalprice": [100.0 + i for i in range(n)],
-                    "o_orderdate": pd.to_datetime("2024-01-01")
-                    + pd.to_timedelta(range(n), unit="h"),
-                }
-            )
-        ),
-        src,
-        row_group_size=10,
-    )
-    n_rg = pq.ParquetFile(src).metadata.num_row_groups
-    assert n_rg == 4
-    # envelope rows: one insert per order + one update per 'F' order
-    expected = n + sum(1 for i in range(n) if i % 3 == 0)
-
-    env = (
-        spark.readStream.format("gmall_cdc_stream_dist")
-        .option("path", src)
-        .option("maxRowGroupsPerBatch", "1")
-        .load()
-    )
-    batch_rows = []
-
-    def count_batch(batch_df, epoch_id):
-        batch_rows.append(batch_df.count())
-
-    q = (
-        env.writeStream.foreachBatch(count_batch)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 120
-        while sum(batch_rows) < expected and time.time() < deadline:
-            time.sleep(0.5)
-    finally:
-        q.stop()
-        q.awaitTermination()
-    nonempty = [b for b in batch_rows if b > 0]
-    assert sum(batch_rows) == expected, batch_rows  # exactly once, no loss
-    assert len(nonempty) == n_rg, (batch_rows, n_rg)  # one row group per batch
