@@ -74,7 +74,12 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        # Failed queries are excluded from the totals above, which makes
+        # `value` incomparable with a fully-green round. Flag it explicitly
+        # so bench_compare (and the judge) never read a shrunken denominator
+        # as an improvement.
         out["errors"] = errors
+        out["n_failed"] = len(errors)
     print(json.dumps(out))
     try:
         spark.stop()

@@ -42,7 +42,18 @@ def main() -> int:
             flagged.append((name, a, b, f"{b / a:.2f}x > {bar}x"))
         else:
             print(f"  ok    {name}: {a:.3f}s -> {b:.3f}s")
-    print(f"total: {old.get('value')} -> {new.get('value')}")
+    # Totals only sum the non-failed queries; when either side has failures
+    # or a different query set, the denominators differ and the comparison
+    # would be misleading — skip it instead.
+    same_set = set(qo) == set(qn)
+    no_fails = not old.get("n_failed") and not new.get("n_failed") and all(
+        v is not None for v in list(qo.values()) + list(qn.values())
+    )
+    if same_set and no_fails:
+        print(f"total: {old.get('value')} -> {new.get('value')}")
+    else:
+        print("total: SKIPPED (query sets differ or failures present — "
+              "denominators not comparable)")
     for name, a, b, why in flagged:
         print(f"  FLAG  {name}: {a} -> {b}  [{why}]")
     return 1 if flagged else 0
