@@ -77,3 +77,101 @@ def test_stream_daily_uv_tws_matches_batch(spark, sf_dir):
     got = state.daily_uv_stream_tws(spark, sf_dir).toPandas()
     want = dwm.daily_uv(spark, sf_dir).toPandas()
     assert frames_equal(got, want)
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """Watermark EVICTION proof for dropDuplicatesWithinWatermark (T8),
+    not just the eviction operator: with a 10-minute delay driven across
+    four microbatches (maxFilesPerTrigger=1),
+
+      batch 1: key A @ 00:00            -> emitted (first occurrence)
+      batch 2: key B @ 01:00            -> emitted; max event time 01:00
+      batch 3: key C @ 01:01            -> emitted; runs with wm =
+                                           01:00-10m = 00:50 > A's
+                                           horizon 00:10, so A's state is
+                                           EVICTED at this batch's end
+                                           (state cleanup applies the
+                                           batch's watermark on
+                                           completion, not mid-batch)
+      batch 4: key A @ 01:05 (dup!)     -> RE-EMITTED (state gone)
+               key B @ 01:02 (dup)      -> dropped (B still in state:
+                                           horizon 01:10 > wm 00:51)
+
+    The assertion `A emitted twice` FAILS if state is NOT evicted; the
+    assertion `B emitted once` fails if dedup stops working at all. The
+    registry entry stream_dedup_within_watermark uses a delay wider than
+    the fixture span (exact oracle); this test pins the eviction
+    behavior itself, which a single-file fixture cannot reach."""
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(idx, rows, mtime):
+        df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+        # micros, not pandas' default nanos — Spark's vectorized reader
+        # rejects TIMESTAMP(NANOS) against a declared TIMESTAMP schema
+        df["ts"] = pd.to_datetime(df["ts"], utc=True).astype("datetime64[us, UTC]")
+        path = str(src / f"batch_{idx}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))  # FileStreamSource orders by mtime
+        return path
+
+    t0 = time.time() - 3600
+    write_file(0, [(1, "A", "2024-01-01 00:00:00")], t0)
+    write_file(1, [(2, "B", "2024-01-01 01:00:00")], t0 + 10)
+    write_file(2, [(3, "C", "2024-01-01 01:01:00")], t0 + 20)
+    write_file(
+        3,
+        [(1, "A", "2024-01-01 01:05:00"), (2, "B", "2024-01-01 01:02:00")],
+        t0 + 30,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    sink = f"evict_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = sum(
+                p["numInputRows"] for p in (q.recentProgress or [])
+            )
+            if done >= 5:  # 1 + 1 + 1 + 2 input rows across the four batches
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(f"stream never consumed 5 rows: {q.recentProgress}")
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    got = spark.table(sink).toPandas()
+    a_rows = got[got["event_type"] == "A"]
+    b_rows = got[got["event_type"] == "B"]
+    assert len(a_rows) == 2, (
+        f"key A must be re-emitted after its state was evicted "
+        f"(watermark passed first-occurrence + delay); got {got.to_dict('records')}"
+    )
+    assert len(b_rows) == 1, (
+        f"key B's duplicate arrived inside its live window and must be "
+        f"dropped; got {got.to_dict('records')}"
+    )
