@@ -446,6 +446,19 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
     )
+    assign, _ = _lloyd_rounds(e)
+    return assign.select(
+        "vec_id", F.col("cid").cast("long").alias("cid"), F.round("dist", 6).alias("dist")
+    )
+
+
+def _lloyd_rounds(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """KMEANS_ITERS deterministic Lloyd's rounds from first-K init over
+    ``e(vec_id, v)``. Returns (last assignment, trained codebook): the
+    assignment is the one computed inside the final round (against the
+    codebook after ITERS-1 recenters — kmeans_assign's contract), the
+    codebook has all ITERS recenters applied (what a serving path loads).
+    """
     cent = e.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -476,9 +489,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(array_sort(collect_list(struct(dim, val))), s -> s.val)"
             ).alias("cv")
         )
-    return assign.select(
-        "vec_id", F.col("cid").cast("long").alias("cid"), F.round("dist", 6).alias("dist")
-    )
+    return assign, cent
 
 
 _DUCK_ASSIGN = """
@@ -517,6 +528,108 @@ c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}),
 {_DUCK_RECENTER.format(out='c1', assign='a1')},
 {_DUCK_ASSIGN.format(out='a2', cent='c1', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))}
 SELECT vec_id, CAST(cid AS BIGINT) AS cid, round(dist, 6) AS dist FROM a2
+"""
+
+
+def ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the TRAINED k-means codebook — `ivf_topk` with
+    its first-K stand-in centroids replaced by `_lloyd_rounds`' output
+    (KMEANS_ITERS Lloyd's rounds, first-K init), closing the train→serve
+    loop the way a production IVF index is actually built (train offline,
+    broadcast the codebook, bucket the corpus).
+
+    Cell assignment and probing use squared L2 (argmin, cid tiebreak) —
+    the SAME metric training minimized, so cells are the trained Voronoi
+    partition; final ranking within probed cells is exact cosine, as in
+    ivf_topk. Determinism end to end: decimal-mean centroids, sequential
+    JVM folds for every distance/dot, and the oracle unrolls the
+    identical training rounds as CTEs before applying identical probing.
+    Scale shape is unchanged from ivf_topk: K_CLUSTERS rows broadcast,
+    one corpus scan per training round + one for serving, candidates
+    bounded by cell size x NPROBE.
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    _, cent = _lloyd_rounds(emb.select("vec_id", "v"))
+    aff = emb.join(F.broadcast(cent), how="cross").withColumn(
+        "dist", F.expr(_SQDIST.format(a="v", b="cv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    ranked = aff.withColumn("crank", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .select("query_id", "vec_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(qv, "query_id")
+        .join(emb, "vec_id")
+    )
+    scored = cand.withColumn(
+        "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+    )
+
+
+ORACLE_IVF_TOPK_TRAINED = f"""
+WITH en AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+e AS (SELECT vec_id, v FROM en),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}),
+{_DUCK_ASSIGN.format(out='a1', cent='c0', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))},
+{_DUCK_RECENTER.format(out='c1', assign='a1')},
+{_DUCK_ASSIGN.format(out='a2', cent='c1', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))},
+{_DUCK_RECENTER.format(out='c2', assign='a2')},
+ranked AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DUCK_SQDIST.format(a='e.v', b='c.cv')} ASC, c.cid ASC) AS crank
+    FROM e CROSS JOIN c2 c
+),
+cells AS (SELECT vec_id, cid FROM ranked WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, cid FROM ranked
+    WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM probes p JOIN cells c ON p.cid = c.cid
+    WHERE p.query_id <> c.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cos
+    FROM cand
+    JOIN en q ON cand.query_id = q.vec_id
+    JOIN en n ON cand.vec_id = n.vec_id
+),
+final AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
+FROM final WHERE rank <= {TOPK}
 """
 
 
