@@ -132,6 +132,7 @@ _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_
 # (judge-named); the batch twin dws_province_stats is driver-verified (r2)
 # and this variant shares its transform + oracle verbatim.
 _register("stream_province_stats", stream_jobs.stream_province_stats, dws.ORACLE_PROVINCE_STATS, tags=("A3", "streaming", "sql-entry"))
+_register("stream_pipeline_payment_province", stream_jobs.stream_pipeline_payment_province, stream_jobs.ORACLE_PIPELINE_PAYMENT_PROVINCE, tags=("J1", "J2", "J3", "A3", "T4", "streaming", "e2e", "multi-stateful"))
 
 # --- round-3 additions: full TPC-H coverage (Q2/9/11/12/16/20/21/22 -------
 # adapted to the driver schema — see plans/tpch.py). Registered directly

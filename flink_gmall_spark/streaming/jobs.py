@@ -825,3 +825,159 @@ JOIN events p
  AND epoch_us(p.ts) >= epoch_us(e.ts)
  AND epoch_us(p.ts) < epoch_us(e.ts) + 60000000
 """
+
+
+PIPE_JOIN_DAYS = 7  # both interval joins of the composed pipeline
+_PIPE_DAY_US = 24 * 3600 * 1_000_000
+_PIPE_DELAY_US = 2 * PIPE_JOIN_DAYS * _PIPE_DAY_US  # wm sinks 7d per join
+
+
+def stream_pipeline_payment_province(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full DWM→DWS streaming chain as ONE multi-stage
+    streaming query: order ⋈ detail (J1, OrderWideApp.java:96-105) →
+    ⋈ payment (J2, PaymentWideApp.java:88-96) → windowed province stats
+    (A3, ProvinceStatsSqlApp.java:48-56). The reference wires the three
+    jobs through Kafka topics; here the chain is a single plan with THREE
+    stateful operators — two stream-stream interval joins feeding an
+    event-time-windowed aggregation — which Spark's watermark propagation
+    (SPARK-42376) schedules as one query, no intermediate transport.
+
+    Adapter (events domain, same as stream_j2): signup = order, click =
+    order detail, purchase = payment; province comes from the broadcast
+    customer⋈nation statics (stateless stream-static join mid-chain —
+    the J3 enrichment step, legal between stateful operators). Output
+    grain is the (payment × detail) fan-out, exactly the reference's
+    PaymentWide grain (payment joins EVERY detail row of its order).
+
+    Append-mode emission is watermark-gated, and the propagated horizon
+    is empirically pinned (two controlled probes, see tests): each
+    interval join sinks the GLOBAL watermark — min across all three
+    sources' max event time — by its upper bound (7 days), so a window
+    emits iff window_end <= min(max signup, max click, max purchase)
+    − 14 days. The oracle encodes that exact rule, making the chained
+    propagation itself hash-checked. Amounts are summed as DECIMAL(18,2)
+    (partition-order-independent), rendered as double.
+    """
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.sources import load as load_batch
+
+    tune(spark)
+    order = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("order_id"),
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+        )
+        .withWatermark("o_ts", "0 seconds")
+    )
+    detail = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("detail_id"),
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("d_ts"),
+        )
+        .withWatermark("d_ts", "0 seconds")
+    )
+    pay = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("payment_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pay_ts"),
+            F.col("value").alias("pay_amount"),
+        )
+        .withWatermark("pay_ts", "0 seconds")
+    )
+    detail_wide = detail.join(
+        order,
+        F.expr(
+            "d_user = o_user AND d_ts >= o_ts"
+            f" AND d_ts <= o_ts + INTERVAL {PIPE_JOIN_DAYS} DAYS"
+        ),
+        "inner",
+    )
+    payment_wide = pay.join(
+        detail_wide,
+        F.expr(
+            "p_user = o_user AND pay_ts >= o_ts"
+            f" AND pay_ts <= o_ts + INTERVAL {PIPE_JOIN_DAYS} DAYS"
+        ),
+        "inner",
+    )
+    cust = load_batch(spark, sf_dir, "customer")
+    nation = load_batch(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+            F.col("c_custkey").alias("dim_user"),
+            F.col("n_name").alias("province_name"),
+        )
+    )
+    enriched = payment_wide.join(dim, F.col("p_user") == F.col("dim_user"), "inner")
+    w = F.window("pay_ts", "1 day")
+    agg = enriched.groupBy(w.alias("w"), "province_name").agg(
+        F.count(F.lit(1)).alias("pay_ct"),
+        F.sum(F.col("pay_amount").cast(MONEY)).cast("double").alias("order_amount"),
+    )
+    result = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "province_name",
+        "pay_ct",
+        "order_amount",
+    )
+    return run_to_memory(result, "append")
+
+
+ORACLE_PIPELINE_PAYMENT_PROVINCE = f"""
+WITH horizon AS (
+    -- global watermark = min over the three sources' (ms-floored) max
+    -- event times; each chained interval join sinks it by its 7-day
+    -- upper bound, so the agg's emission horizon is global − 14 days
+    SELECT (least(
+        (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'signup'),
+        (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'click'),
+        (SELECT max(epoch_us(ts)) // 1000 FROM events WHERE event_type = 'purchase')
+    )) * 1000 - {_PIPE_DELAY_US} AS wm_us
+),
+o AS (SELECT event_id AS order_id, user_id AS o_user, ts AS o_ts
+      FROM events WHERE event_type = 'signup'),
+d AS (SELECT event_id AS detail_id, user_id AS d_user, ts AS d_ts
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS payment_id, user_id AS p_user, ts AS pay_ts,
+             value AS pay_amount
+      FROM events WHERE event_type = 'purchase'),
+dw AS (
+    SELECT * FROM d JOIN o ON d_user = o_user
+     AND d_ts >= o_ts AND d_ts <= o_ts + INTERVAL {PIPE_JOIN_DAYS} DAY
+),
+pw AS (
+    SELECT * FROM p JOIN dw ON p_user = o_user
+     AND pay_ts >= o_ts AND pay_ts <= o_ts + INTERVAL {PIPE_JOIN_DAYS} DAY
+),
+enriched AS (
+    SELECT pw.*, n.n_name AS province_name
+    FROM pw
+    JOIN customer c ON pw.p_user = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+windowed AS (
+    SELECT (epoch_us(pay_ts) // {_PIPE_DAY_US}) * {_PIPE_DAY_US} AS wstart_us,
+           province_name,
+           count(*) AS pay_ct,
+           CAST(sum(CAST(pay_amount AS DECIMAL(18,2))) AS DOUBLE) AS order_amount
+    FROM enriched
+    GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S') AS stt,
+       strftime(make_timestamp(wstart_us + {_PIPE_DAY_US}), '%Y-%m-%d %H:%M:%S') AS edt,
+       province_name,
+       CAST(pay_ct AS BIGINT) AS pay_ct,
+       order_amount
+FROM windowed
+WHERE wstart_us + {_PIPE_DAY_US} <= (SELECT wm_us FROM horizon)
+"""

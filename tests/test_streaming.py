@@ -175,3 +175,89 @@ def test_dedup_within_watermark_evicts_state(spark, tmp_path):
         f"key B's duplicate arrived inside its live window and must be "
         f"dropped; got {got.to_dict('records')}"
     )
+
+
+def _pipeline_probe(spark, tmp_path, signup_days, click_days, purchase_days):
+    """Drive the 3-source chained-join+window-agg shape of
+    stream_pipeline_payment_province over controlled event times; return
+    the emitted window rows. All sources single-file (one batch) with 0s
+    delays, so each source's watermark is its max event time."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from flink_gmall_spark.streaming.jobs import run_to_memory
+
+    def mk(name, days):
+        d = tmp_path / name
+        d.mkdir()
+        df = pd.DataFrame({"uid": [0] * len(days), "ts": days})
+        df["ts"] = pd.to_datetime(df["ts"], format="ISO8601", utc=True).astype(
+            "datetime64[us, UTC]"
+        )
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), str(d / "x.parquet")
+        )
+        return spark.readStream.schema("uid LONG, ts TIMESTAMP").parquet(str(d))
+
+    order = mk("s", signup_days).select(
+        F.col("uid").alias("o_user"), F.col("ts").alias("o_ts")
+    ).withWatermark("o_ts", "0 seconds")
+    detail = mk("d", click_days).select(
+        F.col("uid").alias("d_user"), F.col("ts").alias("d_ts")
+    ).withWatermark("d_ts", "0 seconds")
+    pay = mk("p", purchase_days).select(
+        F.col("uid").alias("p_user"), F.col("ts").alias("pay_ts")
+    ).withWatermark("pay_ts", "0 seconds")
+    dw = detail.join(
+        order,
+        F.expr("d_user = o_user AND d_ts >= o_ts AND d_ts <= o_ts + INTERVAL 7 DAYS"),
+        "inner",
+    )
+    pw = pay.join(
+        dw,
+        F.expr("p_user = o_user AND pay_ts >= o_ts AND pay_ts <= o_ts + INTERVAL 7 DAYS"),
+        "inner",
+    )
+    agg = pw.groupBy(F.window("pay_ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    return run_to_memory(agg, "append").toPandas()
+
+
+def test_pipeline_watermark_propagation_global_min(spark, tmp_path):
+    """Pins the watermark-propagation rule ORACLE_PIPELINE_PAYMENT_PROVINCE
+    encodes: the agg's emission horizon is the GLOBAL watermark (min over
+    ALL sources' max event time) minus 7 days per chained interval join —
+    NOT the per-path form min(pay_wm, others − 7d) − 7d.
+
+    Probe: payment max = 01-20, others = 01-30. The joined window
+    [01-10, 01-11) is emitted under the per-path rule (horizon 01-13) but
+    held under the global rule (horizon 01-06). Spark holds it. If a
+    Spark upgrade switches to finer per-path propagation, this test fails
+    and the oracle's horizon formula must follow."""
+    got = _pipeline_probe(
+        spark,
+        tmp_path,
+        signup_days=["2024-01-08", "2024-01-30"],
+        click_days=["2024-01-09", "2024-01-30"],
+        purchase_days=["2024-01-10", "2024-01-20"],
+    )
+    assert len(got) == 0, f"per-path propagation detected: {got.to_dict('records')}"
+
+
+def test_pipeline_watermark_emits_before_horizon(spark, tmp_path):
+    """Positive control for the probe above: with every source's max at
+    01-30 the global horizon is 01-16, so the [01-02, 01-03) window (one
+    signup⋈click⋈purchase triple) must emit."""
+    got = _pipeline_probe(
+        spark,
+        tmp_path,
+        signup_days=["2024-01-01", "2024-01-30"],
+        click_days=["2024-01-02", "2024-01-30"],
+        purchase_days=["2024-01-02T12:00:00", "2024-01-30"],
+    )
+    assert len(got) == 1 and int(got["ct"].iloc[0]) == 1, got.to_dict("records")
