@@ -72,10 +72,18 @@ _SEED_LEXICON = frozenset(
 _LEXICON_MAX_LEN = max(len(w) for w in _SEED_LEXICON)
 
 
-def _fmm_segment(run: str) -> list[str]:
-    """Forward maximum matching over _SEED_LEXICON: at each position take
-    the longest dictionary word; OOV chars accumulate and back off to
-    bigrams (len>=2) or a single char — deterministic, order-preserving."""
+def _fmm_segment(run: str, lexicon: frozenset[str] | None = None) -> list[str]:
+    """Forward maximum matching over the lexicon (default _SEED_LEXICON):
+    at each position take the longest dictionary word; OOV chars
+    accumulate and back off to bigrams (len>=2) or a single char —
+    deterministic, order-preserving. The ``lexicon`` parameter exists for
+    the append-only property tests (tests/test_tokenize.py), which pin
+    that growing the dictionary never disturbs golden segmentations."""
+    if lexicon is None:
+        lexicon = _SEED_LEXICON
+        max_len = _LEXICON_MAX_LEN
+    else:
+        max_len = max((len(w) for w in lexicon), default=1)
     out: list[str] = []
     oov: list[str] = []
 
@@ -91,8 +99,8 @@ def _fmm_segment(run: str) -> list[str]:
 
     i = 0
     while i < len(run):
-        for w in range(min(_LEXICON_MAX_LEN, len(run) - i), 1, -1):
-            if run[i : i + w] in _SEED_LEXICON:
+        for w in range(min(max_len, len(run) - i), 1, -1):
+            if run[i : i + w] in lexicon:
                 flush()
                 out.append(run[i : i + w])
                 i += w

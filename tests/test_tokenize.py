@@ -86,3 +86,90 @@ def test_sql_registration(spark):
         "SELECT explode(ik_analyze('Apple 手机 256GB')) AS kw"
     ).collect()
     assert [r.kw for r in rows] == ["apple", "手机", "256gb"]
+
+
+# --- lexicon-growth regression net (VERDICT r4 #7) ---------------------------
+# The contract in tokenize.py:59-63: the lexicon extends by APPENDING new
+# words; golden segmentations must survive any such growth. These tests
+# make that contract executable: growth with non-overlapping words can
+# never change a golden, and removing (or "reordering away") any seed
+# word the goldens exercise is detected.
+
+_GOLDEN_CORPUS = {
+    "尚硅谷大数据": ["尚硅谷", "大数据"],
+    "大数据spark课程": ["大数据", "spark", "课程"],
+    "手机魔大数据": ["手机", "魔", "大数据"],
+    "深空灰色移动联通电信手机双卡双待": [
+        "深空", "灰色", "移动", "联通", "电信", "手机", "双卡", "双待",
+    ],
+    "电商用户订单支付商品关键词统计": [
+        "电商", "用户", "订单", "支付", "商品", "关键词", "统计",
+    ],
+    "实时数仓项目数据": ["实时", "数仓", "项目", "数据"],
+}
+
+
+def _goldens_with(lexicon):
+    from flink_gmall_spark.functions.tokenize import _RUNS, _fmm_segment
+
+    out = {}
+    for text in _GOLDEN_CORPUS:
+        toks = []
+        for run in _RUNS.findall(text.lower()):
+            toks.extend(_fmm_segment(run, lexicon=lexicon) if not run.isascii() else [run])
+        out[text] = toks
+    return out
+
+
+def test_golden_corpus_current_lexicon():
+    from flink_gmall_spark.functions.tokenize import _SEED_LEXICON
+
+    assert _goldens_with(_SEED_LEXICON) == _GOLDEN_CORPUS
+
+
+def test_lexicon_growth_preserves_goldens():
+    """Property: appending words that introduce no new match inside any
+    golden text can NEVER change a golden segmentation. Hypothesis
+    generates arbitrary CJK candidate words; candidates that do occur in
+    a golden text are filtered to the safe set (appending those is a
+    deliberate golden break and must be called out, ADVICE r4)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_gmall_spark.functions.tokenize import _SEED_LEXICON
+
+    cjk_word = st.text(
+        alphabet=st.characters(min_codepoint=0x4E00, max_codepoint=0x9FFF),
+        min_size=2,
+        max_size=5,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sets(cjk_word, min_size=1, max_size=8))
+    def prop(new_words):
+        safe = {
+            w for w in new_words if not any(w in text for text in _GOLDEN_CORPUS)
+        }
+        grown = frozenset(_SEED_LEXICON | safe)
+        assert _goldens_with(grown) == _GOLDEN_CORPUS
+
+    prop()
+
+
+def test_lexicon_removal_is_detected():
+    """ANY removal (or a 'reorder' that drops a word) is detected: for
+    each seed word w, the detector text OOV+w segments as [OOV, w] with
+    the full lexicon, and cannot reproduce that with w removed — the OOV
+    prefix merges into w's span and backs off to bigrams crossing the
+    boundary. (A plain golden corpus misses 2-char removals: bigram
+    backoff regenerates a removed word sitting flush between two lexicon
+    words, e.g. 双卡 inside 手机双卡双待.)"""
+    from flink_gmall_spark.functions.tokenize import _SEED_LEXICON, _fmm_segment
+
+    for word in sorted(_SEED_LEXICON):
+        text = "魔" + word  # 魔 is OOV in the seed lexicon
+        expected = _fmm_segment(text, lexicon=_SEED_LEXICON)
+        shrunk = frozenset(_SEED_LEXICON - {word})
+        assert _fmm_segment(text, lexicon=shrunk) != expected, (
+            f"removing {word!r} went undetected by its detector text"
+        )
