@@ -296,3 +296,121 @@ LEFT JOIN events p
 WHERE e.event_type = 'error'
 GROUP BY 1, 2
 """
+
+
+# --- Partition pruning (the 100 TB lake-layout story) ------------------------
+
+
+def _date_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events once per (sf_dir, session) as a dt=yyyy-MM-dd
+    partitioned parquet layout — the standard lake layout at 100 TB,
+    where a day predicate must prune to one directory instead of
+    scanning the corpus. Paid once; every pruning entry reuses it."""
+    from flink_gmall_spark.scratch import scratch_dir
+    from flink_gmall_spark.sources import load
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{os.path.realpath(sf_dir)}|{app}".encode()).hexdigest()[:8]
+    path = scratch_dir("events_by_dt", tag)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy("dt")
+            .parquet(path)
+        )
+    return path
+
+
+def partition_pruned_read(spark, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning: per-type event counts for the corpus's
+    last day, read from the dt-partitioned layout with a literal dt
+    predicate — the scan's PartitionFilters prune every other day's
+    directory at planning time, no data files touched (gate in
+    tests/test_plans.py asserts the pruned file count). The one collect
+    is the 1-row max-date lookup that produces the literal — the same
+    bounded driver-side step any dashboard's 'latest day' query does.
+    The oracle recomputes the same day straight from the raw table."""
+    from flink_gmall_spark.session import tune
+
+    tune(spark)
+    path = _date_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    last_day = ev.agg(F.max("dt")).collect()[0][0]
+    return (
+        ev.filter(F.col("dt") == F.lit(last_day))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+
+ORACLE_PARTITION_PRUNED_READ = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS ct
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') =
+      (SELECT max(strftime(ts, '%Y-%m-%d')) FROM events)
+GROUP BY event_type
+"""
+
+
+def _date_dim(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the calendar dim next to the partitioned fact: one row
+    per event day with its ISO weekday — the dim side of the star join."""
+    from flink_gmall_spark.scratch import scratch_dir
+    from flink_gmall_spark.sources import load
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{os.path.realpath(sf_dir)}|{app}".encode()).hexdigest()[:8]
+    path = scratch_dir("date_dim", tag)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "events")
+            .select(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+            .distinct()
+            .withColumn("wd", F.weekday(F.to_date("dt")).cast("int"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+def dynamic_partition_pruning(spark, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (DPP): the dt-partitioned fact joined to
+    a *filtered calendar dim* (weekends only) — which partitions survive
+    is only known at runtime, so Catalyst injects a dynamicpruning#N
+    subquery into the fact scan's PartitionFilters: the broadcast dim
+    executes first and its dt values prune fact directories before any
+    fact file is read. This is THE mechanism that makes star-schema
+    queries touch 1/365th of a year-partitioned 100 TB fact (gate in
+    tests/test_plans.py asserts the dynamicpruning expression + parity
+    with the unpartitioned join). weekday >= 5 is Sat/Sun (ISO)."""
+    from flink_gmall_spark.session import tune
+
+    tune(spark)
+    path = _date_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    dim = spark.read.parquet(_date_dim(spark, sf_dir)).filter(F.col("wd") >= 5)
+    j = ev.join(F.broadcast(dim), "dt")
+    return j.groupBy("dt").agg(
+        F.count(F.lit(1)).alias("ev_ct"),
+        F.countDistinct("user_id").alias("uv"),
+    )
+
+
+ORACLE_DYNAMIC_PARTITION_PRUNING = """
+WITH dim AS (
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt,
+           isodow(CAST(strftime(ts, '%Y-%m-%d') AS DATE)) - 1 AS wd
+    FROM events
+)
+SELECT d.dt,
+       CAST(count(*) AS BIGINT) AS ev_ct,
+       count(DISTINCT e.user_id) AS uv
+FROM events e
+JOIN dim d ON strftime(e.ts, '%Y-%m-%d') = d.dt
+WHERE d.wd >= 5
+GROUP BY d.dt
+"""

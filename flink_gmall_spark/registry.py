@@ -119,6 +119,8 @@ _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKET
 _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
 _register("scale_binned_range_join", scale.binned_range_join, scale.ORACLE_BINNED_RANGE_JOIN, tags=("range-join", "non-equi", "scale"))
 _register("stream_binned_range_join", stream_jobs.stream_binned_range_join, stream_jobs.ORACLE_STREAM_BINNED_RANGE, tags=("range-join", "non-equi", "streaming", "T4"))
+_register("scale_partition_pruned_read", scale.partition_pruned_read, scale.ORACLE_PARTITION_PRUNED_READ, tags=("partition-pruning", "scale"))
+_register("scale_dynamic_partition_pruning", scale.dynamic_partition_pruning, scale.ORACLE_DYNAMIC_PARTITION_PRUNING, tags=("partition-pruning", "dpp", "scale", "star-schema"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 
@@ -133,6 +135,7 @@ _register("stream_j2_payment_wide", stream_jobs.stream_payment_wide, dwm.ORACLE_
 # and this variant shares its transform + oracle verbatim.
 _register("stream_province_stats", stream_jobs.stream_province_stats, dws.ORACLE_PROVINCE_STATS, tags=("A3", "streaming", "sql-entry"))
 _register("stream_pipeline_payment_province", stream_jobs.stream_pipeline_payment_province, stream_jobs.ORACLE_PIPELINE_PAYMENT_PROVINCE, tags=("J1", "J2", "J3", "A3", "T4", "streaming", "e2e", "multi-stateful"))
+_register("stream_ads_hourly_from_sink", stream_jobs.stream_ads_hourly_from_sink, stream_jobs.ORACLE_ADS_HOURLY_FROM_SINK, tags=("T5", "T7", "T9", "S6", "streaming", "e2e", "chained-queries"))
 
 # --- round-3 additions: full TPC-H coverage (Q2/9/11/12/16/20/21/22 -------
 # adapted to the driver schema — see plans/tpch.py). Registered directly
@@ -246,47 +249,52 @@ _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_CO
 
 
 # =============================================================================
-# Round-4 sample window. The driver samples the FIRST 50 registrations, so
-# ordering is evidence strategy, not aesthetics. Priority for round 4:
-#   1. the 12 entries with no driver row in any round (TPC-H q2/9/11/12/16/
-#      20/21/22, curation_domain_cap, stream_full_outer_join,
-#      stream_sliding_windows, stream_province_stats);
-#   2. the 4 round-3 fails, now repaired (curation_pack_chunks /
-#      curation_mixture_sample / curation_pipeline_e2e: DuckDB-HUGEINT
-#      oracle typing; stream_j2_payment_wide: TIMESTAMP_NTZ);
-#   3. the NTZ-repaired entries whose last green predates the fixture
-#      regeneration (t3_jump_out, dws_session_stats, stream_t1/t3,
-#      stream_windowed_append) plus ads_approx_stats (r3 rewrite, no row);
-#   4. fill to 50 with stale-r2-evidence entries, events/streaming first
-#      (most rot-prone), then the CDC/DWD/DWM/DWS core.
-# Everything green in r3 rotates out (its evidence is fresh); the remaining
-# stale-r2 batch entries (ads_*, dedup_*, sim_*, text_*) rotate in round 5.
+# Round-5 sample window. The driver samples the FIRST 50 registrations, so
+# ordering is evidence strategy, not aesthetics. CORRECTNESS_r04 greened the
+# entire round-4 window (50/50), so it rotates out wholesale. Priority for
+# round 5 (VERDICT r4 ask #1 / ROADMAP rotation plan):
+#   1. the 9 entries with no driver row in any round — the 7 round-4
+#      additions (chunk dedup, semantic dedup, BPE pairs, LM score,
+#      state-bounded streaming dedup, batch+stream binned range join) plus
+#      the 2 post-verdict additions (trained-IVF serving path, multi-stage
+#      payment→province streaming e2e);
+#   2. the 28 entries whose last driver green is r2, which predates BOTH
+#      fixture regenerations (ads_* ×15, dedup_* ×7, sim_* ×3, text_* ×3,
+#      dws_supplier_stats) — local-parity green since, but the driver row
+#      is the hard signal;
+#   3. fill to 50 with r3-green entries whose rows also predate the
+#      regenerations, streaming/stateful first (most rot-prone), then
+#      scale/pipeline/similarity.
+# Union after this round greens: every one of the 133 entries has a driver
+# row, and none older than r3.
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    "curation_domain_cap", "stream_full_outer_join",
-    "stream_sliding_windows", "stream_province_stats",
-    # 2 — repaired round-3 fails
-    "curation_pack_chunks", "curation_mixture_sample",
-    "curation_pipeline_e2e", "stream_j2_payment_wide",
-    # 3 — NTZ-repaired + unproven rewrite
-    "t3_jump_out", "dws_session_stats", "stream_t1_visit_flag",
-    "stream_t3_jump_out", "stream_windowed_append", "ads_approx_stats",
-    # 4 — stale-r2 fill: events/streaming first
-    "t1_visit_flag", "t2_daily_uv", "dws_visitor_stats",
-    "dws_sliding_windows", "dws_session_windows",
-    "stream_visitor_stats", "stream_product_stats",
-    "stream_j1_order_detail_wide", "stream_t2_daily_uv",
-    "stream_session_windows", "stream_keyword_stats",
-    "stream_left_outer_join",
-    # 4 — stale-r2 fill: CDC / DWD / DWM / DWS core
-    "dwd_page_views", "dwd_clean_dirty_split", "dwd_config_routing",
-    "dwd_cdc_dim_upsert", "source_pyds_cdc_upsert",
-    "sink_pyds_dim_roundtrip", "stream_pyds_cdc_upsert",
-    "stream_pyds_cdc_dist", "dwd_cdc_scd2_history", "dwd_cdc_asof_join",
-    "dwm_order_wide", "dwm_order_detail_wide", "dwm_payment_wide",
-    "dws_product_stats", "dws_province_stats", "dws_keyword_stats",
+    # 1 — never driver-verified (round-4 + post-verdict additions)
+    "dedup_chunk_first_occurrence", "sim_semantic_dedup",
+    "curation_bpe_pair_counts", "curation_lm_score",
+    "stream_dedup_within_watermark", "scale_binned_range_join",
+    "stream_binned_range_join", "sim_ivf_topk_trained",
+    "stream_pipeline_payment_province",
+    # 2 — stale-r2 evidence: LLM-pipeline operators
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_apply_near",
+    "dedup_connected_components",
+    "sim_ann_topk", "sim_embedding_neardup_lsh", "sim_ivf_topk",
+    "text_lang_id", "text_quality_scores", "text_token_counts",
+    # 2 — stale-r2 evidence: ADS + supplier stats
+    "ads_gmv_by_date", "ads_top_brands", "ads_hourly_stats",
+    "ads_status_stats", "ads_user_scores", "ads_keyword_weighted",
+    "ads_totals", "ads_province_rollup", "ads_visitor_ratios",
+    "ads_monthly_status_pivot", "ads_status_priority_cube",
+    "ads_gmv_moving_avg", "ads_amount_percentiles",
+    "ads_amount_quartiles", "dws_supplier_stats",
+    # 3 — r3-refresh fill: streaming/stateful first
+    "stream_dedup_distinct", "stream_dedup_fingerprints",
+    "stream_config_routing", "pipeline_e2e_hourly",
+    # 3 — r3-refresh fill: scale / similarity / udaf / funnel
+    "scale_salted_status_rollup", "scale_bucketed_join",
+    "scale_skew_join_aqe", "udaf_activity_streaks",
+    "sim_block_topk", "sim_label_centroids", "sim_kmeans_assign",
+    "multimodal_embed_stub", "ads_conversion_funnel",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

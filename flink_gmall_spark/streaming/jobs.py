@@ -355,21 +355,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 WM_DELAY_S = 60  # watermark delay for the append-mode windowed entry
 
 
-def stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling windows in APPEND output mode — the production emission
-    contract (T7): a window row is emitted exactly once, when the
-    watermark passes its end, and never updated again (what the
-    reference's 10 s windows + ClickHouse append-only tables rely on).
-    With availableNow over the finite fixture the final watermark lands
-    at max(ts) − delay, so the emitted set is exactly the windows whose
-    end ≤ that horizon; the oracle encodes the same boundary rule, making
-    watermark semantics themselves hash-checked."""
+def _windowed_append_stats(ev: DataFrame) -> DataFrame:
+    """The append-mode tumbling pv/uv transform shared by the memory-sink
+    entry and the epoch-sink producer of the chained ADS entry."""
     from flink_gmall_spark.plans.dws import VISITOR_WINDOW_SECONDS
 
-    tune(spark)
-    ev = read_stream(spark, sf_dir, "events").withWatermark(
-        "ts", f"{WM_DELAY_S} seconds"
-    )
+    ev = ev.withWatermark("ts", f"{WM_DELAY_S} seconds")
     w = F.window("ts", f"{VISITOR_WINDOW_SECONDS} seconds")
     # two-phase exact uv (dedup on the (window, user) pair, folded by the
     # windowed SUM) — the dedup→window-agg chain is a supported stateful
@@ -387,13 +378,26 @@ def stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pv").alias("pv"),
         F.sum("uv").alias("uv"),
     )
-    result = agg.select(
+    return agg.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
         F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
         "pv",
         "uv",
     )
-    return run_to_memory(result, "append")
+
+
+def stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows in APPEND output mode — the production emission
+    contract (T7): a window row is emitted exactly once, when the
+    watermark passes its end, and never updated again (what the
+    reference's 10 s windows + ClickHouse append-only tables rely on).
+    With availableNow over the finite fixture the final watermark lands
+    at max(ts) − delay, so the emitted set is exactly the windows whose
+    end ≤ that horizon; the oracle encodes the same boundary rule, making
+    watermark semantics themselves hash-checked."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events")
+    return run_to_memory(_windowed_append_stats(ev), "append")
 
 
 def _oracle_windowed_append() -> str:
@@ -981,3 +985,88 @@ SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S') AS stt,
 FROM windowed
 WHERE wstart_us + {_PIPE_DAY_US} <= (SELECT wm_us FROM horizon)
 """
+
+
+def stream_ads_hourly_from_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWS→ADS as TWO chained streaming queries over a materialized hop —
+    the reference's layered topology with the Kafka/ClickHouse hop
+    replaced by the epoch-partitioned exactly-once parquet sink:
+
+      1. producer: the append-mode windowed pv/uv stats (T5/T6/T7) run
+         through ``write_exactly_once`` — checkpointed offsets + one
+         ``epoch=<id>`` dir per micro-batch, replay-idempotent (T9).
+      2. consumer: a SECOND streaming query file-sources the sink
+         directory (``epoch=*`` glob — the epoch partitioning is the
+         producer's replay contract, invisible to readers) and serves the
+         publisher's hourly rollup incrementally.
+
+    The reference runs the same chain as VisitorStatsApp → ClickHouse →
+    publisher's VisitorStatsMapper hourly SQL (SURVEY §3.2-3.3); hourly
+    uv is the SUM of per-window uv_ct — the publisher's own semantics
+    (sum over 10 s windows), not a cross-window distinct. The oracle
+    composes the append-mode watermark-boundary rule with that rollup,
+    so the hash checks the full producer→sink→consumer chain."""
+    import hashlib as _hashlib
+
+    from flink_gmall_spark.scratch import scratch_dir
+
+    tune(spark)
+    tag = _hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    out = scratch_dir("ads_sink", tag)
+    sink_dir = os.path.join(out, "visitor_stats")
+    ckpt = os.path.join(out, "_ckpt")
+
+    ev = read_stream(spark, sf_dir, "events")
+    q = write_exactly_once(_windowed_append_stats(ev), sink_dir, ckpt)
+    q.awaitTermination()
+
+    schema = T.StructType(
+        [
+            T.StructField("stt", T.StringType()),
+            T.StructField("edt", T.StringType()),
+            T.StructField("pv", T.LongType()),
+            T.StructField("uv", T.LongType()),
+        ]
+    )
+    stats = spark.readStream.schema(schema).parquet(os.path.join(sink_dir, "epoch=*"))
+    hourly = stats.groupBy(
+        F.hour(F.to_timestamp("stt", "yyyy-MM-dd HH:mm:ss")).cast("long").alias("hr")
+    ).agg(
+        F.sum("pv").cast("long").alias("pv"),
+        F.sum("uv").cast("long").alias("uv"),
+    )
+    return run_to_memory(hourly, "complete")
+
+
+def _oracle_ads_hourly_from_sink() -> str:
+    from flink_gmall_spark.plans.dws import VISITOR_WINDOW_SECONDS
+
+    win_us = VISITOR_WINDOW_SECONDS * 1_000_000
+    return f"""
+WITH horizon AS (
+    SELECT ((max(epoch_us(ts)) // 1000) - {WM_DELAY_S * 1000}) * 1000 AS wm_us
+    FROM events
+),
+w AS (
+    SELECT (epoch_us(ts) // {win_us}) * {win_us} AS wstart_us, user_id
+    FROM events
+),
+stats AS (
+    SELECT wstart_us,
+           count(*) AS pv,
+           count(DISTINCT user_id) AS uv
+    FROM w
+    WHERE wstart_us + {win_us} <= (SELECT wm_us FROM horizon)
+    GROUP BY wstart_us
+)
+SELECT CAST(hour(make_timestamp(wstart_us)) AS BIGINT) AS hr,
+       CAST(sum(pv) AS BIGINT) AS pv,
+       CAST(sum(uv) AS BIGINT) AS uv
+FROM stats
+GROUP BY 1
+"""
+
+
+ORACLE_ADS_HOURLY_FROM_SINK = _oracle_ads_hourly_from_sink()

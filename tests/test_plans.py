@@ -215,3 +215,32 @@ def test_binned_range_join_is_equi_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_partition_pruned_read_static(spark, sf_dir):
+    """Static pruning: the literal dt predicate lands in PartitionFilters
+    (planning-time directory pruning), NOT in DataFilters — and the scan
+    reads only the projected column."""
+    from flink_gmall_spark.operators import scale
+
+    df = scale.partition_pruned_read(spark, sf_dir)
+    plan = plan_of(df)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "(dt" in scan.split("PartitionFilters:")[1].split("PushedFilters")[0], scan
+    assert "DataFilters: []" in scan, scan
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    """DPP: the fact scan's PartitionFilters carry a dynamicpruning#N
+    subquery fed by the broadcast dim — runtime directory pruning, the
+    star-schema scale mechanism."""
+    from flink_gmall_spark.operators import scale
+
+    df = scale.dynamic_partition_pruning(spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan, plan
+    fact_scans = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "events_by_dt" in l
+    ]
+    assert any("dynamicpruning" in l for l in fact_scans), plan

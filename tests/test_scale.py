@@ -110,3 +110,61 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
 
     plain_rows = sorted(map(tuple, scale.skewed_part_join(spark, sf_dir).collect()))
     assert split_rows == plain_rows
+
+
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _os.environ.get("FGS_SLOW"),
+    reason="sf0.1 skew gate is a slow, opt-in run (FGS_SLOW=1); "
+    "results stamped in ROADMAP.md per round",
+)
+def test_aqe_skew_join_sf01_production_thresholds(spark):
+    """ROADMAP item 7: the skew gate at sf0.1 with MB-scale ('default-er')
+    thresholds rather than the KB-scale toy ones — at this volume the hot
+    partition is ~15-20 MB, so a 4 MB threshold is the same *ratio* the
+    256 MB default has against a multi-GB hot partition at cluster scale.
+    Staged as multi-file input (8 mappers) exactly like any real scan."""
+    import os
+
+    from flink_gmall_spark.scratch import scratch_dir
+    from flink_gmall_spark.sources import load as _load
+
+    sf01 = "/root/testdata/sf0.1"
+    staged = scratch_dir("skew_gate_sf01", spark.sparkContext.applicationId)
+    if not os.path.exists(os.path.join(staged, "part.parquet")):
+        _load(spark, sf01, "lineitem").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, "lineitem.parquet"))
+        _load(spark, sf01, "part").write.mode("overwrite").parquet(
+            os.path.join(staged, "part.parquet")
+        )
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = scale.skewed_part_join(spark, staged)
+        split_rows = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    plain_rows = sorted(map(tuple, scale.skewed_part_join(spark, sf01).collect()))
+    assert split_rows == plain_rows

@@ -261,3 +261,20 @@ def test_pipeline_watermark_emits_before_horizon(spark, tmp_path):
         purchase_days=["2024-01-02T12:00:00", "2024-01-30"],
     )
     assert len(got) == 1 and int(got["ct"].iloc[0]) == 1, got.to_dict("records")
+
+
+def test_stream_ads_hourly_from_sink_matches_direct_rollup(spark, sf_dir):
+    """The chained DWS→sink→ADS pair must equal rolling up the direct
+    memory-sink windowed-append entry by hour — i.e. the epoch-partitioned
+    parquet hop is semantically invisible (T9's contract)."""
+    import pandas as pd
+
+    got = jobs.stream_ads_hourly_from_sink(spark, sf_dir).toPandas()
+    direct = jobs.stream_windowed_append(spark, sf_dir).toPandas()
+    direct["hr"] = pd.to_datetime(direct["stt"]).dt.hour.astype("int64")
+    want = (
+        direct.groupby("hr", as_index=False)
+        .agg(pv=("pv", "sum"), uv=("uv", "sum"))
+        .astype({"pv": "int64", "uv": "int64"})
+    )
+    assert frames_equal(got, want)
