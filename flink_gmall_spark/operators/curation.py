@@ -745,3 +745,145 @@ SELECT g.doc_id,
 FROM g JOIN counts c USING (bigram)
 GROUP BY g.doc_id
 """
+
+
+BPE_TRAIN_MERGES = 5
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right BPE merge of adjacent (a, b) over the
+    space-joined symbol string ``s`` — a string-accumulator fold, the
+    exact same lambda the DuckDB oracle runs through list_reduce.
+    ``a``/``b`` interpolate into the expression, which is why the trainer
+    restricts the dictionary to /^[a-z]+$/ words (no quoting hazards)."""
+    merged = a + b
+    return f"""
+aggregate(
+  slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+  element_at(split(s, ' '), 1),
+  (acc, x) -> CASE
+    WHEN element_at(split(acc, ' '), -1) = '{a}' AND x = '{b}'
+    THEN CASE WHEN length(acc) > length('{a}')
+              THEN concat(substring(acc, 1, length(acc) - length('{a}') - 1), ' ', '{merged}')
+              ELSE '{merged}' END
+    ELSE concat(acc, ' ', x) END
+)
+"""
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE trainer (Sennrich et al. 2016), not just the
+    first merge: ``BPE_TRAIN_MERGES`` rounds of (count adjacent symbol
+    pairs weighted by word frequency → pick the argmax → apply the merge
+    greedily left-to-right in every word), returning the learned merge
+    table (rank, pair, ct) — the artifact a tokenizer ships.
+
+    Scale shape (100 TB): every round runs over the DISTINCT-WORD
+    frequency table (one partial-agg pass over the corpus produces it;
+    the rounds never touch the corpus again — the classic BPE trick).
+    Per round: one pair explosion + partial-agg count, one
+    TakeOrderedAndProject(1) argmax whose single row is the ONLY thing
+    collected (bounded driver step, same pattern as the k-means centroid
+    loop), and one narrow fold-rewrite of the symbol strings. The
+    dictionary is persisted and re-materialized each round so plan depth
+    stays O(1), not O(rounds). Dictionary restricted to lowercase-ascii
+    words ≥2 chars — classic BPE pre-clean, and it keeps the interpolated
+    merge symbols quoting-safe.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "freq", F.array_join(F.split("w", ""), " ").alias("s")
+    ).persist()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for rank in range(1, BPE_TRAIN_MERGES + 1):
+            pairs = cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(s, ' ')) - 1),"
+                        " i -> concat(element_at(split(s, ' '), i), ' ',"
+                        " element_at(split(s, ' '), i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("ct"))
+                .orderBy(F.desc("ct"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, ct = best[0]["pair"], int(best[0]["ct"])
+            merges.append((rank, pair, ct))
+            a, b = pair.split(" ")
+            nxt = cur.select("freq", F.expr(_bpe_merge_expr(a, b)).alias("s")).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("pair", T.StringType()),
+            T.StructField("ct", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _oracle_bpe_train() -> str:
+    """Unroll BPE_TRAIN_MERGES rounds as CTE stages; each stage's lambda
+    captures the joined best-pair row — the same greedy fold."""
+    stages = [
+        f"""w0 AS (
+    SELECT freq, array_to_string(string_split(w, ''), ' ') AS s FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest({_DUCK_T}) AS w FROM documents
+        ) WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2 GROUP BY w
+    )
+)"""
+    ]
+    for k in range(1, BPE_TRAIN_MERGES + 1):
+        stages.append(
+            f"""p{k} AS (
+    SELECT concat(t[i], ' ', t[i+1]) AS pair, CAST(sum(freq) AS BIGINT) AS ct
+    FROM (SELECT freq, string_split(s, ' ') AS t FROM w{k - 1}),
+         UNNEST(range(1, len(t))) AS u(i)
+    GROUP BY 1
+),
+b{k} AS (
+    SELECT pair, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, ct
+    FROM p{k} ORDER BY ct DESC, pair ASC LIMIT 1
+),
+w{k} AS (
+    SELECT freq, list_reduce(string_split(s, ' '), (acc, x) ->
+        CASE WHEN string_split(acc, ' ')[-1] = b{k}.a AND x = b{k}.b
+             THEN CASE WHEN length(acc) > length(b{k}.a)
+                       THEN concat(substring(acc, 1, length(acc) - length(b{k}.a) - 1),
+                                   ' ', b{k}.a || b{k}.b)
+                       ELSE b{k}.a || b{k}.b END
+             ELSE concat(acc, ' ', x) END) AS s
+    FROM w{k - 1}, b{k}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, pair, ct FROM b{k}"
+        for k in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + finals
+
+
+ORACLE_BPE_TRAIN = _oracle_bpe_train()
