@@ -414,3 +414,71 @@ JOIN dim d ON strftime(e.ts, '%Y-%m-%d') = d.dt
 WHERE d.wd >= 5
 GROUP BY d.dt
 """
+
+
+# --- Runtime Bloom-filter join (probe-side row pruning) ----------------------
+
+
+def runtime_bloom_join(spark, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join: lineitem ⋈ selectively-filtered orders
+    (urgent/high priorities). Catalyst's InjectRuntimeFilter builds a
+    bloom_filter_agg over the filtered orders' join keys and plants a
+    might_contain(xxhash64(l_orderkey)) predicate on the lineitem side —
+    at 100 TB the probe side drops non-matching rows BEFORE the shuffle,
+    the row-level complement to partition pruning (which needs a
+    partition column; this works on any key). Gate in tests/test_plans.py.
+
+    The injection preconditions are byte-thresholds sized for clusters
+    (probe side > 10 GB), so this entry scales them to fixture volume the
+    same way the AQE skew gate does, plans the query under those confs,
+    then RESTORES them — QueryExecution memoizes the physical plan, so
+    the later action executes the bloom-filtered plan while the session's
+    conf state stays untouched for other entries."""
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    confs = {
+        # probe side must look "big" relative to the threshold; at 100 TB
+        # the 10 GB default fires unaided
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1k",
+        # a broadcastable build side suppresses injection (the BHJ prunes
+        # via its hash table already) — force the shuffle-join shape the
+        # filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        df = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("item_ct"),
+            F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double").alias("revenue"),
+        )
+        # force logical optimization + physical planning NOW, under the
+        # scaled confs; the memoized plan is what the caller executes
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+ORACLE_RUNTIME_BLOOM_JOIN = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS item_ct,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""

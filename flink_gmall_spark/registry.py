@@ -120,6 +120,7 @@ _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PAR
 _register("scale_binned_range_join", scale.binned_range_join, scale.ORACLE_BINNED_RANGE_JOIN, tags=("range-join", "non-equi", "scale"))
 _register("stream_binned_range_join", stream_jobs.stream_binned_range_join, stream_jobs.ORACLE_STREAM_BINNED_RANGE, tags=("range-join", "non-equi", "streaming", "T4"))
 _register("scale_partition_pruned_read", scale.partition_pruned_read, scale.ORACLE_PARTITION_PRUNED_READ, tags=("partition-pruning", "scale"))
+_register("scale_runtime_bloom_join", scale.runtime_bloom_join, scale.ORACLE_RUNTIME_BLOOM_JOIN, tags=("runtime-filter", "bloom", "scale"))
 _register("scale_dynamic_partition_pruning", scale.dynamic_partition_pruning, scale.ORACLE_DYNAMIC_PARTITION_PRUNING, tags=("partition-pruning", "dpp", "scale", "star-schema"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))

@@ -244,3 +244,15 @@ def test_dynamic_partition_pruning_injected(spark, sf_dir):
         if "PartitionFilters" in l and "events_by_dt" in l
     ]
     assert any("dynamicpruning" in l for l in fact_scans), plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """The runtime Bloom-filter join must carry might_contain on the
+    probe side and bloom_filter_agg on the build side — row-level
+    runtime pruning, the non-partitioned complement to DPP."""
+    from flink_gmall_spark.operators import scale
+
+    df = scale.runtime_bloom_join(spark, sf_dir)
+    plan = plan_of(df)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan or "bloomFilter" in plan, plan
