@@ -887,3 +887,104 @@ w{k} AS (
 
 
 ORACLE_BPE_TRAIN = _oracle_bpe_train()
+
+
+KEEP_NUM, KEEP_DEN = 7, 10  # keep the top 70% per language
+
+
+def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style PER-LANGUAGE adaptive quality filtering: keep each
+    language's top 70% of documents by stopword-density score — the
+    cutoff adapts to every language's own score distribution instead of
+    one global threshold (exactly why CCNet buckets perplexity per
+    language). Exact top-⌊0.7·n⌋ with (score desc, doc_id asc) total
+    order.
+
+    Scale shape — the histogram-quantile plan, NOT a per-language global
+    sort: the score domain is bounded (integer x1000 ratio, ≤1001 values),
+    so the cutoff comes from a partial-agg histogram of ≤1001 rows per
+    language; whole score-groups above the boundary join back by a
+    broadcast keep-set, and ONLY the boundary score-group (the single
+    score straddling the quota) pays a per-doc rank. At 100 TB the
+    alternative — row_number over every (lang) partition — sorts the
+    whole corpus per language; this plan sorts ≤1001-row histograms plus
+    one score-group. The oracle IS that naive window form, proving the
+    two agree."""
+    from flink_gmall_spark.operators.textstats import STOPWORDS
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        tokens_col("text").alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CASE WHEN size(t) = 0 THEN 0 ELSE"
+            f" (1000 * size(filter(t, x -> array_contains(array({stop_arr}), x))))"
+            f" DIV size(t) END"
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("lang")))
+        .withColumn("quota", F.expr(f"({KEEP_NUM} * n) DIV {KEEP_DEN}"))
+    )
+    full_scores = cum.filter(F.col("cum") <= F.col("quota")).select("lang", "score")
+    bounds = cum.filter(
+        (F.col("cum") > F.col("quota")) & (F.col("cum") - F.col("c") < F.col("quota"))
+    ).select(
+        F.col("lang").alias("blang"),
+        F.col("score").alias("bscore"),
+        (F.col("quota") - (F.col("cum") - F.col("c"))).alias("take"),
+    )
+    kept_full = scored.join(F.broadcast(full_scores), ["lang", "score"])
+    boundary = scored.join(
+        F.broadcast(bounds),
+        (F.col("lang") == F.col("blang")) & (F.col("score") == F.col("bscore")),
+    ).select("doc_id", "lang", "score", "take")
+    wb = Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+    kept_boundary = (
+        boundary.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("take"))
+        .select("doc_id", "lang", "score")
+    )
+    return kept_full.select("doc_id", "lang", "score").unionByName(kept_boundary)
+
+
+def _oracle_adaptive_quality() -> str:
+    from flink_gmall_spark.operators.textstats import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) = 0 THEN 0
+                ELSE (1000 * len(list_filter(t, x -> list_contains([{stop_list}], x))))
+                     // len(t) END AS score
+    FROM (SELECT doc_id, lang, {_DUCK_T} AS t FROM documents)
+),
+ranked AS (
+    SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+           row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+)
+SELECT doc_id, lang, score
+FROM ranked
+WHERE rk <= ({KEEP_NUM} * n) // {KEEP_DEN}
+"""
+
+
+ORACLE_ADAPTIVE_QUALITY = _oracle_adaptive_quality()

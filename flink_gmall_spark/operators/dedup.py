@@ -728,3 +728,46 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transitive near-dup dedup END-TO-END: MinHash pairs →
+    connected components → ONE representative per cluster (the min-id
+    member, which IS the cluster label under min-label propagation) with
+    the cluster's size and total retained chars — the table a corpus
+    dedup job actually ships (keep list + dedup accounting), upgrading
+    apply_near_dedup's greedy single-pass policy to full transitivity.
+
+    Scale shape: everything before the final rollup is the already-audited
+    banded-LSH + bounded-iteration propagation; the rollup itself is one
+    partial-agg shuffle keyed on cluster_id (cluster sizes are bounded by
+    near-dup cliques, no hot key)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    labels = connected_components(spark, sf_dir)
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+_CC_PREFIX = ORACLE_CONNECTED_COMPONENTS.rsplit(
+    "SELECT doc_id, CAST(min(label)", 1
+)[0]
+
+ORACLE_CLUSTER_REPRESENTATIVES = (
+    _CC_PREFIX
+    + """,
+labels AS (
+    SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+    FROM walk
+    GROUP BY doc_id
+)
+SELECT l.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM labels l JOIN documents d USING (doc_id)
+GROUP BY l.cluster_id
+"""
+)

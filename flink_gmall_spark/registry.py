@@ -237,9 +237,11 @@ _register("dedup_simhash_pairs", dedup.simhash_pairs, dedup.ORACLE_SIMHASH_PAIRS
 _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DEDUP, tags=("dedup",))
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
 _register("dedup_chunk_first_occurrence", dedup.chunk_dedup, dedup.ORACLE_CHUNK_DEDUP, tags=("dedup", "line-level"))
+_register("dedup_cluster_representatives", dedup.cluster_representatives, dedup.ORACLE_CLUSTER_REPRESENTATIVES, tags=("dedup", "iterative", "e2e"))
 _register("curation_bpe_pair_counts", curation.bpe_pair_counts, curation.ORACLE_BPE_PAIR_COUNTS, tags=("curation", "text", "tokenizer-training", "topk"))
 _register("curation_lm_score", curation.lm_commonness_score, curation.ORACLE_LM_COMMONNESS, tags=("curation", "text", "quality", "lm-counts"))
 _register("curation_bpe_train", curation.bpe_train_merges, curation.ORACLE_BPE_TRAIN, tags=("curation", "text", "tokenizer-training", "iterative"))
+_register("curation_adaptive_quality_filter", curation.adaptive_quality_filter, curation.ORACLE_ADAPTIVE_QUALITY, tags=("curation", "quality", "histogram-quantile", "per-language"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
