@@ -727,3 +727,93 @@ FROM scored
 WHERE cos >= {SEMDEDUP_THRESHOLD}
 GROUP BY dup_id
 """
+
+
+def semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup` served from the TRAINED k-means codebook instead
+    of the first-K stand-in centroids — the same train→serve closure
+    `ivf_topk_trained` gives IVF, applied to SemDeDup: cluster quality
+    now comes from KMEANS_ITERS Lloyd's rounds, so "compare only within
+    a cluster" compares within a trained Voronoi cell. Everything else —
+    within-cluster pair join bounded by cell size, smallest-id keeper,
+    sequential-fold dot products — is semantic_dedup's audited shape;
+    the oracle unrolls the identical training rounds before the same
+    pair logic."""
+    tune(spark)
+    e = _with_norm(load(spark, sf_dir, "embeddings"))
+    _, cent = _lloyd_rounds(e.select("vec_id", "v"))
+    d = e.join(F.broadcast(cent), how="cross").withColumn(
+        "dist", F.expr(_SQDIST.format(a="v", b="cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    asg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    a = asg.select(
+        F.col("cid"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = asg.select(
+        F.col("cid"),
+        F.col("vec_id").alias("keep_cand"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    pairs = a.join(b, "cid").filter(F.col("keep_cand") < F.col("dup_id"))
+    scored = pairs.withColumn(
+        "cos", F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn"))
+    ).filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+    return (
+        scored.groupBy("dup_id")
+        .agg(
+            F.first("cid").alias("cid"),
+            F.min(F.struct("keep_cand", "cos")).alias("k"),
+        )
+        .select(
+            "dup_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.col("k.keep_cand").alias("kept_id"),
+            F.round("k.cos", 6).alias("sim"),
+        )
+    )
+
+
+ORACLE_SEMANTIC_DEDUP_TRAINED = f"""
+WITH en AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+e AS (SELECT vec_id, v FROM en),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K_CLUSTERS}),
+{_DUCK_ASSIGN.format(out='a1', cent='c0', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))},
+{_DUCK_RECENTER.format(out='c1', assign='a1')},
+{_DUCK_ASSIGN.format(out='a2', cent='c1', dist=_DUCK_SQDIST.format(a='e.v', b='c.cv'))},
+{_DUCK_RECENTER.format(out='c2', assign='a2')},
+asg AS (
+    SELECT r.vec_id, n.v, n.nrm, r.cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_SQDIST.format(a='e.v', b='c.cv')} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c2 c
+    ) r JOIN en n ON r.vec_id = n.vec_id
+    WHERE r.rn = 1
+),
+scored AS (
+    SELECT a.vec_id AS dup_id, a.cid, b.vec_id AS keep_cand,
+           {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS cos
+    FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+)
+SELECT dup_id,
+       CAST(any_value(cid) AS BIGINT) AS cid,
+       min(keep_cand) AS kept_id,
+       round(min_by(cos, keep_cand), 6) AS sim
+FROM scored
+WHERE cos >= {SEMDEDUP_THRESHOLD}
+GROUP BY dup_id
+"""

@@ -247,6 +247,7 @@ _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMB
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
 _register("sim_ivf_topk_trained", ann.ivf_topk_trained, ann.ORACLE_IVF_TOPK_TRAINED, tags=("similarity", "clustering", "iterative", "train-serve"))
 _register("sim_semantic_dedup", ann.semantic_dedup, ann.ORACLE_SEMANTIC_DEDUP, tags=("similarity", "dedup", "clustering"))
+_register("sim_semantic_dedup_trained", ann.semantic_dedup_trained, ann.ORACLE_SEMANTIC_DEDUP_TRAINED, tags=("similarity", "dedup", "clustering", "train-serve"))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
