@@ -804,13 +804,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges: list[tuple[int, str, int]] = []
     try:
         for rank in range(1, BPE_TRAIN_MERGES + 1):
+            # NB: guard the single-symbol case — Spark's sequence(1, 0)
+            # steps DOWN ([1, 0]), unlike DuckDB's empty range(1, 1), so a
+            # fully-merged word would explode with out-of-bounds indices
             pairs = cur.select(
                 "freq",
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(s, ' ')) - 1),"
+                        "CASE WHEN size(split(s, ' ')) < 2 THEN array()"
+                        " ELSE transform(sequence(1, size(split(s, ' ')) - 1),"
                         " i -> concat(element_at(split(s, ' '), i), ' ',"
-                        " element_at(split(s, ' '), i + 1)))"
+                        " element_at(split(s, ' '), i + 1))) END"
                     )
                 ).alias("pair"),
             )
