@@ -85,3 +85,94 @@ def test_two_phase_distinct_equals_set_count(rows):
     for w, u in rows:
         want.setdefault(w, set()).add(u)
     assert summed == {w: len(s) for w, s in want.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # lang
+            st.integers(min_value=0, max_value=1000),  # score (x1000 ratio)
+        ),
+        max_size=60,
+    )
+)
+def test_histogram_quantile_equals_window_rank_model(rows):
+    """The adaptive quality filter's histogram plan — keep whole
+    score-groups above the boundary, then take (quota - above) smallest
+    doc_ids from the single boundary group — must equal the naive
+    'row_number <= (7n) DIV 10 over (score desc, doc_id asc)' form for
+    ANY distribution, including all-ties and tiny groups (quota 0)."""
+    docs = [(i, lang, score) for i, (lang, score) in enumerate(rows)]
+    langs = {lang for _, lang, _ in docs}
+
+    # window-rank model (the oracle's form)
+    want: set[int] = set()
+    for lang in langs:
+        group = sorted(
+            [(d, s) for d, lg, s in docs if lg == lang],
+            key=lambda t: (-t[1], t[0]),
+        )
+        quota = (7 * len(group)) // 10
+        want |= {d for d, _ in group[:quota]}
+
+    # histogram model (the engine's plan)
+    got: set[int] = set()
+    for lang in langs:
+        group = [(d, s) for d, lg, s in docs if lg == lang]
+        n = len(group)
+        quota = (7 * n) // 10
+        hist: dict[int, int] = {}
+        for _, s in group:
+            hist[s] = hist.get(s, 0) + 1
+        cum = 0
+        for s in sorted(hist, reverse=True):
+            c = hist[s]
+            cum += c
+            members = sorted(d for d, sc in group if sc == s)
+            if cum <= quota:
+                got |= set(members)  # whole group kept
+            elif cum - c < quota:
+                got |= set(members[: quota - (cum - c)])  # boundary take
+    assert got == want
+
+
+def _bpe_merge_fold(symbols: list[str], a: str, b: str) -> list[str]:
+    """Mirror of the string-accumulator fold both engines run
+    (operators/curation._bpe_merge_expr / the DuckDB list_reduce lambda)."""
+    acc = symbols[0]
+    for x in symbols[1:]:
+        last = acc.rsplit(" ", 1)[-1]
+        if last == a and x == b:
+            prefix = acc[: len(acc) - len(a) - 1] if len(acc) > len(a) else ""
+            acc = (prefix + " " if prefix else "") + a + b
+        else:
+            acc = acc + " " + x
+    return acc.split(" ")
+
+
+def _bpe_merge_scan(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping merge (the loop
+    form in Sennrich et al.'s original implementation)."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "aa"]), min_size=1, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a"), ("a", "ab")]),
+)
+def test_bpe_fold_equals_reference_scan(symbols, pair):
+    """The string-fold merge (what the Spark aggregate + DuckDB
+    list_reduce lambdas compute) must equal the canonical list-scan
+    greedy merge for ANY symbol sequence and pair — including pairs
+    whose merged symbol re-participates ('a'+'a' -> 'aa' next to 'a')."""
+    a, b = pair
+    assert _bpe_merge_fold(symbols, a, b) == _bpe_merge_scan(symbols, a, b)
