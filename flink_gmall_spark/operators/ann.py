@@ -817,3 +817,193 @@ FROM scored
 WHERE cos >= {SEMDEDUP_THRESHOLD}
 GROUP BY dup_id
 """
+
+
+# --- Product quantization (PQ) — the compressed-corpus ANN path --------------
+# Reference scope: the reference engine's similarity surface stops at exact
+# scoring; PQ is the public-domain scale extension (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search") that makes 100 TB of
+# embeddings searchable: the corpus is stored as M small codes (here 4
+# bytes/vector instead of 256 bytes of floats) and queries scan codes with
+# per-subspace lookup tables instead of full dot products.
+
+PQ_M = 4  # subspaces per vector (64 dims -> 4 x 16)
+PQ_SUB = 16  # dimensions per subspace
+PQ_K = 16  # codewords per sub-codebook (vec_id < PQ_K are the codewords)
+
+# Per-row, all-JVM encode kernel: for each subspace m, the squared L2
+# distance from this row's m-th subvector to EVERY codeword's m-th
+# subvector. ``cb`` is the cid-sorted codebook array (one broadcast row),
+# so array_position of the min is (cid + 1) — first match = lowest cid,
+# the same tiebreak the oracle's (d ASC, cid ASC) window applies.
+_PQ_DD = (
+    f"transform(sequence(0, {PQ_M - 1}), m -> "
+    "transform(cb, c -> "
+    f"aggregate(zip_with(slice(v, m * {PQ_SUB} + 1, {PQ_SUB}),"
+    f" slice(c.cv, m * {PQ_SUB} + 1, {PQ_SUB}),"
+    " (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, x) -> acc + x)))"
+)
+
+_DUCK_PQ_SQDIST = (
+    f"list_reduce(list_transform(range(1, {PQ_SUB} + 1),"
+    " i -> ({a}[m * {S} + i] - {b}[m * {S} + i])"
+    " * ({a}[m * {S} + i] - {b}[m * {S} + i])), (acc, x) -> acc + x)"
+)
+
+
+def _pq_codes(e: DataFrame) -> DataFrame:
+    """PQ-encode ``e(vec_id, v)`` -> (vec_id, sub_id, code, sdist).
+
+    The codebook (first PQ_K vectors) collapses to ONE row of cid-sorted
+    structs and broadcast-joins onto the corpus; encoding is then a pure
+    map — per row, PQ_M x PQ_K sequential-fold distances inside one JVM
+    expression, zero shuffle of the corpus. That is the shape that holds
+    at 100 TB: encode cost is a single streaming pass, and the only data
+    movement is the tiny codebook."""
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cb_row = cb.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(cid, cv)))").alias("cb")
+    )
+    return (
+        e.crossJoin(F.broadcast(cb_row))
+        .select("vec_id", F.posexplode(F.expr(_PQ_DD)).alias("sub_id", "dists"))
+        .select(
+            "vec_id",
+            F.col("sub_id").cast("int").alias("sub_id"),
+            (F.expr("array_position(dists, array_min(dists))").cast("int") - 1).alias(
+                "code"
+            ),
+            F.expr("array_min(dists)").alias("sdist"),
+        )
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes for the whole corpus: per (vector, subspace), the nearest
+    sub-codeword (argmin squared L2, lowest-cid tiebreak) and its
+    quantization error. The artifact an ADC index stores."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    return _pq_codes(e).select(
+        "vec_id", "sub_id", "code", F.round("sdist", 6).alias("sdist")
+    )
+
+
+_DUCK_PQ_CTES = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {PQ_K}),
+sub AS (
+    SELECT e.vec_id, u.m, cb.cid,
+           {_DUCK_PQ_SQDIST.format(a='e.v', b='cb.cv', S=PQ_SUB)} AS d
+    FROM e CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) u
+),
+codes AS (
+    SELECT vec_id, m, cid, d FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS rn
+        FROM sub
+    ) WHERE rn = 1
+)"""
+
+ORACLE_PQ_ENCODE = f"""
+WITH {_DUCK_PQ_CTES}
+SELECT vec_id, CAST(m AS INT) AS sub_id, CAST(cid AS INT) AS code,
+       round(d, 6) AS sdist
+FROM codes
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: each
+    query precomputes a PQ_M x PQ_K lookup table of exact
+    subvector-to-codeword distances; a corpus vector's approximate
+    distance is then the SUM of M table lookups — no floats from the
+    corpus are touched, only its codes.
+
+    Scale shape (100 TB): the LUT is N_QUERIES x PQ_M x PQ_K rows —
+    broadcast; the corpus code table streams through one broadcast-hash
+    join keyed (sub_id, code) and one partial-agg sum per (query, vec).
+    Per-subspace distances are summed as DECIMAL(27,15) (exact,
+    order-independent), so ranking ties cannot float and the DuckDB
+    oracle hash-matches; ranking is (adist ASC, vec_id ASC).
+    """
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    codes = _pq_codes(e).select("vec_id", "sub_id", "code")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = (
+        q.crossJoin(cb)
+        .select(
+            "query_id",
+            "cid",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), m -> "
+                    + _SQDIST.format(
+                        a=f"slice(qv, m * {PQ_SUB} + 1, {PQ_SUB})",
+                        b=f"slice(cv, m * {PQ_SUB} + 1, {PQ_SUB})",
+                    )
+                    + ")"
+                )
+            ).alias("sub_id", "ld"),
+        )
+    )
+    j = codes.join(
+        F.broadcast(lut),
+        (codes.sub_id == lut.sub_id)
+        & (codes.code == lut.cid)
+        & (codes.vec_id != lut.query_id),
+    )
+    adc = j.groupBy("query_id", "vec_id").agg(
+        F.sum(F.expr("cast(ld AS decimal(27,15))")).alias("adist_dec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist_dec"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adist_dec").cast("double"), 6).alias("adist"),
+        )
+    )
+
+
+ORACLE_PQ_ADC_TOPK = f"""
+WITH {_DUCK_PQ_CTES},
+lut AS (
+    SELECT q.vec_id AS query_id, u.m, cb.cid,
+           {_DUCK_PQ_SQDIST.format(a='q.v', b='cb.cv', S=PQ_SUB)} AS ld
+    FROM e q CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) u
+    WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT l.query_id, c.vec_id,
+           sum(CAST(l.ld AS DECIMAL(27,15))) AS adist_dec
+    FROM codes c
+    JOIN lut l ON c.m = l.m AND c.cid = l.cid AND c.vec_id <> l.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(CAST(adist_dec AS DOUBLE), 6) AS adist
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist_dec ASC, vec_id ASC) AS rank
+    FROM adc
+)
+WHERE rank <= {TOPK}
+"""

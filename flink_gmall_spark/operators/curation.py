@@ -992,3 +992,91 @@ WHERE rk <= ({KEEP_NUM} * n) // {KEEP_DEN}
 
 
 ORACLE_ADAPTIVE_QUALITY = _oracle_adaptive_quality()
+
+
+COLLOC_MIN_CT = 5  # minimum bigram support before lift is meaningful
+COLLOC_TOP_N = 50
+COLLOC_SCALE = 1000
+
+
+def collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the PMI-shape phrase detector (Mikolov et al.
+    2013's phrase pass; Manning & Schütze ch. 5) made integer-exact:
+    score each corpus bigram by LIFT, observed co-occurrence over the
+    independence expectation, lift = P(ab) / (P(a) * P(b)) =
+    c_ab * N / (c_a * c_b), integer-scaled x1000 with DIV so both
+    engines agree bit-for-bit (log-PMI ranks identically; the log is
+    monotone). High-lift bigrams are the multi-word expressions a
+    tokenizer or phrase-merger should treat as units.
+
+    Scale shape (100 TB): two partial-agg passes build the unigram and
+    bigram count tables (map-side combine absorbs hot tokens); scoring is
+    two shuffle equi-joins keyed on the token (vocab-sized sides — NOT
+    broadcast, AQE decides); the corpus token total is a 1-row broadcast.
+    Top-N plans as TakeOrderedAndProject. Support floor COLLOC_MIN_CT
+    prunes the long tail before the joins.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    total = uni.agg(F.sum("cw").alias("n_total"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))")
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= COLLOC_MIN_CT)
+    )
+    ca = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    cb = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    scored = (
+        bi.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("pair"),
+            F.col("cab").alias("ct"),
+            F.expr(f"({COLLOC_SCALE} * cab * n_total) DIV (ca * cb)")
+            .cast("long")
+            .alias("lift_x1000"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_x1000"), F.asc("pair")).limit(COLLOC_TOP_N)
+
+
+ORACLE_COLLOCATIONS_LIFT = f"""
+WITH toks AS (
+    SELECT {_DUCK_T} AS t FROM documents
+),
+uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+        SELECT unnest(t) AS w FROM toks
+    ) GROUP BY w
+),
+total AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM uni),
+bi AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM (
+        SELECT t[i] AS a, t[i+1] AS b
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ) GROUP BY a, b
+    HAVING count(*) >= {COLLOC_MIN_CT}
+)
+SELECT concat(a, ' ', b) AS pair, cab AS ct,
+       CAST(({COLLOC_SCALE} * cab * n_total) // (ca.cw * cb.cw) AS BIGINT) AS lift_x1000
+FROM bi
+JOIN uni ca ON bi.a = ca.w
+JOIN uni cb ON bi.b = cb.w
+CROSS JOIN total
+ORDER BY lift_x1000 DESC, pair ASC
+LIMIT {COLLOC_TOP_N}
+"""

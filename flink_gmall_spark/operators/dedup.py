@@ -211,6 +211,34 @@ WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
 """
 
 
+def _band_sigs(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Banded min-hash signatures from the shingle table. Returns
+    ``(sig_wide, sig)``: the per-doc wide row (shingle count ``n`` + all
+    BANDS x ROWS_PER_BAND min-hashes) and its stacked (doc_id, band, sig)
+    form — the LSH bucket keys.
+
+    All min-hashes come from ONE aggregation pass over the shingles (no
+    row explosion before the shuffle), and all 16 hash functions derive as
+    16-bit chunks of just TWO md5 calls per shingle (8x less hashing than
+    md5-per-band; measured same candidate selectivity at sf0.1: 1,252 vs
+    1,298). r=2 squares away the higher 16-bit collision rate, and
+    exact-Jaccard verification removes any residual false positives. The
+    shingle count rides along in the same aggregation — the Jaccard
+    denominator sizes come for free from the signature shuffle."""
+    hashed = sh.withColumn("h", F.expr("concat(md5(s), md5(concat('x', s)))"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.min(F.expr(f"substring(h, {1 + c * CHUNK_HEX}, {CHUNK_HEX})")).alias(f"m{c}")
+        for c in range(BANDS * ROWS_PER_BAND)
+    ]
+    sig_wide = hashed.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}, concat(m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1})"
+        for b in range(BANDS)
+    )
+    sig = sig_wide.selectExpr("doc_id", f"stack({BANDS}, {stack_args}) AS (band, sig)")
+    return sig_wide, sig
+
+
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, materialize_shingles: bool = False
 ) -> DataFrame:
@@ -244,26 +272,7 @@ def minhash_lsh_pairs(
         p = scratch_dir("shingles", tag)
         sh.write.mode("overwrite").parquet(p)
         sh = spark.read.parquet(p)
-    # All BANDS x ROWS_PER_BAND min-hashes in ONE aggregation pass over the
-    # shingles (no row explosion before the shuffle), and all 16 hash
-    # functions derived as 16-bit chunks of just TWO md5 calls per shingle
-    # (8x less hashing than md5-per-band; measured same candidate
-    # selectivity at sf0.1: 1,252 vs 1,298). r=2 squares away the higher
-    # 16-bit collision rate, and exact-Jaccard verification removes any
-    # residual false positives.
-    hashed = sh.withColumn("h", F.expr("concat(md5(s), md5(concat('x', s)))"))
-    # shingle count rides along in the same aggregation — the Jaccard
-    # denominator sizes come for free from the signature shuffle
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.min(F.expr(f"substring(h, {1 + c * CHUNK_HEX}, {CHUNK_HEX})")).alias(f"m{c}")
-        for c in range(BANDS * ROWS_PER_BAND)
-    ]
-    sig_wide = hashed.groupBy("doc_id").agg(*aggs)
-    stack_args = ", ".join(
-        f"{b}, concat(m{b * ROWS_PER_BAND}, m{b * ROWS_PER_BAND + 1})"
-        for b in range(BANDS)
-    )
-    sig = sig_wide.selectExpr("doc_id", f"stack({BANDS}, {stack_args}) AS (band, sig)")
+    sig_wide, sig = _band_sigs(sh)
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -771,3 +780,160 @@ FROM labels l JOIN documents d USING (doc_id)
 GROUP BY l.cluster_id
 """
 )
+
+
+def intra_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-DOCUMENT chunk dedup — the within-doc repetition-removal pass
+    (Dolma's paragraph dedup applied inside each document): every repeated
+    chunk survives only at its first occurrence IN THAT DOCUMENT, and the
+    deduplicated text is reassembled in original order. Complements
+    ``chunk_dedup`` (corpus-global first occurrence).
+
+    Scale shape (100 TB): fully map-only — tokens → fixed-width chunks →
+    order-preserving ``array_distinct``, all inside one JVM expression per
+    row. Zero shuffle, zero state; the operator scales linearly with
+    corpus bytes and is embarrassingly parallel. (Spark's array_distinct
+    keeps FIRST occurrences in array order — the oracle pins that contract
+    with a (doc_id, chunk) first-idx window.)
+    """
+    tune(spark)
+    W = CHUNK_DEDUP_W
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    ch = toks.withColumn(
+        "chunks",
+        F.expr(
+            f"transform(sequence(0, (size(t) - 1) DIV {W}),"
+            f" i -> concat_ws(' ', slice(t, i * {W} + 1, {W})))"
+        ),
+    )
+    return ch.select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.size(F.array_distinct("chunks")).cast("long").alias("kept_chunks"),
+        F.concat_ws(" ", F.array_distinct("chunks")).alias("dedup_text"),
+    )
+
+
+ORACLE_INTRA_DOC_CHUNKS = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+ch AS (
+    SELECT doc_id, i AS idx,
+           array_to_string(t[i*{CHUNK_DEDUP_W}+1 : i*{CHUNK_DEDUP_W}+{CHUNK_DEDUP_W}], ' ') AS chunk
+    FROM toks, UNNEST(range(0, ((len(t)-1)//{CHUNK_DEDUP_W})+1)) AS u(i)
+    WHERE len(t) > 0
+),
+flagged AS (
+    SELECT doc_id, idx, chunk,
+           row_number() OVER (PARTITION BY doc_id, chunk ORDER BY idx) = 1 AS keep
+    FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+       string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE keep) AS dedup_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+NEW_BATCH_MOD = 4  # doc_id % 4 == 0 plays the freshly-ingested batch
+
+
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch of documents (doc_id %
+    NEW_BATCH_MOD == 0 plays the fresh crawl) is near-dup-checked against
+    the EXISTING corpus (the rest) — the shape every continuously-fed
+    training pipeline runs on each ingest, where re-deduplicating the
+    whole corpus per batch would be ruinous.
+
+    Scale shape (100 TB corpus, small daily batch): in production the
+    corpus side's banded min-hash signatures are a STORED table keyed by
+    (band, sig) — only the new batch is shingled and hashed; here both
+    sides recompute from the same fixture, but the join topology is
+    identical: candidates come from the (band, sig) equi-join restricted
+    to cross-batch pairs, so per-ingest cost tracks the batch's signature
+    count, never corpus². Exact-Jaccard verification runs semi-join
+    reduced to candidate docs only (see ``_pair_jaccard``). Output is the
+    ingest decision per new doc: match count, the canonical duplicate
+    target (min corpus doc_id), and the strongest verified similarity.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sig_wide, sig = _band_sigs(sh)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    is_new_a = F.col("a.doc_id") % NEW_BATCH_MOD == 0
+    is_new_b = F.col("b.doc_id") % NEW_BATCH_MOD == 0
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (is_new_a != is_new_b),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _pair_jaccard(sh, pairs=cand, sizes=sig_wide.select("doc_id", "n"))
+    new_a = F.col("doc_a") % NEW_BATCH_MOD == 0
+    matches = verified.select(
+        F.when(new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_id"),
+        F.when(new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("corpus_id"),
+        "jaccard",
+    )
+    batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).select("doc_id")
+    return (
+        batch.join(matches, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("corpus_id").alias("n_matches"),
+            F.min("corpus_id").alias("dup_of"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
+ORACLE_INCREMENTAL_MINHASH = f"""{_DUCK_SHINGLES},
+{_DUCK_SIG_CTES},
+cross_cand AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE (doc_a % {NEW_BATCH_MOD} = 0) <> (doc_b % {NEW_BATCH_MOD} = 0)
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+    FROM common c
+    JOIN cross_cand USING (doc_a, doc_b)
+    JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+),
+matches AS (
+    SELECT CASE WHEN doc_a % {NEW_BATCH_MOD} = 0 THEN doc_a ELSE doc_b END AS doc_id,
+           CASE WHEN doc_a % {NEW_BATCH_MOD} = 0 THEN doc_b ELSE doc_a END AS corpus_id,
+           jaccard
+    FROM verified
+)
+SELECT d.doc_id,
+       CAST(count(m.corpus_id) AS BIGINT) AS n_matches,
+       min(m.corpus_id) AS dup_of,
+       round(max(m.jaccard), 6) AS max_jaccard
+FROM documents d LEFT JOIN matches m USING (doc_id)
+WHERE d.doc_id % {NEW_BATCH_MOD} = 0
+GROUP BY d.doc_id
+"""

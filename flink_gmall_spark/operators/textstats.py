@@ -349,3 +349,57 @@ SELECT t.doc_id,
 FROM toks t JOIN corpus c USING (tok)
 GROUP BY t.doc_id
 """
+
+
+HLL_LG_K = 12  # DataSketches HLL lgConfigK: rsd ~ 1.04 / sqrt(2^12) ~ 1.6%
+HLL_TOL = 3 * 0.016  # 3x rsd — the same bound discipline as ads_approx_stats
+
+
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the mechanism that makes distinct counts
+    feasible at 100 TB: build ONE DataSketches HLL sketch per language
+    over the distinct document hashes (``hll_sketch_agg``), then answer
+    the corpus-level question by MERGING the per-language sketches
+    (``hll_union_agg``) instead of rescanning the corpus. In production
+    the per-partition sketches are persisted with the data; any rollup
+    (per-day, per-source, global) is then a metadata-sized merge.
+
+    Raw sketch bytes are engine-specific, so the entry is SELF-VALIDATING
+    like ads_approx_stats: exact distincts ride along in the same
+    aggregations (hash-checked against DuckDB) and each sketch estimate
+    is published only as a boolean asserting it landed within 3x rsd of
+    exact — the oracle pins the booleans TRUE, so estimator drift is a
+    hash mismatch, not a silent pass. The union row proves the MERGED
+    sketch still honors the bound (merging never degrades HLL accuracy
+    beyond its configured rsd).
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.hll_sketch_agg(F.md5("text"), HLL_LG_K).alias("sk"),
+        F.countDistinct("text").alias("exact_distinct"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+        <= HLL_TOL * F.col("exact_distinct")
+    ).alias("hll_ok")
+    lang_rows = per.select("lang", "exact_distinct", ok)
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    global_exact = docs.agg(F.countDistinct("text").alias("exact_distinct"))
+    total_row = (
+        merged.crossJoin(global_exact)
+        .select(F.lit("*ALL*").alias("lang"), "exact_distinct", ok)
+    )
+    return lang_rows.unionByName(total_row)
+
+
+ORACLE_HLL_UNION_ROLLUP = """
+SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+       TRUE AS hll_ok
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT '*ALL*' AS lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+       TRUE AS hll_ok
+FROM documents
+"""

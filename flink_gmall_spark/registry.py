@@ -238,19 +238,25 @@ _register("dedup_apply_near", dedup.apply_near_dedup, dedup.ORACLE_APPLY_NEAR_DE
 _register("dedup_connected_components", dedup.connected_components, dedup.ORACLE_CONNECTED_COMPONENTS, tags=("dedup", "iterative"))
 _register("dedup_chunk_first_occurrence", dedup.chunk_dedup, dedup.ORACLE_CHUNK_DEDUP, tags=("dedup", "line-level"))
 _register("dedup_cluster_representatives", dedup.cluster_representatives, dedup.ORACLE_CLUSTER_REPRESENTATIVES, tags=("dedup", "iterative", "e2e"))
+_register("dedup_intra_doc_chunks", dedup.intra_doc_chunk_dedup, dedup.ORACLE_INTRA_DOC_CHUNKS, tags=("dedup", "line-level", "map-only"))
+_register("dedup_incremental_minhash", dedup.incremental_minhash_dedup, dedup.ORACLE_INCREMENTAL_MINHASH, tags=("dedup", "incremental", "ingestion"))
 _register("curation_bpe_pair_counts", curation.bpe_pair_counts, curation.ORACLE_BPE_PAIR_COUNTS, tags=("curation", "text", "tokenizer-training", "topk"))
 _register("curation_lm_score", curation.lm_commonness_score, curation.ORACLE_LM_COMMONNESS, tags=("curation", "text", "quality", "lm-counts"))
 _register("curation_bpe_train", curation.bpe_train_merges, curation.ORACLE_BPE_TRAIN, tags=("curation", "text", "tokenizer-training", "iterative"))
 _register("curation_adaptive_quality_filter", curation.adaptive_quality_filter, curation.ORACLE_ADAPTIVE_QUALITY, tags=("curation", "quality", "histogram-quantile", "per-language"))
+_register("curation_collocations_lift", curation.collocations_lift, curation.ORACLE_COLLOCATIONS_LIFT, tags=("curation", "text", "pmi", "topk"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))
 _register("sim_ivf_topk_trained", ann.ivf_topk_trained, ann.ORACLE_IVF_TOPK_TRAINED, tags=("similarity", "clustering", "iterative", "train-serve"))
 _register("sim_semantic_dedup", ann.semantic_dedup, ann.ORACLE_SEMANTIC_DEDUP, tags=("similarity", "dedup", "clustering"))
 _register("sim_semantic_dedup_trained", ann.semantic_dedup_trained, ann.ORACLE_SEMANTIC_DEDUP_TRAINED, tags=("similarity", "dedup", "clustering", "train-serve"))
+_register("sim_pq_encode", ann.pq_encode, ann.ORACLE_PQ_ENCODE, tags=("similarity", "quantization", "map-only"))
+_register("sim_pq_adc_topk", ann.pq_adc_topk, ann.ORACLE_PQ_ADC_TOPK, tags=("similarity", "quantization", "lut-join"))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
+_register("text_hll_union_rollup", textstats.hll_union_rollup, textstats.ORACLE_HLL_UNION_ROLLUP, tags=("text", "approx", "mergeable-sketch", "corpus-stats"))
 
 
 # =============================================================================

@@ -1,0 +1,178 @@
+"""Edge-semantics tests for the round-5b operators (PQ encode/ADC,
+intra-doc chunk dedup, incremental minhash dedup, collocation lift, HLL
+union rollup) on hand-built corpora with hand-computed expectations."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+
+def _write_docs(spark, tmp_path, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    return d
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [(int(i), [float(x) for x in v], 0) for i, v in vecs]
+    d = str(tmp_path / "emb")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+@pytest.fixture()
+def pq_dir(spark, tmp_path):
+    """20 vectors of dim 64. Codewords are vec_id < 16 (well-separated:
+    vec j = constant j*10 across all dims). Probes:
+    - vec 16 = exact copy of codeword 3 -> codes [3,3,3,3], sdist 0;
+    - vec 17 = codeword 5 except subspace 2 (dims 32-47) copied from
+      codeword 7 -> codes [5,5,7,5];
+    - vec 18 = exact copy of codeword 2 (query 2's duplicate for ADC);
+    - vec 19 = codeword 9 shifted by +1 in every dim -> codes all 9,
+      per-subspace sdist = 16 * 1.0."""
+    base = {j: [j * 10.0] * 64 for j in range(16)}
+    v17 = list(base[5])
+    v17[32:48] = base[7][32:48]
+    v19 = [x + 1.0 for x in base[9]]
+    vecs = [(j, base[j]) for j in range(16)] + [
+        (16, base[3]),
+        (17, v17),
+        (18, base[2]),
+        (19, v19),
+    ]
+    return _write_embeddings(spark, tmp_path, vecs)
+
+
+def test_pq_encode_hand_codes(spark, pq_dir):
+    from flink_gmall_spark.operators import ann
+
+    got = ann.pq_encode(spark, pq_dir).toPandas()
+    codes = {
+        vid: [int(r.code) for r in g.sort_values("sub_id").itertuples()]
+        for vid, g in got.groupby("vec_id")
+    }
+    assert codes[16] == [3, 3, 3, 3]
+    assert codes[17] == [5, 5, 7, 5]
+    assert codes[18] == [2, 2, 2, 2]
+    assert codes[19] == [9, 9, 9, 9]
+    s16 = got[got.vec_id == 16].sdist
+    assert (s16 == 0.0).all()
+    s19 = got[got.vec_id == 19].sdist
+    assert (s19 == 16.0).all()  # 16 dims x (+1)^2 per subspace
+
+
+def test_pq_adc_duplicate_is_nearest(spark, pq_dir):
+    """Query 2's exact duplicate (vec 18) shares its codes, so its ADC
+    distance equals the sum of query 2's own quantization errors — zero
+    here — and it must rank 1."""
+    from flink_gmall_spark.operators import ann
+
+    got = ann.pq_adc_topk(spark, pq_dir).toPandas()
+    top = got[(got.query_id == 2) & (got["rank"] == 1)].iloc[0]
+    assert int(top.neighbor_id) == 18
+    assert top.adist == 0.0
+
+
+def test_intra_doc_chunk_dedup_repeats_collapse(spark, tmp_path):
+    """'a b c' repeated 3x collapses to one chunk; a trailing partial
+    chunk is its own unit and survives."""
+    from flink_gmall_spark.operators import dedup
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c a b c a b c", "en", "s", 17),
+            (2, "a b c a b c x y", "en", "s", 15),  # chunks: 'a b c' x2, 'x y'
+        ],
+    )
+    got = dedup.intra_doc_chunk_dedup(spark, d).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_chunks"] == 3 and got.loc[1, "kept_chunks"] == 1
+    assert got.loc[1, "dedup_text"] == "a b c"
+    assert got.loc[2, "n_chunks"] == 3 and got.loc[2, "kept_chunks"] == 2
+    assert got.loc[2, "dedup_text"] == "a b c x y"
+
+
+def test_incremental_minhash_kills_only_cross_batch_dups(spark, tmp_path):
+    """New batch = doc_id % 4 == 0. Doc 4 duplicates corpus doc 1 ->
+    flagged with dup_of=1. Doc 0 and 8 are unique -> survive with no
+    match. Docs 0 and 4 do NOT match each other even if similar (both
+    new: within-batch pairs are out of scope for the incremental pass)."""
+    from flink_gmall_spark.operators import dedup
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, boiler, "en", "s", len(boiler)),
+            (2, "totally different corpus text one two three", "en", "s", 40),
+            (3, "yet another unrelated document body here now", "en", "s", 40),
+            (0, "unique new document with fresh content words", "en", "s", 40),
+            (4, boiler, "en", "s", len(boiler)),
+            (8, "second unique new document nothing shared at all", "en", "s", 48),
+        ],
+    )
+    got = dedup.incremental_minhash_dedup(spark, d).toPandas().set_index("doc_id")
+    assert set(got.index) == {0, 4, 8}
+    assert got.loc[4, "n_matches"] == 1 and got.loc[4, "dup_of"] == 1
+    assert got.loc[4, "max_jaccard"] == 1.0
+    assert got.loc[0, "n_matches"] == 0 and pd.isna(got.loc[0, "dup_of"])
+    assert got.loc[8, "n_matches"] == 0
+
+
+def test_collocations_lift_hand_counts(spark, tmp_path):
+    """Corpus: 'x y' x6 and 'p q' x5 plus filler unigram docs. Unigrams:
+    x=6, y=6, p=5, q=5, filler f=4 -> N=26. Bigrams >= 5 support:
+    (x,y)=6 -> lift = 1000*6*26 // 36 = 4333; (p,q)=5 -> 1000*5*26 //
+    25 = 5200. Rarer pair ranks HIGHER (lift rewards exclusivity)."""
+    from flink_gmall_spark.operators import curation
+
+    rows = [(i, "x y", "en", "s", 3) for i in range(6)]
+    rows += [(10 + i, "p q", "en", "s", 3) for i in range(5)]
+    rows += [(20 + i, "f", "en", "s", 1) for i in range(4)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = curation.collocations_lift(spark, d).toPandas()
+    assert got.pair.tolist() == ["p q", "x y"]
+    assert got.lift_x1000.tolist() == [5200, 4333]
+    assert got.ct.tolist() == [5, 6]
+
+
+def test_hll_union_rollup_exact_and_bounds(spark, tmp_path):
+    """lang aa: 2 distinct texts (one duplicated), lang bb: 1 ->
+    *ALL* = 3 distinct. All sketch-vs-exact booleans must hold."""
+    from flink_gmall_spark.operators import textstats
+
+    d = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "first text", "aa", "s", 10),
+            (2, "first text", "aa", "s", 10),
+            (3, "second text", "aa", "s", 11),
+            (4, "third text", "bb", "s", 10),
+        ],
+    )
+    got = textstats.hll_union_rollup(spark, d).toPandas().set_index("lang")
+    assert got.loc["aa", "exact_distinct"] == 2
+    assert got.loc["bb", "exact_distinct"] == 1
+    assert got.loc["*ALL*", "exact_distinct"] == 3
+    assert got.hll_ok.all()
