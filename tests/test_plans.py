@@ -256,3 +256,61 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     plan = plan_of(df)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan or "bloomFilter" in plan, plan
+
+
+def test_pq_encode_map_only_over_corpus(spark, sf_dir):
+    """PQ encode must be a streaming pass: the only exchange is the
+    SinglePartition collect of the 16-row codebook; the corpus side is
+    scan -> broadcast-cross with the 1-row codebook -> posexplode."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.pq_encode(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_lut_broadcast_and_rank_pushdown(spark, sf_dir):
+    """ADC scoring joins corpus codes to the broadcast LUT on
+    (sub_id, code) — a BroadcastHashJoin, never SMJ — sums subspace
+    distances with a map-side partial agg, and the per-query top-k runs
+    as WindowGroupLimit (partial rank pushdown), not a full sort."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.pq_adc_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_intra_doc_dedup_zero_shuffle(spark, sf_dir):
+    """Within-doc dedup is embarrassingly parallel: no exchange of any
+    kind — one parquet scan plus per-row array expressions."""
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.intra_doc_chunk_dedup(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "FileScan parquet" in plan
+
+
+def test_collocations_partial_aggs_and_take_ordered(spark, sf_dir):
+    """Unigram/bigram tables partial-aggregate before their shuffles and
+    the top-N plans as TakeOrderedAndProject, not a global sort."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.collocations_lift(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_hll_sketches_partial_aggregate(spark, sf_dir):
+    """Mergeable sketches must combine map-side (partial_hll_sketch_agg)
+    and the rollup must merge sketches (hll_union_agg), not rescan rows
+    into a fresh sketch."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.hll_union_rollup(spark, sf_dir))
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "hll_union_agg" in plan, plan
