@@ -848,9 +848,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
-def _oracle_bpe_train() -> str:
-    """Unroll BPE_TRAIN_MERGES rounds as CTE stages; each stage's lambda
-    captures the joined best-pair row — the same greedy fold."""
+def _bpe_stage_ctes() -> list[str]:
+    """The unrolled BPE training rounds as CTE stages (w0..wN, p/b per
+    round); shared by the trainer oracle (reads b1..bN) and the encoder
+    oracle (reads the final symbolized dictionary wN)."""
     stages = [
         f"""w0 AS (
     SELECT freq, array_to_string(string_split(w, ''), ' ') AS s FROM (
@@ -883,11 +884,17 @@ w{k} AS (
     FROM w{k - 1}, b{k}
 )"""
         )
+    return stages
+
+
+def _oracle_bpe_train() -> str:
+    """Unroll BPE_TRAIN_MERGES rounds as CTE stages; each stage's lambda
+    captures the joined best-pair row — the same greedy fold."""
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({k} AS BIGINT) AS rank, pair, ct FROM b{k}"
         for k in range(1, BPE_TRAIN_MERGES + 1)
     )
-    return "WITH " + ",\n".join(stages) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_stage_ctes()) + "\n" + finals
 
 
 ORACLE_BPE_TRAIN = _oracle_bpe_train()
@@ -1080,3 +1087,56 @@ CROSS JOIN total
 ORDER BY lift_x1000 DESC, pair ASC
 LIMIT {COLLOC_TOP_N}
 """
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE SERVE side — apply the TRAINED merge table to the corpus
+    dictionary and report the resulting symbol vocabulary with usage
+    counts (per symbol: corpus frequency and distinct words containing
+    it). Train→serve twin of ``bpe_train_merges``, the same relationship
+    ``sim_ivf_topk_trained`` has to ``kmeans_assign``: a tokenizer is
+    trained once and then applied everywhere, and this entry exercises
+    the apply path end to end against an oracle that unrolls the SAME
+    training rounds.
+
+    Scale shape (100 TB): training's argmax rows (the merge table,
+    BPE_TRAIN_MERGES rows) are the ONLY driver-side data; encoding then
+    re-applies each merge as a narrow per-row fold over the DISTINCT-WORD
+    dictionary — never the token stream — and the symbol usage table is
+    one partial-agg pass. Applying the dictionary back to a corpus is a
+    broadcast/shuffle equi-join on the word, not recomputation. Plan
+    depth grows with merge count; a production encoder with thousands of
+    merges runs the fold inside one expression per word (or checkpoints
+    every ~50 rounds) — at 5 unrolled rounds the declarative chain is the
+    clearer plan.
+    """
+    tune(spark)
+    merges = [
+        r["pair"] for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select("freq", F.array_join(F.split("w", ""), " ").alias("s"))
+    for pair in merges:
+        a, b = pair.split(" ")
+        cur = cur.select("freq", F.expr(_bpe_merge_expr(a, b)).alias("s"))
+    sym = cur.select("freq", F.explode(F.split("s", " ")).alias("symbol"))
+    return sym.groupBy("symbol").agg(
+        F.sum("freq").alias("ct"), F.count(F.lit(1)).alias("n_words")
+    )
+
+
+ORACLE_BPE_ENCODE = (
+    "WITH "
+    + ",\n".join(_bpe_stage_ctes())
+    + f"""
+SELECT symbol, CAST(sum(freq) AS BIGINT) AS ct, CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT freq, unnest(string_split(s, ' ')) AS symbol FROM w{BPE_TRAIN_MERGES})
+GROUP BY symbol
+"""
+)

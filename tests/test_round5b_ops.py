@@ -176,3 +176,21 @@ def test_hll_union_rollup_exact_and_bounds(spark, tmp_path):
     assert got.loc["bb", "exact_distinct"] == 1
     assert got.loc["*ALL*", "exact_distinct"] == 3
     assert got.hll_ok.all()
+
+
+def test_bpe_encode_applies_trained_merges(spark, tmp_path):
+    """Same corpus as the trainer test: 'aaab' x3 + 'ab' x2. Learned
+    merges collapse both words into single symbols ('a a' -> 'aa',
+    'a b' -> 'ab', 'aa ab' -> 'aaab'; round 4 finds no pairs and stops),
+    so the encoded vocabulary is exactly {aaab: ct 3, ab: ct 2}."""
+    from flink_gmall_spark.operators import curation
+
+    rows = [(i, "aaab", "en", "s", 4) for i in range(3)]
+    rows += [(10 + i, "ab", "en", "s", 2) for i in range(2)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = (
+        curation.bpe_encode_corpus(spark, d).toPandas().set_index("symbol")
+    )
+    assert set(got.index) == {"aaab", "ab"}
+    assert got.loc["aaab", "ct"] == 3 and got.loc["aaab", "n_words"] == 1
+    assert got.loc["ab", "ct"] == 2 and got.loc["ab", "n_words"] == 1
