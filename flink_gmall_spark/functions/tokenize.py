@@ -137,3 +137,24 @@ def register_sql_udfs(spark: SparkSession) -> None:
     """Expose the tokenizer to spark.sql() as ``ik_analyze`` — the
     reference registers it the same way (KeywordStatsApp.java:40)."""
     spark.udf.register("ik_analyze", _tokenize_py, T.ArrayType(T.StringType()))
+
+
+def register_keyword_udtf(spark: SparkSession) -> None:
+    """Register the tokenizer as a true Python TABLE function
+    (``LATERAL ik_analyze_t(text)``) — the third leg of the §2.10 UDF
+    surface and the literal shape of the reference's KeywordUDTF
+    (``LATERAL TABLE(ik_analyze(fullword))``, KeywordStatsApp.java:40-53):
+    one output ROW per keyword, not an array to explode.
+
+    Slow-path by design (per-row Python, like the scalar ``ik_analyze``);
+    hot paths keep using ``tokens_col``. Defined lazily so importing this
+    module never requires the UDTF machinery."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="keyword: string")
+    class IkAnalyzeTable:
+        def eval(self, text: str):  # noqa: ANN001 - Spark UDTF contract
+            for t in _tokenize_py(text):
+                yield (t,)
+
+    spark.udtf.register("ik_analyze_t", IkAnalyzeTable)

@@ -462,3 +462,33 @@ SELECT strftime(make_timestamp(w_start_us), '%Y-%m-%d %H:%M:%S') AS stt,
 FROM fanned
 GROUP BY w_start_us
 """
+
+
+def keyword_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 via a TRUE Python table function — the exact SQL shape of the
+    reference's UDTF join (``SELECT ... FROM page_view, LATERAL
+    TABLE(ik_analyze(fullword))``, KeywordStatsApp.java:40-53,
+    KeywordUDTF.java:14-24), here ``LATERAL ik_analyze_t(text)`` over a
+    registered Python UDTF emitting one row per keyword. Shares
+    ORACLE_KEYWORD_STATS with the JVM-hot-path twin ``keyword_stats`` —
+    three engine legs (codegen'd tokens_col, scalar ik_analyze, table
+    ik_analyze_t), one oracle.
+
+    Scale note: this is the SLOW path (per-row Python, fused into the
+    scan stage — no extra shuffle; the aggregation after it is the same
+    partial-agg plan as the twin). It exists for API parity; pipelines at
+    100 TB use keyword_stats.
+    """
+    tune(spark)
+    from flink_gmall_spark.functions.tokenize import register_keyword_udtf
+
+    register_keyword_udtf(spark)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("kw_udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.keyword, s.source, count(*) AS ct,
+               count(DISTINCT s.doc_id) AS doc_ct
+        FROM kw_udtf_docs s, LATERAL ik_analyze_t(s.text) t
+        GROUP BY 1, 2
+        """
+    )

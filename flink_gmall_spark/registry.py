@@ -185,6 +185,7 @@ _register("dws_product_stats", dws.product_stats, dws.ORACLE_PRODUCT_STATS, benc
 _register("dws_province_stats", dws.province_stats, dws.ORACLE_PROVINCE_STATS, bench=True, tags=("A3",))
 _register("dws_keyword_stats", dws.keyword_stats, dws.ORACLE_KEYWORD_STATS, bench=True, tags=("F1", "F2", "A4"))
 _register("dws_supplier_stats", dws.supplier_stats, dws.ORACLE_SUPPLIER_STATS, tags=("A2", "J3"))
+_register("dws_keyword_stats_udtf", dws.keyword_stats_udtf, dws.ORACLE_KEYWORD_STATS, tags=("F1", "F2", "A4", "udtf", "python-table-function"))
 
 # --- ADS (SURVEY §2.5 A5-A12, §2.8) -----------------------------------------
 _register("ads_gmv_by_date", ads.gmv_by_date, ads.ORACLE_GMV_BY_DATE, tags=("A5",))

@@ -173,3 +173,21 @@ def test_lexicon_removal_is_detected():
         assert _fmm_segment(text, lexicon=shrunk) != expected, (
             f"removing {word!r} went undetected by its detector text"
         )
+
+
+def test_udtf_leg_matches_python_tokenizer_on_canonical_probe(spark):
+    """The table-function leg (ik_analyze_t) must emit exactly the
+    row-per-token stream of _tokenize_py — same tokens, same order —
+    on the reference's canonical probe."""
+    from flink_gmall_spark.functions.tokenize import (
+        _tokenize_py,
+        register_keyword_udtf,
+    )
+
+    register_keyword_udtf(spark)
+    probe = _IK_CANONICAL.replace("'", "")
+    got = [
+        r.keyword
+        for r in spark.sql(f"SELECT keyword FROM ik_analyze_t('{probe}')").collect()
+    ]
+    assert got == _tokenize_py(probe)
