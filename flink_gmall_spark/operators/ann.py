@@ -851,7 +851,7 @@ _DUCK_PQ_SQDIST = (
 )
 
 
-def _pq_codes(e: DataFrame) -> DataFrame:
+def _pq_codes(e: DataFrame, cb_src: DataFrame | None = None) -> DataFrame:
     """PQ-encode ``e(vec_id, v)`` -> (vec_id, sub_id, code, sdist).
 
     The codebook (first PQ_K vectors) collapses to ONE row of cid-sorted
@@ -859,8 +859,13 @@ def _pq_codes(e: DataFrame) -> DataFrame:
     map — per row, PQ_M x PQ_K sequential-fold distances inside one JVM
     expression, zero shuffle of the corpus. That is the shape that holds
     at 100 TB: encode cost is a single streaming pass, and the only data
-    movement is the tiny codebook."""
-    cb = e.filter(F.col("vec_id") < PQ_K).select(
+    movement is the tiny codebook.
+
+    ``cb_src`` lets a STREAMING caller supply the codebook from a static
+    (batch) frame — a streaming ``e`` cannot be aggregated into the
+    1-row codebook, and a production encoder loads a trained codebook
+    anyway (see streaming.jobs.stream_pq_encode)."""
+    cb = (cb_src if cb_src is not None else e).filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     cb_row = cb.groupBy().agg(

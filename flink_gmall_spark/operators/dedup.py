@@ -797,8 +797,15 @@ def intra_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a (doc_id, chunk) first-idx window.)
     """
     tune(spark)
-    W = CHUNK_DEDUP_W
     docs = load(spark, sf_dir, "documents")
+    return intra_doc_transform(docs)
+
+
+def intra_doc_transform(docs: DataFrame) -> DataFrame:
+    """The pure transform behind ``intra_doc_chunk_dedup`` — shared with
+    its streaming twin (streaming.jobs.stream_intra_doc_chunks): map-only,
+    so it runs unchanged under the incremental engine in append mode."""
+    W = CHUNK_DEDUP_W
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") > 0
     )

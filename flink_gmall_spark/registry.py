@@ -228,6 +228,8 @@ _register("stream_session_windows", stream_jobs.stream_session_windows, dws.ORAC
 _register("stream_keyword_stats", stream_jobs.stream_keyword_stats, dws.ORACLE_KEYWORD_STATS, tags=("F2", "A4", "streaming"))
 _register("stream_windowed_append", stream_jobs.stream_windowed_append, stream_jobs.ORACLE_WINDOWED_APPEND, tags=("T5", "T6", "T7", "streaming", "append-mode"))
 _register("stream_left_outer_join", stream_jobs.stream_left_outer_interval_join, stream_jobs.ORACLE_LEFT_OUTER_INTERVAL, tags=("J1", "T4", "streaming", "outer-join"))
+_register("stream_intra_doc_chunks", stream_jobs.stream_intra_doc_chunks, dedup.ORACLE_INTRA_DOC_CHUNKS, tags=("dedup", "streaming", "ingestion", "map-only"))
+_register("stream_pq_encode", stream_jobs.stream_pq_encode, ann.ORACLE_PQ_ENCODE, tags=("similarity", "quantization", "streaming", "stream-static", "train-serve"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

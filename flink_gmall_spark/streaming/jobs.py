@@ -1070,3 +1070,42 @@ GROUP BY 1
 
 
 ORACLE_ADS_HOURLY_FROM_SINK = _oracle_ads_hourly_from_sink()
+
+
+def stream_intra_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation at INGEST time: the intra-document chunk dedup transform
+    (operators.dedup.intra_doc_transform) running on the document stream —
+    map-only, so the incremental engine executes it stateless in append
+    mode; every arriving document emits its deduplicated form exactly
+    once. This is how a production crawl pipeline applies per-doc
+    cleaning: in the ingest stream, not a nightly batch. Shares the batch
+    twin's oracle verbatim (engine parity proof)."""
+    tune(spark)
+    from flink_gmall_spark.operators.dedup import intra_doc_transform
+
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(intra_doc_transform(docs), "append")
+
+
+def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding at INGEST time — the stream-static form a production
+    vector pipeline runs: the codebook is TRAINED OFFLINE (here the
+    static batch read supplies it) and broadcast against the embedding
+    STREAM; each arriving vector emits its codes once, stateless, append
+    mode. Exercises the stream-static broadcast join with a map-only
+    payload; shares ORACLE_PQ_ENCODE with the batch twin."""
+    tune(spark)
+    from flink_gmall_spark.operators.ann import _pq_codes
+    from flink_gmall_spark.sources import load
+
+    to_v = "transform(embedding, x -> cast(x AS double))"
+    e_stream = read_stream(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(to_v).alias("v")
+    )
+    e_static = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(to_v).alias("v")
+    )
+    codes = _pq_codes(e_stream, cb_src=e_static).select(
+        "vec_id", "sub_id", "code", F.round("sdist", 6).alias("sdist")
+    )
+    return run_to_memory(codes, "append")
