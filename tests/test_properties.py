@@ -176,3 +176,80 @@ def test_bpe_fold_equals_reference_scan(symbols, pair):
     whose merged symbol re-participates ('a'+'a' -> 'aa' next to 'a')."""
     a, b = pair
     assert _bpe_merge_fold(symbols, a, b) == _bpe_merge_scan(symbols, a, b)
+
+
+def _chunks(toks: list[str], w: int = 3) -> list[str]:
+    return [" ".join(toks[i : i + w]) for i in range(0, max(len(toks), 1), w)] if toks else []
+
+
+def _intra_dedup(toks: list[str], w: int = 3) -> list[str]:
+    out, seen = [], set()
+    for c in _chunks(toks, w):
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=40))
+def test_intra_doc_dedup_idempotent(toks):
+    """The within-doc chunk-dedup algebra (operators.dedup
+    intra_doc_transform): applying it to its own output changes nothing.
+    Holds because every kept chunk except the final partial has exactly W
+    tokens, so re-chunking the reassembled text reproduces the same
+    boundaries — the invariant that makes the map-only operator safe to
+    re-run over already-cleaned corpora (ingest retries!)."""
+    once = _intra_dedup(toks)
+    retok = " ".join(once).split()
+    twice = _intra_dedup(retok)
+    assert twice == once
+    assert len(set(once)) == len(once)  # output has no repeats
+
+
+@given(
+    st.integers(min_value=1, max_value=10**4),  # c_ab
+    st.integers(min_value=1, max_value=10**6),  # c_a
+    st.integers(min_value=1, max_value=10**6),  # c_b
+    st.integers(min_value=1, max_value=10**8),  # N
+    st.integers(min_value=1, max_value=50),  # replication factor k
+)
+def test_collocation_lift_replication_invariant(cab, ca, cb, n, k):
+    """Integer lift (1000 * c_ab * N) // (c_a * c_b) is EXACTLY invariant
+    under corpus replication x k (k² cancels before the floor division) —
+    so sharding/duplicating a corpus cannot move collocation scores, the
+    determinism the curation_collocations_lift oracle relies on."""
+    base = (1000 * cab * n) // (ca * cb)
+    repl = (1000 * (k * cab) * (k * n)) // ((k * ca) * (k * cb))
+    assert repl == base
+
+
+@given(
+    st.lists(  # codebook: K codewords of D small ints
+        st.lists(st.integers(min_value=-8, max_value=8), min_size=4, max_size=4),
+        min_size=2,
+        max_size=6,
+    ),
+    st.lists(st.integers(min_value=-8, max_value=8), min_size=4, max_size=4),  # q
+    st.lists(st.integers(min_value=-8, max_value=8), min_size=4, max_size=4),  # x
+)
+def test_pq_adc_own_codes_are_lower_bound(cb, q, x):
+    """PQ/ADC algebra (operators.ann): a query's ADC distance to its OWN
+    codes is the minimum over any vector's codes — per subspace the
+    query's code is its argmin over codewords, so summing per-subspace
+    LUT entries of any other code vector can only grow. The property that
+    makes ADC ranking sound (the query's duplicate can never be outranked
+    by quantization artifacts)."""
+    m, sub = 2, 2  # 2 subspaces x 2 dims over the 4-dim toy vectors
+
+    def sq(a, b):
+        return sum((ai - bi) ** 2 for ai, bi in zip(a, b))
+
+    def lut(qv, c, mi):
+        return sq(qv[mi * sub : (mi + 1) * sub], c[mi * sub : (mi + 1) * sub])
+
+    def codes(v):
+        return [min(range(len(cb)), key=lambda j: (lut(v, cb[j], mi), j)) for mi in range(m)]
+
+    adc_self = sum(lut(q, cb[codes(q)[mi]], mi) for mi in range(m))
+    adc_x = sum(lut(q, cb[codes(x)[mi]], mi) for mi in range(m))
+    assert adc_self <= adc_x
