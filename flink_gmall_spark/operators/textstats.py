@@ -403,3 +403,82 @@ SELECT '*ALL*' AS lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
        TRUE AS hll_ok
 FROM documents
 """
+
+
+# Feature-hashed linear classifier: D buckets, deterministic demo weights.
+# In production the weights come from offline training (fastText-style
+# quality classifier / DSIR importance weights); serving only needs the
+# frozen vector, which is what this operator exercises.
+HASH_DIM = 256
+CLS_WEIGHTS = [((7 * i * i + 3 * i + 5) % 21) - 10 for i in range(HASH_DIM)]
+
+_HEXES = "0123456789abcdef"
+
+
+def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-filter SERVING — the feature-hashing linear classifier
+    every production quality/domain filter ultimately is (fastText-style
+    scorer, DSIR importance weights): each token hashes into one of
+    HASH_DIM buckets (two md5 hex digits), the document score is the sum
+    of the bucket weights, and the keep decision is the sign. Weights are
+    a frozen integer vector, so scoring is BIGINT-exact and the oracle
+    hash-matches bit-for-bit.
+
+    Scale shape (100 TB): fully map-only — the weight vector rides into
+    the expression as a literal array (at real dimensionality it would be
+    a broadcast), each document scores in one JVM fold over its tokens,
+    zero shuffles, zero Python. This is the entire serving cost of a
+    trained text classifier done right: one streaming pass.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
+    idx = (
+        f"(locate(substring(md5(tok), 1, 1), '{_HEXES}') - 1) * 16"
+        f" + locate(substring(md5(tok), 2, 1), '{_HEXES}')"
+    )
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform(t, tok -> element_at(array({w_arr}), {idx})),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("score"),
+        F.expr(
+            f"CASE WHEN aggregate(transform(t, tok -> element_at(array({w_arr}), {idx})),"
+            " cast(0 as bigint), (acc, x) -> acc + x) >= 0"
+            " THEN 'keep' ELSE 'drop' END"
+        ).alias("label"),
+    )
+
+
+def _oracle_hashed_classifier() -> str:
+    w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
+    idx = (
+        f"(strpos('{_HEXES}', substring(md5(tok), 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXES}', substring(md5(tok), 2, 1))"
+    )
+    score = (
+        f"list_reduce(list_transform(t, tok -> [{w_arr}][{idx}]),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST({score} AS BIGINT) AS score,
+       CASE WHEN {score} >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM toks
+WHERE len(t) > 0
+"""
+
+
+ORACLE_HASHED_CLASSIFIER = _oracle_hashed_classifier()

@@ -314,3 +314,13 @@ def test_hll_sketches_partial_aggregate(spark, sf_dir):
     plan = plan_of(textstats.hll_union_rollup(spark, sf_dir))
     assert "partial_hll_sketch_agg" in plan, plan
     assert "hll_union_agg" in plan, plan
+
+
+def test_hashed_classifier_zero_shuffle(spark, sf_dir):
+    """Classifier serving is one streaming pass: literal weight vector in
+    the expression, no exchange of any kind."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.hashed_classifier_scores(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "FileScan parquet" in plan

@@ -194,3 +194,34 @@ def test_bpe_encode_applies_trained_merges(spark, tmp_path):
     assert set(got.index) == {"aaab", "ab"}
     assert got.loc["aaab", "ct"] == 3 and got.loc["aaab", "n_words"] == 1
     assert got.loc["ab", "ct"] == 2 and got.loc["ab", "n_words"] == 1
+
+
+def test_hashed_classifier_matches_python_model(spark, tmp_path):
+    """Engine score must equal the pure-Python feature-hash model
+    (md5-hex bucketing into the frozen CLS_WEIGHTS vector)."""
+    import hashlib
+
+    from flink_gmall_spark.operators import textstats
+
+    def model_score(text):
+        toks = [t for t in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if t]
+        s = 0
+        for tok in toks:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            idx = int(h[0], 16) * 16 + int(h[1], 16)  # 0-based bucket
+            s += textstats.CLS_WEIGHTS[idx]
+        return s
+
+    texts = ["a", "the quick brown fox", "zzz yyy xxx qqq", "mixed 123 tokens here"]
+    d = _write_docs(
+        spark, tmp_path, [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    )
+    got = (
+        textstats.hashed_classifier_scores(spark, d).toPandas().set_index("doc_id")
+    )
+    for i, t in enumerate(texts):
+        want = model_score(t)
+        assert got.loc[i, "score"] == want, (t, want, got.loc[i, "score"])
+        assert got.loc[i, "label"] == ("keep" if want >= 0 else "drop")
