@@ -427,3 +427,47 @@ SELECT o_orderkey AS id,
                      ELSE o_orderdate END, '%Y-%m-%d %H:%M:%S') AS create_time
 FROM orders
 """
+
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1's schema-on-read, upgraded to Spark 4's VARIANT type: the JSON
+    props column parses ONCE into a binary variant
+    (``try_parse_json``) and every consumer extracts typed paths at query
+    time (``variant_get`` / ``try_variant_get``) — the engine-native
+    answer to the reference's per-field ``JSON.parseObject`` maps
+    (BaseLogApp.java JSON parsing) for payloads whose schema drifts.
+    Missing paths are pinned to NULL (absent_ct = 0 in the oracle), the
+    semantics a schema-drifting pipeline depends on.
+
+    Scale shape (100 TB): the variant encodes to a compact binary at
+    parse time, so N path extractions cost one parse, not N; the
+    aggregation is ordinary partial→final hash agg. Columnar shredding of
+    hot paths (a storage-layer feature) slots in with no query change.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.expr("try_parse_json(props)").alias("v"))
+    k = v.select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr("try_variant_get(v, '$.absent', 'long')").alias("absent"),
+    )
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.count("absent").alias("absent_ct"),
+    )
+
+
+ORACLE_PROPS_VARIANT_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(count(CAST(json_extract_string(props, '$.absent') AS BIGINT)) AS BIGINT) AS absent_ct
+FROM events
+GROUP BY event_type
+"""

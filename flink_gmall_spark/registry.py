@@ -169,6 +169,7 @@ _register("sink_pyds_dim_roundtrip", dwd.cdc_dim_upsert_sink_roundtrip, dwd.ORAC
 _register("stream_pyds_cdc_upsert", dwd.cdc_dim_upsert_stream_source, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource", "streaming"))
 _register("stream_pyds_cdc_dist", dwd.cdc_dim_upsert_dist_stream, dwd.ORACLE_CDC_DIM_UPSERT, tags=("S5", "connector", "python-datasource", "streaming", "scale"))
 _register("dwd_cdc_scd2_history", dwd.cdc_scd2_history, dwd.ORACLE_CDC_SCD2_HISTORY, tags=("S5", "scd2"))
+_register("dwd_props_variant_stats", dwd.props_variant_stats, dwd.ORACLE_PROPS_VARIANT_STATS, tags=("P1", "variant", "semi-structured"))
 _register("dwd_cdc_asof_join", dwd.cdc_asof_join, dwd.ORACLE_CDC_ASOF_JOIN, tags=("asof", "scd2"))
 
 # --- DWM (SURVEY §2.4 J1-J3, §2.6 T1-T3) ------------------------------------
