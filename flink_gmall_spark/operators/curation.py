@@ -1140,3 +1140,141 @@ FROM (SELECT freq, unnest(string_split(s, ' ')) AS symbol FROM w{BPE_TRAIN_MERGE
 GROUP BY symbol
 """
 )
+
+
+def multimodal_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODAL curation pipeline — the text table joined to its
+    vector table, the core layout of a multimodal data lake: (1) the
+    rule-based quality gate runs on ``documents`` (same keep rule as
+    text_quality_scores), (2) survivors join to ``embeddings`` on
+    doc_id = vec_id (left-semi — the embedding store is only probed for
+    docs that passed), (3) SemDeDup-style semantic dedup runs on the
+    surviving vectors only (global first-K codebook buckets; pairs only
+    within a cell). Output: the per-cell curation ledger (docs in, dups
+    dropped, docs out) a pipeline run would log.
+
+    Scale shape (100 TB): the quality gate is map-only on the text side;
+    the cross-modal hop is an equi-join on the id (both tables id-bucketed
+    in production → zero-shuffle); semantic dedup inherits
+    sim_semantic_dedup's audited cluster-bounded pair join — filtering
+    FIRST shrinks the pair join's input, which is the right composition
+    order (cheap filters before quadratic-ish candidates).
+    """
+    tune(spark)
+    from flink_gmall_spark.operators.ann import (
+        SEMDEDUP_K,
+        SEMDEDUP_THRESHOLD,
+        _DOT,
+        _SQDIST,
+        _with_norm,
+    )
+    from flink_gmall_spark.operators.textstats import (
+        MAX_TOKENS,
+        MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    q = docs.select("doc_id", tokens_col("text").alias("t")).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+    kept = q.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("stop_ct") >= 1)
+    ).select(F.col("doc_id").alias("vec_id"))
+    e0 = _with_norm(load(spark, sf_dir, "embeddings"))
+    e = e0.join(kept, "vec_id", "left_semi")
+    cent = e0.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d = e.join(F.broadcast(cent), how="cross").withColumn(
+        "dist", F.expr(_SQDIST.format(a="v", b="cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+    asg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+    a = asg.select("cid", F.col("vec_id").alias("dup_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = asg.select("cid", F.col("vec_id").alias("keep_cand"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("keep_cand") < F.col("dup_id"))
+        .withColumn("cos", F.expr(_DOT.format(a="av", b="bv")) / (F.col("an") * F.col("bn")))
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select("cid", "dup_id")
+        .distinct()
+    )
+    n_docs = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_drop = dups.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        n_docs.join(n_drop, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_docs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_docs") - F.coalesce("n_dropped", F.lit(0))).alias("n_final"),
+        )
+    )
+
+
+def _oracle_multimodal_pipeline() -> str:
+    from flink_gmall_spark.operators.ann import (
+        SEMDEDUP_K,
+        SEMDEDUP_THRESHOLD,
+        _DUCK_DOT,
+        _DUCK_NORM,
+        _DUCK_SQDIST,
+    )
+    from flink_gmall_spark.operators.textstats import (
+        MAX_TOKENS,
+        MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_T} AS t FROM documents),
+q AS (
+    SELECT doc_id FROM t
+    WHERE len(t) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+      AND len(list_filter(t, x -> list_contains([{stops}], x))) >= 1
+),
+e0 AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+e AS (SELECT e0.* FROM e0 JOIN q ON e0.vec_id = q.doc_id),
+c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < {SEMDEDUP_K}),
+asg AS (
+    SELECT vec_id, v, nrm, cid FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_SQDIST.format(a='e.v', b='c.cv')} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN c
+    ) WHERE rn = 1
+),
+dups AS (
+    SELECT DISTINCT a.cid, a.vec_id AS dup_id
+    FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    WHERE {_DUCK_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) >= {SEMDEDUP_THRESHOLD}
+),
+g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY cid),
+dr AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped FROM dups GROUP BY cid)
+SELECT CAST(g.cid AS BIGINT) AS cid, g.n_docs,
+       COALESCE(dr.n_dropped, 0) AS n_dropped,
+       g.n_docs - COALESCE(dr.n_dropped, 0) AS n_final
+FROM g LEFT JOIN dr ON g.cid = dr.cid
+"""
+
+
+ORACLE_MULTIMODAL_PIPELINE = _oracle_multimodal_pipeline()
