@@ -1,0 +1,84 @@
+"""Empty-input hardening: every operator family must return an EMPTY
+(or well-defined) result on 0-row tables, not crash — at 100 TB an
+empty partition/day/source is routine (a fresh date partition, a filter
+that eliminates everything, a cold-start corpus)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame([], doc_schema).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    spark.createDataFrame([], emb_schema).write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    return d
+
+
+DOC_OPS = [
+    ("exact_dedup", "dedup"),
+    ("minhash_lsh_pairs", "dedup"),
+    ("chunk_dedup", "dedup"),
+    ("intra_doc_chunk_dedup", "dedup"),
+    ("incremental_minhash_dedup", "dedup"),
+    ("cluster_representatives", "dedup"),
+    ("bpe_train_merges", "curation"),
+    ("bpe_encode_corpus", "curation"),
+    ("collocations_lift", "curation"),
+    ("adaptive_quality_filter", "curation"),
+    ("lm_commonness_score", "curation"),
+    ("multimodal_dedup_pipeline", "curation"),
+    ("quality_scores", "textstats"),
+    ("hashed_classifier_scores", "textstats"),
+    ("hll_union_rollup", "textstats"),
+]
+
+EMB_OPS = [
+    ("ann_topk", "ann"),
+    ("ivf_topk", "ann"),
+    ("kmeans_assign", "ann"),
+    ("semantic_dedup", "ann"),
+    ("pq_encode", "ann"),
+    ("pq_adc_topk", "ann"),
+]
+
+
+@pytest.mark.parametrize("fn_name,mod", DOC_OPS + EMB_OPS)
+def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
+    import importlib
+
+    m = importlib.import_module(f"flink_gmall_spark.operators.{mod}")
+    df = getattr(m, fn_name)(spark, empty_dir)
+    got = df.toPandas()
+    # hll rollup legitimately emits its '*ALL*' row (exact_distinct 0);
+    # everything else must be empty on empty input
+    if fn_name == "hll_union_rollup":
+        assert got[got.lang != "*ALL*"].empty
+        assert (got[got.lang == "*ALL*"].exact_distinct == 0).all()
+    else:
+        assert got.empty, got.head()
