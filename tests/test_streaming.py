@@ -278,3 +278,41 @@ def test_stream_ads_hourly_from_sink_matches_direct_rollup(spark, sf_dir):
         .astype({"pv": "int64", "uv": "int64"})
     )
     assert frames_equal(got, want)
+
+
+def test_stream_observe_ingest_metrics(spark, sf_dir):
+    """Production streaming pipelines monitor data quality in-flight via
+    df.observe() — metrics computed inside the running query and surfaced
+    through query progress, no second scan. Pin the mechanism: observed
+    row count equals the table count, and the short-doc counter equals
+    the batch-computed truth."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.sources import load
+    from flink_gmall_spark.streaming.jobs import read_stream
+
+    docs = read_stream(spark, sf_dir, "documents")
+    obs = docs.observe(
+        "ingest_gate",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.length("text") < 50, 1).otherwise(0)).alias("short_docs"),
+    )
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        obs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = [p["observedMetrics"]["ingest_gate"] for p in q.recentProgress
+               if p["observedMetrics"]]
+    assert len(metrics) == 1
+    batch = load(spark, sf_dir, "documents")
+    want_rows = batch.count()
+    want_short = batch.filter(F.length("text") < 50).count()
+    assert metrics[0]["rows"] == want_rows
+    assert metrics[0]["short_docs"] == want_short
