@@ -324,3 +324,31 @@ def test_hashed_classifier_zero_shuffle(spark, sf_dir):
     plan = plan_of(textstats.hashed_classifier_scores(spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "FileScan parquet" in plan
+
+
+def test_props_variant_partial_agg_and_pruned_scan(spark, sf_dir):
+    """The variant path parses once and aggregates partial→final; the
+    scan reads only (event_type, props)."""
+    from flink_gmall_spark.plans import dwd
+
+    plan = plan_of(dwd.props_variant_stats(spark, sf_dir))
+    assert "partial_" in plan, plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "props" in scan and "event_type" in scan
+    assert "user_id" not in scan  # untouched columns pruned
+
+
+def test_multimodal_pipeline_semi_join_and_broadcast_centroids(spark, sf_dir):
+    """The cross-modal hop is a semi-join on the id (embedding store only
+    probed for quality survivors) and the codebook is broadcast; the pair
+    join stays keyed on the cluster id (equi, never nested-loop over the
+    corpus)."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.multimodal_dedup_pipeline(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the tiny-codebook cross
+    # every sort-merge join must be keyed on the cluster id — the corpus
+    # itself never cartesians
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj and all("cid" in ln for ln in smj), plan
