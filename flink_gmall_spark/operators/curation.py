@@ -1278,3 +1278,65 @@ FROM g LEFT JOIN dr ON g.cid = dr.cid
 
 
 ORACLE_MULTIMODAL_PIPELINE = _oracle_multimodal_pipeline()
+
+
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under the TRAINED tokenizer — the most
+    common measurement an LLM data pipeline runs (how many tokens does
+    each document contribute at training time?): the corpus joins to the
+    symbolized dictionary (word → symbol count after all learned merges)
+    and reduces per document. Completes the BPE serve path the encode
+    docstring promises: dictionary once, corpus by equi-join.
+
+    Scale shape (100 TB): the symbolized dictionary is vocabulary-sized;
+    the corpus word stream joins it on the word (broadcast while the
+    vocab fits, AQE decides) and partial-aggregates per doc — no
+    per-document re-tokenization, no Python. Words outside the trainer's
+    dictionary domain (non-/^[a-z]+$/, len<2) count 1 symbol each — the
+    byte/char fallback tier every production tokenizer has.
+    """
+    tune(spark)
+    merges = [
+        r["pair"] for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    in_domain = F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2)
+    words = (
+        toks.filter(in_domain).groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select("w", F.array_join(F.split("w", ""), " ").alias("s"))
+    for pair in merges:
+        a, b = pair.split(" ")
+        cur = cur.select("w", F.expr(_bpe_merge_expr(a, b)).alias("s"))
+    dict_syms = cur.select("w", F.size(F.split("s", " ")).cast("long").alias("n_sym"))
+    counted = toks.join(dict_syms, "w", "left").select(
+        "doc_id",
+        F.coalesce("n_sym", F.lit(1)).alias("n_sym"),  # OOV fallback tier
+    )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sym").alias("n_bpe_tokens"),
+    )
+
+
+# The stage CTEs carry only (freq, s); the word key is recovered from the
+# symbolization itself — merges never reorder or drop characters, so
+# replace(s, ' ', '') IS the original word.
+ORACLE_BPE_TOKEN_BUDGET = (
+    "WITH "
+    + ",\n".join(_bpe_stage_ctes())
+    + f""",
+dict_syms AS (
+    SELECT replace(s, ' ', '') AS w,
+           CAST(len(string_split(s, ' ')) AS BIGINT) AS n_sym
+    FROM w{BPE_TRAIN_MERGES}
+),
+toks AS (SELECT doc_id, unnest({_DUCK_T}) AS w FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(COALESCE(n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+FROM toks LEFT JOIN dict_syms USING (w)
+GROUP BY doc_id
+"""
+)

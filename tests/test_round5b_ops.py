@@ -225,3 +225,22 @@ def test_hashed_classifier_matches_python_model(spark, tmp_path):
         want = model_score(t)
         assert got.loc[i, "score"] == want, (t, want, got.loc[i, "score"])
         assert got.loc[i, "label"] == ("keep" if want >= 0 else "drop")
+
+
+def test_bpe_token_budget_hand_counts(spark, tmp_path):
+    """Corpus 'aaab' x3 + 'ab' x2 + one OOV-domain token '7' (digits are
+    outside the trainer dictionary): trained merges collapse 'aaab' and
+    'ab' to 1 symbol each, OOV counts 1 via the fallback tier. Doc 0 =
+    'aaab ab 7' -> 3 words, 3 bpe tokens; docs 1-2 = 'aaab' -> 1/1;
+    docs 10-11 = 'ab' -> 1/1... wait doc 0 contributes one 'aaab' and one
+    'ab' to the dictionary corpus too — merges still fully collapse."""
+    from flink_gmall_spark.operators import curation
+
+    rows = [(0, "aaab ab 7", "en", "s", 9)]
+    rows += [(i, "aaab", "en", "s", 4) for i in (1, 2)]
+    rows += [(10 + i, "ab", "en", "s", 2) for i in range(2)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = curation.bpe_token_budget(spark, d).toPandas().set_index("doc_id")
+    assert got.loc[0, "n_words"] == 3 and got.loc[0, "n_bpe_tokens"] == 3
+    for i in (1, 2, 10, 11):
+        assert got.loc[i, "n_words"] == 1 and got.loc[i, "n_bpe_tokens"] == 1
