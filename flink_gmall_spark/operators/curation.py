@@ -1340,3 +1340,65 @@ FROM toks LEFT JOIN dict_syms USING (w)
 GROUP BY doc_id
 """
 )
+
+
+# Deterministic 3-way split thresholds on the 6-hex md5 prefix:
+# [0, VAL) = val, [VAL, TEST) = test, [TEST, fff...] = train.
+SPLIT_SEED = "split42:"
+SPLIT_VAL_HEX = "0ccccc"  # 5%
+SPLIT_TEST_HEX = "19999a"  # next 5%
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the canonical ML-data
+    split, done the only way that survives a distributed, re-run,
+    re-partitioned world: a seeded md5-prefix threshold on the stable key
+    (doc_id), NOT random() (which changes under retry/relayout) and NOT
+    modulo (which correlates with id-assignment order). Same hex-range
+    trick as sample_stratified; ranges are disjoint and exhaustive by
+    construction, so the split is a PARTITION (every doc exactly one
+    split) — the property eval-leakage audits depend on.
+
+    Scale shape: a narrow map (one md5 per row), zero shuffles; the
+    summary is one partial-agg pass. Works identically on 100 TB because
+    nothing depends on row order, partition count, or cluster layout.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    hx = F.expr(
+        f"substring(md5(concat('{SPLIT_SEED}', CAST(doc_id AS STRING))), 1, 6)"
+    )
+    split = (
+        F.when(hx < SPLIT_VAL_HEX, "val")
+        .when(hx < SPLIT_TEST_HEX, "test")
+        .otherwise("train")
+    )
+    assigned = docs.select(
+        "doc_id", "lang", split.alias("split"),
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tok").alias("tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = f"""
+WITH a AS (
+    SELECT doc_id, lang,
+           CASE WHEN substring(md5('{SPLIT_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6) < '{SPLIT_VAL_HEX}' THEN 'val'
+                WHEN substring(md5('{SPLIT_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6) < '{SPLIT_TEST_HEX}' THEN 'test'
+                ELSE 'train' END AS split,
+           CAST(len({_DUCK_T}) AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM a
+GROUP BY lang, split
+"""

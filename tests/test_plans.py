@@ -352,3 +352,19 @@ def test_multimodal_pipeline_semi_join_and_broadcast_centroids(spark, sf_dir):
     # itself never cartesians
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert smj and all("cid" in ln for ln in smj), plan
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The engine exposes per-query physical join control: the same
+    orders⋈customer equi-join plans as ShuffledHashJoin under a
+    SHUFFLE_HASH hint and as SortMergeJoin under MERGE — the escape hatch
+    when AQE's choice is wrong for a known workload (e.g. a build side
+    that fits memory but exceeds the broadcast threshold)."""
+    from flink_gmall_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    sh = o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in plan_of(sh), plan_of(sh)
+    mg = o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plan_of(mg), plan_of(mg)
