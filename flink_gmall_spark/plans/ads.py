@@ -845,3 +845,89 @@ SELECT o_orderstatus,
 FROM q
 GROUP BY 1, 2
 """
+
+
+TS_DIM = 24  # hourly activity vector width
+TS_QUERIES = 8  # the TS_QUERIES smallest user_ids are the query series
+TS_TOPK = 5
+
+
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over behavioral series (the
+    distributed-similarity-search shape of EDBT 2019's streaming
+    time-series work, PAPERS.md): each user's event history featurizes
+    into a fixed 24-dim hourly-activity count vector, and the TS_QUERIES
+    lowest-id users retrieve their TS_TOPK nearest neighbors by exact
+    squared L2 — INTEGER arithmetic end to end (counts, not floats), so
+    the ranking is hash-exact against the oracle.
+
+    Scale shape (100 TB of events): featurization is one partial-agg
+    pass to (user, hour) counts + one bounded-key (user) vector
+    assembly; the query side is TS_QUERIES rows — broadcast — so scoring
+    streams the user-vector table once, exactly the brute-force-ANN
+    topology (`ann_topk`) applied to derived features. At larger query
+    sets the IVF/LSH/PQ bucketing from operators.ann applies unchanged —
+    featurize once, then every ANN serving shape is available.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("user_id"), F.hour("ts").cast("int").alias("h")
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    vec = counts.groupBy("user_id").agg(
+        F.expr(
+            f"transform(sequence(0, {TS_DIM - 1}), x ->"
+            " coalesce(element_at(map_from_entries(collect_list(struct(h, ct))), x),"
+            " cast(0 as bigint)))"
+        ).alias("v")
+    )
+    q = vec.orderBy("user_id").limit(TS_QUERIES).select(
+        F.col("user_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).join(vec, F.col("query_id") != F.col("user_id"))
+    scored = pairs.withColumn(
+        "d2",
+        F.expr(
+            "aggregate(zip_with(qv, v, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("user_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TS_TOPK)
+        .select("query_id", F.col("user_id").alias("neighbor_id"), "rank", "d2")
+    )
+
+
+ORACLE_USER_ACTIVITY_SIMILARITY = f"""
+WITH counts AS (
+    SELECT user_id, CAST(hour(ts) AS INT) AS h, CAST(count(*) AS BIGINT) AS ct
+    FROM events GROUP BY 1, 2
+),
+vec AS (
+    SELECT u.user_id, list(COALESCE(c.ct, CAST(0 AS BIGINT)) ORDER BY hx.x) AS v
+    FROM (SELECT DISTINCT user_id FROM counts) u
+    CROSS JOIN (SELECT unnest(range(0, {TS_DIM})) AS x) hx
+    LEFT JOIN counts c ON c.user_id = u.user_id AND c.h = hx.x
+    GROUP BY u.user_id
+),
+q AS (
+    SELECT user_id AS query_id, v AS qv FROM vec
+    ORDER BY user_id LIMIT {TS_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, vec.user_id AS neighbor_id,
+           list_reduce(list_transform(range(1, {TS_DIM} + 1),
+                       i -> (q.qv[i] - vec.v[i]) * (q.qv[i] - vec.v[i])),
+                       (acc, x) -> acc + x) AS d2
+    FROM q JOIN vec ON q.query_id <> vec.user_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, CAST(d2 AS BIGINT) AS d2
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TS_TOPK}
+"""
