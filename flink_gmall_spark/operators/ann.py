@@ -943,6 +943,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
     )
     codes = _pq_codes(e).select("vec_id", "sub_id", "code")
+    return adc_topk_from_codes(codes, e)
+
+
+def adc_topk_from_codes(codes: DataFrame, e: DataFrame) -> DataFrame:
+    """ADC top-k against an EXTERNAL code table — the serving half of
+    pq_adc_topk, reusable when the codes come from a maintained index
+    store instead of inline encoding (streaming.jobs
+    stream_pq_index_serve). ``codes``: (vec_id, sub_id, code); ``e``:
+    (vec_id, v) supplying queries and the codebook."""
     cb = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )

@@ -232,6 +232,7 @@ _register("stream_windowed_append", stream_jobs.stream_windowed_append, stream_j
 _register("stream_left_outer_join", stream_jobs.stream_left_outer_interval_join, stream_jobs.ORACLE_LEFT_OUTER_INTERVAL, tags=("J1", "T4", "streaming", "outer-join"))
 _register("stream_intra_doc_chunks", stream_jobs.stream_intra_doc_chunks, dedup.ORACLE_INTRA_DOC_CHUNKS, tags=("dedup", "streaming", "ingestion", "map-only"))
 _register("stream_pq_encode", stream_jobs.stream_pq_encode, ann.ORACLE_PQ_ENCODE, tags=("similarity", "quantization", "streaming", "stream-static", "train-serve"))
+_register("stream_pq_index_serve", stream_jobs.stream_pq_index_serve, ann.ORACLE_PQ_ADC_TOPK, tags=("similarity", "quantization", "streaming", "T9", "S6", "e2e", "chained-queries"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

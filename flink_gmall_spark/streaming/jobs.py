@@ -1109,3 +1109,50 @@ def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "sub_id", "code", F.round("sdist", 6).alias("sdist")
     )
     return run_to_memory(codes, "append")
+
+
+def stream_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL vector-index maintenance loop, chained through the
+    exactly-once store — how a production retrieval system actually runs:
+
+      1. maintain: the embedding STREAM encodes against the static
+         codebook (the stream-static shape of stream_pq_encode) and the
+         codes land in an epoch-partitioned exactly-once parquet index
+         (write_exactly_once — checkpointed offsets + idempotent epoch
+         overwrite, T9; a replayed batch can never duplicate index rows).
+      2. serve: ADC top-k runs against the INDEX FILES (epoch=* glob),
+         not the original embeddings — the corpus floats are only ever
+         read by the encoder.
+
+    The oracle is ORACLE_PQ_ADC_TOPK unchanged: if the store hop dropped,
+    duplicated, or mangled one code row, ranks shift and the hash fails —
+    the chain proof, same discipline as stream_ads_hourly_from_sink."""
+    import hashlib as _hashlib
+
+    from flink_gmall_spark.operators.ann import _pq_codes, adc_topk_from_codes
+    from flink_gmall_spark.scratch import scratch_dir
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    tag = _hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    out = scratch_dir("pq_index", tag)
+    sink_dir = os.path.join(out, "codes")
+    ckpt = os.path.join(out, "_ckpt")
+
+    to_v = "transform(embedding, x -> cast(x AS double))"
+    e_stream = read_stream(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(to_v).alias("v")
+    )
+    e_static = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(to_v).alias("v")
+    )
+    codes = _pq_codes(e_stream, cb_src=e_static).select("vec_id", "sub_id", "code")
+    q = write_exactly_once(codes, sink_dir, ckpt)
+    q.awaitTermination()
+
+    index = spark.read.parquet(os.path.join(sink_dir, "epoch=*")).select(
+        "vec_id", "sub_id", "code"
+    )
+    return adc_topk_from_codes(index, e_static)
