@@ -1021,3 +1021,178 @@ FROM (
 )
 WHERE rank <= {TOPK}
 """
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined — the production ANN serving stack (FAISS's
+    IVFPQ, Jégou et al. 2011 §V): an inverted file bounds WHICH vectors a
+    query touches (NPROBE nearest cells by squared L2), and product
+    quantization bounds WHAT is read per touched vector (M code lookups,
+    no corpus floats). Composes this engine's audited pieces: first-K
+    cell centroids + argmin assignment (ivf shape), `_pq_codes` for the
+    code table, the broadcast LUT + DECIMAL-exact ADC sum, ranking
+    (adist ASC, vec_id ASC).
+
+    Scale shape (100 TB): query cost = corpus/n_cells * nprobe vectors x
+    M byte-sized lookups — the product of both prunings; everything
+    shuffles only on (cid) and (query, vec) bounded keys, the LUT and
+    centroids broadcast. Recall is partial by construction (cell miss +
+    quantization); the oracle applies identical probing so the contract
+    is exact.
+    """
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("ivf_cid"), F.col("v").alias("icv")
+    )
+    aff = e.join(F.broadcast(cent), how="cross").withColumn(
+        "idist", F.expr(_SQDIST.format(a="v", b="icv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("idist"), F.asc("ivf_cid"))
+    ranked = aff.withColumn("crank", F.row_number().over(w_assign))
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "ivf_cid")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "ivf_cid")
+    cand = (
+        probes.join(cells, "ivf_cid")
+        .select("query_id", "vec_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .distinct()
+    )
+    codes = _pq_codes(e).select("vec_id", "sub_id", "code")
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = q.crossJoin(cb).select(
+        "query_id",
+        "cid",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> "
+                + _SQDIST.format(
+                    a=f"slice(qv, m * {PQ_SUB} + 1, {PQ_SUB})",
+                    b=f"slice(cv, m * {PQ_SUB} + 1, {PQ_SUB})",
+                )
+                + ")"
+            )
+        ).alias("sub_id", "ld"),
+    )
+    cc = cand.join(codes, "vec_id")
+    j = cc.join(
+        F.broadcast(lut),
+        (cc.sub_id == lut.sub_id) & (cc.code == lut.cid) & (cc.query_id == lut.query_id),
+    ).drop(lut.query_id)
+    adc = j.groupBy("query_id", "vec_id").agg(
+        F.sum(F.expr("cast(ld AS decimal(27,15))")).alias("adist_dec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist_dec"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adist_dec").cast("double"), 6).alias("adist"),
+        )
+    )
+
+
+ORACLE_IVFPQ_TOPK = f"""
+WITH {_DUCK_PQ_CTES},
+ivc AS (SELECT vec_id AS ivf_cid, v AS icv FROM e WHERE vec_id < {N_CELLS}),
+iaff AS (
+    SELECT e.vec_id, ivc.ivf_cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_DUCK_SQDIST.format(a='e.v', b='ivc.icv')} ASC,
+                        ivc.ivf_cid ASC) AS crank
+    FROM e CROSS JOIN ivc
+),
+cells AS (SELECT vec_id, ivf_cid FROM iaff WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, ivf_cid FROM iaff
+    WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM probes p JOIN cells c ON p.ivf_cid = c.ivf_cid
+    WHERE p.query_id <> c.vec_id
+),
+lut AS (
+    SELECT q.vec_id AS query_id, u.m, cb.cid,
+           {_DUCK_PQ_SQDIST.format(a='q.v', b='cb.cv', S=PQ_SUB)} AS ld
+    FROM e q CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) u
+    WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT ca.query_id, ca.vec_id,
+           sum(CAST(l.ld AS DECIMAL(27,15))) AS adist_dec
+    FROM cand ca
+    JOIN codes c ON ca.vec_id = c.vec_id
+    JOIN lut l ON c.m = l.m AND c.cid = l.cid AND l.query_id = ca.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(CAST(adist_dec AS DOUBLE), 6) AS adist
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist_dec ASC, vec_id ASC) AS rank
+    FROM adc
+)
+WHERE rank <= {TOPK}
+"""
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation SELF-MEASUREMENT — the recall ledger any production
+    ANN deployment keeps: per query, how many of the exact brute-force
+    top-k did the IVF index and the IVF+PQ index actually return?
+    Integer set intersections (hits out of k), so the report hash-matches
+    the oracle exactly — recall becomes a pinned CONTRACT, not a hope;
+    an index regression (bad centroids, broken codes) fails correctness,
+    not just quality dashboards.
+
+    Scale shape: three audited serving pipelines (exact / IVF / IVFPQ)
+    plus two equi-joins on (query, neighbor) — the report costs no more
+    than running the indexes it audits; on a cluster the exact side runs
+    on a sampled query set, same plan.
+    """
+    tune(spark)
+    exact = ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("ivf_hit")
+    )
+    ivfpq = ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("pq_hit")
+    )
+    j = exact.join(ivf, ["query_id", "neighbor_id"], "left").join(
+        ivfpq, ["query_id", "neighbor_id"], "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("ivf_hit").alias("hits_ivf"),
+        F.count("pq_hit").alias("hits_ivfpq"),
+    )
+
+
+ORACLE_ANN_RECALL_REPORT = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_TOPK}) t),
+ivf AS (SELECT query_id, neighbor_id FROM ({ORACLE_IVF_TOPK}) t),
+pq AS (SELECT query_id, neighbor_id FROM ({ORACLE_IVFPQ_TOPK}) t)
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(i.neighbor_id) AS BIGINT) AS hits_ivf,
+       CAST(count(p.neighbor_id) AS BIGINT) AS hits_ivfpq
+FROM exact e
+LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+LEFT JOIN pq p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id
+"""

@@ -263,6 +263,8 @@ _register("sim_semantic_dedup", ann.semantic_dedup, ann.ORACLE_SEMANTIC_DEDUP, t
 _register("sim_semantic_dedup_trained", ann.semantic_dedup_trained, ann.ORACLE_SEMANTIC_DEDUP_TRAINED, tags=("similarity", "dedup", "clustering", "train-serve"))
 _register("sim_pq_encode", ann.pq_encode, ann.ORACLE_PQ_ENCODE, tags=("similarity", "quantization", "map-only"))
 _register("sim_pq_adc_topk", ann.pq_adc_topk, ann.ORACLE_PQ_ADC_TOPK, tags=("similarity", "quantization", "lut-join"))
+_register("sim_ivfpq_topk", ann.ivfpq_topk, ann.ORACLE_IVFPQ_TOPK, tags=("similarity", "quantization", "ivf", "e2e"))
+_register("sim_ann_recall_report", ann.ann_recall_report, ann.ORACLE_ANN_RECALL_REPORT, tags=("similarity", "evaluation", "recall", "self-measurement"))
 _register("text_lang_id", textstats.lang_id, textstats.ORACLE_LANG_ID, tags=("text",))
 _register("text_quality_scores", textstats.quality_scores, textstats.ORACLE_QUALITY_SCORES, bench=True, tags=("text",))
 _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_COUNTS, tags=("text",))
