@@ -944,3 +944,42 @@ FROM documents d LEFT JOIN matches m USING (doc_id)
 WHERE d.doc_id % {NEW_BATCH_MOD} = 0
 GROUP BY d.doc_id
 """
+
+
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline SELF-MEASUREMENT, the twin of sim_ann_recall_report
+    for the near-dup family: how many of the TRUE near-dup pairs (exact
+    n-gram Jaccard >= threshold, the all-pairs truth ngram_jaccard_pairs
+    computes) did the banded MinHash+LSH candidate generation recover?
+    One global integer ledger row — (true_pairs, found_pairs,
+    missed_pairs) — hash-pinned, so band/row parameter regressions or a
+    broken signature fail correctness outright. The theoretical recall at
+    s=0.6 with b=8, r=2 is ~0.97 (module docstring); the ledger is the
+    empirical companion the pipeline logs each run.
+
+    Scale note: the truth side is the all-pairs shared-shingle join —
+    affordable at audit scale (or on a sampled corpus partition at
+    100 TB); the LSH side is the production path being audited.
+    """
+    tune(spark)
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    found = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    j = truth.join(found, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("true_pairs"),
+        F.count("hit").alias("found_pairs"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("missed_pairs"),
+    )
+
+
+ORACLE_LSH_RECALL_REPORT = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD}) t),
+found AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH}) t)
+SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+       CAST(count(f.doc_a) AS BIGINT) AS found_pairs,
+       CAST(count(*) - count(f.doc_a) AS BIGINT) AS missed_pairs
+FROM truth t
+LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+"""

@@ -246,6 +246,7 @@ _register("dedup_chunk_first_occurrence", dedup.chunk_dedup, dedup.ORACLE_CHUNK_
 _register("dedup_cluster_representatives", dedup.cluster_representatives, dedup.ORACLE_CLUSTER_REPRESENTATIVES, tags=("dedup", "iterative", "e2e"))
 _register("dedup_intra_doc_chunks", dedup.intra_doc_chunk_dedup, dedup.ORACLE_INTRA_DOC_CHUNKS, tags=("dedup", "line-level", "map-only"))
 _register("dedup_incremental_minhash", dedup.incremental_minhash_dedup, dedup.ORACLE_INCREMENTAL_MINHASH, tags=("dedup", "incremental", "ingestion"))
+_register("dedup_lsh_recall_report", dedup.lsh_recall_report, dedup.ORACLE_LSH_RECALL_REPORT, tags=("dedup", "evaluation", "recall", "self-measurement"))
 _register("curation_bpe_pair_counts", curation.bpe_pair_counts, curation.ORACLE_BPE_PAIR_COUNTS, tags=("curation", "text", "tokenizer-training", "topk"))
 _register("curation_lm_score", curation.lm_commonness_score, curation.ORACLE_LM_COMMONNESS, tags=("curation", "text", "quality", "lm-counts"))
 _register("curation_bpe_train", curation.bpe_train_merges, curation.ORACLE_BPE_TRAIN, tags=("curation", "text", "tokenizer-training", "iterative"))
