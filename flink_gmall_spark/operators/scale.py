@@ -482,3 +482,73 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY o_orderpriority
 """
+
+
+COMPACT_EPOCHS = 8  # simulated micro-batch count in the small-file store
+COMPACT_TARGET_FILES = 2
+
+
+def epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-store MAINTENANCE — the small-files problem and its fix:
+    an epoch-partitioned exactly-once sink (streaming.jobs
+    write_exactly_once) accretes one directory of small files per
+    micro-batch; at 100 TB that is millions of files and a dead
+    NameNode/manifest. The compaction job rewrites the store into
+    COMPACT_TARGET_FILES sorted files (repartition + sortWithinPartitions
+    on the query key, so post-compaction scans get clustered row-group
+    stats), after which readers see identical content through a sane
+    layout.
+
+    The store here is produced batch-side as COMPACT_EPOCHS epoch slices
+    (deterministic pmod shards — the layout a rate-limited CDC sink run
+    leaves behind; see stream_pyds_cdc_* for the live producer). The
+    ORACLE CONTRACT IS CONTENT IDENTITY: the returned rollup is computed
+    from the COMPACTED files and must hash-match the same rollup over the
+    original table — a compaction that drops, duplicates, or mangles one
+    row fails correctness. tests/test_scale.py pins the file-count
+    reduction itself.
+    """
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.scratch import scratch_dir
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    base = scratch_dir("compaction", tag)
+    store = os.path.join(base, "store")
+    compacted = os.path.join(base, "compacted")
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    for e in range(COMPACT_EPOCHS):
+        ev.filter(F.pmod("event_id", F.lit(COMPACT_EPOCHS)) == e).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(store, f"epoch={e}"))
+
+    small = spark.read.parquet(os.path.join(store, "epoch=*"))
+    (
+        small.repartition(COMPACT_TARGET_FILES)
+        .sortWithinPartitions("event_type", "event_id")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    comp = spark.read.parquet(compacted)
+    return comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("value_sum"),
+    )
+
+
+ORACLE_EPOCH_COMPACTION = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       count(DISTINCT user_id) AS users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+"""

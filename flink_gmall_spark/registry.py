@@ -123,6 +123,7 @@ _register("stream_binned_range_join", stream_jobs.stream_binned_range_join, stre
 _register("scale_partition_pruned_read", scale.partition_pruned_read, scale.ORACLE_PARTITION_PRUNED_READ, tags=("partition-pruning", "scale"))
 _register("scale_runtime_bloom_join", scale.runtime_bloom_join, scale.ORACLE_RUNTIME_BLOOM_JOIN, tags=("runtime-filter", "bloom", "scale"))
 _register("scale_dynamic_partition_pruning", scale.dynamic_partition_pruning, scale.ORACLE_DYNAMIC_PARTITION_PRUNING, tags=("partition-pruning", "dpp", "scale", "star-schema"))
+_register("scale_epoch_compaction", scale.epoch_compaction, scale.ORACLE_EPOCH_COMPACTION, tags=("scale", "maintenance", "small-files", "T9"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 

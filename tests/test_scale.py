@@ -168,3 +168,26 @@ def test_aqe_skew_join_sf01_production_thresholds(spark):
 
     plain_rows = sorted(map(tuple, scale.skewed_part_join(spark, sf01).collect()))
     assert split_rows == plain_rows
+
+
+def test_epoch_compaction_shrinks_file_count(spark, sf_dir):
+    """Compaction must actually reduce the physical file count (the
+    point of the maintenance job) while the oracle separately pins
+    content identity."""
+    import glob
+    import hashlib
+    import os
+
+    from flink_gmall_spark.operators import scale as sc
+    from flink_gmall_spark.scratch import scratch_dir
+
+    sc.epoch_compaction(spark, sf_dir).count()
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    base = scratch_dir("compaction", tag)
+    small = glob.glob(os.path.join(base, "store", "epoch=*", "*.parquet"))
+    big = glob.glob(os.path.join(base, "compacted", "*.parquet"))
+    assert len(small) == sc.COMPACT_EPOCHS
+    assert len(big) == sc.COMPACT_TARGET_FILES
+    assert len(big) < len(small)
