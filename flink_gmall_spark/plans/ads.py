@@ -931,3 +931,55 @@ FROM (
 )
 WHERE rank <= {TS_TOPK}
 """
+
+
+COPURCHASE_TOP_N = 50
+COPURCHASE_MIN_CT = 2
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — the item-item collaborative-filtering
+    count table behind every "customers also bought" surface: pairs of
+    parts appearing in the SAME order, counted across orders, top-N by
+    support. The missing recommendation-family member of the ADS layer.
+
+    Scale shape (100 TB of lineitems): the self-join is keyed on the
+    ORDER (an equi-join whose fan-out is bounded by basket size squared —
+    baskets are small by nature, so per-key work is constant); counts
+    partial-aggregate, and top-N is TakeOrderedAndProject. Contrast with
+    the naive item-keyed join, which would be user-history-quadratic on
+    hot items. A support floor prunes the singleton tail before the
+    count shuffle.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    counted = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
+    )
+    return counted.orderBy(
+        F.desc("ct"), F.asc("part_a"), F.asc("part_b")
+    ).limit(COPURCHASE_TOP_N)
+
+
+ORACLE_COPURCHASE_PAIRS = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS ct
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {COPURCHASE_MIN_CT}
+ORDER BY ct DESC, part_a ASC, part_b ASC
+LIMIT {COPURCHASE_TOP_N}
+"""
