@@ -983,3 +983,89 @@ HAVING count(*) >= {COPURCHASE_MIN_CT}
 ORDER BY ct DESC, part_a ASC, part_b ASC
 LIMIT {COPURCHASE_TOP_N}
 """
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-retention MATRIX — the standard product-analytics
+    rollup the reference's visitor stats feed into dashboards: users
+    cohort by their FIRST active day; each later active day increments
+    cell (cohort_day, day_offset). Diagonal reads are day-N retention.
+
+    Scale shape: first-activity is one partial-agg min per user; the
+    activity set is one dropDuplicates on (user, day) — both shuffle on
+    the user key once (exchange reuse applies), the offset join is
+    user-keyed equi, and the matrix is a bounded-key (cohort, offset)
+    count. No windows over raw events, no per-user sorts.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).dropDuplicates(["user_id", "d"])
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    j = days.join(firsts, "user_id")
+    return (
+        j.groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (
+    SELECT user_id, min(d) AS cohort_d FROM days GROUP BY user_id
+)
+SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+       CAST(datediff('day', f.cohort_d, days.d) AS BIGINT) AS day_offset,
+       count(DISTINCT days.user_id) AS users
+FROM days JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-to-event TRANSITION counts — the Markov/path matrix
+    behind flow ("Sankey") analysis and the generalization of the
+    reference's T3 jump-out detector (which is exactly the
+    view→no-follow-up transition): for each user's event sequence in
+    (ts, event_id) order, count each (prev_type → type) step corpus-wide.
+
+    Scale shape: ONE window shuffle keyed on the user (per-user state is
+    a single lag, the same per-key discipline as the T1-T3 state
+    machines), then a bounded-key (from_type, to_type) partial-agg count
+    — |types|² output rows regardless of corpus size.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH steps AS (
+    SELECT user_id,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+)
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS transitions,
+       count(DISTINCT user_id) AS users
+FROM steps
+WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""

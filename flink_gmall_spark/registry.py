@@ -116,6 +116,8 @@ _register("ads_yoy_spend_full_outer", ads.yoy_spend_full_outer, ads.ORACLE_YOY_S
 _register("ads_conversion_funnel", ads.conversion_funnel, ads.ORACLE_CONVERSION_FUNNEL, tags=("funnel", "cep"))
 _register("ads_user_activity_similarity", ads.user_activity_similarity, ads.ORACLE_USER_ACTIVITY_SIMILARITY, tags=("similarity", "time-series", "featurization"))
 _register("ads_copurchase_pairs", ads.copurchase_pairs, ads.ORACLE_COPURCHASE_PAIRS, tags=("recommendation", "market-basket", "topk"))
+_register("ads_cohort_retention", ads.cohort_retention, ads.ORACLE_COHORT_RETENTION, tags=("cohort", "retention", "product-analytics"))
+_register("ads_event_transitions", ads.event_transitions, ads.ORACLE_EVENT_TRANSITIONS, tags=("path-analysis", "markov", "T3-generalized"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
