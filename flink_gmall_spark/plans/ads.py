@@ -1069,3 +1069,159 @@ FROM steps
 WHERE from_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+RFM_BUCKETS = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube: per customer,
+    Recency (days since last order), Frequency (order count), Monetary
+    (total spend) each quartile-bucketed by ntile, concatenated into the
+    segment label ("4-4-4" = best). Deterministic: every ntile ordering
+    carries the customer key as tiebreak, so equal metrics cannot float
+    between buckets across engines or runs.
+
+    Scale shape: one partial-agg pass to per-customer RFM; the three
+    ntile windows are GLOBAL orderings, which Spark executes on a single
+    partition — acceptable because the input is the already-reduced
+    per-customer table, but at extreme customer counts the production
+    swap is quantile thresholds from approx_percentile (or the
+    histogram-quantile plan of curation_adaptive_quality_filter) applied
+    as a narrow map; the segment semantics are unchanged. Final segment
+    rollup is a bounded-key count.
+    """
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("mon_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_d").cast("long").alias("recency_days"),
+            "freq",
+            "mon_dec",
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("mon_dec"), F.asc("o_custkey"))
+    scored = per.select(
+        "o_custkey",
+        F.ntile(RFM_BUCKETS).over(wr).alias("r"),
+        F.ntile(RFM_BUCKETS).over(wf).alias("f"),
+        F.ntile(RFM_BUCKETS).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.min("o_custkey").alias("sample_cust"),
+        )
+    )
+
+
+ORACLE_RFM_SEGMENTS = f"""
+WITH per AS (
+    SELECT o_custkey,
+           datediff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+           count(*) AS freq,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon_dec
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY freq DESC, o_custkey ASC) AS f,
+           ntile({RFM_BUCKETS}) OVER (ORDER BY mon_dec DESC, o_custkey ASC) AS m
+    FROM per
+)
+SELECT concat(r, '-', f, '-', m) AS segment,
+       CAST(count(*) AS BIGINT) AS customers,
+       min(o_custkey) AS sample_cust
+FROM scored
+GROUP BY 1
+"""
+
+
+ASSOC_SCALE = 1000
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES over the co-purchase pairs — the Apriori output
+    table (support, confidence, lift), integer-exact: for each frequent
+    ordered pair a→b, confidence = P(b|a) = pair_ct/item_ct(a) and lift =
+    P(ab)/(P(a)P(b)) = pair_ct * n_orders / (ct(a) * ct(b)), both x1000
+    with DIV. Extends ads_copurchase_pairs from counts to decisions (the
+    same upgrade collocations_lift makes over bigram_counts).
+
+    Scale shape: basket-bounded order-keyed self-join for pairs (see
+    copurchase), one partial-agg item-support table joined twice on the
+    item key, a 1-row broadcast total. Support floor prunes before joins.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    item_ct = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ict"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_ct"))
+        .filter(F.col("pair_ct") >= COPURCHASE_MIN_CT)
+    )
+    ia = item_ct.select(F.col("l_partkey").alias("ante"), F.col("ict").alias("ante_ct"))
+    ib = item_ct.select(F.col("l_partkey").alias("cons"), F.col("ict").alias("cons_ct"))
+    return (
+        pairs.join(ia, "ante")
+        .join(ib, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "pair_ct",
+            F.expr(f"({ASSOC_SCALE} * pair_ct) DIV ante_ct").alias("confidence_x1000"),
+            F.expr(f"({ASSOC_SCALE} * pair_ct * n_ord) DIV (ante_ct * cons_ct)").alias(
+                "lift_x1000"
+            ),
+        )
+    )
+
+
+ORACLE_ASSOCIATION_RULES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_ct AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ict FROM li GROUP BY 1),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord FROM li),
+pairs AS (
+    SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+           CAST(count(*) AS BIGINT) AS pair_ct
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {COPURCHASE_MIN_CT}
+)
+SELECT p.ante, p.cons, p.pair_ct,
+       CAST(({ASSOC_SCALE} * p.pair_ct) // ia.ict AS BIGINT) AS confidence_x1000,
+       CAST(({ASSOC_SCALE} * p.pair_ct * n_ord) // (ia.ict * ib.ict) AS BIGINT) AS lift_x1000
+FROM pairs p
+JOIN item_ct ia ON p.ante = ia.l_partkey
+JOIN item_ct ib ON p.cons = ib.l_partkey
+CROSS JOIN n_orders
+"""
