@@ -1225,3 +1225,66 @@ JOIN item_ct ia ON p.ante = ia.l_partkey
 JOIN item_ct ib ON p.cons = ib.l_partkey
 CROSS JOIN n_orders
 """
+
+
+TIMED_FUNNEL_WINDOW_S = 3600  # conversion must land within 1h of first view
+
+
+def timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel — the batch face of Flink CEP's
+    ``.within()`` (the reference's jump-out pattern uses within(10s),
+    UserJumpDetailApp): a user converts only if a purchase lands within
+    TIMED_FUNNEL_WINDOW_S of their FIRST view. Unbounded funnels
+    (ads_conversion_funnel) overstate conversion; the windowed form is
+    what attribution actually uses.
+
+    Scale shape: first-view is one partial-agg min per user; the
+    purchase probe is a user-keyed equi-join with the time bound as a
+    residual predicate (never a time-range cross join); the report is a
+    1-row integer ledger with a HALF_UP-x100 rate — hash-exact.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        views.join(pur, "user_id")
+        .filter(
+            (F.col("p_us") > F.col("v_us"))
+            & (F.col("p_us") <= F.col("v_us") + TIMED_FUNNEL_WINDOW_S * 1_000_000)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_v = views.agg(F.count(F.lit(1)).alias("viewed"))
+    n_c = conv.agg(F.count(F.lit(1)).alias("converted"))
+    return n_v.crossJoin(n_c).select(
+        "viewed",
+        "converted",
+        F.expr("(200 * converted + viewed) DIV (2 * viewed)").alias("conv_rate_x100"),
+    )
+
+
+ORACLE_TIMED_FUNNEL = f"""
+WITH views AS (
+    SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+    SELECT DISTINCT v.user_id
+    FROM views v JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'purchase'
+     AND epoch_us(e.ts) > v.v_us
+     AND epoch_us(e.ts) <= v.v_us + {TIMED_FUNNEL_WINDOW_S * 1_000_000}
+)
+SELECT CAST((SELECT count(*) FROM views) AS BIGINT) AS viewed,
+       CAST((SELECT count(*) FROM conv) AS BIGINT) AS converted,
+       CAST((200 * (SELECT count(*) FROM conv) + (SELECT count(*) FROM views))
+            // (2 * (SELECT count(*) FROM views)) AS BIGINT) AS conv_rate_x100
+"""
