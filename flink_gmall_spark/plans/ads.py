@@ -1288,3 +1288,111 @@ SELECT CAST((SELECT count(*) FROM views) AS BIGINT) AS viewed,
        CAST((200 * (SELECT count(*) FROM conv) + (SELECT count(*) FROM views))
             // (2 * (SELECT count(*) FROM views)) AS BIGINT) AS conv_rate_x100
 """
+
+
+PR_SCALE = 1_000_000  # integer-scaled PageRank mass
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as integer ratio
+PR_ROUNDS = 3
+PR_TOP_N = 20
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph, INTEGER-exact — the iterative
+    graph-centrality member of the analytics surface (beyond
+    dedup_connected_components' label propagation): edges are co-purchase
+    pairs (both directions), PR mass is x1e6-scaled BIGINT, and each of
+    PR_ROUNDS rounds computes pr' = (1-d)*SCALE + d * Σ pr(u) DIV deg(u)
+    entirely in integer arithmetic (DIV), so the fixpoint trajectory is
+    bit-identical in both engines — no float mass to drift.
+
+    Scale shape (the Pregel-in-SQL pattern): per round one equi-join of
+    the rank vector to the edge list keyed on the SOURCE plus one
+    partial-agg sum keyed on the DESTINATION — the classic two-shuffle
+    PageRank step; the degree table joins once. Rounds unroll
+    declaratively (at production round counts, persist each vector like
+    the k-means loop). Output is the top-N central parts.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
+        .select("src", "dst")
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg")
+    pr = nodes.select("part", "deg", F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            pr.select(F.col("part").alias("src"), F.expr("pr DIV deg").alias("share"))
+            .join(und, "src")
+            .groupBy(F.col("dst").alias("part"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "part", "left")
+            .select(
+                "part",
+                "deg",
+                F.expr(
+                    f"cast({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) DIV {PR_DAMP_DEN}"
+                    f" + ({PR_DAMP_NUM} * coalesce(inflow, 0)) DIV {PR_DAMP_DEN} as bigint)"
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("part", F.col("pr").alias("pr_x1e6"))
+        .orderBy(F.desc("pr_x1e6"), F.asc("part"))
+        .limit(PR_TOP_N)
+    )
+
+
+def _oracle_part_pagerank() -> str:
+    stages = [
+        f"""und AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {COPURCHASE_MIN_CT}
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+nodes AS (SELECT src AS part, deg FROM deg),
+pr0 AS (SELECT part, deg, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for k in range(1, PR_ROUNDS + 1):
+        stages.append(
+            f"""c{k} AS (
+    SELECT und.dst AS part, sum(p.pr // p.deg) AS inflow
+    FROM pr{k - 1} p JOIN und ON p.part = und.src
+    GROUP BY 1
+),
+pr{k} AS (
+    SELECT n.part, n.deg,
+           CAST({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) // {PR_DAMP_DEN}
+                + ({PR_DAMP_NUM} * COALESCE(c{k}.inflow, 0)) // {PR_DAMP_DEN}
+                AS BIGINT) AS pr
+    FROM nodes n LEFT JOIN c{k} ON n.part = c{k}.part
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT part, pr AS pr_x1e6 FROM pr{PR_ROUNDS}
+ORDER BY pr_x1e6 DESC, part ASC
+LIMIT {PR_TOP_N}
+"""
+    )
+
+
+ORACLE_PART_PAGERANK = _oracle_part_pagerank()

@@ -121,6 +121,7 @@ _register("ads_event_transitions", ads.event_transitions, ads.ORACLE_EVENT_TRANS
 _register("ads_rfm_segments", ads.rfm_segments, ads.ORACLE_RFM_SEGMENTS, tags=("rfm", "segmentation", "ntile", "product-analytics"))
 _register("ads_association_rules", ads.association_rules, ads.ORACLE_ASSOCIATION_RULES, tags=("recommendation", "market-basket", "association-rules"))
 _register("ads_timed_funnel", ads.timed_funnel, ads.ORACLE_TIMED_FUNNEL, tags=("funnel", "cep", "within", "attribution"))
+_register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags=("graph", "pagerank", "iterative", "topk"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
