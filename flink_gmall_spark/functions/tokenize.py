@@ -158,3 +158,19 @@ def register_keyword_udtf(spark: SparkSession) -> None:
                 yield (t,)
 
     spark.udtf.register("ik_analyze_t", IkAnalyzeTable)
+
+    # The ORACLE-PAIRED table function: pure regex tokenization, exactly
+    # tokens_col / string_split_regex semantics, so LATERAL queries over
+    # it hash-match the DuckDB oracles on ANY corpus. ik_analyze_t above
+    # keeps the CJK-faithful segmentation (jieba/FMM) — golden-pinned in
+    # tests, but NOT oracle-expressible (the regex oracle drops CJK runs)
+    # and jieba-availability-dependent, so registry entries must use
+    # tokens_t. (Divergence caught by review.)
+    @udtf(returnType="keyword: string")
+    class TokensTable:
+        def eval(self, text: str):  # noqa: ANN001 - Spark UDTF contract
+            if text:
+                for t in _ALNUM_RUN.findall(text.lower()):
+                    yield (t,)
+
+    spark.udtf.register("tokens_t", TokensTable)

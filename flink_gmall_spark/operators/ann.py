@@ -946,12 +946,18 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_topk_from_codes(codes, e)
 
 
-def adc_topk_from_codes(codes: DataFrame, e: DataFrame) -> DataFrame:
+def adc_topk_from_codes(
+    codes: DataFrame, e: DataFrame, cand: DataFrame | None = None
+) -> DataFrame:
     """ADC top-k against an EXTERNAL code table — the serving half of
     pq_adc_topk, reusable when the codes come from a maintained index
     store instead of inline encoding (streaming.jobs
     stream_pq_index_serve). ``codes``: (vec_id, sub_id, code); ``e``:
-    (vec_id, v) supplying queries and the codebook."""
+    (vec_id, v) supplying queries and the codebook. ``cand`` (optional):
+    (query_id, vec_id) pairs restricting which vectors each query scores
+    — the IVF probe set (ivfpq_topk); without it every query scores the
+    whole code table. One definition of the LUT build, the decimal-exact
+    sum, and the ranking contract for all three ADC consumers."""
     cb = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -975,12 +981,21 @@ def adc_topk_from_codes(codes: DataFrame, e: DataFrame) -> DataFrame:
             ).alias("sub_id", "ld"),
         )
     )
-    j = codes.join(
-        F.broadcast(lut),
-        (codes.sub_id == lut.sub_id)
-        & (codes.code == lut.cid)
-        & (codes.vec_id != lut.query_id),
-    )
+    if cand is None:
+        j = codes.join(
+            F.broadcast(lut),
+            (codes.sub_id == lut.sub_id)
+            & (codes.code == lut.cid)
+            & (codes.vec_id != lut.query_id),
+        )
+    else:
+        cc = cand.join(codes, "vec_id")
+        j = cc.join(
+            F.broadcast(lut),
+            (cc.sub_id == lut.sub_id)
+            & (cc.code == lut.cid)
+            & (cc.query_id == lut.query_id),
+        ).drop(lut.query_id)
     adc = j.groupBy("query_id", "vec_id").agg(
         F.sum(F.expr("cast(ld AS decimal(27,15))")).alias("adist_dec")
     )
@@ -1064,45 +1079,9 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     codes = _pq_codes(e).select("vec_id", "sub_id", "code")
-    cb = e.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    lut = q.crossJoin(cb).select(
-        "query_id",
-        "cid",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), m -> "
-                + _SQDIST.format(
-                    a=f"slice(qv, m * {PQ_SUB} + 1, {PQ_SUB})",
-                    b=f"slice(cv, m * {PQ_SUB} + 1, {PQ_SUB})",
-                )
-                + ")"
-            )
-        ).alias("sub_id", "ld"),
-    )
-    cc = cand.join(codes, "vec_id")
-    j = cc.join(
-        F.broadcast(lut),
-        (cc.sub_id == lut.sub_id) & (cc.code == lut.cid) & (cc.query_id == lut.query_id),
-    ).drop(lut.query_id)
-    adc = j.groupBy("query_id", "vec_id").agg(
-        F.sum(F.expr("cast(ld AS decimal(27,15))")).alias("adist_dec")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adist_dec"), F.asc("vec_id"))
-    return (
-        adc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOPK)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            F.round(F.col("adist_dec").cast("double"), 6).alias("adist"),
-        )
-    )
+    # shared ADC contract (LUT build, decimal-exact sum, ranking) with
+    # the probe set restricting candidates — see adc_topk_from_codes
+    return adc_topk_from_codes(codes, e, cand=cand)
 
 
 ORACLE_IVFPQ_TOPK = f"""

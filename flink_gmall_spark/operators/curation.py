@@ -851,7 +851,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_stage_ctes() -> list[str]:
     """The unrolled BPE training rounds as CTE stages (w0..wN, p/b per
     round); shared by the trainer oracle (reads b1..bN) and the encoder
-    oracle (reads the final symbolized dictionary wN)."""
+    oracle (reads the final symbolized dictionary wN).
+
+    Each w{k} takes its best-pair via LEFT JOIN ON TRUE with a NULL
+    guard, NOT a plain cross join: when training dries up before
+    BPE_TRAIN_MERGES rounds (every word fully merged), b{k} is EMPTY, and
+    a cross join would empty w{k} and every later stage — the encoder
+    oracle would return zero rows while the Spark twin (which simply
+    breaks out of its loop) returns the symbolized dictionary. With the
+    guard, an empty b{k} passes w{k-1} through unchanged, matching the
+    loop-break semantics exactly. (Caught by review; regression-pinned in
+    tests/test_round5b_ops.py on a corpus that dries up at round 4.)"""
     stages = [
         f"""w0 AS (
     SELECT freq, array_to_string(string_split(w, ''), ' ') AS s FROM (
@@ -874,14 +884,16 @@ b{k} AS (
     FROM p{k} ORDER BY ct DESC, pair ASC LIMIT 1
 ),
 w{k} AS (
-    SELECT freq, list_reduce(string_split(s, ' '), (acc, x) ->
+    SELECT freq,
+           CASE WHEN b{k}.a IS NULL THEN s
+                ELSE list_reduce(string_split(s, ' '), (acc, x) ->
         CASE WHEN string_split(acc, ' ')[-1] = b{k}.a AND x = b{k}.b
              THEN CASE WHEN length(acc) > length(b{k}.a)
                        THEN concat(substring(acc, 1, length(acc) - length(b{k}.a) - 1),
                                    ' ', b{k}.a || b{k}.b)
                        ELSE b{k}.a || b{k}.b END
-             ELSE concat(acc, ' ', x) END) AS s
-    FROM w{k - 1}, b{k}
+             ELSE concat(acc, ' ', x) END) END AS s
+    FROM w{k - 1} LEFT JOIN b{k} ON TRUE
 )"""
         )
     return stages
@@ -1111,32 +1123,56 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clearer plan.
     """
     tune(spark)
-    merges = [
-        r["pair"] for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
-    ]
     docs = load(spark, sf_dir, "documents")
-    words = (
+    sym = _bpe_symbolized_dictionary(spark, sf_dir, docs).select(
+        "w", "freq", F.explode(F.split("s", " ")).alias("symbol")
+    )
+    return sym.groupBy("symbol").agg(
+        F.sum("freq").alias("ct"), F.countDistinct("w").alias("n_words")
+    )
+
+
+def _bpe_dictionary(docs: DataFrame) -> DataFrame:
+    """The trainer's dictionary domain — lowercase-ascii words >= 2 chars
+    with corpus frequency. Single definition shared by the trainer,
+    encoder, and token-budget entries so the domain cannot
+    desynchronize between the train and serve twins."""
+    return (
         docs.select(F.explode(tokens_col("text")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    cur = words.select("freq", F.array_join(F.split("w", ""), " ").alias("s"))
+
+
+def _bpe_symbolized_dictionary(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """(w, freq, s): the dictionary with every trained merge applied —
+    the shared serve-side artifact. Trains (the merge table's
+    BPE_TRAIN_MERGES rows are the only driver-side data), then applies
+    each merge as the same narrow fold over distinct words."""
+    merges = [
+        r["pair"] for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    cur = _bpe_dictionary(docs).select(
+        "w", "freq", F.array_join(F.split("w", ""), " ").alias("s")
+    )
     for pair in merges:
         a, b = pair.split(" ")
-        cur = cur.select("freq", F.expr(_bpe_merge_expr(a, b)).alias("s"))
-    sym = cur.select("freq", F.explode(F.split("s", " ")).alias("symbol"))
-    return sym.groupBy("symbol").agg(
-        F.sum("freq").alias("ct"), F.count(F.lit(1)).alias("n_words")
-    )
+        cur = cur.select("w", "freq", F.expr(_bpe_merge_expr(a, b)).alias("s"))
+    return cur
 
 
 ORACLE_BPE_ENCODE = (
     "WITH "
     + ",\n".join(_bpe_stage_ctes())
     + f"""
-SELECT symbol, CAST(sum(freq) AS BIGINT) AS ct, CAST(count(*) AS BIGINT) AS n_words
-FROM (SELECT freq, unnest(string_split(s, ' ')) AS symbol FROM w{BPE_TRAIN_MERGES})
+SELECT symbol, CAST(sum(freq) AS BIGINT) AS ct,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+FROM (SELECT replace(s, ' ', '') AS w, freq,
+             unnest(string_split(s, ' ')) AS symbol
+      FROM w{BPE_TRAIN_MERGES})
 GROUP BY symbol
 """
 )
@@ -1296,20 +1332,11 @@ def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte/char fallback tier every production tokenizer has.
     """
     tune(spark)
-    merges = [
-        r["pair"] for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
-    ]
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
-    in_domain = F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2)
-    words = (
-        toks.filter(in_domain).groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    dict_syms = _bpe_symbolized_dictionary(spark, sf_dir, docs).select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_sym")
     )
-    cur = words.select("w", F.array_join(F.split("w", ""), " ").alias("s"))
-    for pair in merges:
-        a, b = pair.split(" ")
-        cur = cur.select("w", F.expr(_bpe_merge_expr(a, b)).alias("s"))
-    dict_syms = cur.select("w", F.size(F.split("s", " ")).cast("long").alias("n_sym"))
     counted = toks.join(dict_syms, "w", "left").select(
         "doc_id",
         F.coalesce("n_sym", F.lit(1)).alias("n_sym"),  # OOV fallback tier

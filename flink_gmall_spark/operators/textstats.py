@@ -379,9 +379,13 @@ def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg(F.md5("text"), HLL_LG_K).alias("sk"),
         F.countDistinct("text").alias("exact_distinct"),
     )
-    ok = (
+    # empty-corpus guard: hll_union_agg over zero rows is NULL, which
+    # would make the bound comparison NULL while the oracle pins TRUE —
+    # an absent sketch with an exact count of 0 IS within bounds
+    ok = F.coalesce(
         F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
-        <= HLL_TOL * F.col("exact_distinct")
+        <= HLL_TOL * F.col("exact_distinct"),
+        F.col("exact_distinct") == 0,
     ).alias("hll_ok")
     lang_rows = per.select("lang", "exact_distinct", ok)
     merged = per.agg(F.hll_union_agg("sk").alias("sk"))
@@ -440,18 +444,19 @@ def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") > 0
     )
-    return toks.select(
+    # score once, derive the label from the computed column — embedding
+    # the fold twice would double the per-token hashing if Catalyst's
+    # subexpression elimination declines to fuse across aliases
+    scored = toks.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
         F.expr(
             f"aggregate(transform(t, tok -> element_at(array({w_arr}), {idx})),"
             " cast(0 as bigint), (acc, x) -> acc + x)"
         ).alias("score"),
-        F.expr(
-            f"CASE WHEN aggregate(transform(t, tok -> element_at(array({w_arr}), {idx})),"
-            " cast(0 as bigint), (acc, x) -> acc + x) >= 0"
-            " THEN 'keep' ELSE 'drop' END"
-        ).alias("label"),
+    )
+    return scored.withColumn(
+        "label", F.when(F.col("score") >= 0, "keep").otherwise("drop")
     )
 
 

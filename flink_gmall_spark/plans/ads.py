@@ -1264,10 +1264,16 @@ def timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_v = views.agg(F.count(F.lit(1)).alias("viewed"))
     n_c = conv.agg(F.count(F.lit(1)).alias("converted"))
+    # zero-view guard: under Spark's ANSI mode DIV by 0 throws while
+    # DuckDB's // yields NULL — make both NULL explicitly (empty-input
+    # doctrine: degrade, never crash)
     return n_v.crossJoin(n_c).select(
         "viewed",
         "converted",
-        F.expr("(200 * converted + viewed) DIV (2 * viewed)").alias("conv_rate_x100"),
+        F.expr(
+            "CASE WHEN viewed = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (200 * converted + viewed) DIV (2 * viewed) END"
+        ).alias("conv_rate_x100"),
     )
 
 
@@ -1285,8 +1291,9 @@ conv AS (
 )
 SELECT CAST((SELECT count(*) FROM views) AS BIGINT) AS viewed,
        CAST((SELECT count(*) FROM conv) AS BIGINT) AS converted,
-       CAST((200 * (SELECT count(*) FROM conv) + (SELECT count(*) FROM views))
-            // (2 * (SELECT count(*) FROM views)) AS BIGINT) AS conv_rate_x100
+       CAST(CASE WHEN (SELECT count(*) FROM views) = 0 THEN NULL
+            ELSE (200 * (SELECT count(*) FROM conv) + (SELECT count(*) FROM views))
+                 // (2 * (SELECT count(*) FROM views)) END AS BIGINT) AS conv_rate_x100
 """
 
 

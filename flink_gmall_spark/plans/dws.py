@@ -488,7 +488,7 @@ def keyword_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT t.keyword, s.source, count(*) AS ct,
                count(DISTINCT s.doc_id) AS doc_ct
-        FROM kw_udtf_docs s, LATERAL ik_analyze_t(s.text) t
+        FROM kw_udtf_docs s, LATERAL tokens_t(s.text) t
         GROUP BY 1, 2
         """
     )

@@ -80,5 +80,8 @@ def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
     if fn_name == "hll_union_rollup":
         assert got[got.lang != "*ALL*"].empty
         assert (got[got.lang == "*ALL*"].exact_distinct == 0).all()
+        # the absent-sketch guard must keep the bound boolean TRUE (the
+        # oracle pins it) — a NULL here is an oracle hash mismatch
+        assert got[got.lang == "*ALL*"].hll_ok.all()
     else:
         assert got.empty, got.head()

@@ -244,3 +244,88 @@ def test_bpe_token_budget_hand_counts(spark, tmp_path):
     assert got.loc[0, "n_words"] == 3 and got.loc[0, "n_bpe_tokens"] == 3
     for i in (1, 2, 10, 11):
         assert got.loc[i, "n_words"] == 1 and got.loc[i, "n_bpe_tokens"] == 1
+
+
+def _duck_docs(docs_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docs_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+def test_bpe_oracles_survive_dried_up_training(spark, tmp_path):
+    """Regression (review finding): when training dries up before
+    BPE_TRAIN_MERGES rounds, the unrolled oracle stages' empty best-pair
+    b{k} must NOT empty the dictionary — trainer, encoder, AND budget
+    oracles must all still hash-match Spark on a corpus with only 3
+    learnable merges."""
+    from flink_gmall_spark.operators import curation
+    from tests.oracle import compare
+
+    rows = [(i, "aaab", "en", "s", 4) for i in range(3)]
+    rows += [(10 + i, "ab", "en", "s", 2) for i in range(2)]
+    rows += [(20, "ba 7", "en", "s", 4)]  # 'ba' symbolizes to 2 symbols
+    d = _write_docs(spark, tmp_path, rows)
+    con = _duck_docs(d)
+    try:
+        compare(spark.createDataFrame(
+            curation.bpe_train_merges(spark, d).collect() or [],
+            "rank bigint, pair string, ct bigint"),
+            con, curation.ORACLE_BPE_TRAIN, name="bpe_train_dry")
+        compare(curation.bpe_encode_corpus(spark, d), con,
+                curation.ORACLE_BPE_ENCODE, name="bpe_encode_dry")
+        compare(curation.bpe_token_budget(spark, d), con,
+                curation.ORACLE_BPE_TOKEN_BUDGET, name="bpe_budget_dry")
+    finally:
+        con.close()
+
+
+def test_timed_funnel_zero_views_degrades_to_null(spark, tmp_path):
+    """Regression (review finding): zero 'view' events must yield a
+    (0, 0, NULL) ledger in BOTH engines, not an ANSI DIVIDE_BY_ZERO."""
+    import os
+
+    import duckdb
+
+    from flink_gmall_spark.plans import ads
+    from pyspark.sql import types as T
+    from tests.oracle import compare
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "purchase", 5.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11, 0, 0), 8, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = ads.timed_funnel(spark, d).collect()[0]
+    assert got["viewed"] == 0 and got["converted"] == 0
+    assert got["conv_rate_x100"] is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    try:
+        compare(ads.timed_funnel(spark, d), con, ads.ORACLE_TIMED_FUNNEL,
+                name="timed_funnel_zero_views")
+    finally:
+        con.close()
