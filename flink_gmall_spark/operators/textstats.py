@@ -487,3 +487,53 @@ WHERE len(t) > 0
 
 
 ORACLE_HASHED_CLASSIFIER = _oracle_hashed_classifier()
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier SELF-EVALUATION — the confusion matrix of the marker
+    heuristic ``lang_id`` against the labeled ``lang`` column, the third
+    member of the hash-pinned evaluation family (with the ANN and LSH
+    recall ledgers): per (actual, predicted) cell, document count and the
+    per-actual-language recall as a HALF_UP-x100 integer. Classifier
+    quality becomes an oracle contract — a heuristic regression (marker
+    list edit, tie-order change) fails correctness, not a metrics
+    dashboard.
+
+    Scale shape: the prediction is lang_id's map-only pass; the matrix is
+    one bounded-key (|langs|²) partial-agg count plus a per-actual window
+    total. The labeled corpus at 100 TB is the sampled golden set; the
+    predictor is the production path being audited.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    cells = (
+        docs.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("actual"), "pred_lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    return cells.select(
+        "actual",
+        "pred_lang",
+        "docs",
+        F.expr(
+            "(200 * docs + sum(docs) OVER (PARTITION BY actual))"
+            " DIV (2 * sum(docs) OVER (PARTITION BY actual))"
+        ).alias("share_x100"),
+    )
+
+
+ORACLE_LANG_ID_CONFUSION = f"""
+WITH pred AS (
+    SELECT doc_id, pred_lang FROM ({ORACLE_LANG_ID}) t
+),
+cells AS (
+    SELECT d.lang AS actual, p.pred_lang, CAST(count(*) AS BIGINT) AS docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+)
+SELECT actual, pred_lang, docs,
+       CAST((200 * docs + sum(docs) OVER (PARTITION BY actual))
+            // (2 * sum(docs) OVER (PARTITION BY actual)) AS BIGINT) AS share_x100
+FROM cells
+"""
