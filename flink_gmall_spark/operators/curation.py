@@ -792,13 +792,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(tokens_col("text")).alias("w"))
-        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    cur = words.select(
+    cur = _bpe_dictionary(docs).select(
         "freq", F.array_join(F.split("w", ""), " ").alias("s")
     ).persist()
     merges: list[tuple[int, str, int]] = []

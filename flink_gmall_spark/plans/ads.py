@@ -1022,7 +1022,7 @@ firsts AS (
 )
 SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
        CAST(datediff('day', f.cohort_d, days.d) AS BIGINT) AS day_offset,
-       count(DISTINCT days.user_id) AS users
+       CAST(count(*) AS BIGINT) AS users
 FROM days JOIN firsts f USING (user_id)
 GROUP BY 1, 2
 """
@@ -1162,6 +1162,15 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(ab)/(P(a)P(b)) = pair_ct * n_orders / (ct(a) * ct(b)), both x1000
     with DIV. Extends ads_copurchase_pairs from counts to decisions (the
     same upgrade collocations_lift makes over bigram_counts).
+
+    Exactness domain: BIGINT-exact while 1000 * pair_ct * n_orders and
+    ct(a) * ct(b) stay under 2^63 — comfortable through billion-order
+    catalogs, but NOT at the extreme tail (DECIMAL floor-division is not
+    portable between the engines: Spark DIV wraps on decimal overflow
+    while DuckDB // goes float, so widening is not a parity-safe fix).
+    Past that bound, production pre-divides per-item probabilities at a
+    fixed 1e6 scale on the already-reduced item table, trading exactness
+    for range the same way log-PMI does.
 
     Scale shape: basket-bounded order-keyed self-join for pairs (see
     copurchase), one partial-agg item-support table joined twice on the

@@ -468,7 +468,7 @@ def keyword_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 via a TRUE Python table function — the exact SQL shape of the
     reference's UDTF join (``SELECT ... FROM page_view, LATERAL
     TABLE(ik_analyze(fullword))``, KeywordStatsApp.java:40-53,
-    KeywordUDTF.java:14-24), here ``LATERAL ik_analyze_t(text)`` over a
+    KeywordUDTF.java:14-24), here ``LATERAL tokens_t(text)`` over a
     registered Python UDTF emitting one row per keyword. Shares
     ORACLE_KEYWORD_STATS with the JVM-hot-path twin ``keyword_stats`` —
     three engine legs (codegen'd tokens_col, scalar ik_analyze, table

@@ -257,31 +257,57 @@ def _duck_docs(docs_dir):
     return con
 
 
-def test_bpe_oracles_survive_dried_up_training(spark, tmp_path):
-    """Regression (review finding): when training dries up before
-    BPE_TRAIN_MERGES rounds, the unrolled oracle stages' empty best-pair
-    b{k} must NOT empty the dictionary — trainer, encoder, AND budget
-    oracles must all still hash-match Spark on a corpus with only 3
-    learnable merges."""
+def _compare_bpe_trio(spark, d, tag):
     from flink_gmall_spark.operators import curation
     from tests.oracle import compare
 
-    rows = [(i, "aaab", "en", "s", 4) for i in range(3)]
-    rows += [(10 + i, "ab", "en", "s", 2) for i in range(2)]
-    rows += [(20, "ba 7", "en", "s", 4)]  # 'ba' symbolizes to 2 symbols
-    d = _write_docs(spark, tmp_path, rows)
     con = _duck_docs(d)
     try:
         compare(spark.createDataFrame(
             curation.bpe_train_merges(spark, d).collect() or [],
             "rank bigint, pair string, ct bigint"),
-            con, curation.ORACLE_BPE_TRAIN, name="bpe_train_dry")
+            con, curation.ORACLE_BPE_TRAIN, name=f"bpe_train_{tag}")
         compare(curation.bpe_encode_corpus(spark, d), con,
-                curation.ORACLE_BPE_ENCODE, name="bpe_encode_dry")
+                curation.ORACLE_BPE_ENCODE, name=f"bpe_encode_{tag}")
         compare(curation.bpe_token_budget(spark, d), con,
-                curation.ORACLE_BPE_TOKEN_BUDGET, name="bpe_budget_dry")
+                curation.ORACLE_BPE_TOKEN_BUDGET, name=f"bpe_budget_{tag}")
     finally:
         con.close()
+
+
+def test_bpe_oracles_survive_dried_up_training(spark, tmp_path):
+    """Regression (review finding): when training dries up before
+    BPE_TRAIN_MERGES rounds, the unrolled oracle stages' empty best-pair
+    b{k} must NOT empty the dictionary. Corpus 'aaab' x3 + 'ab' x2
+    learns exactly 3 merges and every word is then fully merged, so
+    rounds 4 AND 5 are BOTH dry — the NULL guard must pass w3 through
+    two consecutive empty-b stages (verified: trainer returns 3 rows)."""
+    from flink_gmall_spark.operators import curation
+
+    rows = [(i, "aaab", "en", "s", 4) for i in range(3)]
+    rows += [(10 + i, "ab", "en", "s", 2) for i in range(2)]
+    d = _write_docs(spark, tmp_path, rows)
+    assert curation.bpe_train_merges(spark, d).count() == 3
+    _compare_bpe_trio(spark, d, "dry2")
+
+
+def test_bpe_oracles_with_leftover_multisymbol_words(spark, tmp_path):
+    """The complementary serve-path case (a corpus cannot have BOTH dry
+    rounds and leftover multi-symbol words — any unmerged pair is a merge
+    candidate): three tied 1-count pairs ('cd','ef','gh') fill rounds
+    4-5 after the 'aaab'/'ab' merges, leaving 'gh' symbolized as
+    ['g','h'] in w5 — the budget oracle must count its 2 symbols and the
+    encode oracle must emit 'g' and 'h' as separate vocabulary rows."""
+    from flink_gmall_spark.operators import curation
+
+    rows = [(i, "aaab", "en", "s", 4) for i in range(3)]
+    rows += [(10 + i, "ab", "en", "s", 2) for i in range(2)]
+    rows += [(20, "cd", "en", "s", 2), (21, "ef", "en", "s", 2), (22, "gh", "en", "s", 2)]
+    d = _write_docs(spark, tmp_path, rows)
+    got = curation.bpe_token_budget(spark, d).toPandas().set_index("doc_id")
+    assert got.loc[22, "n_bpe_tokens"] == 2  # 'gh' stays ['g','h']
+    assert got.loc[20, "n_bpe_tokens"] == 1  # 'cd' merged in round 4
+    _compare_bpe_trio(spark, d, "leftover")
 
 
 def test_timed_funnel_zero_views_degrades_to_null(spark, tmp_path):
