@@ -368,3 +368,38 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "ShuffledHashJoin" in plan_of(sh), plan_of(sh)
     mg = o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
     assert "SortMergeJoin" in plan_of(mg), plan_of(mg)
+
+
+def test_event_transitions_single_user_window(spark, sf_dir):
+    """The lag state machine is ONE window shuffle keyed on the user plus
+    the bounded-key transition rollup — never a self-join on adjacency."""
+    plan = plan_of(ads.event_transitions(spark, sf_dir))
+    assert plan.count("Window ") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_" in plan
+    assert "Join" not in plan, plan
+
+
+def test_pagerank_take_ordered_and_partial_aggs(spark, sf_dir):
+    """Unrolled Pregel rounds keep map-side combine on every inflow sum
+    and the final top-N plans as TakeOrderedAndProject, not a global
+    sort."""
+    plan = plan_of(ads.part_pagerank(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_cohort_retention_no_distinct_expand(spark, sf_dir):
+    """(user, day) rows are pre-deduped, so the matrix rollup must be a
+    plain count — no distinct-aggregate Expand over the activity set."""
+    plan = plan_of(ads.cohort_retention(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_timed_funnel_partial_min_firsts(spark, sf_dir):
+    """First-view timestamps partial-aggregate before the shuffle; the
+    time bound rides the user-keyed equi-join, never a cross join."""
+    plan = plan_of(ads.timed_funnel(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "CartesianProduct" not in plan
