@@ -1,0 +1,124 @@
+"""Hand-computed semantics tests for the analytics operators (cohort,
+transitions, PageRank, timed funnel) on crafted fixtures — independent of
+oracle agreement, so a bug shared by both engines' SQL still fails."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+
+def _write_events(spark, tmp_path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def _write_lineitem(spark, tmp_path, pairs):
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+        ]
+    )
+    d = str(tmp_path / "li")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(pairs, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    return d
+
+
+def test_event_transitions_hand_sequence(spark, tmp_path):
+    """user 1: view -> click -> view gives exactly the two ordered steps;
+    user 2's single event contributes nothing."""
+    from flink_gmall_spark.plans import ads
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, "{}"),
+        (4, t0, 2, "purchase", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.from_type, r.to_type): (r.transitions, r.users)
+        for r in ads.event_transitions(spark, d).collect()
+    }
+    assert got == {("view", "click"): (1, 1), ("click", "view"): (1, 1)}
+
+
+def test_cohort_retention_hand_offsets(spark, tmp_path):
+    """user 1 first active Jan 1, again Jan 3 -> cohort 2024-01-01 cells
+    offset 0 and 2; user 2 first active Jan 2 -> its own cohort."""
+    from flink_gmall_spark.plans import ads
+
+    def ev(i, day, user):
+        return (i, dt.datetime(2024, 1, day, 12, 0, 0), user, "view", 1.0, "{}")
+
+    d = _write_events(
+        spark, tmp_path, [ev(1, 1, 1), ev(2, 3, 1), ev(3, 3, 1), ev(4, 2, 2)]
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.users
+        for r in ads.cohort_retention(spark, d).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_pagerank_hand_path_graph(spark, tmp_path):
+    """Path graph 1-2-3 (each edge supported by two orders): after three
+    integer-exact rounds the hand-computed masses are part2 = 1_741_625
+    and part1 = part3 = 629_187 (hub first, tie broken by part id)."""
+    from flink_gmall_spark.plans import ads
+
+    pairs = [
+        (1, 1), (1, 2), (2, 1), (2, 2),  # edge 1-2 in orders 1, 2
+        (3, 2), (3, 3), (4, 2), (4, 3),  # edge 2-3 in orders 3, 4
+    ]
+    d = _write_lineitem(spark, tmp_path, pairs)
+    got = [(r.part, r.pr_x1e6) for r in ads.part_pagerank(spark, d).collect()]
+    assert got == [(2, 1_741_625), (1, 629_187), (3, 629_187)]
+
+
+def test_timed_funnel_window_boundary(spark, tmp_path):
+    """A purchase exactly AT the 1h boundary converts; one second past it
+    does not; a purchase BEFORE the first view never counts."""
+    from flink_gmall_spark.plans import ads
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    H = dt.timedelta(seconds=ads.TIMED_FUNNEL_WINDOW_S)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + H, 1, "purchase", 1.0, "{}"),  # at boundary: converts
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + H + dt.timedelta(seconds=1), 2, "purchase", 1.0, "{}"),  # late
+        (5, t0, 3, "purchase", 1.0, "{}"),  # before any view
+        (6, t0 + dt.timedelta(minutes=1), 3, "view", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = ads.timed_funnel(spark, d).collect()[0]
+    assert got["viewed"] == 3 and got["converted"] == 1
+    # HALF_UP(100 * 1/3) = 33
+    assert got["conv_rate_x100"] == 33
