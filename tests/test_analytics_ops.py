@@ -122,3 +122,93 @@ def test_timed_funnel_window_boundary(spark, tmp_path):
     assert got["viewed"] == 3 and got["converted"] == 1
     # HALF_UP(100 * 1/3) = 33
     assert got["conv_rate_x100"] == 33
+
+
+def _write_orders(spark, tmp_path, rows):
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    d = str(tmp_path / "ord")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    return d
+
+
+def test_association_rules_hand_counts(spark, tmp_path):
+    """Baskets: {1,2} x3, {1} x1. li-distinct: ict(1)=4, ict(2)=3,
+    n_ord=4, pair(1->2)=3 -> confidence = 3000//4 = 750; lift =
+    1000*3*4 // (4*3) = 1000. Reverse direction 2->1: confidence
+    3000//3 = 1000, same lift."""
+    from flink_gmall_spark.plans import ads
+
+    pairs = []
+    for o in (1, 2, 3):
+        pairs += [(o, 1), (o, 2)]
+    pairs += [(4, 1)]
+    d = _write_lineitem(spark, tmp_path, pairs)
+    got = {
+        (r.ante, r.cons): (r.pair_ct, r.confidence_x1000, r.lift_x1000)
+        for r in ads.association_rules(spark, d).collect()
+    }
+    assert got == {(1, 2): (3, 750, 1000), (2, 1): (3, 1000, 1000)}
+
+
+def test_rfm_segments_hand_quartiles(spark, tmp_path):
+    """Four customers engineered so each is alone in its quartile on
+    every axis: cust 1 most recent/frequent/big spender -> '1-1-1'
+    (ntile 1 = best rank on each ordering); cust 4 the opposite ->
+    '4-4-4'."""
+    from flink_gmall_spark.plans import ads
+
+    rows = []
+    oid = 0
+    for cust, (days_ago, n_orders, price) in {
+        1: (0, 4, 400.0),
+        2: (10, 3, 300.0),
+        3: (20, 2, 200.0),
+        4: (30, 1, 100.0),
+    }.items():
+        for _ in range(n_orders):
+            oid += 1
+            rows.append(
+                (oid, cust, "F", price,
+                 dt.datetime(2024, 2, 1) - dt.timedelta(days=days_ago), "1-URGENT")
+            )
+    d = _write_orders(spark, tmp_path, rows)
+    got = {r.segment: (r.customers, r.sample_cust)
+           for r in ads.rfm_segments(spark, d).collect()}
+    assert got == {
+        "1-1-1": (1, 1), "2-2-2": (1, 2), "3-3-3": (1, 3), "4-4-4": (1, 4)
+    }
+
+
+def test_user_activity_similarity_identical_series(spark, tmp_path):
+    """Two users with identical hourly activity have squared distance 0
+    and must be each other's rank-1 neighbor; a third user with disjoint
+    hours ranks behind."""
+    from flink_gmall_spark.plans import ads
+
+    rows = []
+    eid = 0
+    for user in (1, 2):  # identical: 2 events at 10h, 1 at 14h
+        for h in (10, 10, 14):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1, h, 0, 0), user, "view", 1.0, "{}"))
+    for h in (3, 3, 3):  # user 3: different hour entirely
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1, h, 0, 0), 3, "view", 1.0, "{}"))
+    d = _write_events(spark, tmp_path, rows)
+    got = {(r.query_id, r["rank"]): (r.neighbor_id, r.d2)
+           for r in ads.user_activity_similarity(spark, d).collect()}
+    assert got[(1, 1)] == (2, 0)
+    assert got[(2, 1)] == (1, 0)
+    assert got[(3, 1)][1] > 0  # nobody shares user 3's profile
