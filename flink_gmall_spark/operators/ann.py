@@ -11,6 +11,14 @@
   equi-join on the bucket key (shuffle-friendly, no all-pairs); at 100 TB
   the bucket width (SIGN_BITS) trades recall for join fan-out.
 
+- Product quantization (``pq_encode`` / ``pq_adc_topk`` / ``ivfpq_topk``)
+  is the compressed-corpus path: map-only encode against a broadcast
+  codebook, LUT-join ADC scoring with DECIMAL-exact sums, and the
+  combined IVF+PQ serving stack; ``ann_recall_report`` pins all
+  approximate paths against the brute-force truth as a hash contract.
+- k-means training (``_lloyd_rounds``) feeds the train→serve twins
+  (``ivf_topk_trained``, ``semantic_dedup_trained``).
+
 Similarities in output are rounded to 6dp — inputs are bit-identical (see
 above) so the rounding is only cosmetic, not a parity crutch.
 """

@@ -1,8 +1,11 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 Beyond the gmall reference surface (BASELINE.json north star): exact
-dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, and SimHash
-fingerprinting over the ``documents`` table.
+dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup (batch AND
+incremental-ingest), SimHash fingerprinting, chunk-level and
+within-document first-occurrence dedup, transitive cluster
+representatives, and the hash-pinned LSH recall ledger, all over the
+``documents`` table.
 
 Scale design (100 TB point):
 - Exact dedup is a single hash aggregation on md5(text) — pure shuffle on

@@ -1,7 +1,11 @@
 """ADS layer — the interactive batch query surface.
 
 Reproduces the semantics of every gmall-publisher MyBatis mapper query
-(SURVEY §2.5 A5-A12, §2.8 sorts/limits) over the driver tables. Each is a
+(SURVEY §2.5 A5-A12, §2.8 sorts/limits) over the driver tables, then
+extends the layer with the standard product-analytics batch: cohort
+retention, event-transition (Markov) matrices, RFM segmentation,
+market-basket co-purchase + association rules, time-constrained funnels,
+behavioral time-series similarity, and integer-exact PageRank. Each is a
 pure function (spark, sf_dir) → DataFrame; the reference's HTTP/JSON shell
 is a non-goal (SURVEY §7.4).
 """
