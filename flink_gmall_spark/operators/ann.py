@@ -995,7 +995,7 @@ def adc_topk_from_codes(
             (codes.sub_id == lut.sub_id)
             & (codes.code == lut.cid)
             & (codes.vec_id != lut.query_id),
-        )
+        ).drop(lut.sub_id, lut.cid)
     else:
         cc = cand.join(codes, "vec_id")
         j = cc.join(

@@ -12,6 +12,7 @@ distinct pre-dedups on the salted key).
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -486,6 +487,8 @@ GROUP BY o_orderpriority
 
 COMPACT_EPOCHS = 8  # simulated micro-batch count in the small-file store
 COMPACT_TARGET_FILES = 2
+_COMPACT_CALLS = itertools.count()  # per-call nonce: no two invocations share scratch paths
+LAST_COMPACTION_BASE: str | None = None  # scratch base of the latest call (test introspection)
 
 
 def epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,10 +517,15 @@ def epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_gmall_spark.sources import load
 
     tune(spark)
+    # The nonce makes each invocation's store/compacted paths unique within
+    # one Spark application — repeated or concurrent calls in the same app
+    # can no longer race on the overwrite or read mixed file sets.
     tag = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}".encode()
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}"
+        f"|{next(_COMPACT_CALLS)}".encode()
     ).hexdigest()[:12]
-    base = scratch_dir("compaction", tag)
+    global LAST_COMPACTION_BASE
+    base = LAST_COMPACTION_BASE = scratch_dir("compaction", tag)
     store = os.path.join(base, "store")
     compacted = os.path.join(base, "compacted")
 

@@ -956,7 +956,14 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle.
     """
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Basket semantics: dedup to DISTINCT (order, part) first so an order
+    # holding the same part on two lines counts the pair once — the same
+    # support definition association_rules uses (one basket, one vote).
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
     pairs = a.join(
@@ -977,10 +984,13 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_COPURCHASE_PAIRS = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        CAST(count(*) AS BIGINT) AS ct
-FROM lineitem a
-JOIN lineitem b
+FROM baskets a
+JOIN baskets b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 HAVING count(*) >= {COPURCHASE_MIN_CT}
@@ -1013,7 +1023,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("d", "cohort_d").cast("long").alias("day_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("users"))
+        # plain count: the input is already distinct per (user, day) and
+        # day_offset is a function of the day, so each user appears at most
+        # once per (cohort_day, day_offset) group — matches the oracle's
+        # count(*) without a redundant distinct-aggregation pass.
+        .agg(F.count(F.lit(1)).alias("users"))
     )
 
 
@@ -1154,6 +1168,158 @@ SELECT concat(r, '-', f, '-', m) AS segment,
 FROM scored
 GROUP BY 1
 """
+
+
+RFM_MON_BAND_CENTS = 10_000  # $100 monetary bands — the quantization grid
+
+
+def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation WITHOUT global sorts — the production twin of
+    rfm_segments: quartile boundaries come from the histogram-quantile
+    plan (the same shape proven by curation_adaptive_quality_filter)
+    instead of three ntile windows over the whole customer table, and
+    buckets apply as a narrow map against three broadcast 1-row
+    threshold tables. The "approx" is a deterministic, engine-portable
+    quantization: monetary is banded to $100 cells before its histogram
+    (recency and frequency domains are already bounded — calendar days
+    and small order counts), so ties share a bucket instead of being
+    split by customer-key tiebreak as ntile does. Segment semantics are
+    otherwise unchanged: r/f/m ∈ 1..4, higher is better, label "r-f-m".
+
+    Scale shape (the point of the twin): per-customer RFM is one
+    partial-agg pass; each metric's histogram is a partial-agg count
+    over its BOUNDED value domain (days/counts/$100 bands — thousands of
+    rows regardless of customer count), the cumulative walk runs over
+    that small table only, and the thresholds collapse to one broadcast
+    row each. No operator in the plan sorts anything proportional to the
+    customer count — at 10^9 customers the three ntile windows of
+    rfm_segments each funnel the full table through one partition; this
+    plan's only windows are over the bounded histograms.
+    """
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast(MONEY)).alias("mon_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("mx", "last_d").cast("long").alias("rec"),
+            F.col("freq").cast("long").alias("freq"),
+            # cents are integral-valued DECIMAL: the bigint cast is exact in
+            # both engines (DuckDB ROUNDS fractional casts, Spark truncates —
+            # integral values sidestep the divergence), then $100 banding
+            F.expr(
+                f"cast(mon_dec * 100 as bigint) DIV {RFM_MON_BAND_CENTS}"
+            ).alias("mon_band"),
+        )
+    )
+    n_row = per.agg(F.count(F.lit(1)).alias("n"))
+
+    def thresholds(metric: str) -> DataFrame:
+        hist = per.groupBy(metric).agg(F.count(F.lit(1)).alias("c"))
+        wcum = Window.orderBy(F.asc(metric)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.withColumn("cum", F.sum("c").over(wcum)).crossJoin(
+            F.broadcast(n_row)
+        )
+        # t_k = smallest value whose cumulative count reaches the k-th
+        # quartile; cum is nondecreasing in the metric so MIN picks the
+        # crossing band. All-integer, hence identical in DuckDB.
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(4 * F.col("cum") >= k * F.col("n"), F.col(metric))
+                ).alias(f"{metric}_t{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+
+    def bucket(metric: str) -> str:
+        return "(1 + " + " + ".join(
+            f"(CASE WHEN {metric} > {metric}_t{k} THEN 1 ELSE 0 END)"
+            for k in (1, 2, 3)
+        ) + ")"
+
+    scored = (
+        per.crossJoin(F.broadcast(thresholds("rec")))
+        .crossJoin(F.broadcast(thresholds("freq")))
+        .crossJoin(F.broadcast(thresholds("mon_band")))
+        .select(
+            "o_custkey",
+            # recency: LOWER is better → invert the ascending bucket
+            F.expr(f"5 - {bucket('rec')}").alias("r"),
+            F.expr(bucket("freq")).alias("f"),
+            F.expr(bucket("mon_band")).alias("m"),
+        )
+    )
+    return scored.groupBy(
+        F.concat_ws("-", "r", "f", "m").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.min("o_custkey").alias("sample_cust"),
+    )
+
+
+def _oracle_rfm_approx() -> str:
+    def hist_ctes(metric: str) -> str:
+        return f"""{metric}_h AS (
+    SELECT {metric} AS v, count(*) AS c FROM per GROUP BY 1
+),
+{metric}_c AS (
+    SELECT v, sum(c) OVER (ORDER BY v ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM {metric}_h
+),
+{metric}_t AS (
+    SELECT min(CASE WHEN 4 * cum >= 1 * n.n THEN v END) AS t1,
+           min(CASE WHEN 4 * cum >= 2 * n.n THEN v END) AS t2,
+           min(CASE WHEN 4 * cum >= 3 * n.n THEN v END) AS t3
+    FROM {metric}_c, n
+)"""
+
+    def bucket(metric: str) -> str:
+        return "(1 + " + " + ".join(
+            f"(CASE WHEN per.{metric} > {metric}_t.t{k} THEN 1 ELSE 0 END)"
+            for k in (1, 2, 3)
+        ) + ")"
+
+    return f"""
+WITH per AS (
+    SELECT o_custkey,
+           CAST(datediff('day', max(o_orderdate),
+                (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS rec,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               // {RFM_MON_BAND_CENTS} AS mon_band
+    FROM orders GROUP BY o_custkey
+),
+n AS (SELECT count(*) AS n FROM per),
+{hist_ctes('rec')},
+{hist_ctes('freq')},
+{hist_ctes('mon_band')},
+scored AS (
+    SELECT per.o_custkey,
+           5 - {bucket('rec')} AS r,
+           {bucket('freq')} AS f,
+           {bucket('mon_band')} AS m
+    FROM per, rec_t, freq_t, mon_band_t
+)
+SELECT concat(r, '-', f, '-', m) AS segment,
+       CAST(count(*) AS BIGINT) AS customers,
+       min(o_custkey) AS sample_cust
+FROM scored
+GROUP BY 1
+"""
+
+
+ORACLE_RFM_SEGMENTS_APPROX = _oracle_rfm_approx()
 
 
 ASSOC_SCALE = 1000
@@ -1375,7 +1541,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_part_pagerank() -> str:
+def _oracle_part_pagerank(rounds: int = PR_ROUNDS) -> str:
     stages = [
         f"""und AS (
     SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -1389,7 +1555,7 @@ deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
 nodes AS (SELECT src AS part, deg FROM deg),
 pr0 AS (SELECT part, deg, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes)"""
     ]
-    for k in range(1, PR_ROUNDS + 1):
+    for k in range(1, rounds + 1):
         stages.append(
             f"""c{k} AS (
     SELECT und.dst AS part, sum(p.pr // p.deg) AS inflow
@@ -1408,7 +1574,7 @@ pr{k} AS (
         "WITH "
         + ",\n".join(stages)
         + f"""
-SELECT part, pr AS pr_x1e6 FROM pr{PR_ROUNDS}
+SELECT part, pr AS pr_x1e6 FROM pr{rounds}
 ORDER BY pr_x1e6 DESC, part ASC
 LIMIT {PR_TOP_N}
 """
@@ -1416,3 +1582,83 @@ LIMIT {PR_TOP_N}
 
 
 ORACLE_PART_PAGERANK = _oracle_part_pagerank()
+
+PR_ROUNDS_DEEP = 10
+
+
+def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank at PRODUCTION round counts — the persisted-iteration twin
+    of part_pagerank: same integer-exact update rule, PR_ROUNDS_DEEP
+    rounds, but each round's rank vector is persisted and the parent
+    vector unpersisted once its child materializes (the k-means/BPE loop
+    discipline, curation.bpe_train_merges). Declarative unrolling at 10+
+    rounds would nest the two-shuffle step tenfold into one plan — the
+    lineage (and recompute-on-retry cost) grows with round count, which
+    is exactly what kills unpersisted iterative jobs at scale. Here every
+    round's physical plan reads the previous vector as an
+    InMemoryTableScan, so plan size stays CONSTANT per round
+    (plan-gated in tests/test_plans.py); the final 20-row top-N is
+    eagerly localCheckpoint-ed so the caches can be dropped before
+    returning. Oracle: the same 10 rounds unrolled as CTE stages —
+    integer DIV arithmetic makes the full trajectory bit-identical.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
+        .select("src", "dst")
+        .persist()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg").persist()
+    pr = nodes.select("part", "deg", F.lit(PR_SCALE).cast("long").alias("pr")).persist()
+    pr.count()  # materialize round 0
+    try:
+        for _ in range(PR_ROUNDS_DEEP):
+            contrib = (
+                pr.select(
+                    F.col("part").alias("src"), F.expr("pr DIV deg").alias("share")
+                )
+                .join(und, "src")
+                .groupBy(F.col("dst").alias("part"))
+                .agg(F.sum("share").alias("inflow"))
+            )
+            nxt = (
+                nodes.join(contrib, "part", "left")
+                .select(
+                    "part",
+                    "deg",
+                    F.expr(
+                        f"cast({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) DIV {PR_DAMP_DEN}"
+                        f" + ({PR_DAMP_NUM} * coalesce(inflow, 0)) DIV {PR_DAMP_DEN} as bigint)"
+                    ).alias("pr"),
+                )
+                .persist()
+            )
+            nxt.count()  # materialize before dropping the parent cache
+            pr.unpersist()
+            pr = nxt
+        # 20-row result, eagerly materialized so unpersisting the final
+        # vector cannot trigger a full 10-round lineage recompute later
+        return (
+            pr.select("part", F.col("pr").alias("pr_x1e6"))
+            .orderBy(F.desc("pr_x1e6"), F.asc("part"))
+            .limit(PR_TOP_N)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pr.unpersist()
+        nodes.unpersist()
+        und.unpersist()
+
+
+ORACLE_PART_PAGERANK_DEEP = _oracle_part_pagerank(PR_ROUNDS_DEEP)

@@ -119,9 +119,11 @@ _register("ads_copurchase_pairs", ads.copurchase_pairs, ads.ORACLE_COPURCHASE_PA
 _register("ads_cohort_retention", ads.cohort_retention, ads.ORACLE_COHORT_RETENTION, tags=("cohort", "retention", "product-analytics"))
 _register("ads_event_transitions", ads.event_transitions, ads.ORACLE_EVENT_TRANSITIONS, tags=("path-analysis", "markov", "T3-generalized"))
 _register("ads_rfm_segments", ads.rfm_segments, ads.ORACLE_RFM_SEGMENTS, tags=("rfm", "segmentation", "ntile", "product-analytics"))
+_register("ads_rfm_segments_approx", ads.rfm_segments_approx, ads.ORACLE_RFM_SEGMENTS_APPROX, tags=("rfm", "segmentation", "histogram-quantile", "product-analytics", "scale"))
 _register("ads_association_rules", ads.association_rules, ads.ORACLE_ASSOCIATION_RULES, tags=("recommendation", "market-basket", "association-rules"))
 _register("ads_timed_funnel", ads.timed_funnel, ads.ORACLE_TIMED_FUNNEL, tags=("funnel", "cep", "within", "attribution"))
 _register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags=("graph", "pagerank", "iterative", "topk"))
+_register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
@@ -283,52 +285,53 @@ _register("text_lang_id_confusion", textstats.lang_id_confusion, textstats.ORACL
 
 
 # =============================================================================
-# Round-5 sample window. The driver samples the FIRST 50 registrations, so
-# ordering is evidence strategy, not aesthetics. CORRECTNESS_r04 greened the
-# entire round-4 window (50/50), so it rotates out wholesale. Priority for
-# round 5 (VERDICT r4 ask #1 / ROADMAP rotation plan):
-#   1. the 9 entries with no driver row in any round — the 7 round-4
-#      additions (chunk dedup, semantic dedup, BPE pairs, LM score,
-#      state-bounded streaming dedup, batch+stream binned range join) plus
-#      the 2 post-verdict additions (trained-IVF serving path, multi-stage
-#      payment→province streaming e2e);
-#   2. the 28 entries whose last driver green is r2, which predates BOTH
-#      fixture regenerations (ads_* ×15, dedup_* ×7, sim_* ×3, text_* ×3,
-#      dws_supplier_stats) — local-parity green since, but the driver row
-#      is the hard signal;
-#   3. fill to 50 with r3-green entries whose rows also predate the
-#      regenerations, streaming/stateful first (most rot-prone), then
-#      scale/pipeline/similarity.
-# Union after this round greens: every one of the 133 entries has a driver
-# row, and none older than r3.
+# Round-6 sample window. The driver samples the FIRST 50 registrations, so
+# ordering is evidence strategy, not aesthetics. CORRECTNESS_r05 greened the
+# entire round-5 window (50/50), so it rotates out wholesale. Priority for
+# round 6 (VERDICT r5 ask #1 / ROADMAP rotation plan):
+#   1. the 2 round-6 additions closing VERDICT r5 asks #3/#5 — the
+#      histogram-quantile RFM twin and the persisted-iteration PageRank;
+#   2. all 37 round-5 additions with no driver row in any round (the
+#      analytics batch ×8, the BPE/curation train-serve family ×7, the
+#      PQ/IVFPQ serving family ×6, the three recall/confusion ledgers,
+#      dedup ingest/chunk entries ×3, streaming twins ×3, variant/scd2/
+#      asof ×3, the keyword UDTF leg, and the four partition-pruning/
+#      bloom/compaction scale entries);
+#   3. fill to 50 with the 11 oldest r3-green TPC-H entries (they also
+#      anchor the bench headline set).
+# Union after this round greens: 172 registered / 152 driver-verified;
+# the remaining 20 r3-stale entries (tpch q17/18/19, curation ×5,
+# dedup ×2, text ×4, multimodal ×3, ADS joins ×5) queue for round 7.
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified (round-4 + post-verdict additions)
-    "dedup_chunk_first_occurrence", "sim_semantic_dedup",
-    "curation_bpe_pair_counts", "curation_lm_score",
-    "stream_dedup_within_watermark", "scale_binned_range_join",
-    "stream_binned_range_join", "sim_ivf_topk_trained",
-    "stream_pipeline_payment_province",
-    # 2 — stale-r2 evidence: LLM-pipeline operators
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_apply_near",
-    "dedup_connected_components",
-    "sim_ann_topk", "sim_embedding_neardup_lsh", "sim_ivf_topk",
-    "text_lang_id", "text_quality_scores", "text_token_counts",
-    # 2 — stale-r2 evidence: ADS + supplier stats
-    "ads_gmv_by_date", "ads_top_brands", "ads_hourly_stats",
-    "ads_status_stats", "ads_user_scores", "ads_keyword_weighted",
-    "ads_totals", "ads_province_rollup", "ads_visitor_ratios",
-    "ads_monthly_status_pivot", "ads_status_priority_cube",
-    "ads_gmv_moving_avg", "ads_amount_percentiles",
-    "ads_amount_quartiles", "dws_supplier_stats",
-    # 3 — r3-refresh fill: streaming/stateful first
-    "stream_dedup_distinct", "stream_dedup_fingerprints",
-    "stream_config_routing", "pipeline_e2e_hourly",
-    # 3 — r3-refresh fill: scale / similarity / udaf / funnel
-    "scale_salted_status_rollup", "scale_bucketed_join",
-    "scale_skew_join_aqe", "udaf_activity_streaks",
-    "sim_block_topk", "sim_label_centroids", "sim_kmeans_assign",
-    "multimodal_embed_stub", "ads_conversion_funnel",
+    # 1 — round-6 twins (VERDICT r5 asks #3 and #5)
+    "ads_rfm_segments_approx", "ads_part_pagerank_deep",
+    # 2 — never driver-verified: the round-5 analytics batch
+    "ads_cohort_retention", "ads_event_transitions", "ads_rfm_segments",
+    "ads_association_rules", "ads_timed_funnel", "ads_part_pagerank",
+    "ads_copurchase_pairs", "ads_user_activity_similarity",
+    # 2 — never driver-verified: BPE / curation train-serve family
+    "curation_bpe_train", "curation_bpe_encode", "curation_bpe_token_budget",
+    "curation_adaptive_quality_filter", "curation_collocations_lift",
+    "curation_multimodal_dedup_pipeline", "curation_train_val_test_split",
+    # 2 — never driver-verified: PQ / IVFPQ serving family
+    "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
+    "sim_semantic_dedup_trained", "stream_pq_encode", "stream_pq_index_serve",
+    # 2 — never driver-verified: self-measurement ledgers
+    "dedup_lsh_recall_report", "sim_ann_recall_report", "text_lang_id_confusion",
+    # 2 — never driver-verified: dedup ingest/chunk + streaming twins
+    "dedup_cluster_representatives", "dedup_incremental_minhash",
+    "dedup_intra_doc_chunks", "stream_intra_doc_chunks",
+    "stream_ads_hourly_from_sink",
+    # 2 — never driver-verified: variant / UDTF / text (scd2 + asof
+    # already carry r4 driver rows — VERDICT r5's prose list over-counted)
+    "dwd_props_variant_stats", "dws_keyword_stats_udtf",
+    "text_hll_union_rollup", "text_hashed_classifier",
+    # 2 — never driver-verified: scale entries
+    "scale_partition_pruned_read", "scale_runtime_bloom_join",
+    "scale_dynamic_partition_pruning", "scale_epoch_compaction",
+    # 3 — oldest r3-green fill: bench-anchoring TPC-H
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

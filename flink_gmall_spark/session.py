@@ -38,6 +38,13 @@ RUNTIME_CONFS = {
     # type for; read as long nanos and convert in sources.tables.load
     # (floor to micros — matches DuckDB's ns→us truncation exactly).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Iterative jobs (PageRank, k-means, BPE) chain per-round persists;
+    # InMemoryRelation RENDERS its cached child plan, so the explain
+    # string of round k nests every earlier round — at the default
+    # ~2 GiB cap the UI/listener string concat alone OOMs a 1 GiB
+    # driver (observed: ads_part_pagerank_deep round ~8). 1 MiB renders
+    # plenty of plan for debugging while bounding render cost.
+    "spark.sql.maxPlanStringLength": str(1024 * 1024),
 }
 
 

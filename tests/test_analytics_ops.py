@@ -212,3 +212,63 @@ def test_user_activity_similarity_identical_series(spark, tmp_path):
     assert got[(1, 1)] == (2, 0)
     assert got[(2, 1)] == (1, 0)
     assert got[(3, 1)][1] > 0  # nobody shares user 3's profile
+
+
+def test_rfm_segments_approx_hand_thresholds(spark, tmp_path):
+    """Same 4-customer fixture as the ntile test, histogram-quantile
+    semantics computed by hand: with n=4 and every customer alone in its
+    quartile, thresholds are the three lowest values per metric, so the
+    buckets separate perfectly — cust 1 (most recent, most frequent,
+    biggest spender) lands '4-4-4' (higher is better in this twin) and
+    cust 4 lands '1-1-1'."""
+    from flink_gmall_spark.plans import ads
+
+    rows = []
+    oid = 0
+    for cust, (days_ago, n_orders, price) in {
+        1: (0, 4, 400.0),
+        2: (10, 3, 300.0),
+        3: (20, 2, 200.0),
+        4: (30, 1, 100.0),
+    }.items():
+        for _ in range(n_orders):
+            oid += 1
+            rows.append(
+                (oid, cust, "F", price,
+                 dt.datetime(2024, 2, 1) - dt.timedelta(days=days_ago), "1-URGENT")
+            )
+    d = _write_orders(spark, tmp_path, rows)
+    got = {r.segment: (r.customers, r.sample_cust)
+           for r in ads.rfm_segments_approx(spark, d).collect()}
+    assert got == {
+        "4-4-4": (1, 1), "3-3-3": (1, 2), "2-2-2": (1, 3), "1-1-1": (1, 4)
+    }
+
+
+def test_pagerank_deep_hand_trajectory(spark, tmp_path):
+    """Path graph 1-2-3: the 10-round persisted loop must land exactly on
+    the integer trajectory of the recurrence computed here in plain
+    Python — any drift in the persist/unpersist plumbing (stale cache,
+    skipped round) shows up as a mass mismatch."""
+    from flink_gmall_spark.plans import ads
+
+    pairs = [
+        (1, 1), (1, 2), (2, 1), (2, 2),  # edge 1-2 in orders 1, 2
+        (3, 2), (3, 3), (4, 2), (4, 3),  # edge 2-3 in orders 3, 4
+    ]
+    d = _write_lineitem(spark, tmp_path, pairs)
+
+    deg = {1: 1, 2: 2, 3: 1}
+    inflow_of = {1: [2], 2: [1, 3], 3: [2]}  # sources feeding each node
+    pr = {p: ads.PR_SCALE for p in deg}
+    for _ in range(ads.PR_ROUNDS_DEEP):
+        share = {p: pr[p] // deg[p] for p in deg}
+        pr = {
+            p: (ads.PR_SCALE * (ads.PR_DAMP_DEN - ads.PR_DAMP_NUM)) // ads.PR_DAMP_DEN
+            + (ads.PR_DAMP_NUM * sum(share[s] for s in inflow_of[p])) // ads.PR_DAMP_DEN
+            for p in deg
+        }
+    expected = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = [(r.part, r.pr_x1e6) for r in ads.part_pagerank_deep(spark, d).collect()]
+    assert got == expected

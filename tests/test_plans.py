@@ -403,3 +403,30 @@ def test_timed_funnel_partial_min_firsts(spark, sf_dir):
     plan = plan_of(ads.timed_funnel(spark, sf_dir))
     assert "partial_min" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_approx_histogram_quantile_no_ntile(spark, sf_dir):
+    """The production RFM twin must not rank customers: no ntile anywhere,
+    buckets come from three histogram cumsums (one window each, riding a
+    partial-agg count over the bounded value domain) applied via broadcast
+    1-row threshold joins. A fourth window or an ntile here means the
+    global-sort shape crept back in."""
+    plan = plan_of(ads.rfm_segments_approx(spark, sf_dir))
+    assert "ntile" not in plan, plan
+    assert plan.count("Window ") == 3, plan
+    assert "partial_count" in plan, plan
+    # threshold application is broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_deep_lineage_truncated_no_cache_leak(spark, sf_dir):
+    """The 10-round persisted loop must hand back a CONSTANT-size plan —
+    an eagerly checkpointed 20-row scan, not ten unrolled join rounds —
+    and must not leak round caches: at most the checkpoint RDD itself may
+    remain persisted after the call."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    plan = plan_of(ads.part_pagerank_deep(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before + 1, (before, after)

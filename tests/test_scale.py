@@ -175,17 +175,12 @@ def test_epoch_compaction_shrinks_file_count(spark, sf_dir):
     point of the maintenance job) while the oracle separately pins
     content identity."""
     import glob
-    import hashlib
     import os
 
     from flink_gmall_spark.operators import scale as sc
-    from flink_gmall_spark.scratch import scratch_dir
 
     sc.epoch_compaction(spark, sf_dir).count()
-    tag = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    base = scratch_dir("compaction", tag)
+    base = sc.LAST_COMPACTION_BASE  # nonce-tagged per call (ADVICE r5 fix)
     small = glob.glob(os.path.join(base, "store", "epoch=*", "*.parquet"))
     big = glob.glob(os.path.join(base, "compacted", "*.parquet"))
     assert len(small) == sc.COMPACT_EPOCHS
