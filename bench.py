@@ -5,16 +5,22 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized through the noop sink (count() would let
-Catalyst prune the compute). Methodology: each query runs twice; the
-second (steady-state) run is the headline `queries`/`value`, and the
-first run is reported alongside in `queries_cold`/`value_cold`. The cold
-run pays one-time Catalyst analysis + whole-stage-codegen compilation +
-JVM JIT (measured 1.5-5 s per novel plan shape on this container,
-independent of data size); the engine this emulates is a long-running
-streaming warehouse where plans compile once and run for days, so warm is
-the apples-to-apples throughput comparison — but the cold column makes
-plan-compile regressions (which a scheduled batch job does pay) visible
-round-over-round.
+Catalyst prune the compute). Methodology: each query runs once COLD
+(pays one-time Catalyst analysis + whole-stage-codegen compile + JVM JIT,
+measured 1.5-5 s per novel plan shape on this container, independent of
+data size — reported in `queries_cold`) and then WARM_RUNS times warm.
+`queries`/`value` keep the first-warm-run convention of rounds 1-5 for
+cross-round comparability; `queries_median`/`value_median` carry the
+per-query MEDIAN of the warm runs and are the numbers round-over-round
+comparison should use. Rationale: single-shot warm timings on this
+container carry up to ±50 % noise on sub-second queries — three rounds
+running (r4: simhash; r5: cdc_upsert, text_quality) produced phantom
+>20 % regressions that each cost a manual looped re-measurement session;
+the median is that looped protocol, in the harness (VERDICT r5 ask #4).
+The engine this emulates is a long-running streaming warehouse where
+plans compile once and run for days, so warm is the apples-to-apples
+throughput comparison — but the cold column keeps plan-compile
+regressions (which a scheduled batch job does pay) visible.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -29,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_gmall_spark.registry import registry
 from flink_gmall_spark.session import get_spark
+
+WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "5"))
 
 
 def main() -> None:
@@ -44,6 +53,7 @@ def main() -> None:
     # whole BENCH file (round 3 lost ALL numbers to a single source-typing
     # regression). Errors go to stderr; the JSON line always prints.
     timings: dict[str, float | None] = {}
+    medians: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(registry().items()):
@@ -53,12 +63,16 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            warm: list[float] = []
+            for _ in range(WARM_RUNS):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warm.append(time.perf_counter() - t0)
+            timings[name] = round(warm[0], 3)
+            medians[name] = round(statistics.median(warm), 3)
         except Exception as e:  # noqa: BLE001 — isolate per query by design
             timings[name] = None
+            medians[name] = None
             cold[name] = None
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
@@ -69,6 +83,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "value_median": round(
+            sum(v for v in medians.values() if v is not None), 3
+        ),
+        "queries_median": medians,
+        "warm_runs": WARM_RUNS,
         "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
         "queries_cold": cold,
         "sf": sf,

@@ -194,6 +194,57 @@ WHERE substring(md5('{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 6) < {_DUCK_
 """
 
 
+WEIGHTED_SEED = "wsample7:"
+WEIGHTED_K = 200  # corpus sample size
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic QUALITY-WEIGHTED corpus sampling — priority sampling
+    (the A-ES/Efraimidis-Spirakis family, integerized): each document
+    draws a stable pseudo-random 48-bit integer from a seeded md5 of its
+    id, divides it by its weight (here 1 + n_chars, the "prefer longer
+    documents" curation policy), and the K smallest priorities win. A
+    doc with twice the weight halves its expected priority, so inclusion
+    probability scales with weight — the standard way to tilt a training
+    mixture toward high-quality documents WITHOUT the determinism bugs
+    of rand(): retries, re-partitions, and re-runs all reproduce the
+    same sample, and the integer arithmetic makes both engines agree
+    bit-for-bit (floats in -ln(u)/w would not).
+
+    Scale shape: one narrow map (md5 + DIV) per row, then a global top-K
+    that plans as TakeOrderedAndProject (per-partition heaps + a K-row
+    driver merge) — no global sort, no shuffle of the corpus. Works
+    unchanged at 100 TB.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pri = F.expr(
+        f"cast(conv(substring(md5(concat('{WEIGHTED_SEED}',"
+        f" CAST(doc_id AS STRING))), 1, 12), 16, 10) as bigint)"
+        f" DIV (1 + n_chars)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            pri.cast("long").alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(('0x' || substring(md5('{WEIGHTED_SEED}' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+            // (1 + n_chars) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing >=
     DECONTAM_MIN_OVERLAP distinct word-3-gram shingles with any holdout

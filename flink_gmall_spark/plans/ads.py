@@ -1170,6 +1170,128 @@ GROUP BY 1
 """
 
 
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the feature-store primitive every
+    leakage-free ML training set needs: for each order (the training
+    example), attach the customer's behavioral features (view count,
+    purchase count, event-value cents) computed over events STRICTLY
+    BEFORE the order date. Joining "features as of label time" naively
+    (plain user join + time filter) recomputes per-order aggregates;
+    joining current features leaks the future into training.
+
+    Scale shape — the union-sort-carry as-of plan, not a range join:
+    events partial-aggregate to one row per (user, day); a per-user
+    window turns those into cumulative features (one keyed shuffle);
+    order probes UNION with the feature rows and a single per-user
+    window carries the last cumulative row forward onto each probe
+    (probes sort BEFORE the same day's feature row, so a day-d order
+    sees features through day d-1 — the leakage boundary, pinned by a
+    hand test). Total cost: two keyed shuffles, zero range joins, zero
+    per-order re-aggregation; the same plan at 100 TB is the standard
+    "combine and carry" as-of used by feature stores. Customers with no
+    telemetry coalesce to zero-features rather than dropping rows.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("dv"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("dp"),
+        F.sum(F.col("value").cast(MONEY)).alias("dval"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feats = daily.select(
+        "user_id",
+        "d",
+        F.lit(1).alias("kind"),  # feature rows sort AFTER same-day probes
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.sum("dv").over(wcum).alias("cv"),
+        F.sum("dp").over(wcum).alias("cp"),
+        F.expr("cast(sum(dval) OVER (PARTITION BY user_id ORDER BY d"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               " * 100 as bigint)").alias("cval_cents"),
+    )
+    probes = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("d"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        F.lit(None).cast("long").alias("cv"),
+        F.lit(None).cast("long").alias("cp"),
+        F.lit(None).cast("long").alias("cval_cents"),
+    )
+    wcarry = (
+        Window.partitionBy("user_id")
+        .orderBy("d", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = feats.unionByName(probes).select(
+        "user_id",
+        "kind",
+        "o_orderkey",
+        F.last("cv", ignorenulls=True).over(wcarry).alias("views_before"),
+        F.last("cp", ignorenulls=True).over(wcarry).alias("purchases_before"),
+        F.last("cval_cents", ignorenulls=True).over(wcarry).alias("value_cents_before"),
+    )
+    return carried.filter(F.col("kind") == 0).select(
+        "o_orderkey",
+        "user_id",
+        F.coalesce("views_before", F.lit(0)).alias("views_before"),
+        F.coalesce("purchases_before", F.lit(0)).alias("purchases_before"),
+        F.coalesce("value_cents_before", F.lit(0)).alias("value_cents_before"),
+    )
+
+
+ORACLE_PIT_FEATURE_JOIN = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS dv,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+           sum(CAST(value AS DECIMAL(18,2))) AS dval
+    FROM events GROUP BY 1, 2
+),
+feats AS (
+    SELECT user_id, d, 1 AS kind, CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(sum(dv) OVER w AS BIGINT) AS cv,
+           CAST(sum(dp) OVER w AS BIGINT) AS cp,
+           CAST(sum(dval) OVER w * 100 AS BIGINT) AS cval_cents
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+probes AS (
+    SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d, 0 AS kind,
+           o_orderkey, CAST(NULL AS BIGINT) AS cv, CAST(NULL AS BIGINT) AS cp,
+           CAST(NULL AS BIGINT) AS cval_cents
+    FROM orders
+),
+carried AS (
+    SELECT user_id, kind, o_orderkey,
+           last_value(cv IGNORE NULLS) OVER w AS views_before,
+           last_value(cp IGNORE NULLS) OVER w AS purchases_before,
+           last_value(cval_cents IGNORE NULLS) OVER w AS value_cents_before
+    FROM (SELECT * FROM feats UNION ALL BY NAME SELECT * FROM probes)
+    WINDOW w AS (PARTITION BY user_id ORDER BY d, kind, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT o_orderkey, user_id,
+       COALESCE(views_before, 0) AS views_before,
+       COALESCE(purchases_before, 0) AS purchases_before,
+       COALESCE(value_cents_before, 0) AS value_cents_before
+FROM carried
+WHERE kind = 0
+"""
+
+
 RFM_MON_BAND_CENTS = 10_000  # $100 monetary bands — the quantization grid
 
 
@@ -1662,3 +1784,133 @@ def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_PART_PAGERANK_DEEP = _oracle_part_pagerank(PR_ROUNDS_DEEP)
+
+TRIANGLE_TOP_N = 20
+
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph by DEGREE ORIENTATION
+    — the third graph-centrality member (after label propagation and
+    PageRank): per-part triangle participation counts, the local
+    clustering signal behind community detection and recommendation
+    diversity. Each undirected edge is directed from its lower-(degree,
+    id) endpoint to the higher one; every triangle then has exactly one
+    node with both out-edges inside it, so counting (wedge ⋉ edge-set)
+    over the ORIENTED graph counts each triangle once.
+
+    Scale shape — why orientation is the 100 TB algorithm: the naive
+    wedge join keys on raw adjacency, so one celebrity node with degree
+    d contributes d² wedges (quadratic hot-key blowup, the same disease
+    the shingle-DF cap kills in ngram dedup). Under degree orientation
+    every node's OUT-degree is O(√m) on any graph (arboricity bound), so
+    per-key wedge work is bounded regardless of skew. The pipeline is
+    three equi-joins and a bounded-key count: deg (partial agg), orient
+    (two broadcast-size joins against the degree table), wedge self-join
+    keyed on the wedge center, membership semi-join keyed on the
+    (dst, dst) pair, explode to corners, count. Nothing sorts, nothing
+    is quadratic in a hub's degree.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    # undirected edge set, canonical u < v by part id (same support floor
+    # as the other co-purchase surfaces)
+    # The edge list feeds THREE consumers (degree table, orientation,
+    # wedge-closure membership) and Spark's exchange reuse does not dedupe
+    # the basket self-join across them (measured: 22 scans, 0
+    # ReusedExchange) — materialize it ONCE; every downstream reads the
+    # checkpointed edges instead of recomputing the join.
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # the oriented list is read twice (both wedge sides) — same treatment
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = o.alias("w1")
+    w2 = o.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.dst") < F.col("w2.dst")),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    # wedge closes iff (y, z) is an edge — y < z by id matches e's canonical key
+    tri = wedges.join(
+        e, (F.col("y") == F.col("u")) & (F.col("z") == F.col("v")), "left_semi"
+    )
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("part")
+    )
+    return (
+        corners.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+        .orderBy(F.desc("triangles"), F.asc("part"))
+        .limit(TRIANGLE_TOP_N)
+    )
+
+
+ORACLE_PART_TRIANGLES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {COPURCHASE_MIN_CT}
+),
+deg AS (
+    SELECT n, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+    GROUP BY n
+),
+o AS (
+    SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                THEN e.u ELSE e.v END AS src,
+           CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                THEN e.v ELSE e.u END AS dst
+    FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n
+),
+tri AS (
+    SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+    FROM o w1
+    JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    JOIN e ON e.u = w1.dst AND e.v = w2.dst
+)
+SELECT part, CAST(count(*) AS BIGINT) AS triangles
+FROM (
+    SELECT unnest([x, y, z]) AS part FROM tri
+)
+GROUP BY part
+ORDER BY triangles DESC, part ASC
+LIMIT {TRIANGLE_TOP_N}
+"""

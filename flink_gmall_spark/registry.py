@@ -124,6 +124,9 @@ _register("ads_association_rules", ads.association_rules, ads.ORACLE_ASSOCIATION
 _register("ads_timed_funnel", ads.timed_funnel, ads.ORACLE_TIMED_FUNNEL, tags=("funnel", "cep", "within", "attribution"))
 _register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags=("graph", "pagerank", "iterative", "topk"))
 _register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
+_register("ads_part_triangles", ads.part_triangles, ads.ORACLE_PART_TRIANGLES, tags=("graph", "triangle-counting", "degree-orientation", "topk"))
+_register("ads_pit_features", ads.pit_feature_join, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training"))
+_register("curation_weighted_sample", curation.weighted_sample, curation.ORACLE_WEIGHTED_SAMPLE, tags=("curation", "sampling", "weighted", "topk", "map-only"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))
 _register("scale_skew_join_aqe", scale.skewed_part_join, scale.ORACLE_SKEWED_PART_JOIN, tags=("skew", "scale", "aqe"))
@@ -243,6 +246,7 @@ _register("stream_left_outer_join", stream_jobs.stream_left_outer_interval_join,
 _register("stream_intra_doc_chunks", stream_jobs.stream_intra_doc_chunks, dedup.ORACLE_INTRA_DOC_CHUNKS, tags=("dedup", "streaming", "ingestion", "map-only"))
 _register("stream_pq_encode", stream_jobs.stream_pq_encode, ann.ORACLE_PQ_ENCODE, tags=("similarity", "quantization", "streaming", "stream-static", "train-serve"))
 _register("stream_pq_index_serve", stream_jobs.stream_pq_index_serve, ann.ORACLE_PQ_ADC_TOPK, tags=("similarity", "quantization", "streaming", "T9", "S6", "e2e", "chained-queries"))
+_register("stream_event_transitions", stream_state.event_transitions_stream, ads.ORACLE_EVENT_TRANSITIONS, tags=("path-analysis", "markov", "streaming", "T3-generalized", "stateful"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

@@ -278,3 +278,60 @@ def jump_out_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format(F.timestamp_micros("us"), "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     )
+
+
+def _transitions_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Event-transition state machine: per user, one retained (last event)
+    tuple; each arriving event emits the (prev -> current) step and
+    becomes the new tail. The streaming face of the lag() window in
+    plans.ads.event_transitions — per-key state is CONSTANT (one tuple),
+    the same discipline as the T1-T3 machines."""
+    last_us, last_eid, last_type = (
+        state.get if state.exists else (-1, -1, "")
+    )
+    froms: list[str] = []
+    tos: list[str] = []
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        for us, eid, et in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
+            if last_type:
+                froms.append(last_type)
+                tos.append(str(et))
+            last_us, last_eid, last_type = int(us), int(eid), str(et)
+        state.update((last_us, last_eid, last_type))
+    yield pd.DataFrame(
+        {"user_id": key[0], "from_type": froms, "to_type": tos}
+    )
+
+
+def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.event_transitions (the Markov/path matrix,
+    the T3 generalization): the per-user step stream comes from the
+    keyed state machine above, then the bounded-key (from, to) rollup
+    runs batch-side on the emitted steps — counts plus the two-phase
+    exact distinct-user count. Cross-batch continuity (a user's last
+    event in batch N pairing with their first in batch N+1) is exactly
+    what the retained state proves; the batch oracle is shared verbatim.
+    """
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    steps = ev.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType="user_id long, from_type string, to_type string",
+        stateStructType="last_us long, last_eid long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(steps, "append")
+    return mem.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions"),
+        F.countDistinct("user_id").alias("users"),
+    )

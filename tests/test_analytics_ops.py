@@ -272,3 +272,51 @@ def test_pagerank_deep_hand_trajectory(spark, tmp_path):
 
     got = [(r.part, r.pr_x1e6) for r in ads.part_pagerank_deep(spark, d).collect()]
     assert got == expected
+
+
+def test_triangles_hand_graph(spark, tmp_path):
+    """Triangle 1-2-3 (all three edges at support 2) plus a dangling edge
+    3-4: exactly one triangle, so parts 1, 2, 3 each participate once and
+    part 4 never appears."""
+    from flink_gmall_spark.plans import ads
+
+    pairs = []
+    for o in (1, 2):  # orders carrying the full basket {1,2,3} twice
+        pairs += [(o, 1), (o, 2), (o, 3)]
+    for o in (3, 4):  # dangling edge 3-4
+        pairs += [(o, 3), (o, 4)]
+    d = _write_lineitem(spark, tmp_path, pairs)
+    got = [(r.part, r.triangles) for r in ads.part_triangles(spark, d).collect()]
+    assert got == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_pit_features_leakage_boundary(spark, tmp_path):
+    """The as-of carry must expose features through day d-1 only: an
+    order on the SAME day as the user's first event sees zeros; later
+    orders accumulate strictly-prior counts; customers without telemetry
+    get zero-features, not dropped rows."""
+    from flink_gmall_spark.plans import ads
+
+    ev = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "view", 2.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 9), 1, "purchase", 10.5, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, ev)
+    orders = [
+        (100, 1, "F", 50.0, dt.datetime(2024, 1, 1), "1-URGENT"),  # same day: zeros
+        (101, 1, "F", 50.0, dt.datetime(2024, 1, 2), "1-URGENT"),  # sees day 1
+        (102, 1, "F", 50.0, dt.datetime(2024, 1, 3), "1-URGENT"),  # sees days 1-2
+        (103, 2, "F", 50.0, dt.datetime(2024, 1, 2), "1-URGENT"),  # no telemetry
+    ]
+    schema_dir = _write_orders(spark, tmp_path, orders)
+    # events + orders live in different tmp dirs; merge into one
+    import shutil
+    shutil.copytree(f"{schema_dir}/orders.parquet", f"{d}/orders.parquet")
+    got = {r.o_orderkey: (r.views_before, r.purchases_before, r.value_cents_before)
+           for r in ads.pit_feature_join(spark, d).collect()}
+    assert got == {
+        100: (0, 0, 0),
+        101: (1, 0, 200),
+        102: (1, 1, 1250),
+        103: (0, 0, 0),
+    }

@@ -316,3 +316,82 @@ def test_stream_observe_ingest_metrics(spark, sf_dir):
     want_short = batch.filter(F.length("text") < 50).count()
     assert metrics[0]["rows"] == want_rows
     assert metrics[0]["short_docs"] == want_short
+
+
+def test_stream_event_transitions_cross_batch_continuity(spark, tmp_path):
+    """The retained last-event state must pair a user's final event of
+    batch N with their first event of batch N+1: user 1's 'view' arrives
+    alone in batch 1 and the 'click' in batch 2 — the (view -> click)
+    step exists ONLY if the state machine carries the tail across
+    batches. Batch 2 also proves within-batch pairing (click -> buy)."""
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_gmall_spark.streaming.state import _transitions_fn
+
+    src = tmp_path / "trans_src"
+    src.mkdir()
+
+    def write_file(idx, rows, mtime):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+        df["ts"] = pd.to_datetime(df["ts"], utc=True).astype("datetime64[us, UTC]")
+        path = str(src / f"batch_{idx}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    t0 = time.time() - 3600
+    write_file(0, [(1, 1, "view", "2024-01-01 00:00:00")], t0)
+    write_file(
+        1,
+        [(2, 1, "click", "2024-01-01 00:01:00"),
+         (3, 1, "buy", "2024-01-01 00:02:00")],
+        t0 + 10,
+    )
+
+    ev = (
+        spark.readStream.schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id")
+    )
+    steps = ev.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType="user_id long, from_type string, to_type string",
+        stateStructType="last_us long, last_eid long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"trans_{uuid.uuid4().hex[:8]}"
+    q = (
+        steps.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in (q.recentProgress or []))
+            if done >= 3:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("stream did not ingest all 3 rows in time")
+        time.sleep(1.0)  # let the final batch commit to the sink
+    finally:
+        q.stop()
+    got = {(r.from_type, r.to_type) for r in spark.table(sink).collect()}
+    assert ("view", "click") in got, got  # REQUIRES cross-batch state
+    assert ("click", "buy") in got, got
+    assert len(got) == 2, got

@@ -25,10 +25,17 @@ def load(path: str) -> dict:
     return d
 
 
+def q_of(d: dict) -> dict:
+    """Prefer the looped medians (bench.py r6+) over single-shot warm
+    timings — single shots carry ±50 % noise on sub-second queries and
+    produced phantom regressions three rounds running."""
+    return d.get("queries_median") or d.get("queries", {})
+
+
 def main() -> int:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     bar = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-    qo, qn = old.get("queries", {}), new.get("queries", {})
+    qo, qn = q_of(old), q_of(new)
     flagged = []
     for name in sorted(set(qo) | set(qn)):
         a, b = qo.get(name), qn.get(name)
@@ -50,7 +57,9 @@ def main() -> int:
         v is not None for v in list(qo.values()) + list(qn.values())
     )
     if same_set and no_fails:
-        print(f"total: {old.get('value')} -> {new.get('value')}")
+        vo = old.get("value_median") or old.get("value")
+        vn = new.get("value_median") or new.get("value")
+        print(f"total: {vo} -> {vn}")
     else:
         print("total: SKIPPED (query sets differ or failures present — "
               "denominators not comparable)")
