@@ -1170,6 +1170,140 @@ GROUP BY 1
 """
 
 
+ATTR_WINDOW_S = 3600  # last-touch lookback: 1h, same bound as the timed funnel
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION — the standard marketing rollup the timed
+    funnel feeds: every purchase is credited to the user's most recent
+    prior NON-purchase event (the touchpoint) if it landed within
+    ATTR_WINDOW_S; otherwise 'direct'. Output is the per-channel ledger:
+    conversions and attributed revenue cents (integer-exact).
+
+    Scale shape: ONE per-user window (the carry of the latest touchpoint
+    type/time over a strictly-prior frame) and a bounded-key channel
+    rollup — the same union-sort-carry discipline as the PIT feature
+    join, never a per-purchase range join back into the event stream.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_us = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("us")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "us",
+            "cents",
+            touch_type.alias("t_type"),
+            touch_us.alias("t_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("t_us") >= F.col("us") - ATTR_WINDOW_S * 1_000_000,
+                F.col("t_type"),
+            )
+            .otherwise("direct")
+            .alias("channel"),
+            "cents",
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = f"""
+WITH ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+),
+carried AS (
+    SELECT user_id, event_type, us, cents,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER w AS t_type,
+           last_value(CASE WHEN event_type <> 'purchase' THEN us END
+                      IGNORE NULLS) OVER w AS t_us
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN t_us >= us - {ATTR_WINDOW_S * 1_000_000} THEN t_type
+            ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS conversions,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+PATHS_TOP_N = 20
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event TRIGRAM paths — the 3-step generalization of the
+    transition matrix (what Sankey/path-exploration UIs actually draw):
+    per user, each consecutive (a -> b -> c) step triple in (ts,
+    event_id) order, counted corpus-wide, top-N by support.
+
+    Scale shape: the SAME single per-user window shuffle as
+    event_transitions (two lags ride one sort), a bounded-key
+    (|types|³ ceiling) partial-agg count, and TakeOrderedAndProject.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    ).filter(F.col("step1").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("step1"), F.asc("step2"), F.asc("step3"))
+        .limit(PATHS_TOP_N)
+    )
+
+
+ORACLE_TOP_EVENT_PATHS = f"""
+WITH tri AS (
+    SELECT lag(event_type, 2) OVER w AS step1,
+           lag(event_type, 1) OVER w AS step2,
+           event_type AS step3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS ct
+FROM tri
+WHERE step1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY ct DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT {PATHS_TOP_N}
+"""
+
+
 def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME feature join — the feature-store primitive every
     leakage-free ML training set needs: for each order (the training

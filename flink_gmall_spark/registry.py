@@ -126,6 +126,8 @@ _register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags
 _register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
 _register("ads_part_triangles", ads.part_triangles, ads.ORACLE_PART_TRIANGLES, tags=("graph", "triangle-counting", "degree-orientation", "topk"))
 _register("ads_pit_features", ads.pit_feature_join, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training"))
+_register("ads_last_touch_attribution", ads.last_touch_attribution, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "funnel", "marketing", "carry-window"))
+_register("ads_top_event_paths", ads.top_event_paths, ads.ORACLE_TOP_EVENT_PATHS, tags=("path-analysis", "markov", "topk", "T3-generalized"))
 _register("curation_weighted_sample", curation.weighted_sample, curation.ORACLE_WEIGHTED_SAMPLE, tags=("curation", "sampling", "weighted", "topk", "map-only"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))

@@ -320,3 +320,54 @@ def test_pit_features_leakage_boundary(spark, tmp_path):
         102: (1, 1, 1250),
         103: (0, 0, 0),
     }
+
+
+def test_last_touch_attribution_hand_cases(spark, tmp_path):
+    """Purchase within the window credits the latest prior non-purchase
+    touchpoint; outside the window (or with no prior touch) it is
+    'direct'; a prior PURCHASE is never a touchpoint."""
+    from flink_gmall_spark.plans import ads
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    W = dt.timedelta(seconds=ads.ATTR_WINDOW_S)
+    rows = [
+        # user 1: view then click, purchase 10min later -> credited to click
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=15), 1, "purchase", 10.0, "{}"),
+        # user 2: view, then purchase 1s past the window -> direct
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0 + W + dt.timedelta(seconds=1), 2, "purchase", 20.0, "{}"),
+        # user 3: purchase then purchase: second one must NOT credit the first
+        (6, t0, 3, "purchase", 5.0, "{}"),
+        (7, t0 + dt.timedelta(minutes=1), 3, "purchase", 7.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {r.channel: (r.conversions, r.revenue_cents)
+           for r in ads.last_touch_attribution(spark, d).collect()}
+    assert got == {"click": (1, 1000), "direct": (3, 3200)}
+
+
+def test_top_event_paths_hand_sequence(spark, tmp_path):
+    """view->click->buy appears twice for user 1 (overlapping windows
+    share interior steps); user 2's 2-event sequence yields no trigram."""
+    from flink_gmall_spark.plans import ads
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    seq = ["view", "click", "buy", "click", "buy"]
+    rows = [
+        (i + 1, t0 + dt.timedelta(minutes=i), 1, et, 1.0, "{}")
+        for i, et in enumerate(seq)
+    ]
+    rows += [
+        (10, t0, 2, "view", 1.0, "{}"),
+        (11, t0 + dt.timedelta(minutes=1), 2, "click", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {(r.step1, r.step2, r.step3): r.ct
+           for r in ads.top_event_paths(spark, d).collect()}
+    assert got == {
+        ("view", "click", "buy"): 1,
+        ("click", "buy", "click"): 1,
+        ("buy", "click", "buy"): 1,
+    }

@@ -53,6 +53,7 @@ DOC_OPS = [
     ("adaptive_quality_filter", "curation"),
     ("lm_commonness_score", "curation"),
     ("multimodal_dedup_pipeline", "curation"),
+    ("weighted_sample", "curation"),
     ("quality_scores", "textstats"),
     ("hashed_classifier_scores", "textstats"),
     ("hll_union_rollup", "textstats"),
@@ -85,3 +86,33 @@ def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
         assert got[got.lang == "*ALL*"].hll_ok.all()
     else:
         assert got.empty, got.head()
+
+
+@pytest.fixture(scope="module")
+def empty_tpch_dir(spark, tmp_path_factory):
+    """Empty events/orders/lineitem with the REAL fixture schemas (read
+    from the driver testdata, so schema drift there propagates here)."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    d = str(tmp_path_factory.mktemp("empty_tpch"))
+    for t in ("events", "orders", "lineitem"):
+        schema = spark.read.parquet(os.path.join(sf, f"{t}.parquet")).schema
+        spark.createDataFrame([], schema).write.parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+ADS_OPS = [
+    "part_triangles",
+    "part_pagerank_deep",
+    "pit_feature_join",
+    "rfm_segments_approx",
+]
+
+
+@pytest.mark.parametrize("fn_name", ADS_OPS)
+def test_round6_ads_op_survives_empty_tables(spark, empty_tpch_dir, fn_name):
+    from flink_gmall_spark.plans import ads
+
+    got = getattr(ads, fn_name)(spark, empty_tpch_dir).toPandas()
+    assert got.empty, got.head()

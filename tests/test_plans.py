@@ -462,3 +462,21 @@ def test_weighted_sample_map_only_topk(spark, sf_dir):
     plan = plan_of(curation.weighted_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_last_touch_single_window_bounded_rollup(spark, sf_dir):
+    """Attribution is ONE per-user carry window plus a bounded-key
+    channel rollup — no join back into the event stream."""
+    plan = plan_of(ads.last_touch_attribution(spark, sf_dir))
+    assert plan.count("Window ") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_top_event_paths_one_window_take_ordered(spark, sf_dir):
+    """Both lags ride a single per-user sort; top-N is
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(ads.top_event_paths(spark, sf_dir))
+    assert plan.count("Window ") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
