@@ -1170,6 +1170,104 @@ GROUP BY 1
 """
 
 
+NEG_SEED = "neg11:"
+NEG_K = 2  # negatives drawn per positive pair
+NEG_USER_CAP = 100  # deterministic user slice keeping the output bounded
+
+
+def negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING — the missing half of every
+    implicit-feedback recommender training set: for each (user, part)
+    purchase positive, draw NEG_K parts the user did NOT buy. Candidates
+    come from a seeded md5 of (user, part, k) mapped onto a dense part
+    rank — so retries, re-partitions, and both engines produce the SAME
+    negatives (rand() cannot) — and accidental positives are removed by
+    an anti-join against the user's purchase set.
+
+    Scale shape: positives are one equi-join + distinct; the candidate
+    fan-out is a narrow map (explode k=1..K, one md5 each, no shuffle);
+    the rank→part mapping is a BROADCAST join against the ranked part
+    dim (the only window is row_number over that bounded dim table,
+    never over facts); the positive filter is a keyed anti-join. Output
+    is capped to a deterministic user slice (o_custkey < NEG_USER_CAP) —
+    at production scale you drop the cap and the plan is unchanged.
+    Collision note: a drawn candidate that hits a positive is DROPPED,
+    not redrawn (expected loss |positives|·K/|parts| — negligible), so
+    the pipeline stays one-pass.
+    """
+    tune(spark)
+    pos_all = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    pos = pos_all.filter(F.col("user_id") < NEG_USER_CAP)
+    parts = load(spark, sf_dir, "part").select("p_partkey")
+    n_parts = parts.agg(F.count(F.lit(1)).alias("n_parts"))
+    wrank = Window.orderBy("p_partkey")  # bounded dim table: global sort is fine
+    ranked = parts.select(
+        (F.row_number().over(wrank) - 1).cast("long").alias("rnk"), "p_partkey"
+    )
+    cand = (
+        pos.select("user_id", "part", F.explode(F.expr(f"sequence(1, {NEG_K})")).alias("k"))
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "user_id",
+            "part",
+            "k",
+            F.expr(
+                f"cast(conv(substring(md5(concat('{NEG_SEED}',"
+                f" CAST(user_id AS STRING), ':', CAST(part AS STRING), ':',"
+                f" CAST(k AS STRING))), 1, 12), 16, 10) as bigint) % n_parts"
+            ).alias("rnk"),
+        )
+    )
+    with_part = cand.join(F.broadcast(ranked), "rnk").select(
+        "user_id", "part", "k", F.col("p_partkey").alias("neg_part")
+    )
+    return with_part.join(
+        pos_all.select(
+            F.col("user_id").alias("u2"), F.col("part").alias("p2")
+        ),
+        (F.col("user_id") == F.col("u2")) & (F.col("neg_part") == F.col("p2")),
+        "left_anti",
+    ).select("user_id", "part", "k", "neg_part")
+
+
+ORACLE_NEGATIVE_SAMPLES = f"""
+WITH pos_all AS (
+    SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+pos AS (SELECT * FROM pos_all WHERE user_id < {NEG_USER_CAP}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS rnk,
+           p_partkey
+    FROM part
+),
+cand AS (
+    SELECT user_id, part, k,
+           CAST(('0x' || substring(md5('{NEG_SEED}' || CAST(user_id AS VARCHAR)
+                || ':' || CAST(part AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+                1, 12))::UBIGINT % n.n_parts AS BIGINT) AS rnk
+    FROM pos, n, (SELECT unnest(range(1, {NEG_K} + 1)) AS k)
+)
+SELECT c.user_id, c.part, CAST(c.k AS BIGINT) AS k, r.p_partkey AS neg_part
+FROM cand c
+JOIN ranked r ON c.rnk = r.rnk
+WHERE NOT EXISTS (
+    SELECT 1 FROM pos_all p
+    WHERE p.user_id = c.user_id AND p.part = r.p_partkey
+)
+"""
+
+
 ATTR_WINDOW_S = 3600  # last-touch lookback: 1h, same bound as the timed funnel
 
 
@@ -1474,6 +1572,11 @@ def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"cast(mon_dec * 100 as bigint) DIV {RFM_MON_BAND_CENTS}"
             ).alias("mon_band"),
         )
+        # per feeds FIVE consumers (total, three histograms, the bucket
+        # map) and exchange reuse does not dedupe them (measured 14
+        # scans of orders without this) — materialize the reduced
+        # per-customer table once
+        .localCheckpoint(eager=True)
     )
     n_row = per.agg(F.count(F.lit(1)).alias("n"))
 
@@ -1603,7 +1706,14 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item key, a 1-row broadcast total. Support floor prunes before joins.
     """
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # the distinct basket table feeds four consumers (item support, order
+    # total, both self-join sides) — materialize once
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     item_ct = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ict"))
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_ord")
@@ -1758,6 +1868,11 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.alias("a")
     b = li.alias("b")
+    # the edge list is read by the degree table AND every unrolled round
+    # — materialize it once (exchange reuse does not dedupe it: measured
+    # 14 scans of lineitem at 3 rounds without this); the ROUNDS stay
+    # declaratively unrolled, which is this entry's identity (the
+    # persisted-per-round production form is ads_part_pagerank_deep)
     und = (
         a.join(
             b,
@@ -1768,6 +1883,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ct"))
         .filter(F.col("ct") >= COPURCHASE_MIN_CT)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg")

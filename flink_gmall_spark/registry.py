@@ -126,7 +126,8 @@ _register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags
 _register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
 _register("ads_part_triangles", ads.part_triangles, ads.ORACLE_PART_TRIANGLES, tags=("graph", "triangle-counting", "degree-orientation", "topk"))
 _register("ads_pit_features", ads.pit_feature_join, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training"))
-_register("ads_last_touch_attribution", ads.last_touch_attribution, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "funnel", "marketing", "carry-window"))
+_register("ads_last_touch_attribution", ads.last_touch_attribution, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "funnel", "path-analysis", "marketing", "carry-window"))
+_register("ads_negative_samples", ads.negative_samples, ads.ORACLE_NEGATIVE_SAMPLES, tags=("recommendation", "ml-training", "negative-sampling", "anti-join", "deterministic"))
 _register("ads_top_event_paths", ads.top_event_paths, ads.ORACLE_TOP_EVENT_PATHS, tags=("path-analysis", "markov", "topk", "T3-generalized"))
 _register("curation_weighted_sample", curation.weighted_sample, curation.ORACLE_WEIGHTED_SAMPLE, tags=("curation", "sampling", "weighted", "topk", "map-only"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
@@ -249,6 +250,7 @@ _register("stream_intra_doc_chunks", stream_jobs.stream_intra_doc_chunks, dedup.
 _register("stream_pq_encode", stream_jobs.stream_pq_encode, ann.ORACLE_PQ_ENCODE, tags=("similarity", "quantization", "streaming", "stream-static", "train-serve"))
 _register("stream_pq_index_serve", stream_jobs.stream_pq_index_serve, ann.ORACLE_PQ_ADC_TOPK, tags=("similarity", "quantization", "streaming", "T9", "S6", "e2e", "chained-queries"))
 _register("stream_event_transitions", stream_state.event_transitions_stream, ads.ORACLE_EVENT_TRANSITIONS, tags=("path-analysis", "markov", "streaming", "T3-generalized", "stateful"))
+_register("stream_last_touch_attribution", stream_state.last_touch_attribution_stream, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "path-analysis", "streaming", "stateful", "carry-window"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

@@ -311,8 +311,8 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ads.event_transitions (the Markov/path matrix,
     the T3 generalization): the per-user step stream comes from the
     keyed state machine above, then the bounded-key (from, to) rollup
-    runs batch-side on the emitted steps — counts plus the two-phase
-    exact distinct-user count. Cross-batch continuity (a user's last
+    runs batch-side on the emitted steps (same count + countDistinct
+    shape as the batch twin). Cross-batch continuity (a user's last
     event in batch N pairing with their first in batch N+1) is exactly
     what the retained state proves; the batch oracle is shared verbatim.
     """
@@ -334,4 +334,62 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mem.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("transitions"),
         F.countDistinct("user_id").alias("users"),
+    )
+
+
+def _attrib_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Last-touch state machine: retain the latest NON-purchase
+    touchpoint (type, time); each purchase emits its credited channel —
+    the touchpoint if it landed within the window, else 'direct'. One
+    tuple per user, the T1-T3 state discipline."""
+    from flink_gmall_spark.plans.ads import ATTR_WINDOW_S
+
+    t_type, t_us = state.get if state.exists else ("", -1)
+    channels: list[str] = []
+    cents_out: list[int] = []
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        for us, et, cents in zip(pdf["us"], pdf["event_type"], pdf["cents"]):
+            if et == "purchase":
+                if t_type and t_us >= int(us) - ATTR_WINDOW_S * 1_000_000:
+                    channels.append(t_type)
+                else:
+                    channels.append("direct")
+                cents_out.append(int(cents))
+            else:
+                t_type, t_us = str(et), int(us)
+        state.update((t_type, t_us))
+    yield pd.DataFrame(
+        {"user_id": key[0], "channel": channels, "cents": cents_out}
+    )
+
+
+def last_touch_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.last_touch_attribution: the per-purchase
+    credit stream comes from the retained-touchpoint state machine, the
+    bounded-key channel ledger rolls up batch-side. Shares the batch
+    oracle verbatim — the carry window and the state machine must land
+    on identical credits."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias("cents"),
+    )
+    credits = ev.groupBy("user_id").applyInPandasWithState(
+        _attrib_fn,
+        outputStructType="user_id long, channel string, cents long",
+        stateStructType="t_type string, t_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(credits, "append")
+    return mem.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        F.sum("cents").alias("revenue_cents"),
     )

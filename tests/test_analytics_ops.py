@@ -371,3 +371,67 @@ def test_top_event_paths_hand_sequence(spark, tmp_path):
         ("click", "buy", "click"): 1,
         ("buy", "click", "buy"): 1,
     }
+
+
+def test_negative_samples_hand_determinism(spark, tmp_path):
+    """Negatives are the seeded-hash candidates minus the user's own
+    positives — recomputed here in plain Python, including the rank
+    mapping over a part table with a GAP (ids 0,1,2,5)."""
+    import hashlib
+
+    from flink_gmall_spark.plans import ads
+
+    li = [(1, 0)]  # user (via order 1) bought part 0
+    d = _write_lineitem(spark, tmp_path, li)
+    _write_orders_into(spark, d, [(1, 7, "F", 10.0,
+                                   dt.datetime(2024, 1, 1), "1-URGENT")])
+    parts = [0, 1, 2, 5]
+    _write_parts_into(spark, d, parts)
+
+    expected = set()
+    for k in range(1, ads.NEG_K + 1):
+        h = hashlib.md5(f"{ads.NEG_SEED}7:0:{k}".encode()).hexdigest()[:12]
+        rnk = int(h, 16) % len(parts)
+        neg = sorted(parts)[rnk]
+        if neg != 0:  # the user's one positive
+            expected.add((7, 0, k, neg))
+    got = {(r.user_id, r.part, r.k, r.neg_part)
+           for r in ads.negative_samples(spark, d).collect()}
+    assert got == expected and expected  # non-vacuous
+
+
+def _write_orders_into(spark, d, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+
+
+def _write_parts_into(spark, d, ids):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    )
+    rows = [(i, f"part{i}", "B", "T", 1, 1.0) for i in ids]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "part.parquet")
+    )

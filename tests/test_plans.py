@@ -417,6 +417,9 @@ def test_rfm_approx_histogram_quantile_no_ntile(spark, sf_dir):
     assert "partial_count" in plan, plan
     # threshold application is broadcast, never a shuffle join
     assert "SortMergeJoin" not in plan, plan
+    # the per-customer table materializes ONCE — its five consumers read
+    # the checkpoint, not five recomputes of the orders aggregation
+    assert "Scan parquet" not in plan, plan
 
 
 def test_pagerank_deep_lineage_truncated_no_cache_leak(spark, sf_dir):
@@ -480,3 +483,13 @@ def test_top_event_paths_one_window_take_ordered(spark, sf_dir):
     assert plan.count("Window ") == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_negative_samples_broadcast_rank_map_anti_join(spark, sf_dir):
+    """Candidate generation is a narrow map; the rank->part mapping and
+    the positive-removal are equi-joins with the dim side broadcast —
+    never a users-x-parts cartesian."""
+    plan = plan_of(ads.negative_samples(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftAnti" in plan, plan

@@ -395,3 +395,78 @@ def test_stream_event_transitions_cross_batch_continuity(spark, tmp_path):
     assert ("view", "click") in got, got  # REQUIRES cross-batch state
     assert ("click", "buy") in got, got
     assert len(got) == 2, got
+
+
+def test_stream_attribution_cross_batch_touchpoint(spark, tmp_path):
+    """The retained touchpoint must survive the batch boundary: 'view'
+    arrives alone in batch 1, the purchase in batch 2 — credited to
+    'view' ONLY if state carried it across."""
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_gmall_spark.streaming.state import _attrib_fn
+
+    src = tmp_path / "attr_src"
+    src.mkdir()
+
+    def write_file(idx, rows, mtime):
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "value", "ts"])
+        df["ts"] = pd.to_datetime(df["ts"], utc=True).astype("datetime64[us, UTC]")
+        path = str(src / f"batch_{idx}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    t0 = time.time() - 3600
+    write_file(0, [(1, 1, "view", 1.0, "2024-01-01 00:00:00")], t0)
+    write_file(1, [(2, 1, "purchase", 12.5, "2024-01-01 00:10:00")], t0 + 10)
+
+    ev = (
+        spark.readStream.schema(
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id",
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias("cents"),
+        )
+    )
+    credits = ev.groupBy("user_id").applyInPandasWithState(
+        _attrib_fn,
+        outputStructType="user_id long, channel string, cents long",
+        stateStructType="t_type string, t_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        credits.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in (q.recentProgress or []))
+            if done >= 2:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("stream did not ingest both rows in time")
+        time.sleep(1.0)
+    finally:
+        q.stop()
+    got = [(r.channel, r.cents) for r in spark.table(sink).collect()]
+    assert got == [("view", 1250)], got
