@@ -393,3 +393,98 @@ def last_touch_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("conversions"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+def _pit_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Point-in-time feature state machine. State per user: cumulative
+    features through COMPLETED days plus a pending bucket for the
+    newest day seen — a probe (order) on day d reads the cumulative
+    only, so same-day events never leak into its features even when day
+    d's events arrived in an EARLIER micro-batch than the probe. Rows
+    sort (d, kind, o_orderkey) with probes (kind 0) before the same
+    day's events (kind 1), mirroring the batch carry-window order."""
+    cum_v, cum_p, cum_c, pend_day, pend_v, pend_p, pend_c = (
+        state.get if state.exists else (0, 0, 0, "", 0, 0, 0)
+    )
+    out_ok: list[int] = []
+    out_v: list[int] = []
+    out_p: list[int] = []
+    out_c: list[int] = []
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["d", "kind", "o_orderkey"])
+        for d, kind, ok, iv, ip, cents in zip(
+            pdf["d"], pdf["kind"], pdf["o_orderkey"],
+            pdf["is_view"], pdf["is_purchase"], pdf["cents"],
+        ):
+            if pend_day and str(d) > pend_day:
+                cum_v += pend_v
+                cum_p += pend_p
+                cum_c += pend_c
+                pend_day, pend_v, pend_p, pend_c = "", 0, 0, 0
+            if int(kind) == 0:  # probe: cumulative through days < d only
+                out_ok.append(int(ok))
+                out_v.append(cum_v)
+                out_p.append(cum_p)
+                out_c.append(cum_c)
+            else:  # event: accumulate into the day-d pending bucket
+                pend_day = str(d)
+                pend_v += int(iv)
+                pend_p += int(ip)
+                pend_c += int(cents)
+        state.update((cum_v, cum_p, cum_c, pend_day, pend_v, pend_p, pend_c))
+    yield pd.DataFrame(
+        {
+            "o_orderkey": out_ok,
+            "user_id": key[0],
+            "views_before": out_v,
+            "purchases_before": out_p,
+            "value_cents_before": out_c,
+        }
+    )
+
+
+def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.pit_feature_join — the feature-store INGEST
+    shape: the event telemetry stream and the order (label) stream UNION
+    into one keyed stream; the per-user state machine above maintains
+    running features and answers each order probe with the leakage-free
+    as-of snapshot. Shares the batch oracle verbatim. This is the online
+    path a feature store runs continuously; the batch twin is its
+    backfill."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.lit(1).alias("kind"),
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).cast("long").alias("is_view"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long").alias("is_purchase"),
+        F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias("cents"),
+    )
+    probes = read_stream(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        F.lit(0).alias("kind"),
+        "o_orderkey",
+        F.lit(0).cast("long").alias("is_view"),
+        F.lit(0).cast("long").alias("is_purchase"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    both = ev.unionByName(probes)
+    feats = both.groupBy("user_id").applyInPandasWithState(
+        _pit_fn,
+        outputStructType=(
+            "o_orderkey long, user_id long, views_before long,"
+            " purchases_before long, value_cents_before long"
+        ),
+        stateStructType=(
+            "cum_v long, cum_p long, cum_c long, pend_day string,"
+            " pend_v long, pend_p long, pend_c long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(feats, "append")

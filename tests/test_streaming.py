@@ -470,3 +470,92 @@ def test_stream_attribution_cross_batch_touchpoint(spark, tmp_path):
         q.stop()
     got = [(r.channel, r.cents) for r in spark.table(sink).collect()]
     assert got == [("view", 1250)], got
+
+
+def test_stream_pit_pending_day_blocks_leakage(spark, tmp_path):
+    """Day-2 events arrive in batch 1; the day-2 order probe arrives in
+    batch 2. The pending-day bucket must keep those same-day events OUT
+    of the probe's features (cum holds day 1 only) — naive running
+    totals would leak them. A later day-3 probe then sees both days."""
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_gmall_spark.streaming.state import _pit_fn
+
+    src = tmp_path / "pit_src"
+    src.mkdir()
+    cols = ["user_id", "d", "kind", "o_orderkey", "is_view", "is_purchase", "cents"]
+
+    def write_file(idx, rows, mtime):
+        df = pd.DataFrame(rows, columns=cols)
+        path = str(src / f"batch_{idx}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = time.time() - 3600
+    # batch 1: day-1 view + TWO day-2 views (events only)
+    write_file(0, [
+        (1, "2024-01-01", 1, -1, 1, 0, 100),
+        (1, "2024-01-02", 1, -1, 1, 0, 200),
+        (1, "2024-01-02", 1, -1, 1, 0, 300),
+    ], t0)
+    # batch 2: the day-2 probe (same day as two already-arrived events)
+    # and a day-3 probe
+    write_file(1, [
+        (1, "2024-01-02", 0, 500, 0, 0, 0),
+        (1, "2024-01-03", 0, 501, 0, 0, 0),
+    ], t0 + 10)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, d STRING, kind LONG, o_orderkey LONG,"
+            " is_view LONG, is_purchase LONG, cents LONG"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    feats = stream.groupBy("user_id").applyInPandasWithState(
+        _pit_fn,
+        outputStructType=(
+            "o_orderkey long, user_id long, views_before long,"
+            " purchases_before long, value_cents_before long"
+        ),
+        stateStructType=(
+            "cum_v long, cum_p long, cum_c long, pend_day string,"
+            " pend_v long, pend_p long, pend_c long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"pit_{uuid.uuid4().hex[:8]}"
+    q = (
+        feats.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in (q.recentProgress or []))
+            if done >= 5:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("stream did not ingest all rows in time")
+        time.sleep(1.0)
+    finally:
+        q.stop()
+    got = {r.o_orderkey: (r.views_before, r.value_cents_before)
+           for r in spark.table(sink).collect()}
+    assert got[500] == (1, 100), got   # day-2 probe: day 1 ONLY
+    assert got[501] == (3, 600), got   # day-3 probe: days 1 + 2
