@@ -537,3 +537,104 @@ SELECT actual, pred_lang, docs,
             // (2 * sum(docs) OVER (PARTITION BY actual)) AS BIGINT) AS share_x100
 FROM cells
 """
+
+
+SPARSE_K = 3           # shingle width — same unit minhash proves discriminative
+SPARSE_MIN_DF = 2      # a shingle in one doc can't create a pair
+SPARSE_MAX_DF = 100    # hot-key cap: the inverted-index stop list
+SPARSE_SCALE = 1_000_000
+SPARSE_TOP_N = 50
+
+
+def sparse_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE retrieval — the inverted-index complement to the dense ANN
+    family: top-N most-similar document pairs by rare-feature weighted
+    overlap, score = Σ_{shared shingles} SCALE DIV df². The posting unit
+    is the word-3-gram shingle (single words are useless on this
+    corpus's 31-term vocabulary — measured; shingles are the unit the
+    minhash family already proves discriminative), and df² is the
+    integer-exact stand-in for idf² in a tf-idf dot product (rare shared
+    features dominate, ubiquitous ones vanish) — the whole score stays
+    BIGINT so both engines agree bit-for-bit, no float log.
+
+    Scale shape — the classic postings-list discipline: distinct
+    shingle postings from the scan; the df table prunes shingles
+    OUTSIDE [MIN_DF, MAX_DF] BEFORE the self-join, which is the step
+    that kills hot-key quadratics (a boilerplate shingle's postings list
+    would otherwise self-join |corpus|² — the same guard as
+    MAX_SHINGLE_DF in minhash). The surviving join is keyed on the
+    shingle with per-key fan-out ≤ MAX_DF², the pair scores
+    partial-aggregate, and top-N is TakeOrderedAndProject.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= SPARSE_K
+    )
+    postings = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SPARSE_K}),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            )
+        ).alias("s"),
+    )
+    df_tab = (
+        postings.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(
+            (F.col("df") >= SPARSE_MIN_DF) & (F.col("df") <= SPARSE_MAX_DF)
+        )
+        .withColumn("w", F.expr(f"{SPARSE_SCALE} DIV (df * df)"))
+        .select("s", "w")
+    )
+    kept = postings.join(df_tab, "s")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.w").alias("part"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("part").alias("score"))
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(SPARSE_TOP_N)
+
+
+ORACLE_SPARSE_TOPK_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_T} AS t FROM documents),
+postings AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {SPARSE_K - 2}),
+               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
+    FROM toks
+    WHERE len(t) >= {SPARSE_K}
+),
+df_tab AS (
+    SELECT s, CAST({SPARSE_SCALE} AS BIGINT) // (count(*) * count(*)) AS w
+    FROM postings
+    GROUP BY s
+    HAVING count(*) BETWEEN {SPARSE_MIN_DF} AND {SPARSE_MAX_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(sum(d.w) AS BIGINT) AS score
+FROM postings a
+JOIN df_tab d ON a.s = d.s
+JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY score DESC, doc_a ASC, doc_b ASC
+LIMIT {SPARSE_TOP_N}
+"""

@@ -291,6 +291,7 @@ _register("text_token_counts", textstats.token_counts, textstats.ORACLE_TOKEN_CO
 _register("text_hll_union_rollup", textstats.hll_union_rollup, textstats.ORACLE_HLL_UNION_ROLLUP, tags=("text", "approx", "mergeable-sketch", "corpus-stats"))
 _register("text_hashed_classifier", textstats.hashed_classifier_scores, textstats.ORACLE_HASHED_CLASSIFIER, tags=("text", "quality", "feature-hashing", "map-only"))
 _register("text_lang_id_confusion", textstats.lang_id_confusion, textstats.ORACLE_LANG_ID_CONFUSION, tags=("text", "evaluation", "confusion-matrix", "self-measurement"))
+_register("text_sparse_topk_pairs", textstats.sparse_topk_pairs, textstats.ORACLE_SPARSE_TOPK_PAIRS, tags=("text", "similarity", "sparse-retrieval", "inverted-index", "topk"))
 
 
 # =============================================================================

@@ -435,3 +435,39 @@ def _write_parts_into(spark, d, ids):
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
         os.path.join(d, "part.parquet")
     )
+
+
+def test_sparse_topk_hand_scores(spark, tmp_path):
+    """Docs 1-2 share exactly one 3-gram shingle ('the zebra runs',
+    df=2 -> weight 1e6//4); every other shingle has df=1 and is pruned,
+    and a common shingle planted in ALL docs above MAX_DF would be
+    pruned too (covered at the df=1 edge here); doc 3 pairs with
+    nobody."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from flink_gmall_spark.operators import textstats
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, "the zebra runs fast today", "en", "s", 25),
+        (2, "the zebra runs slowly now", "en", "s", 25),
+        (3, "a unique sentence here ok", "en", "s", 25),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {(r.doc_a, r.doc_b): r.score
+           for r in textstats.sparse_topk_pairs(spark, d).collect()}
+    assert got == {(1, 2): textstats.SPARSE_SCALE // 4}

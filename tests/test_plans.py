@@ -493,3 +493,15 @@ def test_negative_samples_broadcast_rank_map_anti_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_sparse_topk_df_prune_before_self_join(spark, sf_dir):
+    """The postings self-join must sit ABOVE the df-pruned term table
+    (hot terms never reach the join) and the top-N must be
+    TakeOrderedAndProject with partial aggregation on the pair scores."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.sparse_topk_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -253,3 +253,88 @@ def test_pq_adc_own_codes_are_lower_bound(cb, q, x):
     adc_self = sum(lut(q, cb[codes(q)[mi]], mi) for mi in range(m))
     adc_x = sum(lut(q, cb[codes(x)[mi]], mi) for mi in range(m))
     assert adc_self <= adc_x
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+            lambda t: (min(t), max(t))
+        ).filter(lambda t: t[0] != t[1]),
+        max_size=20,
+    )
+)
+def test_degree_orientation_counts_each_triangle_once(edges):
+    """The algorithm behind ads.part_triangles, as a pure-Python model:
+    orient each edge toward its higher-(degree, id) endpoint, count
+    closed wedges (x->y, x->z, y<z, (y,z) an edge) — must equal
+    brute-force triple enumeration, each triangle found EXACTLY once
+    (at its minimum node in the (deg, id) total order)."""
+    from collections import Counter
+    from itertools import combinations
+
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+
+    def lower_first(u, v):
+        return (deg[u], u) < (deg[v], v)
+
+    oriented = [(u, v) if lower_first(u, v) else (v, u) for u, v in edges]
+    out = {}
+    for s, d in oriented:
+        out.setdefault(s, []).append(d)
+    found = []
+    eset = set(edges)
+    for x, dsts in out.items():
+        for y, z in combinations(sorted(dsts), 2):
+            if (min(y, z), max(y, z)) in eset:
+                found.append(tuple(sorted((x, y, z))))
+
+    nodes = sorted(deg)
+    brute = [
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    ]
+    assert sorted(found) == sorted(brute)  # exactly once each
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3650), st.integers(1, 40), st.integers(1, 500)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_histogram_quartile_buckets_model(customers):
+    """The threshold rule behind ads.rfm_segments_approx, pure-Python:
+    t_k = min value whose cumulative count reaches k·n/4; bucket(x) =
+    1 + #{k : x > t_k}. Invariants: buckets are in 1..4, MONOTONE in the
+    metric, and the count at-or-below t_k is >= k·n/4 (quartile
+    coverage)."""
+    from collections import Counter
+
+    for metric_idx in range(3):
+        vals = sorted(c[metric_idx] for c in customers)
+        n = len(vals)
+        hist = Counter(vals)
+        thresholds = []
+        for k in (1, 2, 3):
+            cum = 0
+            for v in sorted(hist):
+                cum += hist[v]
+                if 4 * cum >= k * n:
+                    thresholds.append(v)
+                    break
+        assert len(thresholds) == 3
+        assert thresholds == sorted(thresholds)  # nondecreasing
+
+        def bucket(x):
+            return 1 + sum(1 for t in thresholds if x > t)
+
+        buckets = [bucket(v) for v in vals]
+        assert all(1 <= b <= 4 for b in buckets)
+        assert buckets == sorted(buckets)  # monotone in the metric
+        for k, t in zip((1, 2, 3), thresholds):
+            assert 4 * sum(1 for v in vals if v <= t) >= k * n
