@@ -560,3 +560,77 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+QUALITY_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY CONSTRAINT REPORT — the Deequ/Great-Expectations
+    shape every production pipeline gates ingestion on, as ONE
+    aggregation pass: per column of `orders`, row count, null count,
+    exact distinct count, and min/max (rendered as strings so the report
+    schema is uniform). Plus the two table-level constraint booleans a
+    warehouse actually asserts: primary-key uniqueness of o_orderkey and
+    zero negative prices.
+
+    Scale shape: all per-column stats fold into ONE wide aggregate over
+    a single scan (count/min/max are partial-aggregated; the exact
+    distincts rewrite to Expand + two-phase agg — the planner's
+    multi-distinct handling, still one scan); the wide 1-row result
+    unpivots driver-side via stack(). At 100 TB this is the same single
+    pass Deequ runs; column count, not row count, bounds the state.
+    """
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in QUALITY_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *aggs,
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).cast("long").alias("neg_prices"),
+    )
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in QUALITY_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(QUALITY_COLS)}, {stack_args})"
+            " as (column_name, null_ct, distinct_ct, min_str, max_str)"
+        ),
+        "n_rows",
+        (F.col("o_orderkey__distinct") == F.col("n_rows")).alias("pk_unique"),
+        (F.col("neg_prices") == 0).alias("prices_nonneg"),
+    )
+
+
+def _oracle_quality() -> str:
+    selects = []
+    for c in QUALITY_COLS:
+        selects.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_ct,
+       min(CAST({c} AS VARCHAR)) AS min_str,
+       max(CAST({c} AS VARCHAR)) AS max_str,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       count(DISTINCT o_orderkey) = count(*) AS pk_unique,
+       sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0 AS prices_nonneg
+FROM orders""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLE_DATA_QUALITY_REPORT = _oracle_quality()

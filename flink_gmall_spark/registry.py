@@ -139,6 +139,7 @@ _register("scale_partition_pruned_read", scale.partition_pruned_read, scale.ORAC
 _register("scale_runtime_bloom_join", scale.runtime_bloom_join, scale.ORACLE_RUNTIME_BLOOM_JOIN, tags=("runtime-filter", "bloom", "scale"))
 _register("scale_dynamic_partition_pruning", scale.dynamic_partition_pruning, scale.ORACLE_DYNAMIC_PARTITION_PRUNING, tags=("partition-pruning", "dpp", "scale", "star-schema"))
 _register("scale_epoch_compaction", scale.epoch_compaction, scale.ORACLE_EPOCH_COMPACTION, tags=("scale", "maintenance", "small-files", "T9"))
+_register("scale_data_quality_report", scale.data_quality_report, scale.ORACLE_DATA_QUALITY_REPORT, tags=("scale", "data-quality", "constraints", "single-pass"))
 _register("udaf_activity_streaks", udaf.activity_streaks, udaf.ORACLE_ACTIVITY_STREAKS, tags=("udaf", "pandas"))
 _register("pipeline_e2e_hourly", pipeline.pipeline_e2e_hourly, pipeline.ORACLE_PIPELINE_E2E_HOURLY, tags=("pipeline", "e2e", "S6", "T9", "A7"))
 

@@ -505,3 +505,13 @@ def test_sparse_topk_df_prune_before_self_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_quality_report_single_scan(spark, sf_dir):
+    """The whole constraint report folds into one pass: exactly one
+    parquet scan of orders, partial aggregation below the exchange."""
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.data_quality_report(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan, plan
