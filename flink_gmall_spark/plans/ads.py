@@ -2035,6 +2035,88 @@ def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PART_PAGERANK_DEEP = _oracle_part_pagerank(PR_ROUNDS_DEEP)
 
+BFS_HOPS = 3
+
+
+def part_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the co-purchase graph — the frontier-
+    propagation member of the graph family (complementing min-label
+    components and mass-passing PageRank): hop distance from the SEED
+    part (the minimum part id in the graph, a deterministic anchor) to
+    every part reachable within BFS_HOPS hops. The "products within N
+    recommendation hops" neighborhood query.
+
+    Scale shape: each hop is ONE equi-join of the current distance
+    table to the edge list keyed on the source plus a min-aggregation on
+    the destination — never a frontier broadcast (frontiers can be
+    corpus-sized) and never recursion in the engine. The edge list
+    materializes once (checkpoint, multi-consumer lesson); rounds unroll
+    declaratively at this bounded hop count.
+    """
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    seed = und.agg(F.min("src").alias("part"))
+    dist = F.broadcast(seed).select("part", F.lit(0).cast("long").alias("d"))
+    for _ in range(BFS_HOPS):
+        reached = (
+            dist.join(und, dist.part == und.src)
+            .select(F.col("dst").alias("part"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("part")
+            .agg(F.min("d").cast("long").alias("d"))
+        )
+    return dist.select("part", F.col("d").alias("hops"))
+
+
+def _oracle_bfs() -> str:
+    stages = [
+        f"""und AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {COPURCHASE_MIN_CT}
+),
+d0 AS (SELECT min(src) AS part, CAST(0 AS BIGINT) AS d FROM und)"""
+    ]
+    for k in range(1, BFS_HOPS + 1):
+        stages.append(
+            f"""d{k} AS (
+    SELECT part, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT part, d FROM d{k - 1}
+        UNION ALL
+        SELECT und.dst AS part, p.d + 1 AS d
+        FROM d{k - 1} p JOIN und ON p.part = und.src
+    ) GROUP BY part
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"\nSELECT part, d AS hops FROM d{BFS_HOPS}\n"
+    )
+
+
+ORACLE_PART_BFS_DISTANCES = _oracle_bfs()
+
+
 TRIANGLE_TOP_N = 20
 
 

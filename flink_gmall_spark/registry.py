@@ -125,6 +125,7 @@ _register("ads_timed_funnel", ads.timed_funnel, ads.ORACLE_TIMED_FUNNEL, tags=("
 _register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags=("graph", "pagerank", "iterative", "topk"))
 _register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
 _register("ads_part_triangles", ads.part_triangles, ads.ORACLE_PART_TRIANGLES, tags=("graph", "triangle-counting", "degree-orientation", "topk"))
+_register("ads_part_bfs_distances", ads.part_bfs_distances, ads.ORACLE_PART_BFS_DISTANCES, tags=("graph", "bfs", "frontier-propagation", "iterative"))
 _register("ads_pit_features", ads.pit_feature_join, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training"))
 _register("ads_last_touch_attribution", ads.last_touch_attribution, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "funnel", "path-analysis", "marketing", "carry-window"))
 _register("ads_negative_samples", ads.negative_samples, ads.ORACLE_NEGATIVE_SAMPLES, tags=("recommendation", "ml-training", "negative-sampling", "anti-join", "deterministic"))

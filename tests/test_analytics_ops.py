@@ -471,3 +471,19 @@ def test_sparse_topk_hand_scores(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.score
            for r in textstats.sparse_topk_pairs(spark, d).collect()}
     assert got == {(1, 2): textstats.SPARSE_SCALE // 4}
+
+
+def test_bfs_hand_path_graph(spark, tmp_path):
+    """Path graph 1-2-3-4-5 (each edge support 2), seed = part 1: hops
+    are 0,1,2,3; part 5 (4 hops away) stays unreachable at BFS_HOPS=3."""
+    from flink_gmall_spark.plans import ads
+
+    pairs = []
+    o = 0
+    for u, v in [(1, 2), (2, 3), (3, 4), (4, 5)]:
+        for _ in range(2):
+            o += 1
+            pairs += [(o, u), (o, v)]
+    d = _write_lineitem(spark, tmp_path, pairs)
+    got = {r.part: r.hops for r in ads.part_bfs_distances(spark, d).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
