@@ -1356,6 +1356,82 @@ GROUP BY 1
 """
 
 
+SESSION_GAP_S = 1800  # same 30-min gap as dws.session_stats
+
+
+def session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-SCOPED transition matrix — event_transitions with the
+    correct flow-analysis boundary: a step only counts when both events
+    belong to the SAME session (gap ≤ 30 min), so an overnight return
+    does not fabricate a yesterday→today "path". This is what Sankey /
+    flow UIs actually draw; the unscoped matrix overcounts exactly at
+    session edges.
+
+    Scale shape: ONE per-user sort carries all three windows (gap flag
+    lag, session-id running sum, the within-session lag) — Spark plans
+    them over a single (user_id)-keyed exchange; then the bounded-key
+    (from, to) rollup. Same cost as the unscoped matrix.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("is_start").over(wcum))
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    steps = sess.select(
+        "user_id",
+        F.lag("event_type").over(ws).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions"),
+        F.countDistinct("user_id").alias("users"),
+    )
+
+
+ORACLE_SESSION_TRANSITIONS = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * 1_000_000}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+),
+steps AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM sess
+)
+SELECT from_type, to_type,
+       CAST(count(*) AS BIGINT) AS transitions,
+       count(DISTINCT user_id) AS users
+FROM steps
+WHERE from_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 PATHS_TOP_N = 20
 
 

@@ -130,6 +130,7 @@ _register("ads_pit_features", ads.pit_feature_join, ads.ORACLE_PIT_FEATURE_JOIN,
 _register("ads_last_touch_attribution", ads.last_touch_attribution, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "funnel", "path-analysis", "marketing", "carry-window"))
 _register("ads_negative_samples", ads.negative_samples, ads.ORACLE_NEGATIVE_SAMPLES, tags=("recommendation", "ml-training", "negative-sampling", "anti-join", "deterministic"))
 _register("ads_top_event_paths", ads.top_event_paths, ads.ORACLE_TOP_EVENT_PATHS, tags=("path-analysis", "markov", "topk", "T3-generalized"))
+_register("ads_session_transitions", ads.session_transitions, ads.ORACLE_SESSION_TRANSITIONS, tags=("path-analysis", "markov", "sessionization", "T3-generalized"))
 _register("curation_weighted_sample", curation.weighted_sample, curation.ORACLE_WEIGHTED_SAMPLE, tags=("curation", "sampling", "weighted", "topk", "map-only"))
 _register("scale_salted_status_rollup", scale.salted_status_rollup, scale.ORACLE_SALTED_STATUS_ROLLUP, tags=("skew", "scale"))
 _register("scale_bucketed_join", scale.bucketed_orders_join, scale.ORACLE_BUCKETED_ORDERS_JOIN, bench=True, tags=("bucketing", "scale"))

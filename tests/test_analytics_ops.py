@@ -487,3 +487,24 @@ def test_bfs_hand_path_graph(spark, tmp_path):
     d = _write_lineitem(spark, tmp_path, pairs)
     got = {r.part: r.hops for r in ads.part_bfs_distances(spark, d).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_session_transitions_respects_gap(spark, tmp_path):
+    """view->click inside the session counts; click->view across a
+    31-minute gap must NOT (the unscoped matrix would count it)."""
+    from flink_gmall_spark.plans import ads
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=5 + 31), 1, "view", 1.0, "{}"),  # new session
+        (4, t0 + dt.timedelta(minutes=5 + 32), 1, "click", 1.0, "{}"),
+    ]
+    d = _write_events(spark, tmp_path, rows)
+    got = {(r.from_type, r.to_type): r.transitions
+           for r in ads.session_transitions(spark, d).collect()}
+    assert got == {("view", "click"): 2}  # the cross-gap click->view is absent
+    unscoped = {(r.from_type, r.to_type): r.transitions
+                for r in ads.event_transitions(spark, d).collect()}
+    assert unscoped[("click", "view")] == 1  # proves the scoping changed semantics

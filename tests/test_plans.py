@@ -515,3 +515,11 @@ def test_quality_report_single_scan(spark, sf_dir):
     plan = plan_of(scale.data_quality_report(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_" in plan, plan
+
+
+def test_session_transitions_single_user_exchange(spark, sf_dir):
+    """All three windows (gap flag, session id, within-session lag) ride
+    user-keyed exchanges — no join, bounded-key rollup."""
+    plan = plan_of(ads.session_transitions(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
