@@ -2118,8 +2118,10 @@ def part_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop BFS over the co-purchase graph — the frontier-
     propagation member of the graph family (complementing min-label
     components and mass-passing PageRank): hop distance from the SEED
-    part (the minimum part id in the graph, a deterministic anchor) to
-    every part reachable within BFS_HOPS hops. The "products within N
+    part (the maximum-degree node, ties to the smaller id — a
+    deterministic anchor that lands in the giant component, so the
+    neighborhood is non-trivial at every scale factor) to every part
+    reachable within BFS_HOPS hops. The "products within N
     recommendation hops" neighborhood query.
 
     Scale shape: each hop is ONE equi-join of the current distance
@@ -2145,7 +2147,13 @@ def part_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    seed = und.agg(F.min("src").alias("part"))
+    seed = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .orderBy(F.desc("dg"), F.asc("src"))
+        .limit(1)
+        .select(F.col("src").alias("part"))
+    )
     dist = F.broadcast(seed).select("part", F.lit(0).cast("long").alias("d"))
     for _ in range(BFS_HOPS):
         reached = (
@@ -2170,7 +2178,12 @@ def _oracle_bfs() -> str:
     GROUP BY 1, 2
     HAVING count(*) >= {COPURCHASE_MIN_CT}
 ),
-d0 AS (SELECT min(src) AS part, CAST(0 AS BIGINT) AS d FROM und)"""
+d0 AS (
+    SELECT src AS part, CAST(0 AS BIGINT) AS d FROM (
+        SELECT src, count(*) AS dg FROM und GROUP BY src
+        ORDER BY dg DESC, src ASC LIMIT 1
+    )
+)"""
     ]
     for k in range(1, BFS_HOPS + 1):
         stages.append(

@@ -474,19 +474,21 @@ def test_sparse_topk_hand_scores(spark, tmp_path):
 
 
 def test_bfs_hand_path_graph(spark, tmp_path):
-    """Path graph 1-2-3-4-5 (each edge support 2), seed = part 1: hops
-    are 0,1,2,3; part 5 (4 hops away) stays unreachable at BFS_HOPS=3."""
+    """Path graph 1-2-3-4-5-6 (each edge support 2). Interior nodes 2-5
+    all have degree 2, so the max-degree tie breaks to seed = part 2:
+    hops 0..3 reach parts 2,1,3,4,5; part 6 (4 hops from the seed)
+    stays unreachable at BFS_HOPS=3."""
     from flink_gmall_spark.plans import ads
 
     pairs = []
     o = 0
-    for u, v in [(1, 2), (2, 3), (3, 4), (4, 5)]:
+    for u, v in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]:
         for _ in range(2):
             o += 1
             pairs += [(o, u), (o, v)]
     d = _write_lineitem(spark, tmp_path, pairs)
     got = {r.part: r.hops for r in ads.part_bfs_distances(spark, d).collect()}
-    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    assert got == {2: 0, 1: 1, 3: 1, 4: 2, 5: 3}
 
 
 def test_session_transitions_respects_gap(spark, tmp_path):
