@@ -255,6 +255,7 @@ _register("stream_pq_index_serve", stream_jobs.stream_pq_index_serve, ann.ORACLE
 _register("stream_event_transitions", stream_state.event_transitions_stream, ads.ORACLE_EVENT_TRANSITIONS, tags=("path-analysis", "markov", "streaming", "T3-generalized", "stateful"))
 _register("stream_last_touch_attribution", stream_state.last_touch_attribution_stream, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "path-analysis", "streaming", "stateful", "carry-window"))
 _register("stream_pit_features", stream_state.pit_features_stream, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training", "streaming", "stateful", "stream-union"))
+_register("stream_session_transitions", stream_state.session_transitions_stream, ads.ORACLE_SESSION_TRANSITIONS, tags=("path-analysis", "markov", "sessionization", "streaming", "stateful"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

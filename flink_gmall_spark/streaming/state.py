@@ -488,3 +488,58 @@ def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(feats, "append")
+
+
+def _session_transitions_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Session-scoped transition state machine: the retained-tail tuple
+    of _transitions_fn plus the gap rule — a step is emitted only when
+    the new event lands within SESSION_GAP of the tail, otherwise the
+    tail just resets (new session). Constant per-user state."""
+    from flink_gmall_spark.plans.ads import SESSION_GAP_S
+
+    last_us, last_eid, last_type = (
+        state.get if state.exists else (-1, -1, "")
+    )
+    froms: list[str] = []
+    tos: list[str] = []
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        for us, eid, et in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
+            if last_type and int(us) - last_us <= SESSION_GAP_S * 1_000_000:
+                froms.append(last_type)
+                tos.append(str(et))
+            last_us, last_eid, last_type = int(us), int(eid), str(et)
+        state.update((last_us, last_eid, last_type))
+    yield pd.DataFrame(
+        {"user_id": key[0], "from_type": froms, "to_type": tos}
+    )
+
+
+def session_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.session_transitions: the gap rule folds into
+    the same retained-tail state machine (one comparison against the
+    stored tail timestamp replaces the batch plan's three windows), the
+    bounded-key rollup runs on the emitted steps. Shares the batch
+    oracle verbatim."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    steps = ev.groupBy("user_id").applyInPandasWithState(
+        _session_transitions_fn,
+        outputStructType="user_id long, from_type string, to_type string",
+        stateStructType="last_us long, last_eid long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(steps, "append")
+    return mem.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("transitions"),
+        F.countDistinct("user_id").alias("users"),
+    )
