@@ -256,6 +256,8 @@ _register("stream_event_transitions", stream_state.event_transitions_stream, ads
 _register("stream_last_touch_attribution", stream_state.last_touch_attribution_stream, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "path-analysis", "streaming", "stateful", "carry-window"))
 _register("stream_pit_features", stream_state.pit_features_stream, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training", "streaming", "stateful", "stream-union"))
 _register("stream_session_transitions", stream_state.session_transitions_stream, ads.ORACLE_SESSION_TRANSITIONS, tags=("path-analysis", "markov", "sessionization", "streaming", "stateful"))
+_register("stream_cohort_retention", stream_state.cohort_retention_stream, ads.ORACLE_COHORT_RETENTION, tags=("cohort", "retention", "product-analytics", "streaming", "stateful", "T2"))
+_register("stream_timed_funnel", stream_state.timed_funnel_stream, ads.ORACLE_TIMED_FUNNEL, tags=("funnel", "cep", "within", "attribution", "streaming", "stateful", "T3"))
 
 # --- LLM-data-pipeline operators (BASELINE.json north star) -----------------
 _register("dedup_exact", dedup.exact_dedup, dedup.ORACLE_EXACT_DEDUP, bench=True, tags=("dedup",))

@@ -543,3 +543,128 @@ def session_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("transitions"),
         F.countDistinct("user_id").alias("users"),
     )
+
+
+def _cohort_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cohort state machine: per user, the set of seen days plus the
+    cohort (first) day. Emitting one (cohort_day, day) row per NEW day
+    is append-safe because day-set membership only grows. NOTE the
+    first-day subtlety: the cohort day is fixed by the EARLIEST day
+    ever seen — under ordered delivery the first arriving day is the
+    cohort day; the state pins it so later batches cannot move it."""
+    dates, cohort = (state.get if state.exists else ([], ""))
+    seen = set(dates)
+    out_cohort: list[str] = []
+    out_day: list[str] = []
+    for pdf in batches:
+        for d in sorted(str(x) for x in pdf["dt"]):
+            if not cohort or d < cohort:
+                cohort = d
+            if d not in seen:
+                seen.add(d)
+                out_day.append(d)
+    # emit with the FINAL cohort for this batch's fresh days
+    out_cohort = [cohort] * len(out_day)
+    state.update((sorted(seen), cohort))
+    yield pd.DataFrame(
+        {"user_id": key[0], "cohort_day": out_cohort, "day": out_day}
+    )
+
+
+def cohort_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.cohort_retention — the dashboard feed as a
+    continuously-maintained matrix: the T2-style per-user day-dedup
+    state also carries the cohort (first) day, each fresh (user, day)
+    appends one matrix increment, and the bounded-key (cohort_day,
+    day_offset) rollup runs on the emitted increments. Shares the batch
+    oracle verbatim."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    )
+    fresh = ev.groupBy("user_id").applyInPandasWithState(
+        _cohort_fn,
+        outputStructType="user_id long, cohort_day string, day string",
+        stateStructType="dates array<string>, cohort string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(fresh, "append")
+    return mem.groupBy(
+        "cohort_day",
+        F.datediff(F.to_date("day"), F.to_date("cohort_day"))
+        .cast("long")
+        .alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("users"))
+
+
+def _timed_funnel_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Timed-funnel state machine: per user, first-view timestamp and a
+    converted flag. Emits MONOTONE markers — 'viewed' once on the first
+    view, 'converted' once on the first purchase landing in
+    (first_view, first_view + WINDOW] — so the append-mode stream never
+    needs a retraction."""
+    from flink_gmall_spark.plans.ads import TIMED_FUNNEL_WINDOW_S
+
+    v_us, converted = (state.get if state.exists else (-1, False))
+    kinds: list[str] = []
+    pdfs = list(batches)
+    if pdfs:
+        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        for us, et in zip(pdf["us"], pdf["event_type"]):
+            us = int(us)
+            if et == "view" and v_us < 0:
+                v_us = us
+                kinds.append("viewed")
+            elif (
+                et == "purchase"
+                and not converted
+                and v_us >= 0
+                and us > v_us
+                and us <= v_us + TIMED_FUNNEL_WINDOW_S * 1_000_000
+            ):
+                converted = True
+                kinds.append("converted")
+        state.update((v_us, converted))
+    yield pd.DataFrame({"user_id": key[0], "kind": kinds})
+
+
+def timed_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.timed_funnel: per-user monotone
+    viewed/converted markers from the state machine, the 1-row integer
+    ledger (with the HALF_UP-x100 rate and zero-view NULL guard) rolled
+    up batch-side. Shares the batch oracle verbatim."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    marks = ev.groupBy("user_id").applyInPandasWithState(
+        _timed_funnel_fn,
+        outputStructType="user_id long, kind string",
+        stateStructType="v_us long, converted boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(marks, "append")
+    return mem.agg(
+        F.sum(F.when(F.col("kind") == "viewed", 1).otherwise(0))
+        .cast("long")
+        .alias("viewed"),
+        F.sum(F.when(F.col("kind") == "converted", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+    ).select(
+        "viewed",
+        "converted",
+        F.expr(
+            "CASE WHEN viewed = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (200 * converted + viewed) DIV (2 * viewed) END"
+        ).alias("conv_rate_x100"),
+    )
