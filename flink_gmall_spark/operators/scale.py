@@ -591,11 +591,21 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     aggs = []
     for c in QUALITY_COLS:
+        # min/max on the NATIVE type, rendered to string AFTER — casting
+        # first would make numeric bounds lexicographic ('999' > '1499').
+        # Timestamps render through an explicit format so both engines
+        # agree on the string form.
+        mn, mx = F.min(F.col(c)), F.max(F.col(c))
+        if c == "o_orderdate":
+            mn = F.date_format(mn, "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(mx, "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn, mx = mn.cast("string"), mx.cast("string")
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
         ]
     wide = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -620,12 +630,18 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_quality() -> str:
     selects = []
     for c in QUALITY_COLS:
+        if c == "o_orderdate":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = f"CAST(min({c}) AS VARCHAR)"
+            mx = f"CAST(max({c}) AS VARCHAR)"
         selects.append(f"""
 SELECT '{c}' AS column_name,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
        CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_ct,
-       min(CAST({c} AS VARCHAR)) AS min_str,
-       max(CAST({c} AS VARCHAR)) AS max_str,
+       {mn} AS min_str,
+       {mx} AS max_str,
        CAST(count(*) AS BIGINT) AS n_rows,
        count(DISTINCT o_orderkey) = count(*) AS pk_unique,
        sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0 AS prices_nonneg

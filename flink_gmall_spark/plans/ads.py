@@ -1924,6 +1924,37 @@ PR_ROUNDS = 3
 PR_TOP_N = 20
 
 
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, canonical: bool = False
+) -> DataFrame:
+    """The co-purchase edge list every graph operator shares: DISTINCT
+    (order, part) baskets, order-keyed self-join, COPURCHASE_MIN_CT
+    support floor. ``canonical=False`` returns both directions as
+    (src, dst) — the PageRank/BFS form; ``canonical=True`` returns one
+    row per undirected edge with u < v — the triangle form. Always
+    eagerly checkpointed: the list feeds multiple consumers (degree
+    table, propagation rounds, wedge closure) and exchange reuse does
+    not dedupe it (measured 14-22 lineitem scans across the graph
+    family before this was materialized once)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    side = (
+        F.col("a.l_partkey") < F.col("b.l_partkey")
+        if canonical
+        else F.col("a.l_partkey") != F.col("b.l_partkey")
+    )
+    u, v = ("u", "v") if canonical else ("src", "dst")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & side)
+        .groupBy(F.col("a.l_partkey").alias(u), F.col("b.l_partkey").alias(v))
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
+        .select(u, v)
+        .localCheckpoint(eager=True)
+    )
+
+
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph, INTEGER-exact — the iterative
     graph-centrality member of the analytics surface (beyond
@@ -1941,26 +1972,10 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-means loop). Output is the top-N central parts.
     """
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    # the edge list is read by the degree table AND every unrolled round
-    # — materialize it once (exchange reuse does not dedupe it: measured
-    # 14 scans of lineitem at 3 rounds without this); the ROUNDS stay
-    # declaratively unrolled, which is this entry's identity (the
-    # persisted-per-round production form is ads_part_pagerank_deep)
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    # shared checkpointed edge list; the ROUNDS stay declaratively
+    # unrolled, which is this entry's identity (the persisted-per-round
+    # production form is ads_part_pagerank_deep)
+    und = _copurchase_edges(spark, sf_dir)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg")
     pr = nodes.select("part", "deg", F.lit(PR_SCALE).cast("long").alias("pr"))
@@ -2051,21 +2066,9 @@ def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer DIV arithmetic makes the full trajectory bit-identical.
     """
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
-        .select("src", "dst")
-        .persist()
-    )
+    # shared edge list, already eagerly checkpointed by the helper —
+    # replaces this entry's former persist/unpersist of the same table
+    und = _copurchase_edges(spark, sf_dir)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg").persist()
     pr = nodes.select("part", "deg", F.lit(PR_SCALE).cast("long").alias("pr")).persist()
@@ -2106,7 +2109,6 @@ def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pr.unpersist()
         nodes.unpersist()
-        und.unpersist()
 
 
 ORACLE_PART_PAGERANK_DEEP = _oracle_part_pagerank(PR_ROUNDS_DEEP)
@@ -2132,21 +2134,7 @@ def part_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaratively at this bounded hop count.
     """
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    und = _copurchase_edges(spark, sf_dir)
     seed = (
         und.groupBy("src")
         .agg(F.count(F.lit(1)).alias("dg"))
@@ -2232,28 +2220,8 @@ def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quadratic in a hub's degree.
     """
     tune(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    # undirected edge set, canonical u < v by part id (same support floor
-    # as the other co-purchase surfaces)
-    # The edge list feeds THREE consumers (degree table, orientation,
-    # wedge-closure membership) and Spark's exchange reuse does not dedupe
-    # the basket self-join across them (measured: 22 scans, 0
-    # ReusedExchange) — materialize it ONCE; every downstream reads the
-    # checkpointed edges instead of recomputing the join.
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .filter(F.col("ct") >= COPURCHASE_MIN_CT)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    # canonical (u < v) checkpointed edge set from the shared builder
+    e = _copurchase_edges(spark, sf_dir, canonical=True)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))

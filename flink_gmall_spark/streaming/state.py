@@ -29,6 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from flink_gmall_spark.plans.ads import (
+    ATTR_WINDOW_S,
+    SESSION_GAP_S,
+    TIMED_FUNNEL_WINDOW_S,
+)
 from flink_gmall_spark.plans.dwm import JUMP_GAP_US, SESSION_GAP_US
 from flink_gmall_spark.session import tune
 from flink_gmall_spark.streaming.jobs import read_stream, run_to_memory
@@ -280,31 +285,45 @@ def jump_out_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _transitions_fn(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Event-transition state machine: per user, one retained (last event)
-    tuple; each arriving event emits the (prev -> current) step and
-    becomes the new tail. The streaming face of the lag() window in
-    plans.ads.event_transitions — per-key state is CONSTANT (one tuple),
-    the same discipline as the T1-T3 machines."""
-    last_us, last_eid, last_type = (
-        state.get if state.exists else (-1, -1, "")
-    )
-    froms: list[str] = []
-    tos: list[str] = []
-    pdfs = list(batches)
-    if pdfs:
-        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
-        for us, eid, et in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
-            if last_type:
-                froms.append(last_type)
-                tos.append(str(et))
-            last_us, last_eid, last_type = int(us), int(eid), str(et)
-        state.update((last_us, last_eid, last_type))
-    yield pd.DataFrame(
-        {"user_id": key[0], "from_type": froms, "to_type": tos}
-    )
+def _make_transitions_fn(max_gap_us: int | None = None):
+    """Factory for the transition state machine: per user, one retained
+    (last event) tuple; each arriving event emits the (prev -> current)
+    step and becomes the new tail. The streaming face of the lag()
+    window in plans.ads.event_transitions — per-key state is CONSTANT
+    (one tuple), the same discipline as the T1-T3 machines.
+
+    ``max_gap_us`` scopes steps to sessions (ads.session_transitions
+    semantics): a step only emits when the new event lands within the
+    gap of the tail; the unscoped matrix is the gap=∞ case. One machine,
+    both twins — the gap check is the entire difference."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_us, last_eid, last_type = (
+            state.get if state.exists else (-1, -1, "")
+        )
+        froms: list[str] = []
+        tos: list[str] = []
+        pdfs = list(batches)
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+            for us, eid, et in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
+                if last_type and (
+                    max_gap_us is None or int(us) - last_us <= max_gap_us
+                ):
+                    froms.append(last_type)
+                    tos.append(str(et))
+                last_us, last_eid, last_type = int(us), int(eid), str(et)
+            state.update((last_us, last_eid, last_type))
+        yield pd.DataFrame(
+            {"user_id": key[0], "from_type": froms, "to_type": tos}
+        )
+
+    return fn
+
+
+_transitions_fn = _make_transitions_fn()
 
 
 def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,8 +363,6 @@ def _attrib_fn(
     touchpoint (type, time); each purchase emits its credited channel —
     the touchpoint if it landed within the window, else 'direct'. One
     tuple per user, the T1-T3 state discipline."""
-    from flink_gmall_spark.plans.ads import ATTR_WINDOW_S
-
     t_type, t_us = state.get if state.exists else ("", -1)
     channels: list[str] = []
     cents_out: list[int] = []
@@ -358,7 +375,9 @@ def _attrib_fn(
                     channels.append(t_type)
                 else:
                     channels.append("direct")
-                cents_out.append(int(cents))
+                # NULL event values arrive as NaN; the batch twin's
+                # F.sum skips them, i.e. contributes 0 — mirror that
+                cents_out.append(0 if pd.isna(cents) else int(cents))
             else:
                 t_type, t_us = str(et), int(us)
         state.update((t_type, t_us))
@@ -429,11 +448,22 @@ def _pit_fn(
                 out_v.append(cum_v)
                 out_p.append(cum_p)
                 out_c.append(cum_c)
+            elif pend_day and str(d) < pend_day:
+                # LATE event from an already-completed day: fold it into
+                # the cumulative directly — relabeling the pending bucket
+                # to the older day would later flush the NEWER day's
+                # counts as if completed (future leakage into probes).
+                # Probes that already passed between d and pend_day
+                # cannot be retracted (append mode); this keeps every
+                # FUTURE probe correct.
+                cum_v += int(iv)
+                cum_p += int(ip)
+                cum_c += 0 if pd.isna(cents) else int(cents)
             else:  # event: accumulate into the day-d pending bucket
                 pend_day = str(d)
                 pend_v += int(iv)
                 pend_p += int(ip)
-                pend_c += int(cents)
+                pend_c += 0 if pd.isna(cents) else int(cents)
         state.update((cum_v, cum_p, cum_c, pend_day, pend_v, pend_p, pend_c))
     yield pd.DataFrame(
         {
@@ -490,32 +520,9 @@ def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(feats, "append")
 
 
-def _session_transitions_fn(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Session-scoped transition state machine: the retained-tail tuple
-    of _transitions_fn plus the gap rule — a step is emitted only when
-    the new event lands within SESSION_GAP of the tail, otherwise the
-    tail just resets (new session). Constant per-user state."""
-    from flink_gmall_spark.plans.ads import SESSION_GAP_S
-
-    last_us, last_eid, last_type = (
-        state.get if state.exists else (-1, -1, "")
-    )
-    froms: list[str] = []
-    tos: list[str] = []
-    pdfs = list(batches)
-    if pdfs:
-        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
-        for us, eid, et in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
-            if last_type and int(us) - last_us <= SESSION_GAP_S * 1_000_000:
-                froms.append(last_type)
-                tos.append(str(et))
-            last_us, last_eid, last_type = int(us), int(eid), str(et)
-        state.update((last_us, last_eid, last_type))
-    yield pd.DataFrame(
-        {"user_id": key[0], "from_type": froms, "to_type": tos}
-    )
+# session-scoped twin: the SAME machine with the gap bound (see the
+# factory docstring) — duplication collapsed per round-6 review
+_session_transitions_fn = _make_transitions_fn(SESSION_GAP_S * 1_000_000)
 
 
 def session_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,20 +563,27 @@ def _cohort_fn(
     cohort day; the state pins it so later batches cannot move it."""
     dates, cohort = (state.get if state.exists else ([], ""))
     seen = set(dates)
-    out_cohort: list[str] = []
     out_day: list[str] = []
     for pdf in batches:
         for d in sorted(str(x) for x in pdf["dt"]):
-            if not cohort or d < cohort:
+            if not cohort:
+                # PIN the cohort to the first-seen day (the batch's
+                # minimum on first contact). Moving it later on a
+                # late-arriving earlier day would re-emit offset 0 under
+                # a second cohort label while the already-emitted rows
+                # keep the old one — append mode cannot retract. Under
+                # the ordered-delivery assumption first-seen == minimum.
                 cohort = d
             if d not in seen:
                 seen.add(d)
                 out_day.append(d)
-    # emit with the FINAL cohort for this batch's fresh days
-    out_cohort = [cohort] * len(out_day)
     state.update((sorted(seen), cohort))
     yield pd.DataFrame(
-        {"user_id": key[0], "cohort_day": out_cohort, "day": out_day}
+        {
+            "user_id": key[0],
+            "cohort_day": [cohort] * len(out_day),
+            "day": out_day,
+        }
     )
 
 
@@ -608,8 +622,6 @@ def _timed_funnel_fn(
     view, 'converted' once on the first purchase landing in
     (first_view, first_view + WINDOW] — so the append-mode stream never
     needs a retraction."""
-    from flink_gmall_spark.plans.ads import TIMED_FUNNEL_WINDOW_S
-
     v_us, converted = (state.get if state.exists else (-1, False))
     kinds: list[str] = []
     pdfs = list(batches)

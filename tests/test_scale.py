@@ -186,3 +186,23 @@ def test_epoch_compaction_shrinks_file_count(spark, sf_dir):
     assert len(small) == sc.COMPACT_EPOCHS
     assert len(big) == sc.COMPACT_TARGET_FILES
     assert len(big) < len(small)
+
+
+def test_quality_report_numeric_bounds_not_lexicographic(spark, sf_dir):
+    """Regression (round-6 review): min/max must be computed on the
+    NATIVE type then rendered — string-cast-first gave lexicographic
+    bounds ('999' > '1499')."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.operators import scale as sc
+
+    got = {r.column_name: (r.min_str, r.max_str)
+           for r in sc.data_quality_report(spark, sf_dir).collect()}
+    true = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"),
+             F.min("o_totalprice"), F.max("o_totalprice"))
+        .collect()[0]
+    )
+    assert got["o_orderkey"] == (str(true[0]), str(true[1]))
+    assert got["o_totalprice"] == (str(true[2]), str(true[3]))
