@@ -1474,3 +1474,78 @@ SELECT lang, split,
 FROM a
 GROUP BY lang, split
 """
+
+
+BOILER_W = 3          # tokens per chunk — the "line" unit (dedup.CHUNK_DEDUP_W)
+BOILER_FRAC_PCT = 40  # a chunk in >= 40% of a source's docs is boilerplate
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE BOILERPLATE DETECTION — the template-stripping step of
+    every web-corpus pipeline (headers, footers, nav chrome repeat on
+    most pages of a site): chunk each document into fixed-width token
+    "lines" (the corpus stores single-line text, so the chunk unit
+    stands in for physical lines), count per-source DOCUMENT frequency
+    of each distinct chunk, and flag chunks present in at least
+    BOILER_FRAC_PCT of that source's documents. Output is the
+    boilerplate catalog: (source, chunk, docs carrying it, the source's
+    doc count) — the subtraction list a strip pass applies map-side.
+
+    Scale shape: chunking is a narrow map; per-doc ``array_distinct``
+    caps any chunk's per-doc postings at 1 BEFORE the explode (hot-chunk
+    discipline); the (source, chunk) count partial-aggregates, and the
+    per-source doc totals are a tiny broadcast side. Integer threshold
+    (100·df ≥ PCT·n) keeps the flag exact in both engines.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens_col("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, (size(t) - 1) DIV {BOILER_W}),"
+                    f" i -> concat_ws(' ', slice(t, i * {BOILER_W} + 1, {BOILER_W})))"
+                )
+            )
+        ).alias("chunk"),
+    )
+    per_chunk = chunks.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).alias("doc_ct")
+    )
+    per_source = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_chunk.join(F.broadcast(per_source), "source")
+        .filter(100 * F.col("doc_ct") >= BOILER_FRAC_PCT * F.col("n_docs"))
+        .select("source", "chunk", "doc_ct", "n_docs")
+    )
+
+
+ORACLE_BOILERPLATE_LINES = f"""
+WITH toks AS (
+    SELECT doc_id, source, {_DUCK_T} AS t FROM documents
+),
+chunks AS (
+    SELECT DISTINCT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(0, (len(t) - 1) // {BOILER_W} + 1),
+               i -> array_to_string(t[i * {BOILER_W} + 1 : i * {BOILER_W} + {BOILER_W}], ' ')))) AS chunk
+    FROM toks
+    WHERE len(t) > 0
+),
+per_chunk AS (
+    SELECT source, chunk, CAST(count(*) AS BIGINT) AS doc_ct
+    FROM chunks GROUP BY 1, 2
+),
+per_source AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM toks WHERE len(t) > 0 GROUP BY source
+)
+SELECT c.source, c.chunk, c.doc_ct, s.n_docs
+FROM per_chunk c JOIN per_source s ON c.source = s.source
+WHERE 100 * c.doc_ct >= {BOILER_FRAC_PCT} * s.n_docs
+"""

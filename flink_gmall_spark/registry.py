@@ -281,6 +281,7 @@ _register("curation_bpe_encode", curation.bpe_encode_corpus, curation.ORACLE_BPE
 _register("curation_multimodal_dedup_pipeline", curation.multimodal_dedup_pipeline, curation.ORACLE_MULTIMODAL_PIPELINE, tags=("curation", "e2e", "cross-modal", "quality", "dedup", "clustering"))
 _register("curation_bpe_token_budget", curation.bpe_token_budget, curation.ORACLE_BPE_TOKEN_BUDGET, tags=("curation", "text", "tokenizer-training", "train-serve", "token-accounting"))
 _register("curation_train_val_test_split", curation.train_val_test_split, curation.ORACLE_TRAIN_VAL_TEST_SPLIT, tags=("curation", "sampling", "split", "map-only"))
+_register("curation_boilerplate_lines", curation.boilerplate_lines, curation.ORACLE_BOILERPLATE_LINES, tags=("curation", "boilerplate", "template-stripping", "quality"))
 _register("sim_ann_topk", ann.ann_topk, ann.ORACLE_ANN_TOPK, bench=True, tags=("similarity",))
 _register("sim_embedding_neardup_lsh", ann.embedding_neardup_lsh, ann.ORACLE_EMBEDDING_NEARDUP, bench=True, tags=("similarity",))
 _register("sim_ivf_topk", ann.ivf_topk, ann.ORACLE_IVF_TOPK, bench=True, tags=("similarity",))

@@ -510,3 +510,39 @@ def test_session_transitions_respects_gap(spark, tmp_path):
     unscoped = {(r.from_type, r.to_type): r.transitions
                 for r in ads.event_transitions(spark, d).collect()}
     assert unscoped[("click", "view")] == 1  # proves the scoping changed semantics
+
+
+def test_boilerplate_lines_hand_threshold(spark, tmp_path):
+    """A chunk repeated in 2 of 4 docs of a source (50% >= 40%) is
+    boilerplate; a chunk in 1 of 4 (25%) is not; per-doc repetition
+    counts once (array_distinct before the explode)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from flink_gmall_spark.operators import curation
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    boiler = "all rights reserved"  # one 3-token chunk
+    rows = [
+        (1, f"{boiler} {boiler}", "en", "s1", 10),  # repeated IN-doc: counts once
+        (2, f"{boiler} unique words here", "en", "s1", 10),
+        (3, "totally different text now", "en", "s1", 10),
+        (4, "another unrelated document body", "en", "s1", 10),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {(r.source, r.chunk): (r.doc_ct, r.n_docs)
+           for r in curation.boilerplate_lines(spark, d).collect()}
+    assert got == {("s1", boiler): (2, 4)}
