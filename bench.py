@@ -39,6 +39,22 @@ from flink_gmall_spark.session import get_spark
 
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "5"))
 
+# The 24-query headline set benched every round since r2 — the anchor for
+# round-over-round comparison. Round 7 added the heaviest analytics plans
+# (pagerank_deep / triangles / association_rules, VERDICT r6 ask #4) to
+# the bench set for a wall-time ledger; `value*_anchor24` keeps the
+# cross-round totals comparable by summing ONLY this frozen set.
+ANCHOR_24 = frozenset([
+    "ads_top_brands", "curation_decontaminate", "curation_pack_chunks",
+    "curation_tfidf_top_terms", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dwd_cdc_dim_upsert", "dwd_page_views",
+    "dwm_order_detail_wide", "dwm_order_wide", "dws_keyword_stats",
+    "dws_product_stats", "dws_province_stats", "dws_session_stats",
+    "dws_visitor_stats", "scale_bucketed_join", "sim_ann_topk",
+    "sim_block_topk", "sim_embedding_neardup_lsh", "sim_ivf_topk",
+    "t3_jump_out", "text_quality_scores", "tpch_q1",
+])
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +106,12 @@ def main() -> None:
         "warm_runs": WARM_RUNS,
         "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
         "queries_cold": cold,
+        "value_anchor24": round(
+            sum(v for k, v in timings.items() if k in ANCHOR_24 and v is not None), 3
+        ),
+        "value_median_anchor24": round(
+            sum(v for k, v in medians.items() if k in ANCHOR_24 and v is not None), 3
+        ),
         "sf": sf,
     }
     if errors:

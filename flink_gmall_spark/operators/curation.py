@@ -204,12 +204,15 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     draws a stable pseudo-random 48-bit integer from a seeded md5 of its
     id, divides it by its weight (here 1 + n_chars, the "prefer longer
     documents" curation policy), and the K smallest priorities win. A
-    doc with twice the weight halves its expected priority, so inclusion
-    probability scales with weight — the standard way to tilt a training
-    mixture toward high-quality documents WITHOUT the determinism bugs
-    of rand(): retries, re-partitions, and re-runs all reproduce the
-    same sample, and the integer arithmetic makes both engines agree
-    bit-for-bit (floats in -ln(u)/w would not).
+    doc with twice the weight halves its expected priority — a
+    WEIGHT-MONOTONE tilt toward high-quality documents, NOT exact A-ES
+    weight-proportional inclusion (that scheme keys on u^(1/w), i.e.
+    -ln(u)/w; u/w deliberately deviates so the whole draw stays in
+    integer arithmetic — r6 ADVICE note). The point of the construction
+    is determinism WITHOUT the bugs of rand(): retries, re-partitions,
+    and re-runs all reproduce the same sample, and the integer
+    arithmetic makes both engines agree bit-for-bit (floats in
+    -ln(u)/w would not).
 
     Scale shape: one narrow map (md5 + DIV) per row, then a global top-K
     that plans as TakeOrderedAndProject (per-partition heaps + a K-row

@@ -488,7 +488,12 @@ GROUP BY o_orderpriority
 COMPACT_EPOCHS = 8  # simulated micro-batch count in the small-file store
 COMPACT_TARGET_FILES = 2
 _COMPACT_CALLS = itertools.count()  # per-call nonce: no two invocations share scratch paths
-LAST_COMPACTION_BASE: str | None = None  # scratch base of the latest call (test introspection)
+# Scratch base of the LATEST call, for test introspection ONLY. Valid
+# only under SERIAL invocation: concurrent same-app calls each get their
+# own nonce-tagged paths (no path race), but a reader of this global can
+# observe another call's base (r6 ADVICE) — tests that use it must not
+# run epoch_compaction concurrently.
+LAST_COMPACTION_BASE: str | None = None
 
 
 def epoch_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:

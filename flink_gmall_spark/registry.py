@@ -120,11 +120,11 @@ _register("ads_cohort_retention", ads.cohort_retention, ads.ORACLE_COHORT_RETENT
 _register("ads_event_transitions", ads.event_transitions, ads.ORACLE_EVENT_TRANSITIONS, tags=("path-analysis", "markov", "T3-generalized"))
 _register("ads_rfm_segments", ads.rfm_segments, ads.ORACLE_RFM_SEGMENTS, tags=("rfm", "segmentation", "ntile", "product-analytics"))
 _register("ads_rfm_segments_approx", ads.rfm_segments_approx, ads.ORACLE_RFM_SEGMENTS_APPROX, tags=("rfm", "segmentation", "histogram-quantile", "product-analytics", "scale"))
-_register("ads_association_rules", ads.association_rules, ads.ORACLE_ASSOCIATION_RULES, tags=("recommendation", "market-basket", "association-rules"))
+_register("ads_association_rules", ads.association_rules, ads.ORACLE_ASSOCIATION_RULES, bench=True, tags=("recommendation", "market-basket", "association-rules"))
 _register("ads_timed_funnel", ads.timed_funnel, ads.ORACLE_TIMED_FUNNEL, tags=("funnel", "cep", "within", "attribution"))
 _register("ads_part_pagerank", ads.part_pagerank, ads.ORACLE_PART_PAGERANK, tags=("graph", "pagerank", "iterative", "topk"))
-_register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
-_register("ads_part_triangles", ads.part_triangles, ads.ORACLE_PART_TRIANGLES, tags=("graph", "triangle-counting", "degree-orientation", "topk"))
+_register("ads_part_pagerank_deep", ads.part_pagerank_deep, ads.ORACLE_PART_PAGERANK_DEEP, bench=True, tags=("graph", "pagerank", "iterative", "topk", "persisted-iteration", "scale"))
+_register("ads_part_triangles", ads.part_triangles, ads.ORACLE_PART_TRIANGLES, bench=True, tags=("graph", "triangle-counting", "degree-orientation", "topk"))
 _register("ads_part_bfs_distances", ads.part_bfs_distances, ads.ORACLE_PART_BFS_DISTANCES, tags=("graph", "bfs", "frontier-propagation", "iterative"))
 _register("ads_pit_features", ads.pit_feature_join, ads.ORACLE_PIT_FEATURE_JOIN, tags=("feature-store", "asof", "point-in-time", "ml-training"))
 _register("ads_last_touch_attribution", ads.last_touch_attribution, ads.ORACLE_LAST_TOUCH_ATTRIBUTION, tags=("attribution", "funnel", "path-analysis", "marketing", "carry-window"))
@@ -320,35 +320,46 @@ _register("text_sparse_topk_pairs", textstats.sparse_topk_pairs, textstats.ORACL
 # the remaining 20 r3-stale entries (tpch q17/18/19, curation ×5,
 # dedup ×2, text ×4, multimodal ×3, ADS joins ×5) queue for round 7.
 _SAMPLE_PRIORITY = [
-    # 1 — round-6 twins (VERDICT r5 asks #3 and #5)
-    "ads_rfm_segments_approx", "ads_part_pagerank_deep",
-    # 2 — never driver-verified: the round-5 analytics batch
-    "ads_cohort_retention", "ads_event_transitions", "ads_rfm_segments",
-    "ads_association_rules", "ads_timed_funnel", "ads_part_pagerank",
-    "ads_copurchase_pairs", "ads_user_activity_similarity",
-    # 2 — never driver-verified: BPE / curation train-serve family
-    "curation_bpe_train", "curation_bpe_encode", "curation_bpe_token_budget",
-    "curation_adaptive_quality_filter", "curation_collocations_lift",
-    "curation_multimodal_dedup_pipeline", "curation_train_val_test_split",
-    # 2 — never driver-verified: PQ / IVFPQ serving family
-    "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
-    "sim_semantic_dedup_trained", "stream_pq_encode", "stream_pq_index_serve",
-    # 2 — never driver-verified: self-measurement ledgers
-    "dedup_lsh_recall_report", "sim_ann_recall_report", "text_lang_id_confusion",
-    # 2 — never driver-verified: dedup ingest/chunk + streaming twins
-    "dedup_cluster_representatives", "dedup_incremental_minhash",
-    "dedup_intra_doc_chunks", "stream_intra_doc_chunks",
-    "stream_ads_hourly_from_sink",
-    # 2 — never driver-verified: variant / UDTF / text (scd2 + asof
-    # already carry r4 driver rows — VERDICT r5's prose list over-counted)
-    "dwd_props_variant_stats", "dws_keyword_stats_udtf",
-    "text_hll_union_rollup", "text_hashed_classifier",
-    # 2 — never driver-verified: scale entries
-    "scale_partition_pruned_read", "scale_runtime_bloom_join",
-    "scale_dynamic_partition_pruning", "scale_epoch_compaction",
-    # 3 — oldest r3-green fill: bench-anchoring TPC-H
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    # Round-7 window (VERDICT r6 ask #1): burn down the last 17
+    # never-driver-verified entries + the 22 r3-stale entries + 11
+    # oldest r4-green fills (streaming-stateful first). After this
+    # window every registry entry's driver row is ≤3 rounds old.
+    # 1 — never driver-verified: round-6 graph / feature-store batch
+    "ads_part_triangles", "ads_part_bfs_distances", "ads_pit_features",
+    "ads_last_touch_attribution", "ads_top_event_paths",
+    "ads_session_transitions", "ads_negative_samples",
+    # 1 — never driver-verified: round-6 curation / text / scale
+    "curation_weighted_sample", "curation_boilerplate_lines",
+    "text_sparse_topk_pairs", "scale_data_quality_report",
+    # 1 — never driver-verified: round-6 streaming state machines
+    # (multi-batch split staging since round 7 — these rows now prove
+    # cross-batch state continuity, VERDICT r6 ask #6)
+    "stream_event_transitions", "stream_session_transitions",
+    "stream_last_touch_attribution", "stream_pit_features",
+    "stream_cohort_retention", "stream_timed_funnel",
+    # 2 — r3-stale refresh: TPC-H tail
+    "tpch_q17", "tpch_q18", "tpch_q19",
+    # 2 — r3-stale refresh: curation
+    "curation_length_buckets", "curation_sample_stratified",
+    "curation_decontaminate", "curation_tfidf_top_terms",
+    "curation_bigram_counts",
+    # 2 — r3-stale refresh: dedup + text
+    "dedup_keep_best", "dedup_bag_of_words", "text_fingerprints",
+    "text_pii_scrub", "text_repetition", "text_rare_token_ratio",
+    # 2 — r3-stale refresh: multimodal
+    "multimodal_binary_features", "multimodal_frame_sample",
+    "multimodal_resize",
+    # 2 — r3-stale refresh: ADS join entries
+    "ads_top_sku_per_brand", "ads_customer_retention",
+    "ads_region_nation_rollup", "ads_customers_no_orders",
+    "ads_yoy_spend_full_outer",
+    # 3 — oldest r4-green fill, streaming-stateful first (the T1-T3
+    # machines run under the new split staging + bounded T2 state)
+    "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
+    "stream_session_windows", "stream_j1_order_detail_wide",
+    "stream_full_outer_join", "stream_left_outer_join",
+    "stream_keyword_stats", "stream_windowed_append",
+    "stream_sliding_windows", "stream_pyds_cdc_upsert",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -47,13 +47,94 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     return d
 
 
-def read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Event-time source column per splittable table (the column the staged
+# split cuts on; identical to what the stream jobs watermark/sort on).
+_SPLIT_TIME_COL = {"events": "ts", "orders": "o_orderdate"}
+
+
+def _split_boundary(sf_dir: str) -> str:
+    """The per-sf_dir day boundary every split-staged table cuts at: the
+    median day of the EVENTS table. ONE boundary for all tables keeps
+    multi-source jobs batch-aligned on event time (see
+    pit_features_stream's cross-stream precondition); tables whose whole
+    range falls on one side simply degenerate to a single non-empty
+    split, which is still correct."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, "events"), columns=["ts"])
+    days = sorted(
+        str(d) for d in pc.unique(pc.cast(t["ts"], "date32")).to_pylist()
+    )
+    return days[len(days) // 2]
+
+
+def _stream_dir_split(sf_dir: str, name: str) -> str:
+    """Stage a table as TWO parquet files cut at the shared day boundary
+    (earlier days in part-0, the rest in part-1, original row order
+    preserved within each) so availableNow + maxFilesPerTrigger=1 drives
+    the job through ≥2 REAL micro-batches — cross-batch state continuity
+    in the keyed state machines is then exercised by the driver rows,
+    not just by unit tests (r6 VERDICT ask #6). Cutting at a DAY
+    boundary (a) never splits one day across batches, and (b) makes
+    per-key event time non-decreasing across batches — the documented
+    ordered-delivery precondition. part-0 gets the older mtime so the
+    file source replays it first."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = table_path(sf_dir, name)
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
+    ).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"fgs_split_{name}_{tag}")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    boundary = _split_boundary(sf_dir)
+    t = pq.read_table(src)
+    day = pc.strftime(pc.cast(t[_SPLIT_TIME_COL[name]], "timestamp[us]"), "%Y-%m-%d")
+    early = pc.less(day, boundary)
+    # Build in a unique tmp dir, then atomically rename into place
+    # (same TOCTOU discipline as _stream_dir's symlink staging).
+    tmp = f"{d}.{uuid.uuid4().hex[:8]}.tmp"
+    os.makedirs(tmp, exist_ok=True)
+    now = st.st_mtime
+    for i, mask in enumerate([early, pc.invert(early)]):
+        p = os.path.join(tmp, f"part-{i}.parquet")
+        pq.write_table(t.filter(mask), p)
+        os.utime(p, (now + i, now + i))
+    open(os.path.join(tmp, "_STAGED"), "w").close()
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent stager won
+    return d
+
+
+def read_stream(
+    spark: SparkSession, sf_dir: str, name: str, split: bool = False
+) -> DataFrame:
     """File-source stream with the batch-inferred schema (no inference on
     the stream path), normalized through the same timestamp chokepoint as
-    the batch reader (NTZ→TIMESTAMP cast, legacy nanos→micros)."""
+    the batch reader (NTZ→TIMESTAMP cast, legacy nanos→micros).
+
+    ``split=True`` stages the table as two day-boundary-cut files and
+    caps the trigger at one file, so an availableNow run becomes ≥2
+    genuine micro-batches — used by every keyed-state entry so driver
+    correctness rows prove cross-batch state continuity."""
     p = table_path(sf_dir, name)
     schema = spark.read.parquet(p).schema
-    df = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, name))
+    reader = spark.readStream.schema(schema)
+    if split:
+        src_dir = _stream_dir_split(sf_dir, name)
+        reader = reader.option("maxFilesPerTrigger", "1")
+    else:
+        src_dir = _stream_dir(sf_dir, name)
+    df = reader.parquet(src_dir)
     return normalize_timestamps(df)
 
 

