@@ -1552,3 +1552,299 @@ SELECT c.source, c.chunk, c.doc_ct, s.n_docs
 FROM per_chunk c JOIN per_source s ON c.source = s.source
 WHERE 100 * c.doc_ct >= {BOILER_FRAC_PCT} * s.n_docs
 """
+
+
+# =============================================================================
+# Round-7: bloom decontamination, temperature mixing, filter-funnel ledger
+# =============================================================================
+
+BLOOM_BITS = 16384  # m: 2 KiB of filter — broadcast-trivial at any scale
+BLOOM_WORD_BITS = 32  # 32-bit words keep 1<<bit inside BIGINT in BOTH engines
+BLOOM_SEEDS = ("blm1:", "blm2:", "blm3:")  # k = 3 hash functions
+
+
+def _bloom_pos(seed: str, engine: str) -> str:
+    """One deterministic bit position for shingle column ``s``: a 48-bit
+    integer from a seeded md5 prefix, mod m — identical arithmetic in
+    Spark (conv hex) and DuckDB (('0x'||hex)::UBIGINT)."""
+    if engine == "spark":
+        return (
+            f"CAST(conv(substring(md5(concat('{seed}', s)), 1, 12), 16, 10)"
+            f" AS BIGINT) % {BLOOM_BITS}"
+        )
+    return (
+        f"CAST(('0x' || substring(md5('{seed}' || s), 1, 12))::UBIGINT"
+        f" % {BLOOM_BITS} AS BIGINT)"
+    )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DECONTAMINATION — the scale path for eval-leakage
+    scrubbing when the holdout is too large to shingle-join against
+    every training batch: fold the holdout shingles into a 2 KiB Bloom
+    filter AS DATA (per-shingle bit positions → groupBy word index →
+    bit_or into 512 32-bit words), then probe every training shingle
+    through ONE broadcast join against those ≤512 rows. The corpus side
+    is a map-side explode plus a tiny broadcast hash join — no corpus
+    shuffle, no shingle×shingle join; at 100 TB the filter build cost is
+    one pass over the (much smaller) holdout. False positives
+    quarantine a bounded extra fraction — measured here EXACTLY because
+    the exact overlap verdict rides along; false negatives are
+    impossible, and the oracle PINS that superset property per doc.
+
+    Both engines compute the SAME filter (pure seeded-md5 integer
+    arithmetic — no engine-private hash), so the whole report including
+    every bloom verdict is exact-hash-checked, not merely error-bounded.
+    Reference anchor: the same build-probe split as the reference's
+    dim-cache warm path (SURVEY §2.1 S10 non-goal) but as pure data.
+    """
+    from flink_gmall_spark.operators.dedup import _shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hold = sh.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
+    train = sh.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+
+    pos_exprs = [F.expr(_bloom_pos(seed, "spark")) for seed in BLOOM_SEEDS]
+    bloom = (
+        hold.select(F.explode(F.array(*pos_exprs)).alias("p"))
+        .select(
+            F.expr(f"p DIV {BLOOM_WORD_BITS}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+    tpos = train.select(
+        "doc_id", "s", F.explode(F.array(*pos_exprs)).alias("p")
+    )
+    probed = tpos.join(
+        F.broadcast(bloom), F.expr(f"p DIV {BLOOM_WORD_BITS}") == F.col("w"), "left"
+    ).select(
+        "doc_id",
+        "s",
+        F.coalesce(
+            F.expr(
+                f"(shiftright(word, CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+            ),
+            F.lit(False),
+        ).alias("bit_set"),
+    )
+    sh_hit = probed.groupBy("doc_id", "s").agg(
+        F.bool_and("bit_set").alias("hit")  # all k bits must be set
+    )
+    doc_bloom = sh_hit.groupBy("doc_id").agg(
+        F.bool_or("hit").alias("bloom_flagged")  # any shingle hits
+    )
+    exact = (
+        train.join(hold.select("s").distinct(), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_any", F.lit(True))
+    )
+    return (
+        doc_bloom.join(exact, "doc_id", "left")
+        .withColumn("exact_flagged", F.coalesce("exact_any", F.lit(False)))
+        .select(
+            "doc_id",
+            "bloom_flagged",
+            "exact_flagged",
+            # the no-false-negative pin: exact ⇒ bloom, per document
+            (~F.col("exact_flagged") | F.col("bloom_flagged")).alias("superset_ok"),
+        )
+    )
+
+
+def _oracle_decontaminate_bloom() -> str:
+    pos_list = ", ".join(_bloom_pos(seed, "duck") for seed in BLOOM_SEEDS)
+    w = BLOOM_WORD_BITS
+    return f"""{_DUCK_SH},
+hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % {HOLDOUT_MOD} = 0),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id % {HOLDOUT_MOD} <> 0),
+hpos AS (SELECT unnest([{pos_list}]) AS p FROM hold),
+bloom AS (
+    SELECT p // {w} AS wi, bit_or(1::BIGINT << CAST(p % {w} AS INT)) AS word
+    FROM hpos GROUP BY 1),
+tpos AS (SELECT doc_id, s, unnest([{pos_list}]) AS p FROM train),
+probed AS (
+    SELECT t.doc_id, t.s,
+           coalesce(((b.word >> CAST(t.p % {w} AS INT)) & 1) = 1, FALSE) AS bit_set
+    FROM tpos t LEFT JOIN bloom b ON t.p // {w} = b.wi),
+shh AS (SELECT doc_id, s, bool_and(bit_set) AS hit FROM probed GROUP BY 1, 2),
+docb AS (SELECT doc_id, bool_or(hit) AS bloom_flagged FROM shh GROUP BY 1),
+ex AS (SELECT DISTINCT t.doc_id FROM train t JOIN hold USING (s))
+SELECT d.doc_id, d.bloom_flagged,
+       (ex.doc_id IS NOT NULL) AS exact_flagged,
+       (ex.doc_id IS NULL OR d.bloom_flagged) AS superset_ok
+FROM docb d LEFT JOIN ex ON d.doc_id = ex.doc_id
+"""
+
+
+ORACLE_DECONTAMINATE_BLOOM = _oracle_decontaminate_bloom()
+
+
+TEMP_BUDGET = 150  # docs drawn across languages; quota_lang ∝ n_lang²
+TEMP_SEED = "tmix7:"
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED MIXTURE ALLOCATION — the "mix sources with a
+    temperature" knob of pretraining data recipes (quota_i ∝ n_i^α:
+    α>1 sharpens toward the largest corpora, α<1 flattens; α=2 here so
+    the whole allocation stays in exact integer arithmetic): integer
+    quotas by floor division over the Σn² normalizer, then a
+    deterministic per-language draw of quota docs by seeded-md5
+    priority — the weighted_sample determinism discipline (no rand();
+    retries, re-partitions and re-runs reproduce the same sample).
+
+    Scale shape: the language histogram is one partial-agg scan; quotas
+    are a broadcast-sized table; the draw is one per-language window
+    top-N whose rank filter pushes into the shuffle as WindowGroupLimit.
+    No global sort, no driver loop.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("den"))
+    quota = hist.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(f"(n * n * {TEMP_BUDGET}) DIV den").alias("quota"),
+    )
+    pri = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{TEMP_SEED}',"
+            f" CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("pri"),
+    )
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    ranked = pri.withColumn("rk", F.row_number().over(w).cast("long"))
+    # quota_i = n_i²·B DIV Σn² ≤ B always, so the LITERAL budget bound is a
+    # safe pre-filter — and because it is a literal, the optimizer rewrites
+    # the window into WindowGroupLimit (per-partition top-B heaps inside the
+    # shuffle). Without it the data-dependent quota forces a full per-language
+    # sort — the difference between heap-selecting 150 docs per language and
+    # sorting every English document at 100 TB.
+    return (
+        ranked.filter(F.col("rk") <= TEMP_BUDGET)
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+    )
+
+
+ORACLE_MIXTURE_TEMPERATURE = f"""
+WITH hist AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+     tot AS (SELECT CAST(sum(n * n) AS BIGINT) AS den FROM hist),
+     quota AS (
+       SELECT lang, CAST((n * n * {TEMP_BUDGET}) // den AS BIGINT) AS quota
+       FROM hist, tot),
+     pri AS (
+       SELECT doc_id, lang,
+              CAST(('0x' || substring(md5('{TEMP_SEED}' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS pri
+       FROM documents),
+     ranked AS (
+       SELECT doc_id, lang,
+              CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rk
+       FROM pri)
+SELECT r.doc_id, r.lang, q.quota
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.rk <= q.quota
+"""
+
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_LANGS = ("en", "zh", "es", "fr")
+FUNNEL_MIN_WORDS = 30
+
+
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-FUNNEL LEDGER — per-stage survival accounting for the
+    curation pipeline (the observability artifact a data team reviews
+    before committing a recipe: what each rule kills, cumulatively).
+    Stages apply IN ORDER — a doc reaches stage i only having passed
+    1..i-1: min-length → supported-language → min-word-count →
+    decontamination (holdout exclusion).
+
+    Scale shape: ONE scan; each row evaluates its stage conjunctions as
+    narrow boolean columns, a single partial-aggregated fold produces
+    the per-stage counters, and stack() unpivots the 1-row result
+    driver-side (the data_quality_report shape — column count, not row
+    count, bounds the state). Survival percentage is integer HALF_UP so
+    both engines hash-match bit-for-bit.
+    """
+    from flink_gmall_spark.functions.tokenize import tokens_col
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    staged = docs.select(
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("f1"),
+        F.expr(f"lang IN ({langs})").alias("f2"),
+        (F.size(tokens_col("text")) >= FUNNEL_MIN_WORDS).alias("f3"),
+        (F.col("doc_id") % HOLDOUT_MOD != 0).alias("f4"),
+    )
+    wide = staged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum((F.col("f1") & F.col("f2")).cast("long")).alias("n2"),
+        F.sum((F.col("f1") & F.col("f2") & F.col("f3")).cast("long")).alias("n3"),
+        F.sum(
+            (F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")).cast("long")
+        ).alias("n4"),
+    )
+    stages = [
+        ("1_min_length", "n0", "n1"),
+        ("2_lang_supported", "n1", "n2"),
+        ("3_min_words", "n2", "n3"),
+        ("4_decontaminated", "n3", "n4"),
+    ]
+    stack = ", ".join(f"'{s}', {a}, {b}" for s, a, b in stages)
+    return wide.select(
+        F.expr(f"stack({len(stages)}, {stack}) as (stage, entering, passing)"),
+        F.col("n0").alias("corpus_size"),
+    ).select(
+        "stage",
+        "entering",
+        "passing",
+        (F.col("entering") - F.col("passing")).alias("dropped"),
+        F.expr("(200 * passing + corpus_size) DIV (2 * corpus_size)").alias(
+            "survival_pct"
+        ),
+    )
+
+
+def _oracle_filter_funnel() -> str:
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    return f"""
+WITH staged AS (
+  SELECT (n_chars >= {FUNNEL_MIN_CHARS}) AS f1,
+         (lang IN ({langs})) AS f2,
+         (len({_DUCK_T}) >= {FUNNEL_MIN_WORDS}) AS f3,
+         (doc_id % {HOLDOUT_MOD} <> 0) AS f4
+  FROM documents),
+wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM staged),
+stacked AS (
+  SELECT '1_min_length' AS stage, n0 AS entering, n1 AS passing, n0 AS corpus_size FROM wide
+  UNION ALL SELECT '2_lang_supported', n1, n2, n0 FROM wide
+  UNION ALL SELECT '3_min_words', n2, n3, n0 FROM wide
+  UNION ALL SELECT '4_decontaminated', n3, n4, n0 FROM wide)
+SELECT stage, entering, passing,
+       (entering - passing) AS dropped,
+       (200 * passing + corpus_size) // (2 * corpus_size) AS survival_pct
+FROM stacked
+"""
+
+
+ORACLE_FILTER_FUNNEL = _oracle_filter_funnel()

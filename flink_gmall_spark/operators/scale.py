@@ -655,3 +655,185 @@ FROM orders""")
 
 
 ORACLE_DATA_QUALITY_REPORT = _oracle_quality()
+
+
+# =============================================================================
+# Round-7: physical-layout + pre-flight planning operators
+# =============================================================================
+
+ZORDER_BITS = 16
+ZORDER_FILES = 8
+_ZORDER_CALLS = itertools.count()  # per-call nonce, same discipline as compaction
+
+
+def zvalue_expr(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleaved (Morton / Z-order) key of two non-negative int
+    expressions — pure shifts/AND/addition, so Spark SQL and DuckDB
+    compute the identical BIGINT: ``a`` occupies even bit positions,
+    ``b`` odd. 16 bits per dimension = 32-bit z-values."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT CLUSTERING — the multi-dimensional file-clustering
+    maintenance job every lakehouse format offers (Delta ``OPTIMIZE
+    ZORDER BY``, Iceberg sort orders): interleave the bits of two filter
+    columns (user_id × event day) into one Morton key, range-partition +
+    sort the table on it, and rewrite. Scans filtering on EITHER column
+    then prune most files from row-group min/max stats, because a
+    contiguous z-range bounds both dimensions at once — a plain sort
+    clusters only its leading column.
+
+    Scale shape: the z-key is a narrow per-row bit-twiddle (whole-stage
+    codegen, no Python); the rewrite is ONE range shuffle (sampled
+    boundaries, the cost of any global sort) plus a sorted write. At
+    100 TB this is the nightly OPTIMIZE pass. The clustering claim
+    itself is pinned by tests/test_scale.py: per-file spans of BOTH
+    dimensions must shrink to a fraction of the global span.
+
+    ORACLE CONTRACT IS CONTENT IDENTITY (the epoch_compaction rule): the
+    rollup computed FROM THE REWRITTEN FILES must hash-match the same
+    rollup DuckDB runs on the original table — a rewrite that drops,
+    duplicates, or mangles one row fails correctness.
+    """
+    from flink_gmall_spark.functions.parity import MONEY
+    from flink_gmall_spark.session import tune
+
+    tune(spark)
+    clustered = spark.read.parquet(zorder_rewrite(spark, sf_dir))
+    return clustered.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum(F.col("value").cast(MONEY)).cast("double").alias("value_sum"),
+    )
+
+
+def zorder_rewrite(spark: SparkSession, sf_dir: str) -> str:
+    """The rewrite itself (shared by the registry entry and the
+    clustering-proof test): returns the directory of the z-ordered
+    store. Nonce-tagged per call — concurrent invocations never race on
+    the overwrite (the epoch_compaction discipline)."""
+    from flink_gmall_spark.scratch import scratch_dir
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}"
+        f"|{next(_ZORDER_CALLS)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(scratch_dir("zorder", tag), "clustered")
+
+    mask = (1 << ZORDER_BITS) - 1
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.dayofmonth("ts").cast("long").alias("day"),
+    )
+    zed = ev.withColumn(
+        "zval", F.expr(zvalue_expr(f"(user_id & {mask})", f"(day & {mask})"))
+    )
+    (
+        zed.repartitionByRange(ZORDER_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+ORACLE_ZORDER_LAYOUT = """
+SELECT event_type,
+       CAST(date_part('day', ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       count(DISTINCT user_id) AS users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+#: join_preflight decision thresholds (shared by engine and oracle)
+PREFLIGHT_BROADCAST_ROWS = 100_000
+PREFLIGHT_SKEW_FACTOR = 20  # skew iff worst key pair * 20 > total output
+
+
+def join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN PRE-FLIGHT PROBE — the cardinality/skew reconnaissance a
+    planner (or a pipeline gate) runs BEFORE committing to a 100 TB
+    join: from two cheap partial-aggregated key-count scans it derives
+    the EXACT join output cardinality (sum over matched keys of
+    cnt_left × cnt_right — no join row ever materialized), per-side
+    multiplicity maxima, and a deterministic strategy recommendation:
+    broadcast when the build side is small, salted shuffle when one
+    key's worst-case contribution dominates the output, else plain
+    sort-merge. AQE makes the same calls from runtime stats; surfacing
+    the math AS DATA lets a pipeline refuse a join whose output
+    explodes before burning cluster-hours on it.
+
+    Scale shape: each side collapses to ≤ |distinct keys| rows via
+    partial agg before anything joins; the count-table join is keyed
+    and tiny; the final fold is one row. Nothing scales with the join
+    OUTPUT — that is the point of a pre-flight.
+    """
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    lc = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cl"))
+    )
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    agg = lc.join(oc, "k").agg(
+        F.sum("cl").cast("long").alias("n_left_matched"),
+        F.sum("cr").cast("long").alias("n_right_matched"),
+        F.count(F.lit(1)).alias("n_keys_matched"),
+        F.sum(F.col("cl") * F.col("cr")).cast("long").alias("est_out_rows"),
+        F.max("cl").cast("long").alias("max_mult_left"),
+        F.max("cr").cast("long").alias("max_mult_right"),
+    )
+    worst = F.col("max_mult_left") * F.col("max_mult_right")
+    return agg.select(
+        "*",
+        (worst * PREFLIGHT_SKEW_FACTOR > F.col("est_out_rows")).alias("skew_flag"),
+        F.when(
+            F.col("n_right_matched") < PREFLIGHT_BROADCAST_ROWS,
+            F.lit("broadcast_right"),
+        )
+        .when(worst * PREFLIGHT_SKEW_FACTOR > F.col("est_out_rows"), F.lit("salted_shuffle"))
+        .otherwise(F.lit("sort_merge"))
+        .alias("strategy"),
+    )
+
+
+ORACLE_JOIN_PREFLIGHT = f"""
+WITH lc AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+     oc AS (SELECT o_orderkey AS k, count(*) AS cr FROM orders GROUP BY 1),
+     agg AS (
+       SELECT CAST(sum(cl) AS BIGINT) AS n_left_matched,
+              CAST(sum(cr) AS BIGINT) AS n_right_matched,
+              CAST(count(*) AS BIGINT) AS n_keys_matched,
+              CAST(sum(cl * cr) AS BIGINT) AS est_out_rows,
+              CAST(max(cl) AS BIGINT) AS max_mult_left,
+              CAST(max(cr) AS BIGINT) AS max_mult_right
+       FROM lc JOIN oc USING (k))
+SELECT *,
+       (max_mult_left * max_mult_right * {PREFLIGHT_SKEW_FACTOR}) > est_out_rows AS skew_flag,
+       CASE WHEN n_right_matched < {PREFLIGHT_BROADCAST_ROWS} THEN 'broadcast_right'
+            WHEN (max_mult_left * max_mult_right * {PREFLIGHT_SKEW_FACTOR}) > est_out_rows
+              THEN 'salted_shuffle'
+            ELSE 'sort_merge' END AS strategy
+FROM agg
+"""

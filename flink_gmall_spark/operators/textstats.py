@@ -638,3 +638,77 @@ GROUP BY 1, 2
 ORDER BY score DESC, doc_a ASC, doc_b ASC
 LIMIT {SPARSE_TOP_N}
 """
+
+
+# =============================================================================
+# Round-7: two-pass heavy-hitter terms (sample-then-verify)
+# =============================================================================
+
+FREQ_SEED = "freq7:"
+FREQ_SAMPLE_HEX = "4"  # first md5 hex digit < '4' → deterministic ~25% of docs
+FREQ_CANDIDATES = 50
+FREQ_TOPK = 20
+
+
+def frequent_terms_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAVY-HITTER TERMS, TWO-PASS SAMPLE-THEN-VERIFY — the scale
+    pattern for "top-k terms over 100 TB" when one exact global term
+    groupBy is the bottleneck: pass 1 counts terms over a deterministic
+    ~25 % document sample (md5-prefix membership — no RNG, no
+    sampleBy seed drift) and keeps the top FREQ_CANDIDATES; pass 2
+    computes EXACT counts for the candidate set only — the broadcast
+    semi-join prunes the explode before the shuffle, so the full-corpus
+    pass aggregates 50 terms instead of the whole vocabulary. Returned
+    counts are EXACT; the sample can only cost a candidate that was
+    absent from a quarter of the corpus — not a heavy hitter. This is
+    the Misra-Gries/space-saving use case built from two deterministic
+    passes, which (unlike the sketches) both engines replay bit-for-bit,
+    so the oracle checks candidate selection AND the final counts.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sampled = docs.filter(
+        F.expr(
+            f"substring(md5(concat('{FREQ_SEED}', CAST(doc_id AS STRING))), 1, 1)"
+            f" < '{FREQ_SAMPLE_HEX}'"
+        )
+    )
+    cand = (
+        sampled.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("sample_ct"))
+        .orderBy(F.desc("sample_ct"), F.asc("term"))
+        .limit(FREQ_CANDIDATES)
+    )
+    exact = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .join(F.broadcast(cand), "term")
+        .groupBy("term", "sample_ct")
+        .agg(F.count(F.lit(1)).alias("exact_ct"))
+    )
+    return (
+        exact.orderBy(F.desc("exact_ct"), F.asc("term"))
+        .limit(FREQ_TOPK)
+        .select("term", "exact_ct", "sample_ct")
+    )
+
+
+ORACLE_FREQUENT_TERMS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_T} AS t FROM documents),
+sampled AS (
+    SELECT doc_id, t FROM toks
+    WHERE substring(md5('{FREQ_SEED}' || CAST(doc_id AS VARCHAR)), 1, 1) < '{FREQ_SAMPLE_HEX}'),
+sterms AS (SELECT unnest(t) AS term FROM sampled),
+cand AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS sample_ct
+    FROM sterms GROUP BY 1
+    ORDER BY sample_ct DESC, term ASC LIMIT {FREQ_CANDIDATES}),
+allt AS (SELECT unnest(t) AS term FROM toks),
+exact AS (
+    SELECT a.term, c.sample_ct, CAST(count(*) AS BIGINT) AS exact_ct
+    FROM allt a JOIN cand c USING (term)
+    GROUP BY 1, 2)
+SELECT term, exact_ct, sample_ct
+FROM exact
+ORDER BY exact_ct DESC, term ASC LIMIT {FREQ_TOPK}
+"""

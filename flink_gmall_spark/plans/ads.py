@@ -2303,3 +2303,71 @@ GROUP BY part
 ORDER BY triangles DESC, part ASC
 LIMIT {TRIANGLE_TOP_N}
 """
+
+
+# =============================================================================
+# Round-7: k-anonymous aggregate export
+# =============================================================================
+
+KANON_K = 5
+
+
+def kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMOUS AGGREGATE EXPORT — the suppression rule privacy teams
+    apply before an aggregate leaves the warehouse: any (nation × market
+    segment) cell with fewer than KANON_K members is withheld and folded
+    into ONE ``__suppressed__`` bucket (totals still reconcile — nothing
+    silently disappears); cells ≥ K export with exact stats. The
+    re-identification risk this kills is the classic small-cell attack:
+    a count of 1-4 plus public quasi-identifiers names a person.
+
+    Scale shape: one partial-aggregated groupBy builds the cells
+    (bounded by |nations|×|segments|, tiny at any corpus size); the
+    split + suppressed fold run on that bounded cell table, not on the
+    customer rows. Money folds as DECIMAL cents (order-independent).
+    """
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .alias("acctbal_cents"),
+    )
+    ok = cells.filter(F.col("n_customers") >= KANON_K)
+    supp = (
+        cells.filter(F.col("n_customers") < KANON_K)
+        .agg(
+            F.sum("n_customers").cast("long").alias("n_customers"),
+            F.sum("acctbal_cents").cast("long").alias("acctbal_cents"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("nationkey"),
+            F.lit("__suppressed__").alias("segment"),
+            "n_customers",
+            "acctbal_cents",
+        )
+        # no suppressed cells → the empty-agg NULL row must not export
+        .filter(F.col("n_customers").isNotNull())
+    )
+    return ok.unionByName(supp)
+
+
+ORACLE_KANON_EXPORT = f"""
+WITH cells AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS acctbal_cents
+  FROM customer GROUP BY 1, 2)
+SELECT nationkey, segment, n_customers, acctbal_cents
+FROM cells WHERE n_customers >= {KANON_K}
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(-1 AS BIGINT) AS nationkey, '__suppressed__' AS segment,
+         CAST(sum(n_customers) AS BIGINT) AS n_customers,
+         CAST(sum(acctbal_cents) AS BIGINT) AS acctbal_cents
+  FROM cells WHERE n_customers < {KANON_K})
+WHERE n_customers IS NOT NULL
+"""

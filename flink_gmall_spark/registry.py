@@ -300,6 +300,16 @@ _register("text_hashed_classifier", textstats.hashed_classifier_scores, textstat
 _register("text_lang_id_confusion", textstats.lang_id_confusion, textstats.ORACLE_LANG_ID_CONFUSION, tags=("text", "evaluation", "confusion-matrix", "self-measurement"))
 _register("text_sparse_topk_pairs", textstats.sparse_topk_pairs, textstats.ORACLE_SPARSE_TOPK_PAIRS, tags=("text", "similarity", "sparse-retrieval", "inverted-index", "topk"))
 
+# --- Round-7 additions (queue for the round-8 sample window; each was
+# subset-simmed MATCH under the hostile config at commit time) ---------------
+_register("scale_zorder_layout", scale.zorder_layout, scale.ORACLE_ZORDER_LAYOUT, tags=("scale", "zorder", "layout", "file-pruning", "maintenance"))
+_register("scale_join_preflight", scale.join_preflight, scale.ORACLE_JOIN_PREFLIGHT, tags=("scale", "planning", "cardinality", "skew", "self-measurement"))
+_register("curation_decontaminate_bloom", curation.decontaminate_bloom, curation.ORACLE_DECONTAMINATE_BLOOM, tags=("curation", "dedup", "bloom-filter", "broadcast"))
+_register("curation_mixture_temperature", curation.mixture_temperature, curation.ORACLE_MIXTURE_TEMPERATURE, tags=("curation", "sampling", "mixing", "temperature"))
+_register("curation_filter_funnel", curation.filter_funnel, curation.ORACLE_FILTER_FUNNEL, tags=("curation", "quality", "observability", "single-pass"))
+_register("text_frequent_terms", textstats.frequent_terms_twopass, textstats.ORACLE_FREQUENT_TERMS, tags=("text", "heavy-hitters", "two-pass", "topk", "corpus-stats"))
+_register("ads_kanon_export", ads.kanon_export, ads.ORACLE_KANON_EXPORT, tags=("privacy", "suppression", "rollup"))
+
 
 # =============================================================================
 # Round-6 sample window. The driver samples the FIRST 50 registrations, so

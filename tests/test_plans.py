@@ -525,3 +525,78 @@ def test_session_transitions_single_user_exchange(spark, sf_dir):
     plan = plan_of(ads.session_transitions(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_zorder_rollup_partial_agg(spark, sf_dir):
+    """The z-order rewrite's verification rollup partial-aggregates over
+    the rewritten files (one scan of the clustered store)."""
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.zorder_layout(spark, sf_dir))
+    assert "partial_" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan  # reads the REWRITE only
+
+
+def test_join_preflight_partial_aggs_no_output_join(spark, sf_dir):
+    """Pre-flight must never materialize the probed join: both sides
+    collapse via partial aggregation BEFORE the key join of the two
+    count tables, and the final fold is a 1-row aggregate."""
+    from flink_gmall_spark.operators import scale
+
+    df = scale.join_preflight(spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan
+    # the join operates on aggregated count tables (post-agg), so the
+    # fact columns never pass through the join
+    assert "l_extendedprice" not in plan and "o_totalprice" not in plan, plan
+
+
+def test_bloom_decontaminate_broadcast_probe(spark, sf_dir):
+    """The probe side must reach the corpus via a BROADCAST join against
+    the <=512-row filter table — a shuffled probe would defeat the whole
+    point of the Bloom path."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.decontaminate_bloom(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_mixture_temperature_window_group_limit(spark, sf_dir):
+    """The per-language quota draw pushes its rank filter into the
+    shuffle (WindowGroupLimit), and the quota table broadcasts."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.mixture_temperature(spark, sf_dir))
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_funnel_single_scan(spark, sf_dir):
+    """The whole funnel ledger folds into one pass over documents."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.filter_funnel(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_" in plan, plan
+
+
+def test_frequent_terms_broadcast_candidates_take_ordered(spark, sf_dir):
+    """Pass 2's exact count joins the exploded corpus against BROADCAST
+    candidates; both top-N selections plan as TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.frequent_terms_twopass(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalSort" not in plan and "\nSort " not in plan, plan
+
+
+def test_kanon_export_bounded_cell_table(spark, sf_dir):
+    """The suppression split runs on the bounded cell table: customer is
+    scanned and partial-aggregated; no second customer scan for the
+    suppressed fold beyond the cell reuse."""
+    from flink_gmall_spark.plans import ads
+
+    plan = plan_of(ads.kanon_export(spark, sf_dir))
+    assert "partial_" in plan, plan
