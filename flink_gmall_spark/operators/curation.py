@@ -1778,10 +1778,17 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, bounds the state). Survival percentage is integer HALF_UP so
     both engines hash-match bit-for-bit.
     """
-    from flink_gmall_spark.functions.tokenize import tokens_col
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
+    return funnel_ledger(funnel_wide_agg(docs))
+
+
+def funnel_wide_agg(docs: DataFrame) -> DataFrame:
+    """Stage conjunctions + the single wide fold — shared verbatim by the
+    batch entry and the streaming twin (which runs this agg on the
+    incremental engine in complete mode)."""
+    from flink_gmall_spark.functions.tokenize import tokens_col
+
     langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
     staged = docs.select(
         (F.col("n_chars") >= FUNNEL_MIN_CHARS).alias("f1"),
@@ -1789,7 +1796,7 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(tokens_col("text")) >= FUNNEL_MIN_WORDS).alias("f3"),
         (F.col("doc_id") % HOLDOUT_MOD != 0).alias("f4"),
     )
-    wide = staged.agg(
+    return staged.agg(
         F.count(F.lit(1)).alias("n0"),
         F.sum(F.col("f1").cast("long")).alias("n1"),
         F.sum((F.col("f1") & F.col("f2")).cast("long")).alias("n2"),
@@ -1798,6 +1805,11 @@ def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")).cast("long")
         ).alias("n4"),
     )
+
+
+def funnel_ledger(wide: DataFrame) -> DataFrame:
+    """stack() unpivot + HALF_UP survival arithmetic over the 1-row wide
+    counters (batch side of both twins)."""
     stages = [
         ("1_min_length", "n0", "n1"),
         ("2_lang_supported", "n1", "n2"),

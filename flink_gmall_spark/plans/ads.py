@@ -2328,7 +2328,14 @@ def kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     cust = load(spark, sf_dir, "customer")
-    cells = cust.groupBy(
+    return kanon_suppress(kanon_cells(cust))
+
+
+def kanon_cells(cust: DataFrame) -> DataFrame:
+    """The bounded cell aggregation — shared verbatim by the batch entry
+    and the streaming twin (where it runs on the incremental engine in
+    complete mode; money folds as DECIMAL cents, order-independent)."""
+    return cust.groupBy(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_mktsegment").alias("segment"),
     ).agg(
@@ -2336,6 +2343,11 @@ def kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)")
         .alias("acctbal_cents"),
     )
+
+
+def kanon_suppress(cells: DataFrame) -> DataFrame:
+    """Suppression split + reconciling fold over the bounded cell table
+    (batch side of both twins)."""
     ok = cells.filter(F.col("n_customers") >= KANON_K)
     supp = (
         cells.filter(F.col("n_customers") < KANON_K)

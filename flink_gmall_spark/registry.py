@@ -309,6 +309,8 @@ _register("curation_mixture_temperature", curation.mixture_temperature, curation
 _register("curation_filter_funnel", curation.filter_funnel, curation.ORACLE_FILTER_FUNNEL, tags=("curation", "quality", "observability", "single-pass"))
 _register("text_frequent_terms", textstats.frequent_terms_twopass, textstats.ORACLE_FREQUENT_TERMS, tags=("text", "heavy-hitters", "two-pass", "topk", "corpus-stats"))
 _register("ads_kanon_export", ads.kanon_export, ads.ORACLE_KANON_EXPORT, tags=("privacy", "suppression", "rollup"))
+_register("stream_filter_funnel", stream_jobs.stream_filter_funnel, curation.ORACLE_FILTER_FUNNEL, tags=("streaming", "curation", "observability", "complete-mode"))
+_register("stream_kanon_export", stream_jobs.stream_kanon_export, ads.ORACLE_KANON_EXPORT, tags=("streaming", "privacy", "suppression", "complete-mode"))
 
 
 # =============================================================================

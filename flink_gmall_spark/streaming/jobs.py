@@ -1237,3 +1237,39 @@ def stream_pq_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "sub_id", "code"
     )
     return adc_topk_from_codes(index, e_static)
+
+
+def stream_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation.filter_funnel — the curation pipeline's
+    survival ledger maintained CONTINUOUSLY by the incremental engine:
+    the stage-conjunction wide agg (shared verbatim with the batch twin)
+    runs as a complete-mode streaming aggregation whose state is five
+    counters total; the stack()-unpivot arithmetic runs batch-side on
+    the 1-row materialization. This is the live data-quality dashboard a
+    100 TB ingest keeps current per micro-batch instead of recomputing
+    nightly. Shares the batch oracle verbatim."""
+    from flink_gmall_spark.operators.curation import funnel_ledger, funnel_wide_agg
+    from flink_gmall_spark.session import tune
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    mem = run_to_memory(funnel_wide_agg(docs), "complete")
+    return funnel_ledger(mem)
+
+
+def stream_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.kanon_export: the bounded cell aggregation
+    (nation × segment counts + DECIMAL-cents balance) runs as a
+    complete-mode streaming agg — per-key state is one counter pair over
+    a bounded key domain — and the privacy suppression split + fold run
+    batch-side on the materialized cells, exactly where an export gate
+    sits in a live pipeline (suppress at PUBLICATION time, never in the
+    state store, so a cell crossing the K threshold later un-suppresses
+    correctly). Shares the batch oracle verbatim."""
+    from flink_gmall_spark.plans.ads import kanon_cells, kanon_suppress
+    from flink_gmall_spark.session import tune
+
+    tune(spark)
+    cust = read_stream(spark, sf_dir, "customer")
+    mem = run_to_memory(kanon_cells(cust), "complete")
+    return kanon_suppress(mem)
