@@ -1860,3 +1860,78 @@ FROM stacked
 
 
 ORACLE_FILTER_FUNNEL = _oracle_filter_funnel()
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE CONTAMINATION MATRIX — the provenance artifact a
+    corpus audit produces before mixing sources: for every source pair,
+    how many distinct shingles they share and the HALF_UP Jaccard
+    percentage (shared / union). High overlap between two "independent"
+    crawls means double-counted content that dedup must reconcile and
+    mixture weights double-weight silently.
+
+    Scale shape: shingles collapse to distinct (source, shingle) pairs
+    via partial agg FIRST (the corpus never self-joins row-wise); the
+    pair join is keyed on the shingle string and inherits the rare-
+    shingle DF cap from dedup._shingles, so a boilerplate shingle shared
+    by every source cannot go quadratic; output is bounded by
+    |sources|², tiny at any corpus size. Pure integer arithmetic for the
+    percentage keeps both engines bit-identical.
+    """
+    from flink_gmall_spark.operators.dedup import _shingles
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    src_sh = (
+        _shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    totals = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    a = src_sh.select(F.col("source").alias("source_a"), "s")
+    b = src_sh.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(totals.select(F.col("source").alias("source_a"), F.col("total").alias("ta"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("source").alias("source_b"), F.col("total").alias("tb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            (F.col("ta") + F.col("tb") - F.col("shared")).alias("union_ct"),
+            F.expr(
+                "(200 * shared + (ta + tb - shared)) DIV (2 * (ta + tb - shared))"
+            ).alias("jaccard_pct"),
+        )
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""{_DUCK_SH},
+src_sh AS (
+  SELECT DISTINCT d.source, sh.s
+  FROM sh JOIN documents d USING (doc_id)),
+totals AS (SELECT source, CAST(count(*) AS BIGINT) AS total FROM src_sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS shared
+  FROM src_sh a JOIN src_sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT s.source_a, s.source_b, s.shared,
+       (ta.total + tb.total - s.shared) AS union_ct,
+       (200 * s.shared + (ta.total + tb.total - s.shared))
+         // (2 * (ta.total + tb.total - s.shared)) AS jaccard_pct
+FROM shared s
+JOIN totals ta ON s.source_a = ta.source
+JOIN totals tb ON s.source_b = tb.source
+"""

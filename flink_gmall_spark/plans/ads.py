@@ -2383,3 +2383,64 @@ SELECT * FROM (
   FROM cells WHERE n_customers < {KANON_K})
 WHERE n_customers IS NOT NULL
 """
+
+
+ROLLING_DAYS = 7
+
+
+def rolling_activity_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-DAY ACTIVITY FEATURES — the trailing-window feature
+    every behavioral model consumes (events_7d, purchases_7d, value_7d
+    per user-day): daily partial aggregation first (events collapse to
+    one row per (user, day) BEFORE any window), then ONE per-user RANGE
+    window over the integer day number — the frame bounds the lookback
+    by VALUE (-6..0 days), so gap days cost nothing and the plan is a
+    single keyed shuffle + sorted scan. The naive alternative — a
+    self-join events×events on a 7-day predicate — is a range join that
+    explodes at 100 TB; the range-frame window is the as-of-family
+    shape that replaces it (cf. pit_feature_join's carry discipline).
+    Money folds as DECIMAL cents (order-independent), rendered as an
+    exact integer.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.unix_date(F.to_date("ts")).cast("long").alias("day_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+        F.sum(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "user_id",
+        "day_num",
+        F.sum("n").over(w).cast("long").alias("events_7d"),
+        F.sum("p").over(w).cast("long").alias("purchases_7d"),
+        F.sum("cents").over(w).cast("long").alias("value_cents_7d"),
+    )
+
+
+ORACLE_ROLLING_ACTIVITY_7D = f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2)
+SELECT user_id, day_num,
+       CAST(sum(n) OVER w AS BIGINT) AS events_7d,
+       CAST(sum(p) OVER w AS BIGINT) AS purchases_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS value_cents_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+             RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""

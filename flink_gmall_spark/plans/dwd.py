@@ -471,3 +471,68 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def cdc_delete_aware_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC AGGREGATE MAINTENANCE WITH RETRACTIONS — the changelog
+    semantic the upsert entry does not exercise: DELETE ops must
+    RETRACT a key's contribution from downstream aggregates (Flink's
+    retract-stream behavior; a naive insert-only fold double-counts
+    updated rows and never forgets deleted ones). The changelog extends
+    ``_order_changelog`` with a later 'delete' op for a deterministic
+    slice of orders (o_orderkey % 7 == 0); the maintained aggregate is
+    the per-status order count + GMV over the SURVIVING latest images.
+
+    Scale shape: one row_number() per key collapses the changelog to
+    its final image (the same merge a Delta MERGE runs per micro-batch),
+    the delete filter drops retracted keys BEFORE the aggregate, and the
+    rollup partial-aggregates over the bounded status domain. The oracle
+    computes the equivalent end-state relationally — a fold that loses a
+    retraction or resurrects a deleted key hash-fails.
+    """
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("gmall").alias("database"),
+        F.lit("order_info").alias("table"),
+        F.lit("delete").alias("type"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.lit(None).cast("string").alias("order_status"),
+                F.lit(None).cast("double").alias("total_amount"),
+                F.lit(None).cast("string").alias("create_time"),
+            )
+        ).alias("data"),
+        F.unix_micros(
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).cast("timestamp")
+        ).alias("op_us"),
+        F.lit(2).cast("long").alias("op_seq"),
+    )
+    log = _order_changelog(spark, sf_dir).unionByName(deletes)
+    parsed = log.select(
+        "type", "op_us", "op_seq", F.from_json("data", CDC_DATA_SCHEMA).alias("d")
+    ).select("type", "op_us", "op_seq", "d.*")
+    w = Window.partitionBy("id").orderBy(F.desc("op_us"), F.desc("op_seq"))
+    latest = (
+        parsed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("type") != "delete")  # retraction: deleted keys vanish
+    )
+    return latest.groupBy("order_status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("total_amount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("gmv"),
+    )
+
+
+# end-state equivalence: latest-op-wins + delete slice removed + F→PAID
+ORACLE_CDC_DELETE_AWARE_AGG = """
+SELECT CASE WHEN o_orderstatus = 'F' THEN 'PAID' ELSE o_orderstatus END AS order_status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+FROM orders
+WHERE o_orderkey % 7 <> 0
+GROUP BY 1
+"""

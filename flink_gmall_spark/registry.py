@@ -311,6 +311,9 @@ _register("text_frequent_terms", textstats.frequent_terms_twopass, textstats.ORA
 _register("ads_kanon_export", ads.kanon_export, ads.ORACLE_KANON_EXPORT, tags=("privacy", "suppression", "rollup"))
 _register("stream_filter_funnel", stream_jobs.stream_filter_funnel, curation.ORACLE_FILTER_FUNNEL, tags=("streaming", "curation", "observability", "complete-mode"))
 _register("stream_kanon_export", stream_jobs.stream_kanon_export, ads.ORACLE_KANON_EXPORT, tags=("streaming", "privacy", "suppression", "complete-mode"))
+_register("dwd_cdc_delete_aware_agg", dwd.cdc_delete_aware_agg, dwd.ORACLE_CDC_DELETE_AWARE_AGG, tags=("cdc", "retraction", "aggregate-maintenance"))
+_register("ads_rolling_activity_7d", ads.rolling_activity_7d, ads.ORACLE_ROLLING_ACTIVITY_7D, tags=("featurization", "range-window", "time-series"))
+_register("curation_source_overlap", curation.source_overlap_matrix, curation.ORACLE_SOURCE_OVERLAP, tags=("curation", "provenance", "dedup", "self-measurement"))
 
 
 # =============================================================================

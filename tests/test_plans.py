@@ -600,3 +600,43 @@ def test_kanon_export_bounded_cell_table(spark, sf_dir):
 
     plan = plan_of(ads.kanon_export(spark, sf_dir))
     assert "partial_" in plan, plan
+
+
+def test_cdc_delete_aware_single_merge_window(spark, sf_dir):
+    """The retraction fold is ONE row_number merge (single id-keyed
+    exchange for the window) feeding a partial-aggregated rollup — no
+    join of changelog against itself."""
+    from flink_gmall_spark.plans import dwd
+
+    plan = plan_of(dwd.cdc_delete_aware_agg(spark, sf_dir))
+    assert plan.count("Window [") == 1, plan
+    # the rn=1 filter pushes INTO the shuffle as partial+final group limits
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert "partial_" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_rolling_activity_daily_agg_before_window(spark, sf_dir):
+    """Events partial-aggregate to (user, day) rows BEFORE the range
+    window — the window sorts daily rows, never raw events — and the
+    plan contains no join (the range-join trap this op exists to
+    avoid)."""
+    from flink_gmall_spark.plans import ads
+
+    plan = plan_of(ads.rolling_activity_7d(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "Join" not in plan, plan
+    # window consumes the aggregated row stream: exactly one scan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_source_overlap_distinct_before_pair_join(spark, sf_dir):
+    """The pair join runs on deduped (source, shingle) rows — the
+    distinct's aggregate sits below the join, so corpus rows never
+    self-join."""
+    from flink_gmall_spark.operators import curation
+
+    df = curation.source_overlap_matrix(spark, sf_dir)
+    plan = plan_of(df)
+    j = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
+    assert "HashAggregate" in plan[j:], plan  # dedup below the join
