@@ -338,3 +338,87 @@ def test_histogram_quartile_buckets_model(customers):
         assert buckets == sorted(buckets)  # monotone in the metric
         for k, t in zip((1, 2, 3), thresholds):
             assert 4 * sum(1 for v in vals if v <= t) >= k * n
+
+
+def _interleave_py(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+    st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_zvalue_interleave_injective_and_locality(a1, b1, a2, b2):
+    """The Morton key must be a bijection of (a, b) — two distinct pairs
+    never collide (that is what makes the content rewrite lossless-
+    sortable) — and agree with the generated SQL's arithmetic model."""
+    z1, z2 = _interleave_py(a1, b1), _interleave_py(a2, b2)
+    if (a1, b1) == (a2, b2):
+        assert z1 == z2
+    else:
+        assert z1 != z2
+    # de-interleave recovers both coordinates exactly
+    ra = sum(((z1 >> (2 * i)) & 1) << i for i in range(16))
+    rb = sum(((z1 >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (ra, rb) == (a1, b1)
+
+
+@given(st.lists(st.text(min_size=1, max_size=8), min_size=0, max_size=40),
+       st.lists(st.text(min_size=1, max_size=8), min_size=0, max_size=40))
+def test_bloom_model_never_false_negative(hold, train):
+    """Model of curation.decontaminate_bloom's bit arithmetic: any
+    training shingle PRESENT in the holdout must always probe positive
+    (false negatives impossible by construction); false positives are
+    allowed. Mirrors the md5/position arithmetic the SQL runs."""
+    import hashlib as _h
+
+    from flink_gmall_spark.operators.curation import (
+        BLOOM_BITS,
+        BLOOM_SEEDS,
+        BLOOM_WORD_BITS,
+    )
+
+    def positions(s: str) -> list[int]:
+        return [
+            int(_h.md5((seed + s).encode()).hexdigest()[:12], 16) % BLOOM_BITS
+            for seed in BLOOM_SEEDS
+        ]
+
+    words: dict[int, int] = {}
+    for s in hold:
+        for p in positions(s):
+            w, bit = p // BLOOM_WORD_BITS, p % BLOOM_WORD_BITS
+            words[w] = words.get(w, 0) | (1 << bit)
+
+    held = set(hold)
+    for s in train:
+        hit = all(
+            (words.get(p // BLOOM_WORD_BITS, 0) >> (p % BLOOM_WORD_BITS)) & 1
+            for p in positions(s)
+        )
+        if s in held:
+            assert hit, s  # no false negative, ever
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8))
+def test_temperature_quota_bounds_and_monotonicity(ns):
+    """curation.mixture_temperature's integer allocation: every quota is
+    ≤ the budget (the literal pre-filter's safety condition), the total
+    never exceeds the budget, and a strictly larger language never gets
+    a smaller quota (α=2 is monotone)."""
+    from flink_gmall_spark.operators.curation import TEMP_BUDGET
+
+    den = sum(n * n for n in ns)
+    quotas = [(n * n * TEMP_BUDGET) // den for n in ns]
+    assert all(0 <= q <= TEMP_BUDGET for q in quotas)
+    assert sum(quotas) <= TEMP_BUDGET
+    for n1, q1 in zip(ns, quotas):
+        for n2, q2 in zip(ns, quotas):
+            if n1 > n2:
+                assert q1 >= q2
