@@ -1619,23 +1619,40 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("b").alias("word"))
     )
 
-    tpos = train.select(
-        "doc_id", "s", F.explode(F.array(*pos_exprs)).alias("p")
-    )
-    probed = tpos.join(
-        F.broadcast(bloom), F.expr(f"p DIV {BLOOM_WORD_BITS}") == F.col("w"), "left"
-    ).select(
-        "doc_id",
-        "s",
-        F.coalesce(
-            F.expr(
-                f"(shiftright(word, CAST(p % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
-            ),
-            F.lit(False),
-        ).alias("bit_set"),
-    )
-    sh_hit = probed.groupBy("doc_id", "s").agg(
-        F.bool_and("bit_set").alias("hit")  # all k bits must be set
+    # Probe row-wise: the k positions are k narrow COLUMNS (not an
+    # explode), each checked through its own copy of the ≤512-row
+    # broadcast join, and the k bit-tests AND in projection. This keeps
+    # the corpus side to ONE shuffle (the per-doc rollup) — an exploded
+    # (doc_id, s, p) form would pay an extra corpus-wide groupBy just to
+    # reassemble the conjunction (round-7 review).
+    probe = train
+    for i, seed in enumerate(BLOOM_SEEDS):
+        probe = (
+            probe.withColumn(f"p{i}", F.expr(_bloom_pos(seed, "spark")))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("w").alias(f"w{i}"), F.col("word").alias(f"word{i}")
+                    )
+                ),
+                F.expr(f"p{i} DIV {BLOOM_WORD_BITS}") == F.col(f"w{i}"),
+                "left",
+            )
+            .withColumn(
+                f"hit{i}",
+                F.coalesce(
+                    F.expr(
+                        f"(shiftright(word{i},"
+                        f" CAST(p{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop(f"p{i}", f"w{i}", f"word{i}")
+        )
+    sh_hit = probe.withColumn(
+        "hit",
+        F.expr(" AND ".join(f"hit{i}" for i in range(len(BLOOM_SEEDS)))),
     )
     doc_bloom = sh_hit.groupBy("doc_id").agg(
         F.bool_or("hit").alias("bloom_flagged")  # any shingle hits
@@ -1825,9 +1842,12 @@ def funnel_ledger(wide: DataFrame) -> DataFrame:
         "entering",
         "passing",
         (F.col("entering") - F.col("passing")).alias("dropped"),
-        F.expr("(200 * passing + corpus_size) DIV (2 * corpus_size)").alias(
-            "survival_pct"
-        ),
+        # empty-corpus guard BOTH sides: ANSI Spark DIV-by-zero and DuckDB
+        # // 0 fail asymmetrically without it (repo half_up convention)
+        F.expr(
+            "CASE WHEN corpus_size = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE (200 * passing + corpus_size) DIV (2 * corpus_size) END"
+        ).alias("survival_pct"),
     )
 
 
@@ -1854,7 +1874,9 @@ stacked AS (
   UNION ALL SELECT '4_decontaminated', n3, n4, n0 FROM wide)
 SELECT stage, entering, passing,
        (entering - passing) AS dropped,
-       (200 * passing + corpus_size) // (2 * corpus_size) AS survival_pct
+       CASE WHEN corpus_size = 0 THEN NULL
+            ELSE (200 * passing + corpus_size) // (2 * corpus_size)
+       END AS survival_pct
 FROM stacked
 """
 

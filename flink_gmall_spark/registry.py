@@ -317,23 +317,21 @@ _register("curation_source_overlap", curation.source_overlap_matrix, curation.OR
 
 
 # =============================================================================
-# Round-6 sample window. The driver samples the FIRST 50 registrations, so
-# ordering is evidence strategy, not aesthetics. CORRECTNESS_r05 greened the
-# entire round-5 window (50/50), so it rotates out wholesale. Priority for
-# round 6 (VERDICT r5 ask #1 / ROADMAP rotation plan):
-#   1. the 2 round-6 additions closing VERDICT r5 asks #3/#5 — the
-#      histogram-quantile RFM twin and the persisted-iteration PageRank;
-#   2. all 37 round-5 additions with no driver row in any round (the
-#      analytics batch ×8, the BPE/curation train-serve family ×7, the
-#      PQ/IVFPQ serving family ×6, the three recall/confusion ledgers,
-#      dedup ingest/chunk entries ×3, streaming twins ×3, variant/scd2/
-#      asof ×3, the keyword UDTF leg, and the four partition-pruning/
-#      bloom/compaction scale entries);
-#   3. fill to 50 with the 11 oldest r3-green TPC-H entries (they also
-#      anchor the bench headline set).
-# Union after this round greens: 172 registered / 152 driver-verified;
-# the remaining 20 r3-stale entries (tpch q17/18/19, curation ×5,
-# dedup ×2, text ×4, multimodal ×3, ADS joins ×5) queue for round 7.
+# Round-7 sample window. The driver samples the FIRST 50 registrations, so
+# ordering is evidence strategy, not aesthetics. CORRECTNESS_r06 greened the
+# entire round-6 window (50/50), so it rotates out wholesale; the
+# driver-verified union entering round 7 is 172 of the 189 pre-round
+# entries, every one green on its latest row. This window (VERDICT r6
+# ask #1 / ROADMAP round-7 rotation) burns the ledger down to zero:
+#   1. the 17 entries never driver-verified (round-6 graph/feature-store
+#      batch, curation/text/scale additions, and the six streaming state
+#      machines — now running ≥2 real micro-batches via split staging);
+#   2. the 22 entries whose last green is r3 (TPC-H q17/18/19, curation
+#      ×5, dedup ×2, text ×4, multimodal ×3, ADS join entries ×5);
+#   3. fill to 50 with the 11 oldest r4-green entries, streaming-stateful
+#      first (they exercise the round-7 O(1) state + split staging).
+# After this window greens, every pre-round-7 entry's driver row is ≤3
+# rounds old; the 12 round-7 additions queue for the round-8 window.
 _SAMPLE_PRIORITY = [
     # Round-7 window (VERDICT r6 ask #1): burn down the last 17
     # never-driver-verified entries + the 22 r3-stale entries + 11

@@ -56,9 +56,12 @@ def _split_boundary(sf_dir: str) -> str:
     """The per-sf_dir day boundary every split-staged table cuts at: the
     median day of the EVENTS table. ONE boundary for all tables keeps
     multi-source jobs batch-aligned on event time (see
-    pit_features_stream's cross-stream precondition); tables whose whole
-    range falls on one side simply degenerate to a single non-empty
-    split, which is still correct."""
+    pit_features_stream's cross-stream precondition); a table whose
+    whole range falls on one side degenerates to a single non-empty
+    part (the other file is a zero-row batch) — still correct, and for
+    the EVENTS table itself the median-day cut keeps both parts
+    non-empty whenever the fixture spans ≥2 distinct days
+    (test_split_staging_yields_multiple_microbatches pins it)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -85,17 +88,27 @@ def _stream_dir_split(sf_dir: str, name: str) -> str:
 
     src = table_path(sf_dir, name)
     st = os.stat(src)
+    # The cut point derives from the EVENTS table, so the tag must carry
+    # the BOUNDARY too (round-7 review): with only the staged table's own
+    # mtime in the tag, regenerating events.parquet (new median day)
+    # while this table is untouched would keep serving a split cut at the
+    # STALE boundary — silently breaking the cross-stream batch alignment
+    # pit_features_stream documents.
+    boundary = _split_boundary(sf_dir)
     tag = hashlib.md5(
-        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}|v1".encode()
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|{st.st_size}|{boundary}|v2".encode()
     ).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"fgs_split_{name}_{tag}")
     done = os.path.join(d, "_STAGED")
     if os.path.exists(done):
         return d
-    boundary = _split_boundary(sf_dir)
     t = pq.read_table(src)
     day = pc.strftime(pc.cast(t[_SPLIT_TIME_COL[name]], "timestamp[us]"), "%Y-%m-%d")
-    early = pc.less(day, boundary)
+    # NULL event times must not vanish: pyarrow filter drops null-mask
+    # rows from BOTH parts by default. Route them to part-0 (no event
+    # time → deliver earliest) so split=True streams exactly the rows
+    # split=False would.
+    early = pc.fill_null(pc.less(day, boundary), True)
     # Build in a unique tmp dir, then atomically rename into place
     # (same TOCTOU discipline as _stream_dir's symlink staging).
     tmp = f"{d}.{uuid.uuid4().hex[:8]}.tmp"

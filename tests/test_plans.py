@@ -558,7 +558,9 @@ def test_bloom_decontaminate_broadcast_probe(spark, sf_dir):
     from flink_gmall_spark.operators import curation
 
     plan = plan_of(curation.decontaminate_bloom(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan
+    # one broadcast probe per hash seed (k=3), never a shuffled probe
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_mixture_temperature_window_group_limit(spark, sf_dir):
