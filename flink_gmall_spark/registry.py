@@ -314,6 +314,7 @@ _register("stream_kanon_export", stream_jobs.stream_kanon_export, ads.ORACLE_KAN
 _register("dwd_cdc_delete_aware_agg", dwd.cdc_delete_aware_agg, dwd.ORACLE_CDC_DELETE_AWARE_AGG, tags=("cdc", "retraction", "aggregate-maintenance"))
 _register("ads_rolling_activity_7d", ads.rolling_activity_7d, ads.ORACLE_ROLLING_ACTIVITY_7D, tags=("featurization", "range-window", "time-series"))
 _register("curation_source_overlap", curation.source_overlap_matrix, curation.ORACLE_SOURCE_OVERLAP, tags=("curation", "provenance", "dedup", "self-measurement"))
+_register("stream_rolling_activity_7d", stream_state.rolling_activity_stream, ads.ORACLE_ROLLING_ACTIVITY_7D, tags=("streaming", "featurization", "bounded-state", "time-series"))
 
 
 # =============================================================================

@@ -724,3 +724,89 @@ def timed_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (200 * converted + viewed) DIV (2 * viewed) END"
         ).alias("conv_rate_x100"),
     )
+
+
+ROLLING_DAYS_S = 7  # mirrors plans.ads.ROLLING_DAYS
+
+
+def _rolling_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Rolling 7-day feature machine: per user, a bounded deque of at
+    most ROLLING_DAYS_S (day, n, purchases, cents) buckets — O(1) state
+    by construction, the streaming face of the batch twin's RANGE
+    window. Each day's bucket closes within one micro-batch (the split
+    staging never cuts a day across files) and days arrive
+    non-decreasing across batches (ordered-delivery precondition shared
+    with the T2/cohort machines), so evict-then-emit per day reproduces
+    the batch window exactly."""
+    days, ns, ps, cs = (
+        state.get if state.exists else ([], [], [], [])
+    )
+    days, ns, ps, cs = list(days), list(ns), list(ps), list(cs)
+    out_day: list[int] = []
+    out_n: list[int] = []
+    out_p: list[int] = []
+    out_c: list[int] = []
+    pdf = _whole_batch(batches)
+    if pdf is not None:
+        grouped = (
+            pdf.assign(cents=pdf["cents"].fillna(0))
+            .groupby("day_num", sort=True)[["one", "is_p", "cents"]]
+            .sum()
+        )
+        for d, row in grouped.iterrows():
+            d = int(d)
+            days.append(d)
+            ns.append(int(row["one"]))
+            ps.append(int(row["is_p"]))
+            cs.append(int(row["cents"]))
+            while days and days[0] < d - (ROLLING_DAYS_S - 1):
+                days.pop(0); ns.pop(0); ps.pop(0); cs.pop(0)
+            out_day.append(d)
+            out_n.append(sum(ns))
+            out_p.append(sum(ps))
+            out_c.append(sum(cs))
+    state.update((days, ns, ps, cs))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "day_num": pd.Series(out_day, dtype="int64"),
+            "events_7d": pd.Series(out_n, dtype="int64"),
+            "purchases_7d": pd.Series(out_p, dtype="int64"),
+            "value_cents_7d": pd.Series(out_c, dtype="int64"),
+        }
+    )
+
+
+def rolling_activity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ads.rolling_activity_7d — the online
+    feature-store maintenance shape for trailing-window features: the
+    keyed machine above holds at most seven day-buckets per user and
+    emits each day's closed feature row append-only. Shares the batch
+    oracle verbatim. This is what replaces the nightly backfill when the
+    model consumes same-day features."""
+    tune(spark)
+    ev = read_stream(spark, sf_dir, "events", split=True).select(
+        "user_id",
+        F.unix_date(F.to_date("ts")).cast("long").alias("day_num"),
+        F.lit(1).cast("long").alias("one"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_p"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("cents"),
+    )
+    rows = ev.groupBy("user_id").applyInPandasWithState(
+        _rolling_fn,
+        outputStructType=(
+            "user_id long, day_num long, events_7d long,"
+            " purchases_7d long, value_cents_7d long"
+        ),
+        stateStructType=(
+            "days array<long>, ns array<long>, ps array<long>, cs array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(rows, "append")

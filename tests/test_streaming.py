@@ -666,3 +666,31 @@ def test_split_staging_yields_multiple_microbatches(spark, sf_dir):
     assert len(data_batches) >= 2, [
         p["numInputRows"] for p in (q.recentProgress or [])
     ]
+
+
+def test_rolling_fn_cross_batch_eviction_and_bounded_state():
+    """The rolling machine must evict day-buckets older than 6 days
+    ACROSS batches and never hold more than 7 buckets."""
+    from flink_gmall_spark.streaming.state import _rolling_fn
+
+    st = _FakeState()
+    b1 = pd.DataFrame(
+        {"day_num": [0, 0, 3], "one": [1, 1, 1], "is_p": [0, 1, 0],
+         "cents": [100, 200, None]}
+    )
+    (out1,) = _rolling_fn((1,), iter([b1]), st)
+    got1 = {int(r.day_num): (int(r.events_7d), int(r.purchases_7d), int(r.value_cents_7d))
+            for r in out1.itertuples()}
+    assert got1 == {0: (2, 1, 300), 3: (3, 1, 300)}
+
+    # batch 2: day 7 evicts day 0 (0 < 7-6) but keeps day 3; day 9 still
+    # covers day 3 (3 >= 9-6), so its window is days {3, 7, 9}
+    b2 = pd.DataFrame(
+        {"day_num": [7, 9], "one": [1, 1], "is_p": [1, 0], "cents": [50, 10]}
+    )
+    (out2,) = _rolling_fn((1,), iter([b2]), st)
+    got2 = {int(r.day_num): (int(r.events_7d), int(r.purchases_7d), int(r.value_cents_7d))
+            for r in out2.itertuples()}
+    assert got2 == {7: (2, 1, 50), 9: (3, 1, 60)}
+    days, ns, ps, cs = st.get
+    assert len(days) <= 7 and days == [3, 7, 9]  # bounded deque, O(1) state
