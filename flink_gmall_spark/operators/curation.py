@@ -1676,7 +1676,9 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_decontaminate_bloom() -> str:
+def _bloom_ctes() -> str:
+    """The holdout-filter CTE chain (build + probe + exact ride-along),
+    shared by the standalone bloom oracle and the end-to-end recipe."""
     pos_list = ", ".join(_bloom_pos(seed, "duck") for seed in BLOOM_SEEDS)
     w = BLOOM_WORD_BITS
     return f"""{_DUCK_SH},
@@ -1693,15 +1695,18 @@ probed AS (
     FROM tpos t LEFT JOIN bloom b ON t.p // {w} = b.wi),
 shh AS (SELECT doc_id, s, bool_and(bit_set) AS hit FROM probed GROUP BY 1, 2),
 docb AS (SELECT doc_id, bool_or(hit) AS bloom_flagged FROM shh GROUP BY 1),
-ex AS (SELECT DISTINCT t.doc_id FROM train t JOIN hold USING (s))
+ex AS (SELECT DISTINCT t.doc_id FROM train t JOIN hold USING (s))"""
+
+
+ORACLE_DECONTAMINATE_BLOOM = (
+    _bloom_ctes()
+    + """
 SELECT d.doc_id, d.bloom_flagged,
        (ex.doc_id IS NOT NULL) AS exact_flagged,
        (ex.doc_id IS NULL OR d.bloom_flagged) AS superset_ok
 FROM docb d LEFT JOIN ex ON d.doc_id = ex.doc_id
 """
-
-
-ORACLE_DECONTAMINATE_BLOOM = _oracle_decontaminate_bloom()
+)
 
 
 TEMP_BUDGET = 150  # docs drawn across languages; quota_lang ∝ n_lang²
@@ -1725,13 +1730,20 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    hist = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return temperature_draw(docs.select("doc_id", "lang"))
+
+
+def temperature_draw(pool: DataFrame) -> DataFrame:
+    """The allocation + draw over any (doc_id, lang) pool — shared by the
+    standalone entry (whole corpus) and the end-to-end recipe (post-
+    filter, post-decontamination pool)."""
+    hist = pool.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     tot = hist.agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("den"))
     quota = hist.crossJoin(F.broadcast(tot)).select(
         "lang",
         F.expr(f"(n * n * {TEMP_BUDGET}) DIV den").alias("quota"),
     )
-    pri = docs.select(
+    pri = pool.select(
         "doc_id",
         "lang",
         F.expr(
@@ -1957,3 +1969,81 @@ FROM shared s
 JOIN totals ta ON s.source_a = ta.source
 JOIN totals tb ON s.source_b = tb.source
 """
+
+
+def recipe_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ROUND-7 CURATION RECIPE, END TO END — integration proof that
+    the new primitives compose into the pipeline a data team actually
+    ships: (1) the filter-funnel GATES select the quality pool (same
+    stage conjunctions as curation_filter_funnel, per-doc); (2) the
+    BLOOM decontamination quarantine removes flagged docs (broadcast
+    filter-as-data, curation_decontaminate_bloom's verdicts); (3) the
+    TEMPERATURE allocation draws the final mixture over the CLEAN pool
+    (quotas recomputed on the survivors — a recipe that allocated on the
+    dirty histogram would over-draw contaminated languages).
+
+    Scale shape is the sum of its parts — every stage was individually
+    plan-gated; the composition adds only a doc_id-keyed join of the
+    pool against the bloom verdicts. Docs with no cappable shingles
+    cannot be flagged (LEFT join, coalesce FALSE) — same rule both
+    engines."""
+    from flink_gmall_spark.functions.tokenize import tokens_col
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    pool = docs.filter(
+        (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+        & F.expr(f"lang IN ({langs})")
+        & (F.size(tokens_col("text")) >= FUNNEL_MIN_WORDS)
+        & (F.col("doc_id") % HOLDOUT_MOD != 0)
+    ).select("doc_id", "lang")
+    verdicts = decontaminate_bloom(spark, sf_dir).select(
+        "doc_id", "bloom_flagged"
+    )
+    clean = (
+        pool.join(verdicts, "doc_id", "left")
+        .filter(~F.coalesce("bloom_flagged", F.lit(False)))
+        .select("doc_id", "lang")
+    )
+    return temperature_draw(clean)
+
+
+def _oracle_recipe_v2() -> str:
+    langs = ", ".join(f"'{l}'" for l in FUNNEL_LANGS)
+    return (
+        _bloom_ctes()
+        + f""",
+docb2 AS (
+    SELECT d.doc_id, d.bloom_flagged FROM docb d),
+pool AS (
+    SELECT doc_id, lang FROM documents
+    WHERE n_chars >= {FUNNEL_MIN_CHARS}
+      AND lang IN ({langs})
+      AND len({_DUCK_T}) >= {FUNNEL_MIN_WORDS}
+      AND doc_id % {HOLDOUT_MOD} <> 0),
+clean AS (
+    SELECT p.doc_id, p.lang
+    FROM pool p LEFT JOIN docb2 b USING (doc_id)
+    WHERE NOT coalesce(b.bloom_flagged, FALSE)),
+hist AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+tot AS (SELECT CAST(sum(n * n) AS BIGINT) AS den FROM hist),
+quota AS (
+    SELECT lang, CAST((n * n * {TEMP_BUDGET}) // den AS BIGINT) AS quota
+    FROM hist, tot),
+pri AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substring(md5('{TEMP_SEED}' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS pri
+    FROM clean),
+ranked AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS BIGINT) AS rk
+    FROM pri)
+SELECT r.doc_id, r.lang, q.quota
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.rk <= q.quota
+"""
+    )
+
+
+ORACLE_RECIPE_V2 = _oracle_recipe_v2()

@@ -74,14 +74,17 @@ GROUP BY 1
 FREQ_FILTER_STRATEGY = "window"
 
 
-def _shingles(docs: DataFrame, strategy: str | None = None) -> DataFrame:
-    """Distinct word-k-gram shingles per doc, with the document-frequency
-    cap applied. Stays fully JVM-side (split/transform/explode)."""
+def raw_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-k-gram shingles per doc WITHOUT the corpus DF cap —
+    a pure per-row map (split/transform/explode, no aggregation), so it
+    runs unchanged on a STREAMING DataFrame. Batch callers get the cap
+    through _shingles; streaming callers apply the batch-maintained
+    frequent-shingle block list instead (stream_decontaminate_bloom)."""
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") >= SHINGLE_K
     )
     # Spark SQL array indexing is 0-based: i in [0, n-k]
-    sh = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -92,6 +95,12 @@ def _shingles(docs: DataFrame, strategy: str | None = None) -> DataFrame:
             )
         ).alias("s"),
     )
+
+
+def _shingles(docs: DataFrame, strategy: str | None = None) -> DataFrame:
+    """Distinct word-k-gram shingles per doc, with the document-frequency
+    cap applied. Stays fully JVM-side (split/transform/explode)."""
+    sh = raw_shingles(docs)
     if (strategy or FREQ_FILTER_STRATEGY) == "window":
         return (
             sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))

@@ -315,6 +315,8 @@ _register("dwd_cdc_delete_aware_agg", dwd.cdc_delete_aware_agg, dwd.ORACLE_CDC_D
 _register("ads_rolling_activity_7d", ads.rolling_activity_7d, ads.ORACLE_ROLLING_ACTIVITY_7D, tags=("featurization", "range-window", "time-series"))
 _register("curation_source_overlap", curation.source_overlap_matrix, curation.ORACLE_SOURCE_OVERLAP, tags=("curation", "provenance", "dedup", "self-measurement"))
 _register("stream_rolling_activity_7d", stream_state.rolling_activity_stream, ads.ORACLE_ROLLING_ACTIVITY_7D, tags=("streaming", "featurization", "bounded-state", "time-series"))
+_register("stream_decontaminate_bloom", stream_jobs.stream_decontaminate_bloom, curation.ORACLE_DECONTAMINATE_BLOOM, tags=("streaming", "curation", "bloom-filter", "stream-static-join"))
+_register("curation_recipe_v2", curation.recipe_v2, curation.ORACLE_RECIPE_V2, tags=("curation", "e2e", "quality", "bloom-filter", "mixing"))
 
 
 # =============================================================================

@@ -1286,3 +1286,109 @@ def stream_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_stream(spark, sf_dir, "customer")
     mem = run_to_memory(kanon_cells(cust), "complete")
     return kanon_suppress(mem)
+
+
+def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation.decontaminate_bloom — the filter-as-data
+    SERVING shape: the 2 KiB holdout Bloom filter and the exact holdout
+    shingle set are built batch-side (static DataFrames), and the
+    DOCUMENT STREAM probes them via stream-static broadcast joins; one
+    complete-mode per-doc aggregation folds shingle verdicts into doc
+    verdicts. This is how a live ingest keeps quarantining eval leakage
+    without re-scanning the holdout per batch — the stream pays a
+    map-side explode + two tiny broadcast joins per micro-batch. The
+    superset pin and the exact false-positive ledger ride along; shares
+    the batch oracle verbatim."""
+    from flink_gmall_spark.operators.curation import (
+        BLOOM_SEEDS,
+        BLOOM_WORD_BITS,
+        HOLDOUT_MOD,
+        _bloom_pos,
+    )
+    from flink_gmall_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        _shingles,
+        raw_shingles,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    # static build side (the batch product a scheduled job maintains)
+    docs_static = load(spark, sf_dir, "documents")
+    sh_static = _shingles(docs_static)
+    hold = sh_static.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
+    # the DF cap is a CORPUS stat — on the stream it is served as the
+    # batch-maintained boilerplate block list (tiny: only shingles with
+    # df > cap), broadcast anti-joined per micro-batch
+    frequent = (
+        raw_shingles(docs_static)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    pos_exprs = [F.expr(_bloom_pos(seed, "spark")) for seed in BLOOM_SEEDS]
+    bloom = (
+        hold.select(F.explode(F.array(*pos_exprs)).alias("p"))
+        .select(
+            F.expr(f"p DIV {BLOOM_WORD_BITS}").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    hold_set = hold.select("s").distinct().withColumn("in_hold", F.lit(True))
+
+    # streaming probe side: the map-only shingle derivation (no corpus
+    # aggregation on the stream), block list applied via broadcast anti-join
+    docs = read_stream(spark, sf_dir, "documents")
+    probe = (
+        raw_shingles(docs)
+        .filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+        .join(F.broadcast(frequent), "s", "left_anti")
+    )
+    for i, seed in enumerate(BLOOM_SEEDS):
+        probe = (
+            probe.withColumn(f"p{i}", F.expr(_bloom_pos(seed, "spark")))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("w").alias(f"w{i}"), F.col("word").alias(f"word{i}")
+                    )
+                ),
+                F.expr(f"p{i} DIV {BLOOM_WORD_BITS}") == F.col(f"w{i}"),
+                "left",
+            )
+            .withColumn(
+                f"hit{i}",
+                F.coalesce(
+                    F.expr(
+                        f"(shiftright(word{i},"
+                        f" CAST(p{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop(f"p{i}", f"w{i}", f"word{i}")
+        )
+    flagged = (
+        probe.join(F.broadcast(hold_set), "s", "left")
+        .withColumn(
+            "hit", F.expr(" AND ".join(f"hit{i}" for i in range(len(BLOOM_SEEDS))))
+        )
+        .withColumn("exact_hit", F.coalesce("in_hold", F.lit(False)))
+        .groupBy("doc_id")
+        .agg(
+            F.bool_or("hit").alias("bloom_flagged"),
+            F.bool_or("exact_hit").alias("exact_flagged"),
+        )
+    )
+    mem = run_to_memory(flagged, "complete")
+    return mem.select(
+        "doc_id",
+        "bloom_flagged",
+        "exact_flagged",
+        (~F.col("exact_flagged") | F.col("bloom_flagged")).alias("superset_ok"),
+    )
