@@ -52,6 +52,13 @@ def _stream_dir(sf_dir: str, name: str) -> str:
 _SPLIT_TIME_COL = {"events": "ts", "orders": "o_orderdate"}
 
 
+# _split_boundary memo: (realpath, mtime_ns, size) -> boundary day.
+# Keyed on the events file's identity so staleness detection survives a
+# testdata regeneration while repeat read_stream(split=True) calls skip
+# the full ts-column parquet read (round-7 ADVICE).
+_SPLIT_BOUNDARY_MEMO: dict[tuple[str, int, int], str] = {}
+
+
 def _split_boundary(sf_dir: str) -> str:
     """The per-sf_dir day boundary every split-staged table cuts at: the
     median day of the EVENTS table. ONE boundary for all tables keeps
@@ -65,11 +72,22 @@ def _split_boundary(sf_dir: str) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = pq.read_table(table_path(sf_dir, "events"), columns=["ts"])
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    memo_key = (os.path.realpath(src), st.st_mtime_ns, st.st_size)
+    cached = _SPLIT_BOUNDARY_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    t = pq.read_table(src, columns=["ts"])
     days = sorted(
         str(d) for d in pc.unique(pc.cast(t["ts"], "date32")).to_pylist()
     )
-    return days[len(days) // 2]
+    boundary = days[len(days) // 2]
+    # No eviction: one entry per distinct events-file version ever seen in
+    # this process (a handful across sf dirs / regenerations) — and a test
+    # run alternating sf dirs must not thrash the memo.
+    _SPLIT_BOUNDARY_MEMO[memo_key] = boundary
+    return boundary
 
 
 def _stream_dir_split(sf_dir: str, name: str) -> str:

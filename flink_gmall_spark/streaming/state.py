@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_gmall_spark.plans.ads import (
     ATTR_WINDOW_S,
+    ORACLE_PIT_FEATURE_JOIN,
     SESSION_GAP_S,
     TIMED_FUNNEL_WINDOW_S,
 )
@@ -114,7 +115,11 @@ def _t2_fn(
     fresh: list[str] = []
     pdf = _whole_batch(batches)
     if pdf is not None:
-        for dt in sorted({str(x) for x in pdf["dt"]}):
+        # NULL event times have no day to dedup into and would stringify
+        # to 'None', which sorts AFTER every ISO date and would poison
+        # last_dt forever (round-7 ADVICE). Flink semantics agree: an
+        # event-time operator drops records a watermark cannot place.
+        for dt in sorted({str(x) for x in pdf["dt"] if not pd.isna(x)}):
             if dt > last_dt:
                 last_dt = dt
                 fresh.append(dt)
@@ -561,6 +566,232 @@ def pit_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(feats, "append")
 
 
+def _day_start_ms(d: str) -> int:
+    """UTC epoch ms of a 'yyyy-MM-dd' midnight — the probe-gate boundary
+    (tune() pins the session TZ to UTC, so day strings are UTC days)."""
+    from datetime import datetime, timezone
+
+    return int(
+        datetime.strptime(str(d), "%Y-%m-%d")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1000
+    )
+
+
+def _pit_gated_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """WATERMARK-GATED point-in-time machine (VERDICT r7 ask #2): unlike
+    _pit_fn, a probe (order) for day d is NOT answered on arrival — it
+    buffers in state until the EVENT stream's watermark passes d's
+    midnight, i.e. until the engine guarantees every event with
+    ts < day-d-start has been ingested. This removes _pit_fn's
+    cross-stream batch-alignment precondition entirely: probes may
+    surface in an earlier micro-batch than the events they look back on
+    (the stream_pit_features_gated entry stages orders deliberately
+    MISALIGNED — all probes land in batch 0) and the answers still match
+    the batch oracle, because answering is deferred to the gate, never
+    to delivery order.
+
+    State per user: cumulative features over folded (completed) days,
+    a per-day bucket map for buffered events beyond the fold frontier,
+    and the pending probe list. Both buffers are bounded in production
+    by the watermark horizon: an event day folds as soon as a later
+    probe's gate passes it, and a probe waits exactly the event-stream
+    lateness bound (watermark delay) — the standard feature-store
+    "wait for features before serving the label" discipline. Gate rule
+    (mirrored exactly by ORACLE_PIT_GATED's horizon filter): a probe
+    emits iff day_start_ms(d) < watermark_ms; event-time timeouts
+    re-fire the machine as the watermark advances past buffered gates."""
+    (cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys) = (
+        state.get if state.exists else (0, 0, 0, [], [], [], [], [], [])
+    )
+    bdays, bv, bp, bc = list(bdays), list(bv), list(bp), list(bc)
+    pdays, pkeys = list(pdays), list(pkeys)
+    if not state.hasTimedOut:
+        pdf = _whole_batch(batches)
+        if pdf is not None:
+            ev = pdf[(pdf["kind"] == 1) & pdf["d"].notna()]
+            if len(ev):
+                g = (
+                    ev.assign(c=ev["cents"].fillna(0))
+                    .groupby("d", sort=True)[["is_view", "is_purchase", "c"]]
+                    .sum()
+                )
+                idx = {d: i for i, d in enumerate(bdays)}
+                for d, row in g.iterrows():
+                    d = str(d)
+                    i = idx.get(d)
+                    if i is None:
+                        idx[d] = len(bdays)
+                        bdays.append(d)
+                        bv.append(int(row["is_view"]))
+                        bp.append(int(row["is_purchase"]))
+                        bc.append(int(row["c"]))
+                    else:
+                        bv[i] += int(row["is_view"])
+                        bp[i] += int(row["is_purchase"])
+                        bc[i] += int(row["c"])
+            pr = pdf[(pdf["kind"] == 0) & pdf["d"].notna()]
+            pdays.extend(str(x) for x in pr["d"])
+            pkeys.extend(int(x) for x in pr["o_orderkey"])
+    wm = state.getCurrentWatermarkMs()
+    out_ok: list[int] = []
+    out_v: list[int] = []
+    out_p: list[int] = []
+    out_c: list[int] = []
+    if pdays:
+        keep_d: list[str] = []
+        keep_k: list[int] = []
+        for i in sorted(range(len(pdays)), key=lambda i: (pdays[i], pkeys[i])):
+            d, okey = pdays[i], pkeys[i]
+            if _day_start_ms(d) < wm:
+                # gate passed: every event before day d has arrived —
+                # fold the buffered days strictly before d (late-created
+                # older buckets included), then answer from cumulative
+                rem = [j for j in range(len(bdays)) if bdays[j] < d]
+                if rem:
+                    for j in rem:
+                        cum_v += bv[j]
+                        cum_p += bp[j]
+                        cum_c += bc[j]
+                    remset = set(rem)
+                    bdays = [x for j, x in enumerate(bdays) if j not in remset]
+                    bv = [x for j, x in enumerate(bv) if j not in remset]
+                    bp = [x for j, x in enumerate(bp) if j not in remset]
+                    bc = [x for j, x in enumerate(bc) if j not in remset]
+                out_ok.append(okey)
+                out_v.append(cum_v)
+                out_p.append(cum_p)
+                out_c.append(cum_c)
+            else:
+                keep_d.append(d)
+                keep_k.append(okey)
+        pdays, pkeys = keep_d, keep_k
+    state.update((cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys))
+    if pdays:
+        # re-arm for the earliest still-gated probe; Spark requires the
+        # timeout timestamp to sit beyond the current watermark
+        state.setTimeoutTimestamp(
+            max(min(_day_start_ms(d) for d in pdays), wm + 1)
+        )
+    yield pd.DataFrame(
+        {
+            "o_orderkey": out_ok,
+            "user_id": key[0],
+            "views_before": out_v,
+            "purchases_before": out_p,
+            "value_cents_before": out_c,
+        }
+    )
+
+
+def pit_features_gated_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape pit_features_stream's docstring names: order
+    probes gate on the event stream's watermark instead of assuming
+    batch-aligned delivery. To prove the gate carries the correctness
+    (not the staging), the orders stream is deliberately MISALIGNED —
+    read unsplit, so every probe arrives in micro-batch 0, before most
+    of the events it must look back on; the ungated machine would answer
+    those probes from a stale cumulative (the failure mode
+    tests/test_streaming.py pins), the gated machine buffers them until
+    the watermark passes and matches the batch semantics anyway.
+
+    Horizon rule at end-of-stream (same discipline as jump_out_stream):
+    a probe whose day-start the final GLOBAL watermark — the MIN of the
+    two legs' 0s-delay watermarks, Spark's default policy — never passed
+    stays pending; ORACLE_PIT_GATED excludes exactly those via the
+    engine-verified ``day_start_ms < least(max_ev_us, max_ord_us) //
+    1000`` boundary. On this fixture the order span predates the event
+    span, so the horizon is the last order date: every strictly-earlier
+    probe clears the gate with the batch PIT features (all-zero here),
+    and final-day probes stay pending."""
+    tune(spark)
+    # BOTH legs carry a watermarked event-time column through the union
+    # (the analyzer requires it for event-time timeouts, and arbitrary
+    # stateful ops do NOT late-filter input, so probe rows are never
+    # dropped). The global watermark is the MIN of the two — gating on
+    # it is the two-stream feature-store discipline: serve a label only
+    # once both streams' watermarks pass it. ORACLE_PIT_GATED's horizon
+    # is therefore least(max event ts, max order ts).
+    ev = (
+        read_stream(spark, sf_dir, "events", split=True)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "ts",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("d"),
+            F.lit(1).alias("kind"),
+            F.lit(-1).cast("long").alias("o_orderkey"),
+            F.when(F.col("event_type") == "view", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_view"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_purchase"),
+            F.expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").alias(
+                "cents"
+            ),
+        )
+    )
+    probes = (
+        read_stream(spark, sf_dir, "orders", split=False)
+        .withColumn("ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select(
+            "ts",
+            F.col("o_custkey").alias("user_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            F.lit(0).alias("kind"),
+            "o_orderkey",
+            F.lit(0).cast("long").alias("is_view"),
+            F.lit(0).cast("long").alias("is_purchase"),
+            F.lit(0).cast("long").alias("cents"),
+        )
+    )
+    both = ev.unionByName(probes)
+    feats = both.groupBy("user_id").applyInPandasWithState(
+        _pit_gated_fn,
+        outputStructType=(
+            "o_orderkey long, user_id long, views_before long,"
+            " purchases_before long, value_cents_before long"
+        ),
+        stateStructType=(
+            "cum_v long, cum_p long, cum_c long,"
+            " bdays array<string>, bv array<long>, bp array<long>,"
+            " bc array<long>, pdays array<string>, pkeys array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(feats, "append")
+
+
+# Horizon-aware oracle for the gated PIT entry: the batch PIT features
+# (plans.ads.ORACLE_PIT_FEATURE_JOIN, shared verbatim as a subquery)
+# restricted to probes whose day-start the final GLOBAL watermark passed
+# — with both legs watermarked at 0s delay and Spark's default min
+# policy, wm_ms = least(max event ts, max order ts) in ms; the
+# strictly-greater boundary is the same engine-exact rule
+# ORACLE_JUMP_OUT_STREAM pins.
+ORACLE_PIT_GATED = """
+WITH mx AS (
+    SELECT least((SELECT max(epoch_us(ts)) FROM events),
+                 (SELECT max(epoch_us(o_orderdate)) FROM orders)) // 1000
+           AS wm_ms
+)
+SELECT b.o_orderkey, b.user_id, b.views_before, b.purchases_before,
+       b.value_cents_before
+FROM ({base}) b
+JOIN orders o ON b.o_orderkey = o.o_orderkey
+CROSS JOIN mx
+WHERE epoch_ms(CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP)) < mx.wm_ms
+""".format(base=ORACLE_PIT_FEATURE_JOIN)
+
+
 # session-scoped twin: the SAME machine with the gap bound (see the
 # factory docstring) — duplication collapsed per round-6 review
 _session_transitions_fn = _make_transitions_fn(SESSION_GAP_S * 1_000_000)
@@ -610,7 +841,10 @@ def _cohort_fn(
     out_day: list[str] = []
     pdf = _whole_batch(batches)
     if pdf is not None:
-        for d in sorted({str(x) for x in pdf["dt"]}):
+        # Same NULL-day guard as _t2_fn: 'None' sorts after every ISO
+        # date and would both pin a bogus cohort and advance max_day
+        # past all real days (round-7 ADVICE).
+        for d in sorted({str(x) for x in pdf["dt"] if not pd.isna(x)}):
             if not cohort:
                 # PIN the cohort to the first-seen day (the batch's
                 # minimum on first contact). Moving it later on a
@@ -740,19 +974,24 @@ def _rolling_fn(
     non-decreasing across batches (ordered-delivery precondition shared
     with the T2/cohort machines), so evict-then-emit per day reproduces
     the batch window exactly."""
-    days, ns, ps, cs = (
-        state.get if state.exists else ([], [], [], [])
+    days, ns, ps, cs, nn = (
+        state.get if state.exists else ([], [], [], [], [])
     )
-    days, ns, ps, cs = list(days), list(ns), list(ps), list(cs)
+    days, ns, ps, cs, nn = list(days), list(ns), list(ps), list(cs), list(nn)
     out_day: list[int] = []
     out_n: list[int] = []
     out_p: list[int] = []
-    out_c: list[int] = []
+    out_c: list[int | None] = []
     pdf = _whole_batch(batches)
     if pdf is not None:
+        # Per-bucket non-null count rides along so an all-NULL window
+        # emits NULL value_cents_7d, the batch twin's SQL SUM semantics
+        # — fillna(0) alone would emit 0 there (round-7 ADVICE). The
+        # skipna sum of an all-NaN group is 0.0, harmless because the
+        # nn gate decides nullness.
         grouped = (
-            pdf.assign(cents=pdf["cents"].fillna(0))
-            .groupby("day_num", sort=True)[["one", "is_p", "cents"]]
+            pdf.assign(has_c=pdf["cents"].notna().astype("int64"))
+            .groupby("day_num", sort=True)[["one", "is_p", "cents", "has_c"]]
             .sum()
         )
         for d, row in grouped.iterrows():
@@ -761,20 +1000,21 @@ def _rolling_fn(
             ns.append(int(row["one"]))
             ps.append(int(row["is_p"]))
             cs.append(int(row["cents"]))
+            nn.append(int(row["has_c"]))
             while days and days[0] < d - (ROLLING_DAYS_S - 1):
-                days.pop(0); ns.pop(0); ps.pop(0); cs.pop(0)
+                days.pop(0); ns.pop(0); ps.pop(0); cs.pop(0); nn.pop(0)
             out_day.append(d)
             out_n.append(sum(ns))
             out_p.append(sum(ps))
-            out_c.append(sum(cs))
-    state.update((days, ns, ps, cs))
+            out_c.append(sum(cs) if sum(nn) else None)
+    state.update((days, ns, ps, cs, nn))
     yield pd.DataFrame(
         {
             "user_id": key[0],
             "day_num": pd.Series(out_day, dtype="int64"),
             "events_7d": pd.Series(out_n, dtype="int64"),
             "purchases_7d": pd.Series(out_p, dtype="int64"),
-            "value_cents_7d": pd.Series(out_c, dtype="int64"),
+            "value_cents_7d": pd.array(out_c, dtype="Int64"),
         }
     )
 
@@ -804,7 +1044,8 @@ def rolling_activity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " purchases_7d long, value_cents_7d long"
         ),
         stateStructType=(
-            "days array<long>, ns array<long>, ps array<long>, cs array<long>"
+            "days array<long>, ns array<long>, ps array<long>,"
+            " cs array<long>, nn array<long>"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -564,9 +564,11 @@ def test_stream_pit_pending_day_blocks_leakage(spark, tmp_path):
 class _FakeState:
     """Minimal GroupState stand-in for driving state fns directly."""
 
-    def __init__(self, value=None):
+    def __init__(self, value=None, wm_ms=0):
         self._v = value
         self.hasTimedOut = False
+        self.wm_ms = wm_ms
+        self.timeout_ts = None
 
     @property
     def exists(self):
@@ -578,6 +580,13 @@ class _FakeState:
 
     def update(self, v):
         self._v = v
+
+    def getCurrentWatermarkMs(self):
+        return self.wm_ms
+
+    def setTimeoutTimestamp(self, ts):
+        assert ts > self.wm_ms, "timeout must sit beyond the watermark"
+        self.timeout_ts = ts
 
 
 def test_cohort_fn_chunked_batch_pins_global_minimum():
@@ -692,5 +701,146 @@ def test_rolling_fn_cross_batch_eviction_and_bounded_state():
     got2 = {int(r.day_num): (int(r.events_7d), int(r.purchases_7d), int(r.value_cents_7d))
             for r in out2.itertuples()}
     assert got2 == {7: (2, 1, 50), 9: (3, 1, 60)}
-    days, ns, ps, cs = st.get
+    days, ns, ps, cs, nn = st.get
     assert len(days) <= 7 and days == [3, 7, 9]  # bounded deque, O(1) state
+    assert nn == [0, 1, 1]  # day 3's only cents was NULL
+
+
+def test_rolling_fn_all_null_window_emits_null_cents():
+    """r7 ADVICE: a 7-day window whose every event has NULL cents must
+    emit NULL value_cents_7d (SQL SUM semantics, matching the batch
+    oracle), not fillna's 0 — and a later non-null day restores the sum."""
+    from flink_gmall_spark.streaming.state import _rolling_fn
+
+    st = _FakeState()
+    b1 = pd.DataFrame(
+        {"day_num": [0, 1], "one": [1, 1], "is_p": [0, 1],
+         "cents": [None, None]}
+    )
+    (out1,) = _rolling_fn((1,), iter([b1]), st)
+    assert list(out1["value_cents_7d"].isna()) == [True, True]
+    assert list(out1["events_7d"]) == [1, 2]  # counts unaffected by NULLs
+    # day 2 carries a real value: window {0,1,2} has one non-null → 40
+    b2 = pd.DataFrame(
+        {"day_num": [2], "one": [1], "is_p": [0], "cents": [40]}
+    )
+    (out2,) = _rolling_fn((1,), iter([b2]), st)
+    assert int(out2["value_cents_7d"].iloc[0]) == 40
+    # day 9 evicts everything but itself; its cents is NULL again → NULL
+    b3 = pd.DataFrame(
+        {"day_num": [9], "one": [1], "is_p": [0], "cents": [None]}
+    )
+    (out3,) = _rolling_fn((1,), iter([b3]), st)
+    assert out3["value_cents_7d"].isna().iloc[0]
+
+
+def test_t2_and_cohort_fns_drop_null_days():
+    """r7 ADVICE: a NULL event time (NULL dt) must not advance the O(1)
+    date state — str(None)='None' sorts after every ISO date and would
+    permanently suppress all later real days."""
+    from flink_gmall_spark.streaming.state import _cohort_fn, _t2_fn
+
+    st = _FakeState()
+    (out,) = _t2_fn(
+        (7,), iter([pd.DataFrame({"dt": ["2024-01-03", None]})]), st
+    )
+    assert list(out["dt"]) == ["2024-01-03"]
+    assert st.get == ("2024-01-03",)  # not 'None'
+    (out2,) = _t2_fn(
+        (7,), iter([pd.DataFrame({"dt": ["2024-01-04"]})]), st
+    )
+    assert list(out2["dt"]) == ["2024-01-04"]  # later real day still emits
+
+    st2 = _FakeState()
+    (cout,) = _cohort_fn(
+        (1,), iter([pd.DataFrame({"dt": [None, "2024-01-05"]})]), st2
+    )
+    assert list(cout["day"]) == ["2024-01-05"]
+    assert st2.get == ("2024-01-05", "2024-01-05")  # cohort pinned to a real day
+
+
+def _pit_row(d, kind, ok=-1, iv=0, ip=0, cents=0):
+    return {"d": d, "kind": kind, "o_orderkey": ok,
+            "is_view": iv, "is_purchase": ip, "cents": cents}
+
+
+def test_pit_fn_misaligned_delivery_pins_stale_feature_failure():
+    """NEGATIVE pin (VERDICT r7 ask #2): the UNGATED machine answers a
+    probe on arrival, so when cross-stream delivery is misaligned — the
+    day-5 probe surfaces one micro-batch BEFORE the day-3 events it must
+    look back on — the probe is answered from a stale cumulative (0
+    views instead of 1) and append mode can never retract it. This is
+    exactly the failure the documented batch-alignment precondition
+    (pit_features_stream docstring) exists to prevent; the staged splits
+    enforce the precondition for the driver path, and the gated variant
+    below removes it."""
+    from flink_gmall_spark.streaming.state import _pit_fn
+
+    st = _FakeState()
+    b1 = pd.DataFrame([_pit_row("2024-01-05", 0, ok=100)])  # probe first
+    (out1,) = _pit_fn((1,), iter([b1]), st)
+    assert list(out1["views_before"]) == [0]  # the documented stale answer
+    b2 = pd.DataFrame([_pit_row("2024-01-03", 1, iv=1)])  # its event, late
+    (out2,) = _pit_fn((1,), iter([b2]), st)
+    assert len(out2) == 0  # nothing can repair probe 100 — pinned failure
+
+
+def test_pit_gated_fn_answers_misaligned_probe_correctly():
+    """POSITIVE twin: the watermark-gated machine buffers the same
+    misaligned probe until the event stream's watermark passes its day,
+    then answers with the day-3 event included — delivery order no
+    longer carries the correctness."""
+    from flink_gmall_spark.streaming.state import _day_start_ms, _pit_gated_fn
+
+    st = _FakeState(wm_ms=0)
+    b1 = pd.DataFrame([_pit_row("2024-01-05", 0, ok=100)])
+    (out1,) = _pit_gated_fn((1,), iter([b1]), st)
+    assert len(out1) == 0  # gated: wm=0 has not passed 2024-01-05
+    assert st.timeout_ts == _day_start_ms("2024-01-05")
+    b2 = pd.DataFrame([_pit_row("2024-01-03", 1, iv=1)])
+    (out2,) = _pit_gated_fn((1,), iter([b2]), st)
+    assert len(out2) == 0  # still gated; event buffered
+    # watermark passes the probe's midnight → timeout fires, probe answers
+    st.hasTimedOut = True
+    st.wm_ms = _day_start_ms("2024-01-05") + 1
+    (out3,) = _pit_gated_fn((1,), iter([]), st)
+    assert list(out3["o_orderkey"]) == [100]
+    assert list(out3["views_before"]) == [1]  # the day-3 view is counted
+    cum_v, *_rest, pdays, pkeys = st.get
+    assert cum_v == 1 and pdays == [] and pkeys == []
+
+
+def test_pit_gated_fn_horizon_keeps_future_probe_pending():
+    """A probe whose day-start the final watermark never passes stays
+    pending forever — the exact horizon rule ORACLE_PIT_GATED mirrors."""
+    from flink_gmall_spark.streaming.state import _day_start_ms, _pit_gated_fn
+
+    st = _FakeState(wm_ms=_day_start_ms("2024-01-04"))
+    b = pd.DataFrame([
+        _pit_row("2024-01-03", 0, ok=1),   # gate passed (strictly before wm)
+        _pit_row("2024-01-09", 0, ok=2),   # beyond the horizon — pending
+        _pit_row("2024-01-02", 1, iv=1),
+    ])
+    (out,) = _pit_gated_fn((1,), iter([b]), st)
+    assert list(out["o_orderkey"]) == [1]
+    assert list(out["views_before"]) == [1]
+    *_ignore, pdays, pkeys = st.get
+    assert pdays == ["2024-01-09"] and pkeys == [2]
+    assert st.timeout_ts == _day_start_ms("2024-01-09")
+
+
+def test_split_boundary_memoized_per_file_identity(sf_dir, monkeypatch):
+    """r7 ADVICE: repeat read_stream(split=True) calls must not re-read
+    the events ts column — the boundary memoizes on (path, mtime, size)
+    while preserving staleness detection."""
+    import pyarrow.parquet as pq
+
+    first = jobs._split_boundary(sf_dir)
+    real_read = pq.read_table
+
+    def boom(*a, **k):  # a second parquet read means the memo missed
+        raise AssertionError("memoized _split_boundary re-read parquet")
+
+    monkeypatch.setattr(pq, "read_table", boom)
+    assert jobs._split_boundary(sf_dir) == first
+    monkeypatch.setattr(pq, "read_table", real_read)
