@@ -728,7 +728,6 @@ def zorder_rewrite(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     out = os.path.join(scratch_dir("zorder", tag), "clustered")
 
-    mask = (1 << ZORDER_BITS) - 1
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -736,6 +735,17 @@ def zorder_rewrite(spark: SparkSession, sf_dir: str) -> str:
         "value",
         F.dayofmonth("ts").cast("long").alias("day"),
     )
+    zorder_cluster(ev, out)
+    return out
+
+
+def zorder_cluster(ev: DataFrame, out: str) -> None:
+    """The clustering rewrite itself on an events-shaped frame (user_id +
+    day columns present): Morton key, ONE range shuffle, sorted write.
+    Shared by the batch OPTIMIZE entry above and the streaming
+    epoch-store maintenance loop (streaming.jobs
+    stream_zorder_compaction)."""
+    mask = (1 << ZORDER_BITS) - 1
     zed = ev.withColumn(
         "zval", F.expr(zvalue_expr(f"(user_id & {mask})", f"(day & {mask})"))
     )
@@ -745,7 +755,6 @@ def zorder_rewrite(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(out)
     )
-    return out
 
 
 ORACLE_ZORDER_LAYOUT = """

@@ -844,3 +844,48 @@ def test_split_boundary_memoized_per_file_identity(sf_dir, monkeypatch):
     monkeypatch.setattr(pq, "read_table", boom)
     assert jobs._split_boundary(sf_dir) == first
     monkeypatch.setattr(pq, "read_table", real_read)
+
+
+def test_stream_zorder_compaction_epochs_and_clustering(spark, sf_dir):
+    """The maintenance loop's two claims beyond content identity (which
+    the oracle hash pins): (a) the exactly-once store really accretes
+    one epoch dir per micro-batch (>=2 under split staging — the live
+    small-files producer), and (b) the rewrite clusters BOTH Morton
+    dimensions: per-file user_id/day spans shrink vs the raw epoch
+    layout."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    store, clustered = jobs.zorder_stream_rewrite(spark, sf_dir)
+    epochs = sorted(glob.glob(os.path.join(store, "epoch=*")))
+    assert len(epochs) >= 2, epochs
+
+    def avg_spans(pattern):
+        spans = {"user_id": [], "day": []}
+        for f in sorted(glob.glob(pattern)):
+            md = pq.read_metadata(f)
+            if md.num_rows == 0:
+                continue
+            fmin, fmax = {}, {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema not in spans:
+                        continue
+                    st = col.statistics
+                    name = col.path_in_schema
+                    fmin[name] = min(fmin.get(name, st.min), st.min)
+                    fmax[name] = max(fmax.get(name, st.max), st.max)
+            for name in spans:
+                spans[name].append(fmax[name] - fmin[name])
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    raw = avg_spans(os.path.join(store, "epoch=*", "*.parquet"))
+    z = avg_spans(os.path.join(clustered, "*.parquet"))
+    # epoch files are arrival-ordered slices — both dims near-global span;
+    # the Morton rewrite must shrink both (single-col sort shrinks one)
+    assert z["user_id"] < 0.85 * raw["user_id"], (z, raw)
+    assert z["day"] < 0.85 * raw["day"], (z, raw)
