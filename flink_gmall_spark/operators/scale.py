@@ -700,11 +700,20 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup DuckDB runs on the original table — a rewrite that drops,
     duplicates, or mangles one row fails correctness.
     """
-    from flink_gmall_spark.functions.parity import MONEY
     from flink_gmall_spark.session import tune
 
     tune(spark)
     clustered = spark.read.parquet(zorder_rewrite(spark, sf_dir))
+    return zorder_rollup(clustered)
+
+
+def zorder_rollup(clustered: DataFrame) -> DataFrame:
+    """The content-identity rollup both ORACLE_ZORDER_LAYOUT twins hash
+    against (batch zorder_layout and streaming.jobs
+    stream_zorder_compaction) — one definition so a parity tweak can
+    never drift the two halves of the same oracle contract apart."""
+    from flink_gmall_spark.functions.parity import MONEY
+
     return clustered.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("users"),

@@ -1031,6 +1031,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FIXTURE INVARIANT: events.ts has no NULLs (guard test in
+# tests/test_sources.py) — the streaming twin's state machine drops
+# day-less rows while this SQL would group them under a NULL day; see
+# the fuller note above ORACLE_DAILY_UV (plans/dwm.py).
 ORACLE_COHORT_RETENTION = """
 WITH days AS (
     SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events

@@ -237,6 +237,12 @@ def daily_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy("dt").agg(F.count(F.lit(1)).alias("uv_ct"))
 
 
+# FIXTURE INVARIANT (pinned by tests/test_sources.py): events.ts has no
+# NULLs. A NULL ts would form a NULL-dt group here while the streaming
+# twin's state machine (streaming.state._t2_fn) drops day-less rows —
+# the guard test fails loudly on a regenerated fixture before the driver
+# could record a silent hash mismatch. Same invariant backs
+# ORACLE_COHORT_RETENTION and ORACLE_ROLLING_ACTIVITY_7D (plans/ads.py).
 ORACLE_DAILY_UV = """
 SELECT strftime(ts, '%Y-%m-%d') AS dt,
        count(DISTINCT user_id) AS uv_ct

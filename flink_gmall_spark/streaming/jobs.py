@@ -1472,10 +1472,7 @@ def stream_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     how a streaming lakehouse table stays scan-efficient forever; the
     rewrite cost is one range shuffle per maintenance window, amortized
     against every subsequent pruned scan."""
+    from flink_gmall_spark.operators.scale import zorder_rollup
+
     _store, clustered = zorder_stream_rewrite(spark, sf_dir)
-    comp = spark.read.parquet(clustered)
-    return comp.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("users"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
-    )
+    return zorder_rollup(spark.read.parquet(clustered))

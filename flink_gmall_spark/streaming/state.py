@@ -596,11 +596,13 @@ def _pit_gated_fn(
 
     State per user: cumulative features over folded (completed) days,
     a per-day bucket map for buffered events beyond the fold frontier,
-    and the pending probe list. Both buffers are bounded in production
-    by the watermark horizon: an event day folds as soon as a later
-    probe's gate passes it, and a probe waits exactly the event-stream
-    lateness bound (watermark delay) — the standard feature-store
-    "wait for features before serving the label" discipline. Gate rule
+    and the pending probe list. Both buffers are bounded by the
+    watermark horizon BY CONSTRUCTION: an event day folds when a later
+    probe's gate passes it OR eagerly once the watermark passes its day
+    end (see the horizon-fold below — probe-free keys do not accrete
+    buckets), and a probe waits exactly the event-stream lateness bound
+    (watermark delay) — the standard feature-store "wait for features
+    before serving the label" discipline. Gate rule
     (mirrored exactly by ORACLE_PIT_GATED's horizon filter): a probe
     emits iff day_start_ms(d) < watermark_ms; event-time timeouts
     re-fire the machine as the watermark advances past buffered gates."""
@@ -669,6 +671,28 @@ def _pit_gated_fn(
                 keep_d.append(d)
                 keep_k.append(okey)
         pdays, pkeys = keep_d, keep_k
+    # Eager horizon fold (round-8 review): a buffered event day whose END
+    # the watermark has passed can never again be excluded by a probe —
+    # any probe for day ≤ that day would itself be late beyond the
+    # orders-leg watermark (min policy puts it inside the global wm).
+    # Folding it now bounds the buffer to the watermark horizon
+    # independent of probe traffic (a user who browses daily but never
+    # orders no longer accretes a bucket per active day). Runs AFTER
+    # probe answering so in-batch answers keep strict fold-on-probe
+    # semantics; a contract-violating late probe (engine passed it
+    # through anyway) is answered from the frontier cumulative — the
+    # standard best-effort for beyond-SLA labels.
+    done = [j for j in range(len(bdays)) if _day_start_ms(bdays[j]) + 86_400_000 < wm]
+    if done:
+        for j in done:
+            cum_v += bv[j]
+            cum_p += bp[j]
+            cum_c += bc[j]
+        dset = set(done)
+        bdays = [x for j, x in enumerate(bdays) if j not in dset]
+        bv = [x for j, x in enumerate(bv) if j not in dset]
+        bp = [x for j, x in enumerate(bp) if j not in dset]
+        bc = [x for j, x in enumerate(bc) if j not in dset]
     state.update((cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys))
     if pdays:
         # re-arm for the earliest still-gated probe; Spark requires the

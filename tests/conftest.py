@@ -19,3 +19,34 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def avg_file_spans(pattern: str, cols: tuple[str, ...]) -> dict[str, float]:
+    """Per-file (min,max) span of each column, averaged across the parquet
+    files matching ``pattern``, from row-group statistics — the clustering
+    metric the z-order tests assert on (shared by the batch and streaming
+    zorder clustering proofs)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans: dict[str, list[float]] = {c: [] for c in cols}
+    for f in sorted(glob.glob(pattern)):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        fmin: dict[str, float] = {}
+        fmax: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in spans:
+                    continue
+                st = col.statistics
+                fmin[name] = min(fmin.get(name, st.min), st.min)
+                fmax[name] = max(fmax.get(name, st.max), st.max)
+        for name in spans:
+            spans[name].append(fmax[name] - fmin[name])
+    return {k: sum(v) / len(v) for k, v in spans.items()}

@@ -216,36 +216,16 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     scans filtering on either column. Comparing against a baseline
     write (not an absolute bar) keeps the test meaningful at tiny
     fixture domains."""
-    import glob
     import os
-
-    import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
 
     from flink_gmall_spark.operators import scale
     from flink_gmall_spark.sources import load
+    from tests.conftest import avg_file_spans
 
     def avg_spans(d):
-        spans = {"user_id": [], "day": []}
-        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
-            md = pq.read_metadata(f)
-            if md.num_rows == 0:
-                continue
-            fmin, fmax = {}, {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    name = col.path_in_schema
-                    if name not in spans:
-                        continue
-                    st = col.statistics
-                    fmin[name] = min(fmin.get(name, st.min), st.min)
-                    fmax[name] = max(fmax.get(name, st.max), st.max)
-            for name in spans:
-                spans[name].append(fmax[name] - fmin[name])
-        return {k: sum(v) / len(v) for k, v in spans.items()}
+        return avg_file_spans(os.path.join(d, "*.parquet"), ("user_id", "day"))
 
     z = avg_spans(scale.zorder_rewrite(spark, sf_dir))
 

@@ -49,3 +49,23 @@ def test_ts_normalizes_to_timestamp_with_utc_values(spark, tmp_path, arrow_type)
     assert isinstance(f.dataType, T.TimestampType), f.dataType
     got = [r.ts for r in df.orderBy("event_id").collect()]
     assert got == _UTC_VALS  # session TZ is UTC, so values are preserved
+
+
+def test_fixture_events_ts_has_no_nulls():
+    """FIXTURE INVARIANT guard (round-8 review): the T2/cohort/rolling
+    streaming state machines drop NULL-day rows (a watermark cannot
+    place them) while their shared batch oracles would form a NULL-day
+    group — divergence is impossible only while events.ts carries no
+    NULLs. If a regenerated fixture ever gains one, this fails loudly
+    instead of the driver recording a silent hash mismatch; the fix
+    then is a `ts IS NOT NULL` filter on BOTH sides of those entries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=["ts"])
+        assert t["ts"].null_count == 0, f"{p} has NULL ts — see docstring"

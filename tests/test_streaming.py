@@ -856,36 +856,88 @@ def test_stream_zorder_compaction_epochs_and_clustering(spark, sf_dir):
     import glob
     import os
 
-    import pyarrow.parquet as pq
+    from tests.conftest import avg_file_spans
 
     store, clustered = jobs.zorder_stream_rewrite(spark, sf_dir)
     epochs = sorted(glob.glob(os.path.join(store, "epoch=*")))
     assert len(epochs) >= 2, epochs
 
-    def avg_spans(pattern):
-        spans = {"user_id": [], "day": []}
-        for f in sorted(glob.glob(pattern)):
-            md = pq.read_metadata(f)
-            if md.num_rows == 0:
-                continue
-            fmin, fmax = {}, {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    if col.path_in_schema not in spans:
-                        continue
-                    st = col.statistics
-                    name = col.path_in_schema
-                    fmin[name] = min(fmin.get(name, st.min), st.min)
-                    fmax[name] = max(fmax.get(name, st.max), st.max)
-            for name in spans:
-                spans[name].append(fmax[name] - fmin[name])
-        return {k: sum(v) / len(v) for k, v in spans.items()}
-
-    raw = avg_spans(os.path.join(store, "epoch=*", "*.parquet"))
-    z = avg_spans(os.path.join(clustered, "*.parquet"))
+    raw = avg_file_spans(
+        os.path.join(store, "epoch=*", "*.parquet"), ("user_id", "day")
+    )
+    z = avg_file_spans(os.path.join(clustered, "*.parquet"), ("user_id", "day"))
     # epoch files are arrival-ordered slices — both dims near-global span;
     # the Morton rewrite must shrink both (single-col sort shrinks one)
     assert z["user_id"] < 0.85 * raw["user_id"], (z, raw)
     assert z["day"] < 0.85 * raw["day"], (z, raw)
+
+
+def test_pit_gated_stream_e2e_interleaved_dates(spark, tmp_path):
+    """End-to-end gated-PIT over a synthetic fixture whose order dates
+    INTERLEAVE the event dates (the driver fixture's orders all predate
+    its events, so every driver-row feature is zero — this test makes
+    the buffer/fold arithmetic load-bearing through the real engine):
+    probes arrive in micro-batch 0 before most of the events they must
+    look back on, non-zero features come out, the final-day probe stays
+    beyond the horizon, and the emitted set hash-matches ORACLE_PIT_GATED
+    run by DuckDB over the same two tables."""
+    import duckdb
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import (
+        ORACLE_PIT_GATED,
+        pit_features_gated_stream,
+    )
+
+    sf = tmp_path / "synth"
+    sf.mkdir()
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 08:00", "2024-01-02 09:00",
+                 "2024-01-03 10:00", "2024-01-05 12:00"], utc=True
+            ).astype("datetime64[us, UTC]"),
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["view", "purchase", "view", "view"],
+            "value": [None, 3.50, None, None],
+        }
+    )
+    ev.to_parquet(sf / "events.parquet")
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12, 13],
+            "o_custkey": [1, 1, 1, 2],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-03", "2024-01-06", "2024-01-05", "2024-01-04"],
+                utc=True,
+            ).astype("datetime64[us, UTC]"),
+        }
+    )
+    orders.to_parquet(sf / "orders.parquet")
+
+    got = (
+        pit_features_gated_stream(spark, str(sf))
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
+    want = (
+        con.execute(ORACLE_PIT_GATED)
+        .df()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    # horizon: global wm = min(max ev ts, max order ts) = 2024-01-05 12:00
+    # → order 11 (day 2024-01-06) stays pending on both sides
+    assert list(got["o_orderkey"]) == [10, 12, 13]
+    # order 10 (day 3): events of days 1-2 → 1 view, 1 purchase, 350 cents;
+    # order 12 (day 5): + day-3 view; order 13: user 2, no telemetry → zeros
+    assert got.loc[0, ["views_before", "purchases_before", "value_cents_before"]].tolist() == [1, 1, 350]
+    assert got.loc[1, ["views_before", "purchases_before", "value_cents_before"]].tolist() == [2, 1, 350]
+    assert got.loc[2, ["views_before", "purchases_before", "value_cents_before"]].tolist() == [0, 0, 0]
+    for c in ("o_orderkey", "user_id", "views_before", "purchases_before", "value_cents_before"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
