@@ -94,18 +94,25 @@ def main() -> None:
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    # KEY ORDER IS LOAD-BEARING: the driver's BENCH_r{N}.json has twice
+    # (r6, r7) arrived with `parsed: null` and only the LAST 2000 chars of
+    # the line preserved as `tail`. The fields a cross-round compare needs
+    # most — queries_median, the anchor24 subtotals, sf — therefore go at
+    # the END of the JSON line so they survive any head truncation;
+    # first-warm and cold detail (reconstructible by re-running) go first.
+    # tools/bench_compare.py knows how to recover the tail segment.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "warm_runs": WARM_RUNS,
         "queries": timings,
+        "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
+        "queries_cold": cold,
         "value_median": round(
             sum(v for v in medians.values() if v is not None), 3
         ),
         "queries_median": medians,
-        "warm_runs": WARM_RUNS,
-        "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
-        "queries_cold": cold,
         "value_anchor24": round(
             sum(v for k, v in timings.items() if k in ANCHOR_24 and v is not None), 3
         ),
@@ -118,7 +125,7 @@ def main() -> None:
         # Failed queries are excluded from the totals above, which makes
         # `value` incomparable with a fully-green round. Flag it explicitly
         # so bench_compare (and the judge) never read a shrunken denominator
-        # as an improvement.
+        # as an improvement. Placed LAST so a truncated tail still shows it.
         out["errors"] = errors
         out["n_failed"] = len(errors)
     print(json.dumps(out))
