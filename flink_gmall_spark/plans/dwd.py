@@ -169,6 +169,32 @@ def _order_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inserts.unionByName(updates)
 
 
+def _order_changelog_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_order_changelog`` extended with a later 'delete' op for a
+    deterministic slice of orders (o_orderkey % 7 == 0) — the retraction
+    input shared by the batch fold (cdc_delete_aware_agg) and its
+    streaming increment twin (streaming.state cdc_retract_stream)."""
+    orders = load(spark, sf_dir, "orders")
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.lit("gmall").alias("database"),
+        F.lit("order_info").alias("table"),
+        F.lit("delete").alias("type"),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.lit(None).cast("string").alias("order_status"),
+                F.lit(None).cast("double").alias("total_amount"),
+                F.lit(None).cast("string").alias("create_time"),
+            )
+        ).alias("data"),
+        F.unix_micros(
+            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).cast("timestamp")
+        ).alias("op_us"),
+        F.lit(2).cast("long").alias("op_seq"),
+    )
+    return _order_changelog(spark, sf_dir).unionByName(deletes)
+
+
 def cdc_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 CDC envelope → P1 parse → S7/S8 dim upsert (last-writer-wins).
 
@@ -491,25 +517,7 @@ def cdc_delete_aware_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     retraction or resurrects a deleted key hash-fails.
     """
     tune(spark)
-    orders = load(spark, sf_dir, "orders")
-    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
-        F.lit("gmall").alias("database"),
-        F.lit("order_info").alias("table"),
-        F.lit("delete").alias("type"),
-        F.to_json(
-            F.struct(
-                F.col("o_orderkey").alias("id"),
-                F.lit(None).cast("string").alias("order_status"),
-                F.lit(None).cast("double").alias("total_amount"),
-                F.lit(None).cast("string").alias("create_time"),
-            )
-        ).alias("data"),
-        F.unix_micros(
-            (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).cast("timestamp")
-        ).alias("op_us"),
-        F.lit(2).cast("long").alias("op_seq"),
-    )
-    log = _order_changelog(spark, sf_dir).unionByName(deletes)
+    log = _order_changelog_with_deletes(spark, sf_dir)
     parsed = log.select(
         "type", "op_us", "op_seq", F.from_json("data", CDC_DATA_SCHEMA).alias("d")
     ).select("type", "op_us", "op_seq", "d.*")

@@ -21,6 +21,9 @@ plain values/lists. Batch-mode oracles for all three live in plans.dwm.
 
 from __future__ import annotations
 
+import hashlib
+import itertools
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -814,6 +817,156 @@ JOIN orders o ON b.o_orderkey = o.o_orderkey
 CROSS JOIN mx
 WHERE epoch_ms(CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP)) < mx.wm_ms
 """.format(base=ORACLE_PIT_FEATURE_JOIN)
+
+
+def _cdc_retract_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """RETRACT-STREAM state machine (Flink's retract mode as data): per
+    CDC key, hold the last surviving image; every op emits the exact
+    differential increments a downstream aggregate needs — a replacement
+    retracts the old image (−1, −cents) before asserting the new one
+    (+1, +cents), a delete retracts and clears. Summing the increments
+    therefore maintains ANY additive aggregate over the latest images
+    without ever rescanning the table — the differential-dataflow /
+    Flink-retraction shape the batch twin folds relationally. O(1) state
+    per key (one image), ops applied in (op_us, op_seq) order over the
+    whole micro-batch."""
+    exists, status, cents = state.get if state.exists else (False, "", 0)
+    out_status: list[str] = []
+    out_dn: list[int] = []
+    out_dc: list[int] = []
+    pdf = _whole_batch(batches, ["op_us", "op_seq"])
+    if pdf is not None:
+        for typ, st_new, c_new in zip(pdf["type"], pdf["status"], pdf["cents"]):
+            if exists:
+                # retract the current image (both replace and delete)
+                out_status.append(status)
+                out_dn.append(-1)
+                out_dc.append(-cents)
+                exists, status, cents = False, "", 0
+            if typ != "delete":
+                status = str(st_new)
+                cents = 0 if pd.isna(c_new) else int(c_new)
+                exists = True
+                out_status.append(status)
+                out_dn.append(1)
+                out_dc.append(cents)
+    state.update((exists, status, cents))
+    yield pd.DataFrame(
+        {
+            "id": key[0],
+            "order_status": out_status,
+            "dn": pd.Series(out_dn, dtype="int64"),
+            "dc": pd.Series(out_dc, dtype="int64"),
+        }
+    )
+
+
+def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of plans.dwd.cdc_delete_aware_agg — aggregate
+    maintenance under inserts/updates/DELETES as a live retract stream:
+    the shared changelog (insert per order, status update for 'F'
+    orders, delete for the o_orderkey%7==0 slice) is staged as two
+    op-time-ordered files cut at its median op day (so a key's insert
+    and its later update/delete genuinely straddle micro-batches near
+    the boundary), the keyed machine above turns each op into exact
+    retraction increments, and one bounded-domain rollup over the
+    emitted increments reproduces the per-status count + GMV of the
+    surviving latest images. Statuses whose every image was retracted
+    net to zero and drop out — the oracle (shared verbatim with the
+    batch fold) has no row for them. At 100 TB this is how a
+    continuously-maintained downstream aggregate forgets deleted rows
+    without rescanning: state is one image per live key, increments are
+    O(changelog), the rollup is O(|status|).
+
+    The driver-side toPandas staging below is the TEST-HARNESS source
+    only (two op-time-cut files standing in for a replayed topic, same
+    device as jobs.read_stream's split staging); in production the ops
+    arrive from the CDC connector (sources.pydatasource / Kafka) and
+    nothing passes through the driver — the OPERATOR is the keyed
+    machine plus the bounded rollup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_gmall_spark.plans.dwd import (
+        CDC_DATA_SCHEMA,
+        _order_changelog_with_deletes,
+    )
+    from flink_gmall_spark.scratch import scratch_dir
+
+    tune(spark)
+    flat = (
+        _order_changelog_with_deletes(spark, sf_dir)
+        .select(
+            "type",
+            "op_us",
+            "op_seq",
+            F.from_json("data", CDC_DATA_SCHEMA).alias("d"),
+        )
+        .select(
+            "type",
+            "op_us",
+            "op_seq",
+            F.col("d.id").alias("id"),
+            F.col("d.order_status").alias("status"),
+            F.expr(
+                "CAST(CAST(d.total_amount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    pdf = flat.toPandas().sort_values(["op_us", "op_seq", "id"])
+    # delete rows carry NULL cents → pandas float64 → parquet DOUBLE,
+    # which the declared bigint stream schema rejects; keep it integral
+    pdf["cents"] = pdf["cents"].astype("Int64")
+    days = sorted(set(pdf["op_us"] // 86_400_000_000))
+    boundary = days[len(days) // 2]
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}"
+        f"|{next(_CDC_RETRACT_CALLS)}".encode()
+    ).hexdigest()[:12]
+    src = scratch_dir("cdc_retract", tag)
+    early = (pdf["op_us"] // 86_400_000_000) < boundary
+    now = 1_700_000_000.0
+    for i, part in enumerate((pdf[early], pdf[~early])):
+        p = os.path.join(src, f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
+        os.utime(p, (now + i, now + i))
+
+    ops = (
+        spark.readStream.schema(
+            "type string, op_us long, op_seq long,"
+            " id long, status string, cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    incs = ops.groupBy("id").applyInPandasWithState(
+        _cdc_retract_fn,
+        outputStructType="id long, order_status string, dn long, dc long",
+        stateStructType="alive boolean, status string, cents long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = run_to_memory(incs, "append")
+    return (
+        mem.groupBy("order_status")
+        .agg(
+            F.sum("dn").cast("long").alias("n_orders"),
+            F.sum("dc").alias("dc"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "order_status",
+            "n_orders",
+            (F.col("dc") / 100.0).cast("double").alias("gmv"),
+        )
+    )
+
+
+# per-call staging nonce (the compaction discipline — concurrent or
+# repeated calls in one app never race on the scratch dir)
+_CDC_RETRACT_CALLS = itertools.count()
 
 
 # session-scoped twin: the SAME machine with the gap bound (see the

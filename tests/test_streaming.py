@@ -941,3 +941,42 @@ def test_pit_gated_stream_e2e_interleaved_dates(spark, tmp_path):
     assert got.loc[2, ["views_before", "purchases_before", "value_cents_before"]].tolist() == [0, 0, 0]
     for c in ("o_orderkey", "user_id", "views_before", "purchases_before", "value_cents_before"):
         assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+
+
+def test_cdc_retract_fn_emits_exact_increments_across_batches():
+    """The retract machine must emit a retraction of the OLD image before
+    asserting a replacement, and a delete must retract without asserting
+    — across micro-batches (state carries the live image), so summing
+    increments reproduces the surviving-latest-image aggregate."""
+    from flink_gmall_spark.streaming.state import _cdc_retract_fn
+
+    st = _FakeState()
+    b1 = pd.DataFrame(
+        {"type": ["insert"], "status": ["F"], "cents": [1000],
+         "op_us": [1], "op_seq": [0]}
+    )
+    (out1,) = _cdc_retract_fn((5,), iter([b1]), st)
+    assert list(zip(out1["order_status"], out1["dn"], out1["dc"])) == [("F", 1, 1000)]
+    assert st.get == (True, "F", 1000)
+
+    # batch 2: update (retract F, assert PAID), then delete (retract PAID)
+    b2 = pd.DataFrame(
+        {"type": ["update", "delete"], "status": ["PAID", None],
+         "cents": [1000, None], "op_us": [2, 3], "op_seq": [1, 2]}
+    )
+    (out2,) = _cdc_retract_fn((5,), iter([b2]), st)
+    assert list(zip(out2["order_status"], out2["dn"], out2["dc"])) == [
+        ("F", -1, -1000), ("PAID", 1, 1000), ("PAID", -1, -1000)
+    ]
+    assert st.get == (False, "", 0)
+    # net effect: every status sums to zero — the key vanished
+    assert out1["dn"].sum() + out2["dn"].sum() == 0
+    assert out1["dc"].sum() + out2["dc"].sum() == 0
+
+    # a delete for a key never seen (or already deleted) emits nothing
+    b3 = pd.DataFrame(
+        {"type": ["delete"], "status": [None], "cents": [None],
+         "op_us": [4], "op_seq": [3]}
+    )
+    (out3,) = _cdc_retract_fn((5,), iter([b3]), st)
+    assert len(out3) == 0
