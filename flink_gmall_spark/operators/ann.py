@@ -217,6 +217,88 @@ FROM final WHERE rank <= {TOPK}
 """
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive / retrieval training — per
+    query (anchor), the TOPK most-similar corpus vectors whose cosine is
+    BELOW the near-duplicate ceiling (COSINE_THRESHOLD, the same
+    boundary semantic_dedup treats as "same content"): similar enough to
+    be informative negatives, not so similar they are secretly positives
+    — the mining step behind every dense-retriever / embedding-model
+    training set (in-batch negatives are too easy; duplicates as
+    negatives poison the loss). ``n_excluded`` rides along per query:
+    how many candidates the near-dup ceiling rejected — the
+    self-measurement column that proves the exclusion actually bit on
+    this corpus (it is non-zero here by fixture construction).
+
+    Scale shape: ann_topk's — tiny broadcast query side, per-query TopK
+    via WindowGroupLimit, threshold filter pruning BEFORE ranking. The
+    exclusion ledger is a second scan+partial-agg pass over the scored
+    pairs (plan-gated: both passes broadcast the query side, nothing
+    shuffles the corpus); the recall-report entries set the same
+    two-pass precedent. At 100 TB the candidate generation swaps to the
+    IVF probe plan (ivf_topk) unchanged; thresholds compare exactly
+    because both engines fold the identical double sequence (module
+    doc).
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(emb, F.col("query_id") != F.col("vec_id"))
+    scored = pairs.withColumn(
+        "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    )
+    excluded = (
+        scored.filter(F.col("cos") >= COSINE_THRESHOLD)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excluded"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    negs = (
+        scored.filter(F.col("cos") < COSINE_THRESHOLD)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+    )
+    return negs.join(F.broadcast(excluded), "query_id", "left").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "rank",
+        F.round("cos", 6).alias("sim"),
+        F.coalesce("n_excluded", F.lit(0)).cast("long").alias("n_excluded"),
+    )
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
+    FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+),
+excluded AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_excluded
+    FROM scored WHERE cos >= {COSINE_THRESHOLD} GROUP BY 1
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored WHERE cos < {COSINE_THRESHOLD}
+)
+SELECT r.query_id, r.neighbor_id, CAST(r.rank AS BIGINT) AS rank,
+       round(r.cos, 6) AS sim,
+       COALESCE(x.n_excluded, 0) AS n_excluded
+FROM ranked r LEFT JOIN excluded x ON r.query_id = x.query_id
+WHERE r.rank <= {TOPK}
+"""
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-bit LSH buckets.
 

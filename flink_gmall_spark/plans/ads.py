@@ -2389,6 +2389,88 @@ WHERE n_customers IS NOT NULL
 """
 
 
+LDIV_L = 3  # a cell must span ≥ L distinct sensitive values to export
+LDIV_BAND_CENTS = 100_000  # $1000 wealth bands — the sensitive attribute
+
+
+def ldiversity_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSE AGGREGATE EXPORT — the attribute-disclosure rule that
+    k-anonymity alone misses: a (nation × segment) cell can satisfy
+    n ≥ K and still leak, because if every member shares the same
+    sensitive value (here the $1000 account-balance band), knowing
+    someone is IN the cell reveals their value exactly. A cell therefore
+    exports only when it has ≥ KANON_K members AND ≥ LDIV_L distinct
+    sensitive bands; failing cells fold into the one reconciling
+    ``__suppressed__`` bucket (totals never silently shrink —
+    the kanon_export discipline).
+
+    Scale shape: identical to the k-anon entry — one partial-aggregated
+    pass builds (cell, band) counts bounded by |nations|×|segments|×
+    |bands|; the diversity count, split, and fold run on that bounded
+    table, never on customer rows. Cites the same reference surface as
+    kanon_export (privacy gating before ADS publication).
+    """
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" DIV {LDIV_BAND_CENTS}"
+        ).alias("band"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    cells = cust.groupBy("nationkey", "segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("acctbal_cents"),
+        F.countDistinct("band").cast("long").alias("l_distinct"),
+    )
+    ok = cells.filter(
+        (F.col("n_customers") >= KANON_K) & (F.col("l_distinct") >= LDIV_L)
+    )
+    supp = (
+        cells.filter(
+            (F.col("n_customers") < KANON_K) | (F.col("l_distinct") < LDIV_L)
+        )
+        .agg(
+            F.sum("n_customers").cast("long").alias("n_customers"),
+            F.sum("acctbal_cents").cast("long").alias("acctbal_cents"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("nationkey"),
+            F.lit("__suppressed__").alias("segment"),
+            "n_customers",
+            "acctbal_cents",
+            F.lit(-1).cast("long").alias("l_distinct"),
+        )
+        .filter(F.col("n_customers").isNotNull())
+    )
+    return ok.unionByName(supp)
+
+
+ORACLE_LDIVERSITY_EXPORT = f"""
+WITH cells AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT) AS acctbal_cents,
+         CAST(count(DISTINCT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             // {LDIV_BAND_CENTS}) AS BIGINT) AS l_distinct
+  FROM customer GROUP BY 1, 2)
+SELECT nationkey, segment, n_customers, acctbal_cents, l_distinct
+FROM cells WHERE n_customers >= {KANON_K} AND l_distinct >= {LDIV_L}
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(-1 AS BIGINT) AS nationkey, '__suppressed__' AS segment,
+         CAST(sum(n_customers) AS BIGINT) AS n_customers,
+         CAST(sum(acctbal_cents) AS BIGINT) AS acctbal_cents,
+         CAST(-1 AS BIGINT) AS l_distinct
+  FROM cells WHERE n_customers < {KANON_K} OR l_distinct < {LDIV_L})
+WHERE n_customers IS NOT NULL
+"""
+
+
 ROLLING_DAYS = 7
 
 

@@ -323,6 +323,8 @@ _register("curation_recipe_v2", curation.recipe_v2, curation.ORACLE_RECIPE_V2, t
 _register("stream_pit_features_gated", stream_state.pit_features_gated_stream, stream_state.ORACLE_PIT_GATED, tags=("feature-store", "asof", "point-in-time", "streaming", "stateful", "watermark-gated", "T5"))
 _register("stream_zorder_compaction", stream_jobs.stream_zorder_compaction, scale.ORACLE_ZORDER_LAYOUT, tags=("streaming", "scale", "zorder", "maintenance", "small-files", "T9", "e2e"))
 _register("stream_cdc_delete_aware_agg", stream_state.cdc_retract_stream, dwd.ORACLE_CDC_DELETE_AWARE_AGG, tags=("streaming", "cdc", "retraction", "aggregate-maintenance", "stateful", "S5"))
+_register("ads_ldiversity_export", ads.ldiversity_export, ads.ORACLE_LDIVERSITY_EXPORT, tags=("privacy", "suppression", "l-diversity", "rollup"))
+_register("sim_hard_negatives", ann.hard_negatives, ann.ORACLE_HARD_NEGATIVES, tags=("similarity", "ml-training", "negative-sampling", "contrastive", "topk"))
 
 
 # =============================================================================

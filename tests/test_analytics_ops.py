@@ -546,3 +546,70 @@ def test_boilerplate_lines_hand_threshold(spark, tmp_path):
     got = {(r.source, r.chunk): (r.doc_ct, r.n_docs)
            for r in curation.boilerplate_lines(spark, d).collect()}
     assert got == {("s1", boiler): (2, 4)}
+
+
+def test_ldiversity_suppresses_and_reconciles(spark, sf_dir):
+    """At sf0.001 (~1.2 customers per (nation, segment) cell) most cells
+    fail n>=K or l>=L and must fold into ONE __suppressed__ bucket whose
+    totals reconcile exactly with the unsuppressed table — nothing
+    silently disappears, and no exported cell may violate either rule."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.plans import ads
+    from flink_gmall_spark.sources import load
+
+    out = ads.ldiversity_export(spark, sf_dir).toPandas()
+    supp = out[out["segment"] == "__suppressed__"]
+    ok = out[out["segment"] != "__suppressed__"]
+    assert len(supp) == 1, "tiny cells must exist and fold at this sf"
+    assert (ok["n_customers"] >= ads.KANON_K).all()
+    assert (ok["l_distinct"] >= ads.LDIV_L).all()
+    totals = (
+        load(spark, sf_dir, "customer")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert int(out["n_customers"].sum()) == totals["n"]
+    assert int(out["acctbal_cents"].sum()) == totals["cents"]
+
+
+def test_hard_negatives_excludes_near_dups(spark):
+    """Mined hard negatives must all sit strictly below the near-dup
+    ceiling, the exclusion counter must prove the ceiling actually bit,
+    and the count must equal the brute-force number of above-ceiling
+    candidates. Runs at sf0.01 (the driver's correctness scale): the
+    sf0.001 slice has no query-side pair above the 0.40 ceiling
+    (measured max 0.3918), so the exclusion branch is unreachable there."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.operators import ann
+    from flink_gmall_spark.sources import load
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = ann.hard_negatives(spark, sf_dir).toPandas()
+    assert (out["sim"] < ann.COSINE_THRESHOLD).all()
+    assert out.groupby("query_id")["rank"].max().le(ann.TOPK).all()
+    assert out["n_excluded"].max() > 0, "ceiling never bit — fixture changed?"
+    # cross-check one query's exclusion count against the raw pair scan
+    qid = int(out.loc[out["n_excluded"].idxmax(), "query_id"])
+    want = int(out.loc[out["query_id"] == qid, "n_excluded"].iloc[0])
+    emb = ann._with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == qid).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    got = (
+        emb.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos",
+            F.expr(ann._DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")),
+        )
+        .filter(F.col("cos") >= ann.COSINE_THRESHOLD)
+        .count()
+    )
+    assert got == want

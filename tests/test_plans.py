@@ -642,3 +642,29 @@ def test_source_overlap_distinct_before_pair_join(spark, sf_dir):
     plan = plan_of(df)
     j = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
     assert "HashAggregate" in plan[j:], plan  # dedup below the join
+
+
+def test_ldiversity_export_bounded_cell_table(spark, sf_dir):
+    """Same discipline as the k-anon gate: the diversity rule is computed
+    in the SAME partial-aggregated cell pass (count distinct band rides
+    the groupBy); the split + suppressed fold never rescan customer rows."""
+    from flink_gmall_spark.plans import ads
+
+    plan = plan_of(ads.ldiversity_export(spark, sf_dir))
+    assert "partial_" in plan, plan
+
+
+def test_hard_negatives_broadcast_and_group_limit(spark, sf_dir):
+    """Hard-negative mining keeps ann_topk's shape: the query side
+    broadcasts (never a corpus-wide shuffle join), the threshold filter
+    prunes before ranking, and the per-query TopK pushes down as
+    WindowGroupLimit."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.hard_negatives(spark, sf_dir))
+    # query side is non-equi (query_id != vec_id) → broadcast NESTED-LOOP
+    # with the tiny side as build; the exclusion counter re-joins by key
+    assert plan.count("BroadcastNestedLoopJoin BuildLeft") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
