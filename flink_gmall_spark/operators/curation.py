@@ -1417,6 +1417,152 @@ GROUP BY doc_id
 )
 
 
+GREEDY_MAX_WORD_LEN = 16  # oracle unroll bound; fixture dict max is 8
+
+
+def greedy_token_count(w: str, vset: set, max_tok: int) -> int:
+    """Longest-match-first token count of `w` against vocab `vset`, with
+    single-character byte fallback when no multi-char token matches at a
+    position (equivalent to the oracle's COALESCE(max(len(tok)), 1):
+    a 1-char vocab match and the fallback both advance by exactly 1)."""
+    pos, n = 0, 0
+    while pos < len(w):
+        step = 1  # single-char byte fallback
+        for ln in range(min(max_tok, len(w) - pos), 1, -1):
+            if w[pos : pos + ln] in vset:
+                step = ln
+                break
+        pos += step
+        n += 1
+    return n
+
+
+def bpe_greedy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER SERVE-TIME DRIFT LEDGER — greedy longest-match-first
+    segmentation (how WordPiece and several fast "BPE" implementations
+    actually segment at inference) against the canonical merge-order BPE
+    encode, over the SAME trained vocabulary. The two disagree on real
+    words: greedy grabs the longest vocab token at each position while
+    BPE replays merge ranks, so a served corpus can silently tokenize
+    differently from the training corpus — this ledger is the audit a
+    tokenizer rollout runs. Greedy uses single-character byte-fallback
+    when no vocab token matches at a position (a char merged away in
+    every training context is absent from the final vocab).
+
+    One summary row: dictionary size, total dict/corpus token counts
+    under both schemes, and how many words segment equal/shorter/longer
+    under greedy. Oracle parity makes the drift EXACT, not sampled.
+
+    Scale shape (100 TB): both encoders run over the bounded DISTINCT-
+    WORD dictionary (one partial-agg corpus pass produces it — the BPE-
+    family trick); the greedy matcher is an Arrow-batched pandas UDF
+    with the trained vocab (chars + BPE_TRAIN_MERGES merges, driver-
+    bounded by construction) captured — per-word iterative matching is
+    the textbook case built-ins cannot express; corpus-weighted totals
+    ride the dictionary's freq column, never the token stream. Words
+    longer than GREEDY_MAX_WORD_LEN are excluded on BOTH sides (the
+    oracle unrolls that many advance stages; fixture max is 8).
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sym = _bpe_symbolized_dictionary(spark, sf_dir, docs).filter(
+        F.length("w") <= GREEDY_MAX_WORD_LEN
+    )
+    vset = {
+        s
+        for (s,) in sym.select(F.explode(F.split("s", " ")).alias("t"))
+        .distinct()
+        .collect()
+    }
+    max_tok = max((len(t) for t in vset), default=1)
+
+    def add_greedy(batches):
+        for pdf in batches:
+            yield pdf.assign(
+                greedy_n=[greedy_token_count(w, vset, max_tok) for w in pdf["w"]]
+            )
+
+    per_word = sym.select(
+        "w",
+        "freq",
+        F.size(F.split("s", " ")).cast("long").alias("bpe_n"),
+    ).mapInPandas(add_greedy, "w string, freq long, bpe_n long, greedy_n long")
+    return per_word.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("bpe_n").cast("long").alias("bpe_dict_tokens"),
+        F.sum("greedy_n").cast("long").alias("greedy_dict_tokens"),
+        F.sum(F.col("freq") * F.col("bpe_n")).cast("long").alias("bpe_corpus_tokens"),
+        F.sum(F.col("freq") * F.col("greedy_n"))
+        .cast("long")
+        .alias("greedy_corpus_tokens"),
+        F.sum(F.when(F.col("greedy_n") == F.col("bpe_n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_equal"),
+        F.sum(F.when(F.col("greedy_n") < F.col("bpe_n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_greedy_shorter"),
+        F.sum(F.when(F.col("greedy_n") > F.col("bpe_n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_greedy_longer"),
+    )
+
+
+def _oracle_greedy_stages() -> str:
+    """Unrolled greedy longest-match advance stages over the symbolized
+    dictionary (w{BPE_TRAIN_MERGES} from the shared BPE CTEs): r0 seeds
+    (word, pos=1, n=0); each stage advances undone rows by the LONGEST
+    vocab token matching at pos (LEFT JOIN + max(len), single-char
+    fallback via COALESCE), exactly the pandas matcher's rule."""
+    parts = [
+        f"""vocab AS MATERIALIZED (
+    SELECT DISTINCT unnest(string_split(s, ' ')) AS tok FROM w{BPE_TRAIN_MERGES}
+),
+r0 AS MATERIALIZED (
+    SELECT replace(s, ' ', '') AS w, freq,
+           CAST(len(string_split(s, ' ')) AS BIGINT) AS bpe_n,
+           1 AS pos, CAST(0 AS BIGINT) AS n
+    FROM w{BPE_TRAIN_MERGES}
+    WHERE len(replace(s, ' ', '')) <= {GREEDY_MAX_WORD_LEN}
+)"""
+    ]
+    for k in range(1, GREEDY_MAX_WORD_LEN + 1):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+    SELECT w, freq, bpe_n,
+           CASE WHEN pos > len(w) THEN pos ELSE pos + adv END AS pos,
+           CASE WHEN pos > len(w) THEN n ELSE n + 1 END AS n
+    FROM (
+        SELECT r.w, r.freq, r.bpe_n, r.pos, r.n,
+               COALESCE(max(CASE WHEN v.tok = substr(r.w, r.pos, len(v.tok))
+                                 THEN len(v.tok) END), 1) AS adv
+        FROM r{k - 1} r LEFT JOIN vocab v
+          ON v.tok = substr(r.w, r.pos, len(v.tok))
+        GROUP BY r.w, r.freq, r.bpe_n, r.pos, r.n
+    )
+)"""
+        )
+    return ",\n".join(parts)
+
+
+ORACLE_BPE_GREEDY_DRIFT = (
+    "WITH "
+    + ",\n".join(_bpe_stage_ctes())
+    + ",\n"
+    + _oracle_greedy_stages()
+    + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(bpe_n) AS BIGINT) AS bpe_dict_tokens,
+       CAST(sum(n) AS BIGINT) AS greedy_dict_tokens,
+       CAST(sum(freq * bpe_n) AS BIGINT) AS bpe_corpus_tokens,
+       CAST(sum(freq * n) AS BIGINT) AS greedy_corpus_tokens,
+       CAST(sum(CASE WHEN n = bpe_n THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+       CAST(sum(CASE WHEN n < bpe_n THEN 1 ELSE 0 END) AS BIGINT) AS n_greedy_shorter,
+       CAST(sum(CASE WHEN n > bpe_n THEN 1 ELSE 0 END) AS BIGINT) AS n_greedy_longer
+FROM r{GREEDY_MAX_WORD_LEN}
+"""
+)
+
+
 # Deterministic 3-way split thresholds on the 6-hex md5 prefix:
 # [0, VAL) = val, [VAL, TEST) = test, [TEST, fff...] = train.
 SPLIT_SEED = "split42:"

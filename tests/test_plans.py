@@ -668,3 +668,16 @@ def test_hard_negatives_broadcast_and_group_limit(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bpe_greedy_drift_no_join_arrow_batched(spark, sf_dir):
+    """Both encoders run over the bounded distinct-word dictionary: the
+    greedy matcher is ONE Arrow-batched MapInPandas over that dictionary
+    (vocab captured, driver-bounded by construction) and the ledger is a
+    single global agg — no join anywhere, so nothing in this plan scales
+    with the token stream, only with |dictionary|."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.bpe_greedy_drift(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
