@@ -109,25 +109,48 @@ def main() -> None:
         "queries": timings,
         "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
         "queries_cold": cold,
-        "value_median": round(
-            sum(v for v in medians.values() if v is not None), 3
-        ),
-        "queries_median": medians,
-        "value_anchor24": round(
-            sum(v for k, v in timings.items() if k in ANCHOR_24 and v is not None), 3
-        ),
-        "value_median_anchor24": round(
-            sum(v for k, v in medians.items() if k in ANCHOR_24 and v is not None), 3
-        ),
-        "sf": sf,
     }
     if errors:
-        # Failed queries are excluded from the totals above, which makes
-        # `value` incomparable with a fully-green round. Flag it explicitly
-        # so bench_compare (and the judge) never read a shrunken denominator
-        # as an improvement. Placed LAST so a truncated tail still shows it.
-        out["errors"] = errors
-        out["n_failed"] = len(errors)
+        # Failed queries are excluded from the totals, which makes `value`
+        # incomparable with a fully-green round. The error TEXT is
+        # reconstructible by re-running, so it sits with the other
+        # head-truncatable detail and is hard-capped (~1.2 KB total) —
+        # an unbounded blob here would evict queries_median/anchor24/sf
+        # from the driver's 2000-char tail in exactly the broken rounds
+        # the tail-recovery path exists for. Only the tiny n_failed flag
+        # goes LAST so any tail survival shows the round was not green.
+        budget = 1200
+        capped = {}
+        for name, msg in errors.items():
+            msg = msg[:120]
+            if budget - len(msg) < 0:
+                capped[name] = "..."
+                continue
+            budget -= len(msg)
+            capped[name] = msg
+        out["errors"] = capped
+    out.update(
+        {
+            "value_median": round(
+                sum(v for v in medians.values() if v is not None), 3
+            ),
+            "queries_median": medians,
+            "value_anchor24": round(
+                sum(
+                    v for k, v in timings.items() if k in ANCHOR_24 and v is not None
+                ),
+                3,
+            ),
+            "value_median_anchor24": round(
+                sum(
+                    v for k, v in medians.items() if k in ANCHOR_24 and v is not None
+                ),
+                3,
+            ),
+            "sf": sf,
+            "n_failed": len(errors),
+        }
+    )
     print(json.dumps(out))
     try:
         spark.stop()

@@ -1459,21 +1459,35 @@ def bpe_greedy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the trained vocab (chars + BPE_TRAIN_MERGES merges, driver-
     bounded by construction) captured — per-word iterative matching is
     the textbook case built-ins cannot express; corpus-weighted totals
-    ride the dictionary's freq column, never the token stream. Words
-    longer than GREEDY_MAX_WORD_LEN are excluded on BOTH sides (the
-    oracle unrolls that many advance stages; fixture max is 8).
+    ride the dictionary's freq column, never the token stream. WORD
+    ROWS longer than GREEDY_MAX_WORD_LEN are excluded on BOTH sides
+    (the oracle unrolls that many advance stages; fixture max is 8),
+    but the VOCAB is built from the FULL symbolized dictionary on both
+    sides — a long word can contribute a merged token that shorter
+    words then match, so filtering vocab construction too would
+    desynchronize the engines. The symbolized dictionary is persisted
+    across its two consumers (the vocab collect and the drift agg) and
+    dropped after the eager one-row materialization.
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    sym = _bpe_symbolized_dictionary(spark, sf_dir, docs).filter(
-        F.length("w") <= GREEDY_MAX_WORD_LEN
-    )
+    sym_full = _bpe_symbolized_dictionary(spark, sf_dir, docs).persist()
     vset = {
         s
-        for (s,) in sym.select(F.explode(F.split("s", " ")).alias("t"))
+        for (s,) in sym_full.select(F.explode(F.split("s", " ")).alias("t"))
         .distinct()
         .collect()
     }
+    out = _greedy_drift_agg(sym_full, vset).localCheckpoint(eager=True)
+    sym_full.unpersist()
+    return out
+
+
+def _greedy_drift_agg(sym_full: DataFrame, vset: set) -> DataFrame:
+    """The lazy drift plan: word-row length filter → one Arrow-batched
+    MapInPandas greedy pass (full-dictionary vocab captured) → single
+    global agg. Factored so the plan gate can assert the no-join /
+    MapInPandas shape that the public wrapper's eager checkpoint hides."""
     max_tok = max((len(t) for t in vset), default=1)
 
     def add_greedy(batches):
@@ -1482,11 +1496,15 @@ def bpe_greedy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 greedy_n=[greedy_token_count(w, vset, max_tok) for w in pdf["w"]]
             )
 
-    per_word = sym.select(
-        "w",
-        "freq",
-        F.size(F.split("s", " ")).cast("long").alias("bpe_n"),
-    ).mapInPandas(add_greedy, "w string, freq long, bpe_n long, greedy_n long")
+    per_word = (
+        sym_full.filter(F.length("w") <= GREEDY_MAX_WORD_LEN)
+        .select(
+            "w",
+            "freq",
+            F.size(F.split("s", " ")).cast("long").alias("bpe_n"),
+        )
+        .mapInPandas(add_greedy, "w string, freq long, bpe_n long, greedy_n long")
+    )
     return per_word.agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("bpe_n").cast("long").alias("bpe_dict_tokens"),

@@ -91,6 +91,21 @@ def _split_boundary(sf_dir: str) -> str:
     return boundary
 
 
+def write_ordered_parts(d: str, tables, base_mtime: float) -> None:
+    """Write ``part-i.parquet`` files with strictly increasing mtimes so
+    the file stream source with maxFilesPerTrigger=1 replays them in
+    list order — the one mechanically-subtle piece of two-batch split
+    staging, shared by _stream_dir_split and the CDC retract twin
+    (streaming.state.cdc_retract_stream) so the replay-order contract
+    cannot drift between them."""
+    import pyarrow.parquet as pq
+
+    for i, t in enumerate(tables):
+        p = os.path.join(d, f"part-{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (base_mtime + i, base_mtime + i))
+
+
 def _stream_dir_split(sf_dir: str, name: str) -> str:
     """Stage a table as TWO parquet files cut at the shared day boundary
     (earlier days in part-0, the rest in part-1, original row order
@@ -132,11 +147,9 @@ def _stream_dir_split(sf_dir: str, name: str) -> str:
     # (same TOCTOU discipline as _stream_dir's symlink staging).
     tmp = f"{d}.{uuid.uuid4().hex[:8]}.tmp"
     os.makedirs(tmp, exist_ok=True)
-    now = st.st_mtime
-    for i, mask in enumerate([early, pc.invert(early)]):
-        p = os.path.join(tmp, f"part-{i}.parquet")
-        pq.write_table(t.filter(mask), p)
-        os.utime(p, (now + i, now + i))
+    write_ordered_parts(
+        tmp, [t.filter(early), t.filter(pc.invert(early))], st.st_mtime
+    )
     open(os.path.join(tmp, "_STAGED"), "w").close()
     try:
         os.rename(tmp, d)

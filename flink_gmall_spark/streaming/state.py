@@ -40,7 +40,11 @@ from flink_gmall_spark.plans.ads import (
 )
 from flink_gmall_spark.plans.dwm import JUMP_GAP_US, SESSION_GAP_US
 from flink_gmall_spark.session import tune
-from flink_gmall_spark.streaming.jobs import read_stream, run_to_memory
+from flink_gmall_spark.streaming.jobs import (
+    read_stream,
+    run_to_memory,
+    write_ordered_parts,
+)
 
 
 def _whole_batch(
@@ -831,7 +835,10 @@ def _cdc_retract_fn(
     without ever rescanning the table — the differential-dataflow /
     Flink-retraction shape the batch twin folds relationally. O(1) state
     per key (one image), ops applied in (op_us, op_seq) order over the
-    whole micro-batch."""
+    whole micro-batch; a key whose latest op is a delete REMOVES its
+    state entry (no tombstone), so long-run state is one image per LIVE
+    key — deleted keys genuinely reclaim, and a later re-insert starts
+    clean through the same no-prior-image path."""
     exists, status, cents = state.get if state.exists else (False, "", 0)
     out_status: list[str] = []
     out_dn: list[int] = []
@@ -852,7 +859,10 @@ def _cdc_retract_fn(
                 out_status.append(status)
                 out_dn.append(1)
                 out_dc.append(cents)
-    state.update((exists, status, cents))
+    if exists:
+        state.update((exists, status, cents))
+    elif state.exists:
+        state.remove()
     yield pd.DataFrame(
         {
             "id": key[0],
@@ -887,7 +897,6 @@ def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing passes through the driver — the OPERATOR is the keyed
     machine plus the bounded rollup."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from flink_gmall_spark.plans.dwd import (
         CDC_DATA_SCHEMA,
@@ -919,6 +928,13 @@ def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delete rows carry NULL cents → pandas float64 → parquet DOUBLE,
     # which the declared bigint stream schema rejects; keep it integral
     pdf["cents"] = pdf["cents"].astype("Int64")
+    # Cut at the changelog's OWN median op day (op_us is this stream's
+    # event-time domain — the events-table boundary jobs._split_boundary
+    # serves is the wrong clock here), into a per-call UNIQUE scratch
+    # dir: no cross-call cache, so the stale-boundary tag and atomic-
+    # rename (TOCTOU) refinements of jobs._stream_dir_split don't apply.
+    # The shared, drift-prone piece — mtime-ordered part replay — is
+    # jobs.write_ordered_parts, same as the split stager.
     days = sorted(set(pdf["op_us"] // 86_400_000_000))
     boundary = days[len(days) // 2]
     tag = hashlib.md5(
@@ -927,11 +943,14 @@ def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     src = scratch_dir("cdc_retract", tag)
     early = (pdf["op_us"] // 86_400_000_000) < boundary
-    now = 1_700_000_000.0
-    for i, part in enumerate((pdf[early], pdf[~early])):
-        p = os.path.join(src, f"part-{i}.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), p)
-        os.utime(p, (now + i, now + i))
+    write_ordered_parts(
+        src,
+        [
+            pa.Table.from_pandas(part, preserve_index=False)
+            for part in (pdf[early], pdf[~early])
+        ],
+        1_700_000_000.0,
+    )
 
     ops = (
         spark.readStream.schema(

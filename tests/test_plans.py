@@ -673,11 +673,25 @@ def test_hard_negatives_broadcast_and_group_limit(spark, sf_dir):
 def test_bpe_greedy_drift_no_join_arrow_batched(spark, sf_dir):
     """Both encoders run over the bounded distinct-word dictionary: the
     greedy matcher is ONE Arrow-batched MapInPandas over that dictionary
-    (vocab captured, driver-bounded by construction) and the ledger is a
-    single global agg — no join anywhere, so nothing in this plan scales
-    with the token stream, only with |dictionary|."""
+    (full-dictionary vocab captured, driver-bounded by construction) and
+    the ledger is a single global agg — no join anywhere, so nothing in
+    the lazy plan scales with the token stream, only with |dictionary|.
+    The public wrapper persists the symbolized dictionary across its two
+    consumers, hands back an eagerly checkpointed ONE-ROW scan, and must
+    not leak the persist (only the checkpoint RDD may remain)."""
     from flink_gmall_spark.operators import curation
+    from flink_gmall_spark.sources import load
 
-    plan = plan_of(curation.bpe_greedy_drift(spark, sf_dir))
-    assert "MapInPandas" in plan, plan
-    assert "Join" not in plan, plan
+    sym = curation._bpe_symbolized_dictionary(
+        spark, sf_dir, load(spark, sf_dir, "documents")
+    )
+    inner = plan_of(curation._greedy_drift_agg(sym, {"ab", "a", "b"}))
+    assert "MapInPandas" in inner, inner
+    assert "Join" not in inner, inner
+
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    outer = plan_of(curation.bpe_greedy_drift(spark, sf_dir))
+    assert "Scan ExistingRDD" in outer, outer
+    assert "Join" not in outer and "Exchange" not in outer, outer
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before + 1, (before, after)

@@ -581,6 +581,9 @@ class _FakeState:
     def update(self, v):
         self._v = v
 
+    def remove(self):
+        self._v = None
+
     def getCurrentWatermarkMs(self):
         return self.wm_ms
 
@@ -968,15 +971,28 @@ def test_cdc_retract_fn_emits_exact_increments_across_batches():
     assert list(zip(out2["order_status"], out2["dn"], out2["dc"])) == [
         ("F", -1, -1000), ("PAID", 1, 1000), ("PAID", -1, -1000)
     ]
-    assert st.get == (False, "", 0)
+    # the tombstone is NOT stored — deleted keys reclaim their state
+    # entry entirely (one image per LIVE key at 100 TB, no dead growth)
+    assert not st.exists
     # net effect: every status sums to zero — the key vanished
     assert out1["dn"].sum() + out2["dn"].sum() == 0
     assert out1["dc"].sum() + out2["dc"].sum() == 0
 
     # a delete for a key never seen (or already deleted) emits nothing
+    # AND creates no state
     b3 = pd.DataFrame(
         {"type": ["delete"], "status": [None], "cents": [None],
          "op_us": [4], "op_seq": [3]}
     )
     (out3,) = _cdc_retract_fn((5,), iter([b3]), st)
     assert len(out3) == 0
+    assert not st.exists
+
+    # re-insert after delete starts clean through the no-prior-image path
+    b4 = pd.DataFrame(
+        {"type": ["insert"], "status": ["O"], "cents": [500],
+         "op_us": [5], "op_seq": [4]}
+    )
+    (out4,) = _cdc_retract_fn((5,), iter([b4]), st)
+    assert list(zip(out4["order_status"], out4["dn"], out4["dc"])) == [("O", 1, 500)]
+    assert st.get == (True, "O", 500)
