@@ -422,3 +422,36 @@ def test_temperature_quota_bounds_and_monotonicity(ns):
         for n2, q2 in zip(ns, quotas):
             if n1 > n2:
                 assert q1 >= q2
+
+
+@given(
+    st.text(alphabet="ab", min_size=0, max_size=16),
+    st.sets(st.text(alphabet="ab", min_size=1, max_size=4), max_size=12),
+)
+def test_greedy_token_count_matches_oracle_stage_semantics(w, vocab):
+    """curation.greedy_token_count must agree with an INDEPENDENT
+    re-implementation of the DuckDB oracle's unrolled advance rule
+    (adv = COALESCE(max(len(tok) matching at pos), 1)) on arbitrary
+    words and vocabularies over a 2-letter alphabet — the two engines'
+    greedy semantics are the same function, pinned here without Spark
+    or DuckDB in the loop. Also pins the hard bounds: ceil(len/max_tok)
+    <= count <= len(w)."""
+    import math
+
+    from flink_gmall_spark.operators.curation import greedy_token_count
+
+    max_tok = max((len(t) for t in vocab), default=1)
+
+    # oracle-rule reference: max matching token length, else 1
+    pos, n = 0, 0
+    while pos < len(w):
+        adv = max(
+            (len(t) for t in vocab if w[pos : pos + len(t)] == t), default=1
+        )
+        pos += adv
+        n += 1
+
+    got = greedy_token_count(w, vocab, max_tok)
+    assert got == n, (w, sorted(vocab), got, n)
+    if w:
+        assert math.ceil(len(w) / max(max_tok, 1)) <= got <= len(w)
