@@ -169,7 +169,9 @@ class _DailyUVProcessor:
         fresh: list[str] = []
         pdf = _whole_batch(rows)
         if pdf is not None:
-            for dt in sorted({str(x) for x in pdf["dt"]}):
+            # same NULL-day guard as _t2_fn (round-8 ADVICE): 'None'
+            # sorts after every ISO date and would poison last_dt
+            for dt in sorted({str(x) for x in pdf["dt"] if not pd.isna(x)}):
                 if dt > last_dt:
                     last_dt = dt
                     fresh.append(dt)

@@ -761,6 +761,35 @@ def test_t2_and_cohort_fns_drop_null_days():
     assert list(cout["day"]) == ["2024-01-05"]
     assert st2.get == ("2024-01-05", "2024-01-05")  # cohort pinned to a real day
 
+    # the transformWithState twin shares the fold and must share the guard
+    from flink_gmall_spark.streaming.state import _DailyUVProcessor
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _FakeHandle:
+        def __init__(self, vs):
+            self._vs = vs
+
+        def getValueState(self, name, schema):
+            return self._vs
+
+    proc = _DailyUVProcessor()
+    vs = _FakeValueState()
+    proc.init(_FakeHandle(vs))
+    (tout,) = proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"dt": ["2024-01-03", None]})]), None
+    )
+    assert list(tout["dt"]) == ["2024-01-03"]
+    assert vs.get() == ("2024-01-03",)  # not 'None'
+
 
 def _pit_row(d, kind, ok=-1, iv=0, ip=0, cents=0):
     return {"d": d, "kind": kind, "o_orderkey": ok,
