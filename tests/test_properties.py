@@ -455,3 +455,67 @@ def test_greedy_token_count_matches_oracle_stage_semantics(w, vocab):
     assert got == n, (w, sorted(vocab), got, n)
     if w:
         assert math.ceil(len(w) / max(max_tok, 1)) <= got <= len(w)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.sampled_from(["O", "F", "P"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=10**6)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_cdc_retract_increments_sum_to_latest_image(ops, n_batches):
+    """The retract machine's defining invariant, over ARBITRARY op
+    sequences and arbitrary contiguous micro-batch splits: summing the
+    emitted (dn, dc) increments per status must reproduce the count and
+    cents of the key's final surviving image — zero everywhere if the
+    last op was a delete — and the state entry must exist iff the key
+    survives (deletes reclaim, no tombstone)."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import _cdc_retract_fn
+    from tests.test_streaming import _FakeState
+
+    rows = [
+        {
+            "type": t,
+            "status": s if t != "delete" else None,
+            "cents": c if t != "delete" else None,
+            "op_us": i,
+            "op_seq": i,
+        }
+        for i, (t, s, c) in enumerate(ops)
+    ]
+    # arbitrary contiguous batch split (delivery stays in op order)
+    cut = max(1, len(rows) // n_batches)
+    batches = [rows[i : i + cut] for i in range(0, len(rows), cut)]
+
+    st_ = _FakeState()
+    sums: dict[str, list[int]] = {}
+    for b in batches:
+        (out,) = _cdc_retract_fn((1,), iter([pd.DataFrame(b)]), st_)
+        for s, dn, dc in zip(out["order_status"], out["dn"], out["dc"]):
+            acc = sums.setdefault(s, [0, 0])
+            acc[0] += int(dn)
+            acc[1] += int(dc)
+
+    # reference: replay the ops sequentially for the surviving image
+    alive, status, cents = False, None, 0
+    for t, s, c in ops:
+        if t == "delete":
+            alive = False
+        else:
+            alive, status, cents = True, s, 0 if c is None else int(c)
+
+    live = {s: acc for s, acc in sums.items() if acc != [0, 0]}
+    if alive:
+        assert live == {status: [1, cents]}, (ops, sums)
+        assert st_.get == (True, status, cents)
+    else:
+        assert live == {}, (ops, sums)
+        assert not st_.exists  # reclaimed, not tombstoned
