@@ -519,3 +519,66 @@ def test_cdc_retract_increments_sum_to_latest_image(ops, n_batches):
     else:
         assert live == {}, (ops, sums)
         assert not st_.exists  # reclaimed, not tombstoned
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),  # day_num
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1),  # is_p
+                st.one_of(st.none(), st.integers(min_value=0, max_value=999)),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_rolling_fn_matches_bruteforce_trailing_window(day_rows, n_batches):
+    """The bounded-deque rolling machine must reproduce, for every
+    emitted day, the brute-force trailing ROLLING_DAYS_S-day aggregate
+    over all rows — events and purchases as plain sums, cents with SQL
+    SUM semantics (NULL iff every contributing cents is NULL) — under
+    the documented delivery shape: days non-decreasing across batches,
+    each day's bucket closed within one micro-batch."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import ROLLING_DAYS_S, _rolling_fn
+    from tests.test_streaming import _FakeState
+
+    days_sorted = sorted(day_rows)
+    cut = max(1, len(days_sorted) // n_batches)
+    day_batches = [days_sorted[i : i + cut] for i in range(0, len(days_sorted), cut)]
+
+    st_ = _FakeState()
+    got: dict[int, tuple] = {}
+    for db in day_batches:
+        rows = [
+            {"day_num": d, "one": 1, "is_p": p, "cents": c}
+            for d in db
+            for (p, c) in day_rows[d]
+        ]
+        (out,) = _rolling_fn((1,), iter([pd.DataFrame(rows)]), st_)
+        for d, n, p, c in zip(
+            out["day_num"], out["events_7d"], out["purchases_7d"],
+            out["value_cents_7d"],
+        ):
+            got[int(d)] = (int(n), int(p), None if pd.isna(c) else int(c))
+
+    for d in days_sorted:
+        window = [
+            (p, c)
+            for d2 in days_sorted
+            if d - (ROLLING_DAYS_S - 1) <= d2 <= d
+            for (p, c) in day_rows[d2]
+        ]
+        non_null = [c for (_, c) in window if c is not None]
+        want = (
+            len(window),
+            sum(p for (p, _) in window),
+            sum(non_null) if non_null else None,
+        )
+        assert got[d] == want, (d, got[d], want)
