@@ -1025,3 +1025,22 @@ def test_cdc_retract_fn_emits_exact_increments_across_batches():
     (out4,) = _cdc_retract_fn((5,), iter([b4]), st)
     assert list(zip(out4["order_status"], out4["dn"], out4["dc"])) == [("O", 1, 500)]
     assert st.get == (True, "O", 500)
+
+
+def test_write_ordered_parts_replay_order_contract(tmp_path):
+    """The shared two-batch staging writer (used by _stream_dir_split
+    AND the CDC retract twin) must produce part-i files with STRICTLY
+    increasing mtimes in list order — the property the file stream
+    source's maxFilesPerTrigger=1 replay depends on."""
+    import os
+
+    import pyarrow as pa
+
+    from flink_gmall_spark.streaming.jobs import write_ordered_parts
+
+    tables = [pa.table({"x": [i]}) for i in range(3)]
+    write_ordered_parts(str(tmp_path), tables, 1_700_000_000.0)
+    paths = [tmp_path / f"part-{i}.parquet" for i in range(3)]
+    assert all(p.exists() for p in paths)
+    mtimes = [os.stat(p).st_mtime for p in paths]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
