@@ -582,3 +582,86 @@ def test_rolling_fn_matches_bruteforce_trailing_window(day_rows, n_batches):
             sum(non_null) if non_null else None,
         )
         assert got[d] == want, (d, got[d], want)
+
+
+@given(
+    st.lists(
+        st.sampled_from([1, 2, 599, 600, 601, 1200, 1800, 1801, 3600]),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.lists(st.floats(min_value=0.0, max_value=1.0), min_size=4, max_size=4),
+    st.sampled_from([0, 602, 7200]),
+)
+def test_t3_jump_out_matches_horizon_oracle_under_any_delivery(
+    gaps_s, n_batches, wm_fracs, final_extra_s
+):
+    """The CEP jump-out machine must emit EXACTLY the horizon-oracle set
+    (session starts whose successor is late, plus successor-less starts
+    whose event-time timeout the final watermark passed), each at most
+    once, REGARDLESS of how the ordered event sequence is cut into
+    micro-batches and how far the global watermark advances between them
+    (other keys' events — bounded in-contract: a bump never passes the
+    next undelivered event). Mirrors ORACLE_JUMP_OUT_STREAM's strict
+    `wm_ms > pend_ms + gap_ms + 1` firing rule."""
+    import pandas as pd
+
+    from flink_gmall_spark.plans.dwm import JUMP_GAP_US, SESSION_GAP_US
+    from flink_gmall_spark.streaming.state import _t3_fn
+    from tests.test_streaming import _FakeState
+
+    us_list = []
+    cur = 1_000_000_000  # keep event 0 well past wm=0
+    for g in gaps_s:
+        us_list.append(cur)
+        cur += g * 1_000_000
+    ids = list(range(len(us_list)))
+
+    cut = max(1, len(us_list) // n_batches)
+    batches = [list(zip(ids, us_list))[i : i + cut] for i in range(0, len(us_list), cut)]
+
+    st_ = _FakeState(wm_ms=0)
+    emitted: list[int] = []
+
+    def fire_timeout_if_due():
+        if st_.timeout_ts is not None and st_.wm_ms > st_.timeout_ts:
+            st_.hasTimedOut = True
+            st_.timeout_ts = None
+            (out,) = _t3_fn((1,), iter([]), st_)
+            emitted.extend(int(x) for x in out["event_id"])
+            st_.hasTimedOut = False
+
+    for bi, b in enumerate(batches):
+        fire_timeout_if_due()
+        pdf = pd.DataFrame(
+            {"event_id": [e for e, _ in b], "us": [u for _, u in b]}
+        )
+        (out,) = _t3_fn((1,), iter([pdf]), st_)
+        emitted.extend(int(x) for x in out["event_id"])
+        # in-contract watermark bump: up to just below the next batch's
+        # first event (a global wm never passes an undelivered event)
+        lo = max(st_.wm_ms, b[-1][1] // 1000)
+        if bi + 1 < len(batches):
+            hi = batches[bi + 1][0][1] // 1000 - 1
+        else:
+            hi = us_list[-1] // 1000 + final_extra_s * 1000
+        frac = wm_fracs[bi % len(wm_fracs)]
+        st_.wm_ms = max(lo, lo + int(frac * (hi - lo)))
+    st_.wm_ms = us_list[-1] // 1000 + final_extra_s * 1000
+    fire_timeout_if_due()
+
+    # reference: the horizon oracle over the same sequence
+    want = set()
+    for i, u in enumerate(us_list):
+        is_start = i == 0 or u - us_list[i - 1] > SESSION_GAP_US
+        if not is_start:
+            continue
+        if i + 1 < len(us_list):
+            if us_list[i + 1] - u > JUMP_GAP_US:
+                want.add(i)
+        elif st_.wm_ms > u // 1000 + JUMP_GAP_US // 1000 + 1:
+            want.add(i)
+
+    assert len(emitted) == len(set(emitted)), f"duplicate emission: {emitted}"
+    assert set(emitted) == want, (gaps_s, n_batches, emitted, want)
