@@ -665,3 +665,58 @@ def test_t3_jump_out_matches_horizon_oracle_under_any_delivery(
 
     assert len(emitted) == len(set(emitted)), f"duplicate emission: {emitted}"
     assert set(emitted) == want, (gaps_s, n_batches, emitted, want)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=1, max_value=28).map(
+                    lambda d: f"2024-01-{d:02d}"
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cohort_fn_matches_first_day_reference(batches):
+    """The O(1) cohort machine, under its ordered-delivery precondition
+    (each batch's minimum day >= every prior batch's maximum), must emit
+    exactly one row per DISTINCT non-null day, all labeled with the
+    global first day, in non-decreasing order — equivalent to the batch
+    first-visit cohort over the union of all batches. NULL days never
+    pin the cohort nor advance max_day."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import _cohort_fn
+    from tests.test_streaming import _FakeState
+
+    # enforce the documented precondition by sorting days ACROSS batches
+    # while keeping the given batch sizes (split points preserved)
+    all_days = sorted(d for b in batches for d in b if d is not None)
+    sizes = [len([d for d in b if d is not None]) for b in batches]
+    ordered, pos = [], 0
+    for b, sz in zip(batches, sizes):
+        days = all_days[pos : pos + sz]
+        pos += sz
+        nulls = [None] * (len(b) - sz)
+        ordered.append(days + nulls)
+
+    st_ = _FakeState()
+    got = []
+    for b in ordered:
+        (out,) = _cohort_fn((1,), iter([pd.DataFrame({"dt": b})]), st_)
+        got.extend(zip(out["cohort_day"], out["day"]))
+
+    distinct = sorted(set(all_days))
+    if not distinct:
+        assert got == []
+        assert st_.get == ("", "")
+    else:
+        want = [(distinct[0], d) for d in distinct]
+        assert got == want, (ordered, got, want)
+        assert st_.get == (distinct[0], distinct[-1])
