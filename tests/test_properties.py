@@ -720,3 +720,57 @@ def test_cohort_fn_matches_first_day_reference(batches):
         want = [(distinct[0], d) for d in distinct]
         assert got == want, (ordered, got, want)
         assert st_.get == (distinct[0], distinct[-1])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "purchase", "other"]),
+            st.integers(min_value=0, max_value=3),  # gap index
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_timed_funnel_fn_matches_reference(events, n_batches):
+    """The timed-funnel machine, over arbitrary ordered event sequences
+    and micro-batch cuts, must emit 'viewed' exactly once at the first
+    view and 'converted' exactly once iff some purchase lands strictly
+    after the first view and within the window — the monotone-marker
+    contract that keeps the append stream retraction-free."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import (
+        TIMED_FUNNEL_WINDOW_S,
+        _timed_funnel_fn,
+    )
+    from tests.test_streaming import _FakeState
+
+    w_us = TIMED_FUNNEL_WINDOW_S * 1_000_000
+    gaps = [1, w_us // 2, w_us, w_us + 1]
+    rows, cur = [], 1_000_000
+    for i, (et, gi) in enumerate(events):
+        rows.append({"event_id": i, "us": cur, "event_type": et})
+        cur += gaps[gi]
+
+    cut = max(1, len(rows) // n_batches)
+    st_ = _FakeState()
+    got: list[str] = []
+    for i in range(0, len(rows), cut):
+        (out,) = _timed_funnel_fn(
+            (1,), iter([pd.DataFrame(rows[i : i + cut])]), st_
+        )
+        got.extend(out["kind"])
+
+    views = [r["us"] for r in rows if r["event_type"] == "view"]
+    want = []
+    if views:
+        fv = views[0]
+        want.append("viewed")
+        if any(
+            r["event_type"] == "purchase" and fv < r["us"] <= fv + w_us
+            for r in rows
+        ):
+            want.append("converted")
+    assert got == want, (events, got, want)
