@@ -774,3 +774,50 @@ def test_timed_funnel_fn_matches_reference(events, n_batches):
         ):
             want.append("converted")
     assert got == want, (events, got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "cart", "purchase"]),
+            st.sampled_from([1, 10, 1800, 1801, 7200]),  # gap seconds
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from([None, 1800]),
+)
+def test_transitions_fn_matches_lag_reference(events, n_batches, gap_s):
+    """The one-tuple transition machine (both twins: unscoped and
+    session-gap-scoped), over arbitrary ordered sequences and
+    micro-batch cuts, must emit exactly the lag() pairs of the whole
+    sequence — consecutive (prev, cur) steps, session-scoped ones only
+    when the gap fits — proving cross-batch tail continuity equals the
+    batch window."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import _make_transitions_fn
+    from tests.test_streaming import _FakeState
+
+    gap_us = None if gap_s is None else gap_s * 1_000_000
+    fn = _make_transitions_fn(gap_us)
+
+    rows, cur = [], 1_000_000
+    for i, (et, g) in enumerate(events):
+        rows.append({"event_id": i, "us": cur, "event_type": et})
+        cur += g * 1_000_000
+
+    cut = max(1, len(rows) // n_batches)
+    st_ = _FakeState()
+    got = []
+    for i in range(0, len(rows), cut):
+        (out,) = fn((1,), iter([pd.DataFrame(rows[i : i + cut])]), st_)
+        got.extend(zip(out["from_type"], out["to_type"]))
+
+    want = [
+        (a["event_type"], b["event_type"])
+        for a, b in zip(rows, rows[1:])
+        if gap_us is None or b["us"] - a["us"] <= gap_us
+    ]
+    assert got == want, (events, gap_s, got, want)
