@@ -821,3 +821,54 @@ def test_transitions_fn_matches_lag_reference(events, n_batches, gap_s):
         if gap_us is None or b["us"] - a["us"] <= gap_us
     ]
     assert got == want, (events, gap_s, got, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["view", "cart", "ad_click", "purchase"]),
+            st.sampled_from([1, 60, 86400, 86401, 200000]),  # gap seconds
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9999)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_attrib_fn_matches_last_touch_reference(events, n_batches):
+    """The last-touch machine, over arbitrary ordered sequences and
+    micro-batch cuts, must credit every purchase to the most recent
+    non-purchase touchpoint within the attribution window (else
+    'direct'), carrying NULL cents as 0 — exactly the batch lag-window
+    semantics, across batch boundaries."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import ATTR_WINDOW_S, _attrib_fn
+    from tests.test_streaming import _FakeState
+
+    rows, cur = [], 1_000_000
+    for i, (et, g, c) in enumerate(events):
+        rows.append({"event_id": i, "us": cur, "event_type": et, "cents": c})
+        cur += g * 1_000_000
+
+    cut = max(1, len(rows) // n_batches)
+    st_ = _FakeState()
+    got = []
+    for i in range(0, len(rows), cut):
+        (out,) = _attrib_fn((1,), iter([pd.DataFrame(rows[i : i + cut])]), st_)
+        got.extend(zip(out["channel"], out["cents"]))
+
+    want, touch = [], None
+    for r in rows:
+        if r["event_type"] == "purchase":
+            if (
+                touch is not None
+                and touch["us"] >= r["us"] - ATTR_WINDOW_S * 1_000_000
+            ):
+                ch = touch["event_type"]
+            else:
+                ch = "direct"
+            want.append((ch, 0 if r["cents"] is None else r["cents"]))
+        else:
+            touch = r
+    assert [(c, int(v)) for c, v in got] == want, (events, got, want)
