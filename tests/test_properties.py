@@ -872,3 +872,67 @@ def test_attrib_fn_matches_last_touch_reference(events, n_batches):
         else:
             touch = r
     assert [(c, int(v)) for c, v in got] == want, (events, got, want)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=4),
+)
+def test_t1_fn_first_event_flag_across_batches(n_events, n_batches):
+    """T1: exactly the first event ever seen for a key carries is_new=1,
+    every later one 0, regardless of micro-batch cuts."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import _t1_fn
+    from tests.test_streaming import _FakeState
+
+    rows = [{"event_id": i, "us": 1_000_000 * (i + 1)} for i in range(n_events)]
+    cut = max(1, n_events // n_batches)
+    st_ = _FakeState()
+    got = []
+    for i in range(0, n_events, cut):
+        (out,) = _t1_fn((1,), iter([pd.DataFrame(rows[i : i + cut])]), st_)
+        got.extend(zip(out["event_id"], out["is_new"]))
+    assert got == [(i, "1" if i == 0 else "0") for i in range(n_events)]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.integers(min_value=1, max_value=28).map(
+                    lambda d: f"2024-01-{d:02d}"
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_t2_fn_emits_each_day_once(batches):
+    """T2: under ordered delivery (enforced here by sorting days across
+    the given batch cuts), every distinct non-null day is emitted
+    exactly once, in order — the O(1) last_dt fold equals the batch
+    first-visit dedup."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import _t2_fn
+    from tests.test_streaming import _FakeState
+
+    all_days = sorted(d for b in batches for d in b if d is not None)
+    sizes = [len([d for d in b if d is not None]) for b in batches]
+    ordered, pos = [], 0
+    for b, sz in zip(batches, sizes):
+        days = all_days[pos : pos + sz]
+        pos += sz
+        ordered.append(days + [None] * (len(b) - sz))
+
+    st_ = _FakeState()
+    got = []
+    for b in ordered:
+        (out,) = _t2_fn((1,), iter([pd.DataFrame({"dt": b})]), st_)
+        got.extend(out["dt"])
+    assert got == sorted(set(all_days)), (ordered, got)
