@@ -39,6 +39,79 @@ from flink_gmall_spark.session import get_spark
 
 WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_RUNS", "5"))
 
+
+def _host_snapshot() -> dict:
+    """One compact sample of host load state (VERDICT r8 ask #3).
+
+    The r8 round saw a uniform +14 % wall-time shift across 26/27
+    unrelated queries that the same-tree local bench did not reproduce —
+    classic bench-host contention, but undecidable from the JSON alone.
+    This fingerprint makes it decidable: loadavg is HOST-wide (not
+    cgroup-scoped), so a loadavg far above this process's own thread
+    count means a noisy neighbour; /proc/stat steal/iowait jiffies name
+    the mechanism; MemAvailable/Cached catch page-cache eviction (cold
+    parquet reads). Collection is best-effort — a missing /proc never
+    fails the bench.
+    """
+    snap: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        snap["load1"], snap["load5"], snap["load15"] = (
+            float(parts[0]), float(parts[1]), float(parts[2]))
+    except Exception:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()
+        # user nice system idle iowait irq softirq steal
+        vals = [int(v) for v in cpu[1:9]]
+        snap["jiffies"] = {
+            "total": sum(vals), "idle": vals[3], "iowait": vals[4],
+            "steal": vals[7] if len(vals) > 7 else 0,
+        }
+    except Exception:
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                k, _, v = line.partition(":")
+                if k in ("MemAvailable", "Cached"):
+                    mem[k] = int(v.split()[0])
+        snap["mem_avail_gb"] = round(mem.get("MemAvailable", 0) / 1048576, 2)
+        snap["cached_gb"] = round(mem.get("Cached", 0) / 1048576, 2)
+    except Exception:
+        pass
+    return snap
+
+
+def _host_fingerprint(before: dict, after: dict, wall_sec: float) -> dict:
+    """Collapse two snapshots into the compact per-run fingerprint.
+
+    idle_frac is idle jiffies / total jiffies over the bench window
+    across ALL host CPUs: on an otherwise-idle 32-cpu host a bench using
+    ~8 effective cores leaves idle_frac ≈ 0.75; idle_frac near 0 with
+    our own cpu count unchanged means external contention. steal_frac
+    > ~0.02 means the hypervisor throttled us.
+    """
+    fp = {
+        "load1_before": before.get("load1"),
+        "load1_after": after.get("load1"),
+        "load5_after": after.get("load5"),
+        "mem_avail_gb": before.get("mem_avail_gb"),
+        "cached_gb_before": before.get("cached_gb"),
+        "ncpu": os.cpu_count(),
+        "wall_sec": round(wall_sec, 1),
+    }
+    jb, ja = before.get("jiffies"), after.get("jiffies")
+    if jb and ja and ja["total"] > jb["total"]:
+        dt = ja["total"] - jb["total"]
+        fp["idle_frac"] = round((ja["idle"] - jb["idle"]) / dt, 3)
+        fp["iowait_frac"] = round((ja["iowait"] - jb["iowait"]) / dt, 3)
+        fp["steal_frac"] = round((ja["steal"] - jb["steal"]) / dt, 3)
+    return fp
+
 # The 24-query headline set benched every round since r2 — the anchor for
 # round-over-round comparison. Round 7 added the heaviest analytics plans
 # (pagerank_deep / triangles / association_rules, VERDICT r6 ask #4) to
@@ -56,11 +129,39 @@ ANCHOR_24 = frozenset([
 ])
 
 
+def _cap_errors(errors: dict[str, str], budget: int = 1200) -> dict[str, str]:
+    """Hard-cap the errors blob for the JSON line.
+
+    Failed queries are excluded from the totals, which makes `value`
+    incomparable with a fully-green round. The error TEXT is
+    reconstructible by re-running, so it sits with the other
+    head-truncatable detail and is hard-capped (~1.2 KB total) — an
+    unbounded blob would evict queries_median/anchor24/sf from the
+    driver's 2000-char tail in exactly the broken rounds the
+    tail-recovery path exists for. The budget charges key names as well
+    as message bytes (ADVICE r8: names and per-entry placeholders are
+    themselves unbounded across a many-failure round); once exhausted, a
+    single summary key replaces the remainder.
+    """
+    capped: dict[str, str] = {}
+    for i, (name, msg) in enumerate(errors.items()):
+        msg = msg[:120]
+        cost = len(name) + len(msg)
+        if budget - cost < 0:
+            capped["truncated"] = f"{len(errors) - i} more"
+            break
+        budget -= cost
+        capped[name] = msg
+    return capped
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("flink-gmall-bench")
+    host_before = _host_snapshot()
+    bench_t0 = time.perf_counter()
 
     # warmup: JVM + parquet footer caches, not the queries under test
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -111,24 +212,7 @@ def main() -> None:
         "queries_cold": cold,
     }
     if errors:
-        # Failed queries are excluded from the totals, which makes `value`
-        # incomparable with a fully-green round. The error TEXT is
-        # reconstructible by re-running, so it sits with the other
-        # head-truncatable detail and is hard-capped (~1.2 KB total) —
-        # an unbounded blob here would evict queries_median/anchor24/sf
-        # from the driver's 2000-char tail in exactly the broken rounds
-        # the tail-recovery path exists for. Only the tiny n_failed flag
-        # goes LAST so any tail survival shows the round was not green.
-        budget = 1200
-        capped = {}
-        for name, msg in errors.items():
-            msg = msg[:120]
-            if budget - len(msg) < 0:
-                capped[name] = "..."
-                continue
-            budget -= len(msg)
-            capped[name] = msg
-        out["errors"] = capped
+        out["errors"] = _cap_errors(errors)
     out.update(
         {
             "value_median": round(
@@ -146,6 +230,11 @@ def main() -> None:
                     v for k, v in medians.items() if k in ANCHOR_24 and v is not None
                 ),
                 3,
+            ),
+            # Host fingerprint sits tail-side so it survives the driver's
+            # 2000-char truncation alongside the numbers it contextualizes.
+            "host": _host_fingerprint(
+                host_before, _host_snapshot(), time.perf_counter() - bench_t0
             ),
             "sf": sf,
             "n_failed": len(errors),

@@ -329,50 +329,63 @@ _register("curation_bpe_greedy_drift", curation.bpe_greedy_drift, curation.ORACL
 
 
 # =============================================================================
-# Round-8 sample window. The driver samples the FIRST 50 registrations, so
-# ordering is evidence strategy, not aesthetics. CORRECTNESS_r07 greened the
-# entire round-7 window (50/50), so it rotates out wholesale; entering
-# round 8 the only entries without a driver row are the 15 round-7
-# additions (each already subset-simmed MATCH at sf0.01 AND sf0.1 under
-# the hostile config at commit time, and re-verified ALL MATCH by the
-# round-7 judge's own sim). This window (VERDICT r7 ask #1 / ROADMAP
-# round-8 rotation) = those 15 + 35 of the 39 entries whose latest row
-# is r4 (the cohort not refreshed in rounds 5-7: CDC family, dwm/dws
-# batch, TPC-H q2/q9/q11/q12/q16/q20-22, curation pack/mixture/e2e/
-# domain_cap, remaining stream twins). The 4 deferred r4 entries —
-# stream_province_stats (transform+oracle shared verbatim with
-# dws_province_stats, in this window) and source_pyds_cdc_upsert /
-# sink_pyds_dim_roundtrip / stream_pyds_cdc_dist (ORACLE_CDC_DIM_UPSERT
-# family; sibling stream_pyds_cdc_upsert carries a green r7 row and
-# dwd_cdc_dim_upsert is in this window) — stay exactly 4 rounds old,
-# within the ≤4 criterion, and lead the round-9 window.
+# Round-9 sample window. The driver samples the FIRST 50 registrations, so
+# ordering is evidence strategy, not aesthetics. CORRECTNESS_r08 greened the
+# entire round-8 window (50/50), so it rotates out wholesale. This window
+# (VERDICT r8 ask #1 / ROADMAP round-9 rotation, staged verbatim in the
+# round-8 registry comment) = the 6 round-8 additions (never
+# driver-verified; each subset-simmed MATCH at sf0.01 AND sf0.1 under the
+# hostile config at commit time, and re-verified ALL MATCH by the round-8
+# judge's own sim) + the 4 deferred r4 entries (oldest rows in the
+# registry, exactly 4 rounds old) + 40 of the 50 entries whose latest row
+# is r5. The 10 r5 entries deferred to round 10 each share their
+# transform and/or oracle with a sibling that stays in this window or
+# carries a fresher row: stream_config_routing (oracle shared verbatim
+# with dwd_config_routing, green r8), stream_binned_range_join (twin of
+# scale_binned_range_join, in window), dedup_simhash_pairs (pair stage of
+# dedup_simhash, in window), dedup_apply_near (applies
+# dedup_minhash_lsh's pairs, in window), sim_ivf_topk_trained /
+# sim_kmeans_assign (k-means train/assign shared with sim_label_centroids
+# + sim_ivf_topk, both in window), sim_semantic_dedup (sibling
+# sim_semantic_dedup_trained green r6), ads_amount_quartiles
+# (percentile_cont family with ads_amount_percentiles, in window),
+# ads_status_priority_cube (grouping-set family with
+# ads_monthly_status_pivot, in window), stream_dedup_distinct
+# (dropDuplicates mechanics shared with stream_dedup_within_watermark, in
+# window). After this round every entry's driver row is ≤4 rounds old;
+# the round-10 window leads with any round-9 additions + those 10.
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 15 round-7 additions
-    "scale_zorder_layout", "scale_join_preflight",
-    "curation_decontaminate_bloom", "curation_mixture_temperature",
-    "curation_filter_funnel", "curation_source_overlap",
-    "curation_recipe_v2", "text_frequent_terms", "ads_kanon_export",
-    "ads_rolling_activity_7d", "dwd_cdc_delete_aware_agg",
-    "stream_filter_funnel", "stream_kanon_export",
-    "stream_rolling_activity_7d", "stream_decontaminate_bloom",
-    # 2 — r4-stale refresh: CDC / connector family
-    "dwd_cdc_dim_upsert", "dwd_cdc_scd2_history", "dwd_cdc_asof_join",
-    "dwd_page_views", "dwd_clean_dirty_split", "dwd_config_routing",
-    # 2 — r4-stale refresh: DWM / T1-T3 batch twins
-    "dwm_order_wide", "dwm_order_detail_wide", "dwm_payment_wide",
-    "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
-    # 2 — r4-stale refresh: DWS batch + windows
-    "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
-    "dws_keyword_stats", "dws_session_stats", "dws_sliding_windows",
-    "dws_session_windows", "ads_approx_stats",
-    # 2 — r4-stale refresh: TPC-H tail (q2/q9/q11/q12/q16/q20-22)
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    # 2 — r4-stale refresh: curation + remaining stream twins
-    "curation_pack_chunks", "curation_mixture_sample",
-    "curation_pipeline_e2e", "curation_domain_cap",
-    "stream_j2_payment_wide", "stream_visitor_stats",
-    "stream_product_stats",
+    # 1 — never driver-verified: the 6 round-8 additions
+    "stream_pit_features_gated", "stream_zorder_compaction",
+    "stream_cdc_delete_aware_agg", "ads_ldiversity_export",
+    "sim_hard_negatives", "curation_bpe_greedy_drift",
+    # 2 — oldest rows (r4, deferred from the round-8 window)
+    "stream_province_stats", "source_pyds_cdc_upsert",
+    "sink_pyds_dim_roundtrip", "stream_pyds_cdc_dist",
+    # 3 — r5-stale refresh: ADS batch block (A5-A12 + derived)
+    "ads_totals", "ads_top_brands", "ads_hourly_stats",
+    "ads_status_stats", "ads_user_scores", "ads_gmv_by_date",
+    "ads_province_rollup", "ads_visitor_ratios", "ads_keyword_weighted",
+    "ads_gmv_moving_avg", "ads_monthly_status_pivot",
+    "ads_amount_percentiles", "ads_conversion_funnel",
+    # 3 — r5-stale refresh: dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_connected_components",
+    "dedup_chunk_first_occurrence",
+    # 3 — r5-stale refresh: similarity / ANN
+    "sim_ann_topk", "sim_block_topk", "sim_ivf_topk",
+    "sim_embedding_neardup_lsh", "sim_label_centroids",
+    # 3 — r5-stale refresh: scale mechanics
+    "scale_salted_status_rollup", "scale_bucketed_join",
+    "scale_skew_join_aqe", "scale_binned_range_join",
+    # 3 — r5-stale refresh: text + curation + misc batch
+    "text_lang_id", "text_quality_scores", "text_token_counts",
+    "curation_bpe_pair_counts", "curation_lm_score",
+    "multimodal_embed_stub", "dws_supplier_stats", "udaf_activity_streaks",
+    "pipeline_e2e_hourly",
+    # 3 — r5-stale refresh: remaining stream twins
+    "stream_dedup_fingerprints", "stream_dedup_within_watermark",
+    "stream_pipeline_payment_province",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -615,8 +615,8 @@ def _pit_gated_fn(
     (mirrored exactly by ORACLE_PIT_GATED's horizon filter): a probe
     emits iff day_start_ms(d) < watermark_ms; event-time timeouts
     re-fire the machine as the watermark advances past buffered gates."""
-    (cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys) = (
-        state.get if state.exists else (0, 0, 0, [], [], [], [], [], [])
+    (cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys, frontier) = (
+        state.get if state.exists else (0, 0, 0, [], [], [], [], [], [], "")
     )
     bdays, bv, bp, bc = list(bdays), list(bv), list(bp), list(bc)
     pdays, pkeys = list(pdays), list(pkeys)
@@ -657,6 +657,24 @@ def _pit_gated_fn(
         keep_k: list[int] = []
         for i in sorted(range(len(pdays)), key=lambda i: (pdays[i], pkeys[i])):
             d, okey = pdays[i], pkeys[i]
+            if frontier and d <= frontier:
+                # ADVICE r8: a contract-violating late probe (arrived after
+                # the watermark already passed its day AND the eager
+                # horizon fold has folded days >= d into the cumulative)
+                # cannot be answered point-in-time any more — the
+                # cumulative may include events on/after the probe day.
+                # Emit an explicit -1 sentinel so misuse fails LOUDLY
+                # (visibly wrong values / oracle mismatch names the probe)
+                # instead of silently serving leaked-future features.
+                # Unreachable under in-contract staging: fold-on-probe
+                # keeps the frontier strictly below every answered day and
+                # the eager fold only folds days strictly below any
+                # pending gate.
+                out_ok.append(okey)
+                out_v.append(-1)
+                out_p.append(-1)
+                out_c.append(-1)
+                continue
             if _day_start_ms(d) < wm:
                 # gate passed: every event before day d has arrived —
                 # fold the buffered days strictly before d (late-created
@@ -667,6 +685,7 @@ def _pit_gated_fn(
                         cum_v += bv[j]
                         cum_p += bp[j]
                         cum_c += bc[j]
+                    frontier = max(frontier, max(bdays[j] for j in rem))
                     remset = set(rem)
                     bdays = [x for j, x in enumerate(bdays) if j not in remset]
                     bv = [x for j, x in enumerate(bv) if j not in remset]
@@ -689,20 +708,21 @@ def _pit_gated_fn(
     # orders no longer accretes a bucket per active day). Runs AFTER
     # probe answering so in-batch answers keep strict fold-on-probe
     # semantics; a contract-violating late probe (engine passed it
-    # through anyway) is answered from the frontier cumulative — the
-    # standard best-effort for beyond-SLA labels.
+    # through anyway) gets the explicit -1 sentinel above — never a
+    # silently-stale answer from the frontier cumulative (ADVICE r8).
     done = [j for j in range(len(bdays)) if _day_start_ms(bdays[j]) + 86_400_000 < wm]
     if done:
         for j in done:
             cum_v += bv[j]
             cum_p += bp[j]
             cum_c += bc[j]
+        frontier = max(frontier, max(bdays[j] for j in done))
         dset = set(done)
         bdays = [x for j, x in enumerate(bdays) if j not in dset]
         bv = [x for j, x in enumerate(bv) if j not in dset]
         bp = [x for j, x in enumerate(bp) if j not in dset]
         bc = [x for j, x in enumerate(bc) if j not in dset]
-    state.update((cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys))
+    state.update((cum_v, cum_p, cum_c, bdays, bv, bp, bc, pdays, pkeys, frontier))
     if pdays:
         # re-arm for the earliest still-gated probe; Spark requires the
         # timeout timestamp to sit beyond the current watermark
@@ -795,7 +815,8 @@ def pit_features_gated_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType=(
             "cum_v long, cum_p long, cum_c long,"
             " bdays array<string>, bv array<long>, bp array<long>,"
-            " bc array<long>, pdays array<string>, pkeys array<long>"
+            " bc array<long>, pdays array<string>, pkeys array<long>,"
+            " frontier string"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

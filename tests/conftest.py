@@ -31,7 +31,9 @@ def avg_file_spans(pattern: str, cols: tuple[str, ...]) -> dict[str, float]:
     import pyarrow.parquet as pq
 
     spans: dict[str, list[float]] = {c: [] for c in cols}
-    for f in sorted(glob.glob(pattern)):
+    files = sorted(glob.glob(pattern))
+    assert files, f"avg_file_spans: no parquet files match {pattern!r}"
+    for f in files:
         md = pq.read_metadata(f)
         if md.num_rows == 0:
             continue
@@ -45,8 +47,22 @@ def avg_file_spans(pattern: str, cols: tuple[str, ...]) -> dict[str, float]:
                 if name not in spans:
                     continue
                 st = col.statistics
+                # ADVICE r8: statistics can legitimately be absent (writer
+                # config, all-NULL chunk) — fail with the real reason, not a
+                # downstream TypeError/KeyError.
+                assert st is not None and st.has_min_max, (
+                    f"avg_file_spans: {f} row-group {rg} column {name} has no "
+                    "min/max statistics — span metric undefined for this file"
+                )
                 fmin[name] = min(fmin.get(name, st.min), st.min)
                 fmax[name] = max(fmax.get(name, st.max), st.max)
         for name in spans:
+            assert name in fmin, (
+                f"avg_file_spans: column {name} absent from {f} — wrong "
+                "pattern or schema drift"
+            )
             spans[name].append(fmax[name] - fmin[name])
+    assert all(spans.values()), (
+        f"avg_file_spans: every file matching {pattern!r} was empty"
+    )
     return {k: sum(v) / len(v) for k, v in spans.items()}

@@ -1,0 +1,119 @@
+"""Pure-python tests for the bench harness plumbing (no SparkSession).
+
+Covers the VERDICT r8 ask #3 host fingerprint (collection, collapse,
+tail recovery, and the host-load vs plan-change classifier in
+tools/bench_compare.py) and the ADVICE r8 errors-budget fix.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load(name: str, path: Path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load("bench_under_test", REPO / "bench.py")
+bench_compare = _load("bench_compare_under_test", REPO / "tools" / "bench_compare.py")
+
+
+# --- errors budget (ADVICE r8: charge key names, summary key on overflow) ---
+
+def test_cap_errors_charges_names_and_summarizes_overflow():
+    errors = {f"query_with_a_long_name_{i:03d}": "X" * 120 for i in range(40)}
+    capped = bench._cap_errors(errors, budget=1200)
+    # every retained entry fits the budget with its name charged
+    spent = sum(len(k) + len(v) for k, v in capped.items() if k != "truncated")
+    assert spent <= 1200
+    # overflow collapses to ONE summary key, not N placeholders
+    assert "truncated" in capped
+    n_kept = len(capped) - 1
+    assert capped["truncated"] == f"{40 - n_kept} more"
+    # serialized blob is bounded well under the driver's 2000-char tail
+    assert len(json.dumps(capped)) < 1600
+
+
+def test_cap_errors_passthrough_when_under_budget():
+    errors = {"q1": "boom", "q2": "bang"}
+    assert bench._cap_errors(errors) == errors
+
+
+# --- host fingerprint collection/collapse -----------------------------------
+
+def test_host_snapshot_and_fingerprint_shape():
+    before = bench._host_snapshot()
+    after = bench._host_snapshot()
+    # /proc exists on this platform: all three groups collected
+    assert {"load1", "load5", "load15"} <= set(before)
+    assert before["jiffies"]["total"] > 0
+    fp = bench._host_fingerprint(before, after, 12.34)
+    assert fp["wall_sec"] == 12.3
+    assert fp["ncpu"] >= 1
+    # jiffy fractions only emitted when time actually advanced
+    if "idle_frac" in fp:
+        assert 0.0 <= fp["idle_frac"] <= 1.0
+
+
+def test_host_fingerprint_tolerates_missing_proc_fields():
+    fp = bench._host_fingerprint({}, {}, 1.0)
+    assert fp["load1_before"] is None
+    assert "idle_frac" not in fp
+
+
+# --- tail recovery of the host segment --------------------------------------
+
+def test_recover_from_tail_parses_host_segment():
+    line = json.dumps({
+        "queries_median": {"q1": 1.5, "q2": None},
+        "value_median_anchor24": 16.1,
+        "host": {"load1_before": 0.5, "idle_frac": 0.8, "steal_frac": 0.0,
+                 "ncpu": 32},
+        "sf": 0.1,
+        "n_failed": 0,
+    })
+    rec = bench_compare._recover_from_tail(line)
+    assert rec["queries_median"] == {"q1": 1.5, "q2": None}
+    assert rec["host"]["idle_frac"] == 0.8
+    assert rec["host"]["ncpu"] == 32
+    assert rec["sf"] == 0.1
+
+
+# --- host-load vs plan-change classifier ------------------------------------
+
+IDLE = {"load1_before": 0.2, "idle_frac": 0.75, "steal_frac": 0.0,
+        "cached_gb_before": 8.0, "ncpu": 32}
+
+
+def test_classify_quiet_hosts_attributes_delta_to_code():
+    v = bench_compare.classify_host({"host": IDLE}, {"host": dict(IDLE)})
+    assert "attributable to the plan/code change" in v
+
+
+def test_classify_flags_contention_steal_and_cache():
+    busy = dict(IDLE, idle_frac=0.40, load1_before=20.0)
+    v = bench_compare.classify_host({"host": IDLE}, {"host": busy})
+    assert v.startswith("HOST-LOAD")
+    assert "idle_frac" in v and "load1" in v
+
+    stolen = dict(IDLE, steal_frac=0.05)
+    v = bench_compare.classify_host({"host": IDLE}, {"host": stolen})
+    assert "throttling" in v
+
+    evicted = dict(IDLE, cached_gb_before=1.0)
+    v = bench_compare.classify_host({"host": IDLE}, {"host": evicted})
+    assert "page cache" in v
+
+
+def test_classify_returns_none_for_pre_r9_files():
+    assert bench_compare.classify_host({}, {"host": IDLE}) is None
+    assert bench_compare.classify_host({"host": IDLE}, {}) is None

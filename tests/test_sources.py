@@ -63,9 +63,23 @@ def test_fixture_events_ts_has_no_nulls():
 
     import pyarrow.parquet as pq
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        p = f"/root/testdata/{sf}/events.parquet"
-        if not os.path.exists(p):
-            continue
+    from flink_gmall_spark.sources import tables
+    from tests.conftest import SF_DIR
+
+    # ADVICE r8: derive candidate paths from the same SF_DIR/table_path
+    # helpers the code under test uses (not hardcoded /root/testdata), and
+    # FAIL — not skip — if no fixture exists at all: a silent skip here
+    # unguards the NULL-ts invariant every streaming twin depends on.
+    root = os.path.dirname(SF_DIR.rstrip("/"))
+    cands = [tables.path(SF_DIR, "events")] + [
+        tables.path(os.path.join(root, sf), "events")
+        for sf in ("sf0.001", "sf0.01", "sf0.1")
+    ]
+    existing = sorted({p for p in cands if os.path.exists(p)})
+    assert existing, (
+        f"no events fixture found at any of {cands} — fixtures moved? "
+        "Update SPARK_GRAFT_TEST_SF_DIR; this invariant must stay guarded."
+    )
+    for p in existing:
         t = pq.read_table(p, columns=["ts"])
         assert t["ts"].null_count == 0, f"{p} has NULL ts — see docstring"

@@ -838,8 +838,9 @@ def test_pit_gated_fn_answers_misaligned_probe_correctly():
     (out3,) = _pit_gated_fn((1,), iter([]), st)
     assert list(out3["o_orderkey"]) == [100]
     assert list(out3["views_before"]) == [1]  # the day-3 view is counted
-    cum_v, *_rest, pdays, pkeys = st.get
+    cum_v, *_rest, pdays, pkeys, frontier = st.get
     assert cum_v == 1 and pdays == [] and pkeys == []
+    assert frontier == "2024-01-03"  # fold-on-probe stays strictly below d
 
 
 def test_pit_gated_fn_horizon_keeps_future_probe_pending():
@@ -856,9 +857,40 @@ def test_pit_gated_fn_horizon_keeps_future_probe_pending():
     (out,) = _pit_gated_fn((1,), iter([b]), st)
     assert list(out["o_orderkey"]) == [1]
     assert list(out["views_before"]) == [1]
-    *_ignore, pdays, pkeys = st.get
+    *_ignore, pdays, pkeys, _frontier = st.get
     assert pdays == ["2024-01-09"] and pkeys == [2]
     assert st.timeout_ts == _day_start_ms("2024-01-09")
+
+
+def test_pit_gated_fn_sentinels_contract_violating_late_probe():
+    """ADVICE r8: a probe arriving AFTER the eager horizon fold already
+    folded its day (day_start below the watermark on arrival) can no
+    longer be answered point-in-time — the cumulative may include
+    events on/after the probe day. The machine must emit the explicit
+    -1 sentinel, never a silently-stale/leaky answer."""
+    from flink_gmall_spark.streaming.state import _day_start_ms, _pit_gated_fn
+
+    # batch 1: events on days 2 and 3, watermark already past day 3's end
+    st = _FakeState(wm_ms=_day_start_ms("2024-01-04") + 1)
+    b1 = pd.DataFrame([
+        _pit_row("2024-01-02", 1, iv=1),
+        _pit_row("2024-01-03", 1, iv=1),
+    ])
+    (out1,) = _pit_gated_fn((1,), iter([b1]), st)
+    assert len(out1) == 0
+    *_head, frontier = st.get
+    assert frontier == "2024-01-03"  # eager fold advanced the frontier
+    # batch 2: contract-violating late probe for day 3 (<= frontier)
+    b2 = pd.DataFrame([_pit_row("2024-01-03", 0, ok=7)])
+    (out2,) = _pit_gated_fn((1,), iter([b2]), st)
+    assert list(out2["o_orderkey"]) == [7]
+    assert list(out2["views_before"]) == [-1]  # loud sentinel, not stale data
+    assert list(out2["value_cents_before"]) == [-1]
+    # an in-contract probe for a LATER day is unaffected by the sentinel path
+    b3 = pd.DataFrame([_pit_row("2024-01-04", 0, ok=8)])
+    (out3,) = _pit_gated_fn((1,), iter([b3]), st)
+    assert list(out3["o_orderkey"]) == [8]
+    assert list(out3["views_before"]) == [2]  # both buffered days counted
 
 
 def test_split_boundary_memoized_per_file_identity(sf_dir, monkeypatch):

@@ -44,7 +44,53 @@ def _recover_from_tail(tail: str) -> dict:
         m = re.search(rf'"{scalar}":\s*([0-9.]+)', tail)
         if m:
             out[scalar] = float(m.group(1))
+    h = tail.find('"host"')
+    if h >= 0:
+        seg = tail[h:]
+        seg = seg[: seg.find("}") + 1]
+        pairs = re.findall(r'"([a-zA-Z0-9_]+)":\s*(null|-?[0-9.]+)', seg)
+        host = {k: (None if v == "null" else float(v)) for k, v in pairs
+                if k != "host"}
+        if host:
+            out["host"] = host
     return out
+
+
+def classify_host(old: dict, new: dict) -> str | None:
+    """Classify a round-over-round shift as host-load vs plan change
+    (VERDICT r8 ask #3) from the bench-embedded host fingerprints.
+
+    Heuristics, most-specific first; each names the evidence so the
+    verdict writer can quote it:
+    - steal_frac > 0.02 on either side → hypervisor throttling.
+    - idle_frac dropped by > 0.15 between rounds, or load1 on the new
+      run exceeds the old by > ncpu/4 → external CPU contention.
+    - cached_gb fell by > 25 % → page-cache eviction (cold reads).
+    Returns None when either side lacks a fingerprint (pre-r9 files).
+    """
+    ho, hn = old.get("host"), new.get("host")
+    if not ho or not hn:
+        return None
+    notes = []
+    for side, h in (("old", ho), ("new", hn)):
+        if (h.get("steal_frac") or 0) > 0.02:
+            notes.append(f"{side} run stolen {h['steal_frac']:.1%} of cpu "
+                         "(hypervisor throttling)")
+    io_, in_ = ho.get("idle_frac"), hn.get("idle_frac")
+    if io_ is not None and in_ is not None and io_ - in_ > 0.15:
+        notes.append(f"idle_frac fell {io_:.2f} -> {in_:.2f} "
+                     "(external CPU contention on the new run)")
+    lo, ln = ho.get("load1_before"), hn.get("load1_before")
+    ncpu = hn.get("ncpu") or 32
+    if lo is not None and ln is not None and ln - lo > ncpu / 4:
+        notes.append(f"pre-run load1 {lo} -> {ln} (busy host at new-run start)")
+    co, cn = ho.get("cached_gb_before"), hn.get("cached_gb_before")
+    if co and cn is not None and cn < 0.75 * co:
+        notes.append(f"page cache {co} -> {cn} GiB (cold reads on new run)")
+    if notes:
+        return "HOST-LOAD suspected: " + "; ".join(notes)
+    return ("host fingerprints comparable (no contention signal) — a delta "
+            "is attributable to the plan/code change")
 
 
 def load(path: str) -> dict:
@@ -99,6 +145,11 @@ def main() -> int:
     else:
         print("total: SKIPPED (query sets differ or failures present — "
               "denominators not comparable)")
+    verdict = classify_host(old, new)
+    if verdict:
+        print(f"host: {verdict}")
+    else:
+        print("host: no fingerprint on one or both sides (pre-r9 bench file)")
     for name, a, b, why in flagged:
         print(f"  FLAG  {name}: {a} -> {b}  [{why}]")
     return 1 if flagged else 0
