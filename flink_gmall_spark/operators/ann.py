@@ -117,21 +117,19 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: assign every vector to its nearest
-    centroid cell; queries probe only their NPROBE nearest cells and rank
-    exactly within them.
+def _ivf_probe_candidates(emb: DataFrame) -> DataFrame:
+    """(query_id, vec_id) candidate pairs from the IVF probe plan.
 
-    The 100 TB shape: the centroid set is tiny and broadcast, cell
-    assignment is one streaming pass (no shuffle of the corpus beyond the
-    final per-cell grouping), and query cost is corpus_size * nprobe /
-    n_cells. Centroids here are the first N_CELLS vectors — a
-    deterministic stand-in for a k-means codebook (training is an offline
-    job; the serving plan is what this operator exercises). Recall is
-    partial by construction; the oracle applies identical probing.
+    Assign every vector to its nearest of the N_CELLS broadcast
+    centroids (crank = 1); each query probes its NPROBE nearest cells;
+    candidates are the members of the probed cells, self excluded.
+    Every join is an equi-join on the cell id — the corpus is touched
+    by one streaming assignment pass plus one bucket join, never an
+    all-pairs or per-query scan. Shared by ivf_topk (exact ranking over
+    the candidates) and hard_negatives_ivf (threshold + ranking), so
+    the probe semantics cannot drift between the serving and the mining
+    path.
     """
-    tune(spark)
-    emb = _with_norm(load(spark, sf_dir, "embeddings"))
     cent = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
@@ -147,16 +145,34 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE))
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
+    # probes is N_QUERIES x NPROBE rows — broadcast it against the
+    # corpus-sized cells side so the bucket join never sort-merges
+    return (
+        F.broadcast(probes).join(cells, "cid")
+        .select("query_id", "vec_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    centroid cell; queries probe only their NPROBE nearest cells and rank
+    exactly within them.
+
+    The 100 TB shape: the centroid set is tiny and broadcast, cell
+    assignment is one streaming pass (no shuffle of the corpus beyond the
+    final per-cell grouping), and query cost is corpus_size * nprobe /
+    n_cells. Centroids here are the first N_CELLS vectors — a
+    deterministic stand-in for a k-means codebook (training is an offline
+    job; the serving plan is what this operator exercises). Recall is
+    partial by construction; the oracle applies identical probing.
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    cand = (
-        probes.join(cells, "cid")
-        .select("query_id", "vec_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .join(qv, "query_id")
-        .join(emb, "vec_id")
-    )
+    cand = _ivf_probe_candidates(emb).join(qv, "query_id").join(emb, "vec_id")
     scored = cand.withColumn(
         "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
     )
@@ -173,8 +189,11 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_IVF_TOPK = f"""
-WITH e AS (
+# Shared CTE chain ending in `scored` (query_id, neighbor_id, cos over the
+# IVF probe candidates) — the SQL twin of _ivf_probe_candidates, defined
+# ONCE so ORACLE_IVF_TOPK and ORACLE_HARD_NEGATIVES_IVF cannot drift.
+_DUCK_IVF_SCORED_CTES = f"""
+e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
     FROM embeddings
@@ -206,7 +225,10 @@ scored AS (
     FROM cand
     JOIN e q ON cand.query_id = q.vec_id
     JOIN e n ON cand.vec_id = n.vec_id
-),
+)"""
+
+ORACLE_IVF_TOPK = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
 final AS (
     SELECT query_id, neighbor_id, cos,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -296,6 +318,113 @@ SELECT r.query_id, r.neighbor_id, CAST(r.rank AS BIGINT) AS rank,
        COALESCE(x.n_excluded, 0) AS n_excluded
 FROM ranked r LEFT JOIN excluded x ON r.query_id = x.query_id
 WHERE r.rank <= {TOPK}
+"""
+
+
+def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hard_negatives served from the IVF PROBE candidate set — the
+    100 TB path the brute-force entry's docstring names (VERDICT r8 ask
+    #2). Candidate generation is _ivf_probe_candidates — the exact plan
+    ivf_topk serves from: broadcast centroid assignment + equi-join on
+    the probed cell ids — so mining cost is corpus_size * nprobe /
+    n_cells per query instead of a linear corpus scan per query. The
+    near-dup ceiling, the ``n_excluded`` ledger (counted over the probe
+    candidates — what this index could have mistakenly served), and the
+    (cos DESC, vec_id ASC) ranking are identical to the brute-force
+    entry.
+
+    ``hits_exact`` is the per-query recall ledger against the
+    brute-force truth (ann_recall_report precedent): of this query's
+    IVF-mined negatives, how many appear in hard_negatives' exact TOPK.
+    Pinned as a hash contract — a probe regression (bad centroids,
+    broken cell join) fails correctness, not just a quality dashboard.
+    On a cluster the exact side runs over a sampled query set, same
+    plan.
+    """
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        _ivf_probe_candidates(emb)
+        .join(F.broadcast(qv), "query_id")
+        .join(emb, "vec_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")),
+        )
+    )
+    excluded = (
+        scored.filter(F.col("cos") >= COSINE_THRESHOLD)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_excluded"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    negs = (
+        scored.filter(F.col("cos") < COSINE_THRESHOLD)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+    )
+    exact = hard_negatives(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    hits = (
+        negs.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("hits_exact"))
+    )
+    return (
+        negs.join(F.broadcast(excluded), "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "sim",
+            F.coalesce("n_excluded", F.lit(0)).cast("long").alias("n_excluded"),
+            F.coalesce("hits_exact", F.lit(0)).cast("long").alias("hits_exact"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES_IVF = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+excluded AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_excluded
+    FROM scored WHERE cos >= {COSINE_THRESHOLD} GROUP BY 1
+),
+ranked_neg AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored WHERE cos < {COSINE_THRESHOLD}
+),
+ivf_negs AS (SELECT * FROM ranked_neg WHERE rank <= {TOPK}),
+exact_negs AS (
+    SELECT query_id, neighbor_id FROM ({ORACLE_HARD_NEGATIVES}) t
+),
+hits AS (
+    SELECT i.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits_exact
+    FROM ivf_negs i
+    LEFT JOIN exact_negs x
+      ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+    GROUP BY 1
+)
+SELECT i.query_id, i.neighbor_id, CAST(i.rank AS BIGINT) AS rank,
+       round(i.cos, 6) AS sim,
+       COALESCE(xc.n_excluded, 0) AS n_excluded,
+       COALESCE(h.hits_exact, 0) AS hits_exact
+FROM ivf_negs i
+LEFT JOIN excluded xc ON i.query_id = xc.query_id
+LEFT JOIN hits h ON i.query_id = h.query_id
 """
 
 

@@ -327,6 +327,10 @@ _register("ads_ldiversity_export", ads.ldiversity_export, ads.ORACLE_LDIVERSITY_
 _register("sim_hard_negatives", ann.hard_negatives, ann.ORACLE_HARD_NEGATIVES, tags=("similarity", "ml-training", "negative-sampling", "contrastive", "topk"))
 _register("curation_bpe_greedy_drift", curation.bpe_greedy_drift, curation.ORACLE_BPE_GREEDY_DRIFT, tags=("curation", "text", "tokenizer-training", "train-serve", "self-measurement", "pandas-udf"))
 
+# --- Round-9 additions (queue for the round-10 sample window; each
+# subset-simmed MATCH under the hostile config at commit time) ----------------
+_register("sim_hard_negatives_ivf", ann.hard_negatives_ivf, ann.ORACLE_HARD_NEGATIVES_IVF, tags=("similarity", "ml-training", "negative-sampling", "contrastive", "topk", "ivf", "recall-ledger"))
+
 
 # =============================================================================
 # Round-9 sample window. The driver samples the FIRST 50 registrations, so

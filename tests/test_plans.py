@@ -9,6 +9,8 @@ bug even while correctness stays green.
 
 from __future__ import annotations
 
+import re
+
 from flink_gmall_spark.plans import ads, dwd, dwm, dws
 
 
@@ -668,6 +670,44 @@ def test_hard_negatives_broadcast_and_group_limit(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_hard_negatives_ivf_probe_join_not_corpus_scan(spark, sf_dir):
+    """The IVF-served miner (VERDICT r8 ask #2) must generate candidates
+    through the probe plan, not a per-query corpus scan: the ONLY
+    broadcast nested-loop joins allowed are (a) the tiny centroid
+    cross-join of the cell-assignment pass and (b) the brute-force
+    recall leg (sampled at scale); the candidate→corpus wiring itself is
+    equi-joins (cell id, vec_id, query_id) so the corpus is never
+    rescanned per query. TopK still pushes down as WindowGroupLimit."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.hard_negatives_ivf(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the probed-cell bucket join is a broadcast equi-join ON THE CELL ID
+    # (tiny probe set as build side) — the signature of the probe plan;
+    # a per-query corpus scan would show the corpus under a nested-loop
+    # with the query side instead
+    assert re.search(r"BroadcastHashJoin \[cid#\d+L\]", plan), plan
+    # every nested-loop in the plan is the Cross centroid-assignment
+    # broadcast (16 rows) or the brute-force recall leg's query
+    # broadcast (8 rows) — never a corpus-side build; the cross shape
+    # appears once per recomputed subtree, which is why the count is
+    # not pinned
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line or "BuildLeft" in line, line
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+    # the shared candidate generator alone is fully equi-join shaped
+    from flink_gmall_spark.sources import load
+
+    cand = plan_of(
+        ann._ivf_probe_candidates(ann._with_norm(load(spark, sf_dir, "embeddings")))
+    )
+    assert "BroadcastHashJoin" in cand, cand
+    assert "SortMergeJoin" not in cand, cand
 
 
 def test_bpe_greedy_drift_no_join_arrow_batched(spark, sf_dir):
