@@ -54,9 +54,112 @@ class GmallCDCDataSource(DataSource):
         return _CDCEnvelopeReader(self.options)
 
 
+def _arrow_envelope(df, typ: str, status, ts, seq: int, null_payload: bool = False):
+    """One Arrow RecordBatch of CDC envelopes for a set of orders.
+
+    ``null_payload`` is the delete shape (the after-image carries only
+    the key — plans.dwd._order_changelog_with_deletes emits the same
+    all-NULL payload via to_json; from_json parses both identically).
+    """
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [
+            ("database", pa.string()),
+            ("table", pa.string()),
+            ("type", pa.string()),
+            ("data", pa.string()),
+            ("op_us", pa.int64()),
+            ("op_seq", pa.int64()),
+        ]
+    )
+    if null_payload:
+        data = [
+            json.dumps(
+                {
+                    "id": int(k),
+                    "order_status": None,
+                    "total_amount": None,
+                    "create_time": None,
+                }
+            )
+            for k in df["o_orderkey"]
+        ]
+    else:
+        data = [
+            json.dumps(
+                {
+                    "id": int(k),
+                    "order_status": s,
+                    "total_amount": float(a),
+                    "create_time": t,
+                }
+            )
+            for k, s, a, t in zip(
+                df["o_orderkey"],
+                status,
+                df["o_totalprice"],
+                ts.dt.strftime("%Y-%m-%d %H:%M:%S"),
+            )
+        ]
+    out = pd.DataFrame(
+        {
+            "database": "gmall",
+            "table": "order_info",
+            "type": typ,
+            "data": data,
+            "op_us": ts.astype("int64") // 1000,
+            "op_seq": seq,
+        }
+    )
+    return pa.RecordBatch.from_pandas(out, schema=arrow_schema)
+
+
+# op phases of the synthesized changelog: the insert wave, the PAID
+# update wave ('F' orders, +1 day), and — withDeletes only — the delete
+# wave (o_orderkey % 7 == 0, +2 days), mirroring
+# plans.dwd._order_changelog_with_deletes.
+_PHASE_INSERT, _PHASE_UPDATE, _PHASE_DELETE = 0, 1, 2
+
+
+def _phase_batch(path: str, rg: int, phase: int):
+    """The RecordBatch for one (row group, op phase), or None if the
+    phase selects no rows from that group. Executor-side."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = (
+        pq.ParquetFile(path)
+        .read_row_group(rg, columns=_ORDER_COLS)
+        .to_pandas()
+    )
+    if phase == _PHASE_INSERT:
+        return _arrow_envelope(df, "insert", df["o_orderstatus"], df["o_orderdate"], 0)
+    if phase == _PHASE_UPDATE:
+        fin = df[df["o_orderstatus"] == "F"]
+        if not len(fin):
+            return None
+        return _arrow_envelope(
+            fin, "update", ["PAID"] * len(fin), fin["o_orderdate"] + pd.Timedelta(days=1), 1
+        )
+    dele = df[df["o_orderkey"] % 7 == 0]
+    if not len(dele):
+        return None
+    return _arrow_envelope(
+        dele, "delete", None, dele["o_orderdate"] + pd.Timedelta(days=2), 2,
+        null_payload=True,
+    )
+
+
 class _CDCEnvelopeReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.path = options["path"]
+        self.with_deletes = (
+            str(options.get("withdeletes", "false")).lower() == "true"
+        )
 
     def partitions(self):
         import pyarrow.parquet as pq
@@ -65,67 +168,15 @@ class _CDCEnvelopeReader(DataSourceReader):
         return [InputPartition(i) for i in range(n)]
 
     def read(self, partition):
-        import json
-
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        arrow_schema = pa.schema(
-            [
-                ("database", pa.string()),
-                ("table", pa.string()),
-                ("type", pa.string()),
-                ("data", pa.string()),
-                ("op_us", pa.int64()),
-                ("op_seq", pa.int64()),
-            ]
+        phases = (
+            (_PHASE_INSERT, _PHASE_UPDATE, _PHASE_DELETE)
+            if self.with_deletes
+            else (_PHASE_INSERT, _PHASE_UPDATE)
         )
-        rg = (
-            pq.ParquetFile(self.path)
-            .read_row_group(partition.value, columns=_ORDER_COLS)
-            .to_pandas()
-        )
-
-        def envelope(df: pd.DataFrame, typ: str, status, ts, seq: int):
-            data = [
-                json.dumps(
-                    {
-                        "id": int(k),
-                        "order_status": s,
-                        "total_amount": float(a),
-                        "create_time": t,
-                    }
-                )
-                for k, s, a, t in zip(
-                    df["o_orderkey"],
-                    status,
-                    df["o_totalprice"],
-                    ts.dt.strftime("%Y-%m-%d %H:%M:%S"),
-                )
-            ]
-            out = pd.DataFrame(
-                {
-                    "database": "gmall",
-                    "table": "order_info",
-                    "type": typ,
-                    "data": data,
-                    "op_us": ts.astype("int64") // 1000,
-                    "op_seq": seq,
-                }
-            )
-            return pa.RecordBatch.from_pandas(out, schema=arrow_schema)
-
-        yield envelope(rg, "insert", rg["o_orderstatus"], rg["o_orderdate"], 0)
-        fin = rg[rg["o_orderstatus"] == "F"]
-        if len(fin):
-            yield envelope(
-                fin,
-                "update",
-                ["PAID"] * len(fin),
-                fin["o_orderdate"] + pd.Timedelta(days=1),
-                1,
-            )
+        for phase in phases:
+            batch = _phase_batch(self.path, partition.value, phase)
+            if batch is not None:
+                yield batch
 
 
 # --- Custom sink: batched dim writes with two-phase commit ------------------
@@ -221,20 +272,44 @@ class _CDCEnvelopeStreamReader(SimpleDataSourceStreamReader):
     it is restart-safe (unlike a driver-side cursor in ``latestOffset``,
     see _CDCEnvelopeDistStreamReader). Only meaningful with a continuous
     trigger: availableNow is single-batch for Python streaming sources
-    (verified on Spark 4.1) and would stop at the first capped batch."""
+    (verified on Spark 4.1) and would stop at the first capped batch.
+
+    ``withDeletes`` switches the changelog to the delete-bearing shape
+    AND re-keys the offset space to op-phase waves: unit = phase *
+    n_row_groups + row_group, phases streamed insert → update → delete.
+    A key's insert and its later update/delete therefore genuinely
+    straddle micro-batches (a real topic's op-time order), which is
+    what the retraction machine's cross-batch semantics are exercised
+    against — without deletes the offset space stays exactly the
+    pre-existing per-row-group form, so committed checkpoints of
+    existing queries are untouched."""
 
     def __init__(self, options) -> None:
         self.path = options["path"]
         self.max_rg_per_batch = int(options.get("maxrowgroupsperbatch", 0))
+        self.with_deletes = (
+            str(options.get("withdeletes", "false")).lower() == "true"
+        )
 
     def _num_row_groups(self) -> int:
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(self.path).metadata.num_row_groups
 
-    def _rows_for(self, rg: int):
-        batch_reader = _CDCEnvelopeReader({"path": self.path})
-        for batch in batch_reader.read(InputPartition(rg)):
+    def _num_units(self) -> int:
+        n = self._num_row_groups()
+        return 3 * n if self.with_deletes else n
+
+    def _rows_for(self, unit: int):
+        if self.with_deletes:
+            phase, rg = divmod(unit, self._num_row_groups())
+            batches = [_phase_batch(self.path, rg, phase)]
+        else:
+            batch_reader = _CDCEnvelopeReader({"path": self.path})
+            batches = list(batch_reader.read(InputPartition(unit)))
+        for batch in batches:
+            if batch is None:
+                continue
             for row in batch.to_pylist():
                 yield (
                     row["database"],
@@ -249,7 +324,7 @@ class _CDCEnvelopeStreamReader(SimpleDataSourceStreamReader):
         return {"rg": 0}
 
     def read(self, start: dict):
-        n = self._num_row_groups()
+        n = self._num_units()
         rg = start["rg"]
         if rg >= n:
             # caught up: empty batch, offset unchanged. Note the shape:

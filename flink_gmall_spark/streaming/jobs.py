@@ -199,6 +199,70 @@ def run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_to_memory_drain(
+    result: DataFrame,
+    output_mode: str,
+    target_input_rows: int | None = None,
+    idle_triggers: int = 3,
+    timeout_s: float = 300.0,
+) -> DataFrame:
+    """run_to_memory for rate-limited Python streaming sources.
+
+    availableNow is SINGLE-batch for Python data sources (see
+    _CDCEnvelopeStreamReader), which would collapse a capped backlog
+    replay into one micro-batch; this variant drives a processingTime
+    trigger until the finite backlog is drained, then stops. Used by
+    the streaming twins that need GENUINE multi-batch delivery through
+    a connector — batch-boundary semantics are the thing under test.
+
+    Drain detection, fast path first: when the caller knows the
+    backlog's total row count (cheap to count for a parquet-backed
+    changelog), pass ``target_input_rows`` — the loop stops as soon as
+    the query's cumulative numInputRows reaches it (progress for a
+    DATA batch is reported promptly). Without a target it falls back to
+    ``idle_triggers`` consecutive empty batches — correct but slow,
+    because Spark throttles no-data progress events to ~10 s
+    (spark.sql.streaming.noDataProgressEventInterval)."""
+    import time
+
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    idle = 0
+    rows_by_batch: dict[int, int] = {}
+    try:
+        while time.time() < deadline:
+            # recentProgress (not lastProgress): two fast batches can
+            # complete between polls, and missing one would stall the
+            # row-target accounting
+            new = False
+            for p in q.recentProgress:
+                bid = p["batchId"]
+                if bid not in rows_by_batch:
+                    rows_by_batch[bid] = p["numInputRows"]
+                    new = True
+            total = sum(rows_by_batch.values())
+            if target_input_rows is not None and total >= target_input_rows:
+                break
+            if target_input_rows is None and new:
+                last = max(rows_by_batch)
+                idle = idle + 1 if rows_by_batch[last] == 0 else 0
+                if idle >= idle_triggers:
+                    break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
 def write_exactly_once(result: DataFrame, out_dir: str, checkpoint: str):
     """S6/T9: exactly-once batch-append sink via foreachBatch.
 

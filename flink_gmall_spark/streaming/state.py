@@ -21,9 +21,6 @@ plain values/lists. Batch-mode oracles for all three live in plans.dwm.
 
 from __future__ import annotations
 
-import hashlib
-import itertools
-import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,7 +40,7 @@ from flink_gmall_spark.session import tune
 from flink_gmall_spark.streaming.jobs import (
     read_stream,
     run_to_memory,
-    write_ordered_parts,
+    run_to_memory_drain,
 )
 
 
@@ -899,38 +896,55 @@ def _cdc_retract_fn(
 def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of plans.dwd.cdc_delete_aware_agg — aggregate
     maintenance under inserts/updates/DELETES as a live retract stream:
-    the shared changelog (insert per order, status update for 'F'
-    orders, delete for the o_orderkey%7==0 slice) is staged as two
-    op-time-ordered files cut at its median op day (so a key's insert
-    and its later update/delete genuinely straddle micro-batches near
-    the boundary), the keyed machine above turns each op into exact
-    retraction increments, and one bounded-domain rollup over the
-    emitted increments reproduces the per-status count + GMV of the
-    surviving latest images. Statuses whose every image was retracted
-    net to zero and drop out — the oracle (shared verbatim with the
-    batch fold) has no row for them. At 100 TB this is how a
-    continuously-maintained downstream aggregate forgets deleted rows
-    without rescanning: state is one image per live key, increments are
-    O(changelog), the rollup is O(|status|).
-
-    The driver-side toPandas staging below is the TEST-HARNESS source
-    only (two op-time-cut files standing in for a replayed topic, same
-    device as jobs.read_stream's split staging); in production the ops
-    arrive from the CDC connector (sources.pydatasource / Kafka) and
-    nothing passes through the driver — the OPERATOR is the keyed
-    machine plus the bounded rollup."""
-    import pyarrow as pa
-
-    from flink_gmall_spark.plans.dwd import (
-        CDC_DATA_SCHEMA,
-        _order_changelog_with_deletes,
-    )
-    from flink_gmall_spark.scratch import scratch_dir
+    the delete-bearing changelog (insert per order, status update for
+    'F' orders, delete for the o_orderkey%7==0 slice — the same shape
+    plans.dwd._order_changelog_with_deletes folds relationally) arrives
+    through the REGISTERED CDC connector
+    (``gmall_cdc_stream`` + withDeletes, sources.pydatasource) under a
+    1-unit-per-trigger cap, streamed in op-phase waves (inserts →
+    updates → deletes) so a key's insert and its later update/delete
+    genuinely straddle micro-batches; the keyed machine above turns
+    each op into exact retraction increments, and one bounded-domain
+    rollup over the emitted increments reproduces the per-status count
+    + GMV of the surviving latest images. Statuses whose every image
+    was retracted net to zero and drop out — the oracle (shared
+    verbatim with the batch fold) has no row for them. At 100 TB this
+    is how a continuously-maintained downstream aggregate forgets
+    deleted rows without rescanning: state is one image per live key,
+    increments are O(changelog), the rollup is O(|status|) — and
+    NOTHING passes through the driver: the connector reads row groups
+    where they live (ROADMAP item 6 / VERDICT r8 ask #4; the former
+    toPandas+parquet-rewrite staging is gone)."""
+    from flink_gmall_spark.plans.dwd import CDC_DATA_SCHEMA
+    from flink_gmall_spark.sources.pydatasource import GmallCDCStreamDataSource
+    from flink_gmall_spark.sources.tables import load, path as table_path
 
     tune(spark)
-    flat = (
-        _order_changelog_with_deletes(spark, sf_dir)
-        .select(
+    spark.dataSource.register(GmallCDCStreamDataSource)
+    # one cheap aggregate over the source table sizes the finite backlog
+    # (insert per order + update per 'F' + delete per %7 key) so the
+    # drain loop can stop on exact row accounting instead of waiting out
+    # Spark's ~10 s no-data progress throttle
+    expected = (
+        load(spark, sf_dir, "orders")
+        .agg(
+            (
+                F.count(F.lit(1))
+                + F.count(F.when(F.col("o_orderstatus") == "F", 1))
+                + F.count(F.when(F.col("o_orderkey") % 7 == 0, 1))
+            ).alias("n")
+        )
+        .collect()[0]["n"]
+    )
+    env = (
+        spark.readStream.format("gmall_cdc_stream")
+        .option("path", table_path(sf_dir, "orders"))
+        .option("withDeletes", "true")
+        .option("maxRowGroupsPerBatch", "1")
+        .load()
+    )
+    ops = (
+        env.select(
             "type",
             "op_us",
             "op_seq",
@@ -947,42 +961,6 @@ def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
         )
     )
-    pdf = flat.toPandas().sort_values(["op_us", "op_seq", "id"])
-    # delete rows carry NULL cents → pandas float64 → parquet DOUBLE,
-    # which the declared bigint stream schema rejects; keep it integral
-    pdf["cents"] = pdf["cents"].astype("Int64")
-    # Cut at the changelog's OWN median op day (op_us is this stream's
-    # event-time domain — the events-table boundary jobs._split_boundary
-    # serves is the wrong clock here), into a per-call UNIQUE scratch
-    # dir: no cross-call cache, so the stale-boundary tag and atomic-
-    # rename (TOCTOU) refinements of jobs._stream_dir_split don't apply.
-    # The shared, drift-prone piece — mtime-ordered part replay — is
-    # jobs.write_ordered_parts, same as the split stager.
-    days = sorted(set(pdf["op_us"] // 86_400_000_000))
-    boundary = days[len(days) // 2]
-    tag = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{spark.sparkContext.applicationId}"
-        f"|{next(_CDC_RETRACT_CALLS)}".encode()
-    ).hexdigest()[:12]
-    src = scratch_dir("cdc_retract", tag)
-    early = (pdf["op_us"] // 86_400_000_000) < boundary
-    write_ordered_parts(
-        src,
-        [
-            pa.Table.from_pandas(part, preserve_index=False)
-            for part in (pdf[early], pdf[~early])
-        ],
-        1_700_000_000.0,
-    )
-
-    ops = (
-        spark.readStream.schema(
-            "type string, op_us long, op_seq long,"
-            " id long, status string, cents long"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
     incs = ops.groupBy("id").applyInPandasWithState(
         _cdc_retract_fn,
         outputStructType="id long, order_status string, dn long, dc long",
@@ -990,7 +968,7 @@ def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    mem = run_to_memory(incs, "append")
+    mem = run_to_memory_drain(incs, "append", target_input_rows=expected)
     return (
         mem.groupBy("order_status")
         .agg(
@@ -1004,11 +982,6 @@ def cdc_retract_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dc") / 100.0).cast("double").alias("gmv"),
         )
     )
-
-
-# per-call staging nonce (the compaction discipline — concurrent or
-# repeated calls in one app never race on the scratch dir)
-_CDC_RETRACT_CALLS = itertools.count()
 
 
 # session-scoped twin: the SAME machine with the gap bound (see the

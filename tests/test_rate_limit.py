@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from flink_gmall_spark.sources.pydatasource import GmallCDCStreamDataSource
 
@@ -115,3 +116,67 @@ def test_rate_limited_replay_survives_restart(spark):
     q = _start(spark, src, ckpt, epochs)
     _drain_until(epochs, expected, q)
     assert sum(epochs.values()) == expected, epochs
+
+
+def test_with_deletes_streams_op_phase_waves(spark):
+    """withDeletes re-keys the offset space to op-phase waves (insert →
+    update → delete, one wave per row group), so a key's insert and its
+    later delete genuinely straddle micro-batches — the delivery shape
+    cdc_retract_stream's cross-batch retraction semantics are exercised
+    against (VERDICT r8 ask #4). Pins: exact per-type totals, one
+    non-empty batch per (phase, row group) unit under the 1-unit cap,
+    and strict phase ordering across epochs."""
+    base = os.path.join(tempfile.gettempdir(), "fgs_rate", uuid.uuid4().hex[:8])
+    os.makedirs(base)
+    src, n_rg, _ = _make_backlog(base)  # n=40: 14 'F' updates, 6 %7 deletes
+    spark.dataSource.register(GmallCDCStreamDataSource)
+    env = (
+        spark.readStream.format("gmall_cdc_stream")
+        .option("path", src)
+        .option("withDeletes", "true")
+        .option("maxRowGroupsPerBatch", "1")
+        .load()
+    )
+    by_epoch: dict[int, dict[str, int]] = {}
+
+    def cb(batch_df, epoch_id):
+        counts = {
+            r["type"]: r["n"]
+            for r in batch_df.groupBy("type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        by_epoch[epoch_id] = counts
+
+    q = (
+        env.writeStream.foreachBatch(cb)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expected = 40 + 14 + 6
+    deadline = time.time() + 120
+    while (
+        sum(n for c in by_epoch.values() for n in c.values()) < expected
+        and time.time() < deadline
+    ):
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+
+    totals: dict[str, int] = {}
+    for c in by_epoch.values():
+        for t, n in c.items():
+            totals[t] = totals.get(t, 0) + n
+    assert totals == {"insert": 40, "update": 14, "delete": 6}, by_epoch
+    # each non-empty epoch carries exactly one op type (one phase-unit
+    # per trigger), and phases arrive in wave order
+    phase_of = {"insert": 0, "update": 1, "delete": 2}
+    seq = [
+        phase_of[next(iter(c))]
+        for _, c in sorted(by_epoch.items())
+        if c
+    ]
+    assert all(len(c) <= 1 for c in by_epoch.values()), by_epoch
+    assert seq == sorted(seq), by_epoch  # insert wave → update → delete
+    assert len(seq) == 3 * n_rg, by_epoch  # one batch per (phase, rg)
