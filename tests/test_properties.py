@@ -936,3 +936,125 @@ def test_t2_fn_emits_each_day_once(batches):
         (out,) = _t2_fn((1,), iter([pd.DataFrame({"dt": b})]), st_)
         got.extend(out["dt"])
     assert got == sorted(set(all_days)), (ordered, got)
+
+
+@given(
+    st.lists(  # events: (day 1..8, type 0=view/1=purchase/2=other, cents)
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        max_size=24,
+    ),
+    st.lists(  # probes: (day 1..9, delivered early in batch 0?)
+        st.tuples(
+            st.integers(min_value=1, max_value=9), st.booleans()
+        ),
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),  # micro-batch count
+)
+def test_pit_gated_fn_matches_batch_pit_on_cleared_prefix(events, probes, n_batches):
+    """VERDICT r8 ask #7: the watermark-gated PIT machine, driven over
+    ARBITRARY micro-batch cuts of a two-leg (events ⊎ probes) sequence
+    under Spark's min-policy watermark — each leg in event-time order,
+    but any probe may optionally jump to batch 0 (the misaligned shape
+    stream_pit_features_gated stages) — must emit exactly the batch
+    point-in-time features (events strictly before the probe day) for
+    every probe whose day-start the FINAL global watermark passed, keep
+    every other probe pending, and never fire the -1 late-probe
+    sentinel: in-contract delivery (per-leg event-time order bounds the
+    min-policy watermark by the slower leg) cannot reach the
+    contract-violation branch.
+
+    Watermark semantics mirrored from the engine: per-leg wm = max event
+    time seen (0s delay), global wm = min of legs (0 for a leg with no
+    data yet), advanced at batch BOUNDARIES (batch i sees the watermark
+    of data through batch i-1), and event-time timers re-fire the
+    machine whenever the advancing watermark passes the re-armed gate."""
+    import pandas as pd
+
+    from flink_gmall_spark.streaming.state import _day_start_ms, _pit_gated_fn
+    from tests.test_streaming import _FakeState
+
+    def day(n):
+        return f"2024-01-{n:02d}"
+
+    # leg event times: events 1h into their day, probes at day midnight
+    ev_rows = [
+        {
+            "kind": 1, "d": day(dn), "o_orderkey": -1,
+            "is_view": 1 if t == 0 else 0,
+            "is_purchase": 1 if t == 1 else 0,
+            "cents": c, "_ts": _day_start_ms(day(dn)) + 3_600_000, "_leg": "e",
+        }
+        for dn, t, c in sorted(events, key=lambda e: e[0])
+    ]
+    pr_rows = [
+        {
+            "kind": 0, "d": day(dn), "o_orderkey": i,
+            "is_view": 0, "is_purchase": 0, "cents": 0,
+            "_ts": _day_start_ms(day(dn)), "_leg": "p", "_early": early,
+        }
+        for i, (dn, early) in enumerate(sorted(probes, key=lambda p: p[0]))
+    ]
+    # merge by ts (probes first on ties: a probe at midnight precedes the
+    # day's events); early probes jump to the head of batch 0
+    head = [r for r in pr_rows if r["_early"]]
+    rest = sorted(
+        ev_rows + [r for r in pr_rows if not r["_early"]],
+        key=lambda r: (r["_ts"], r["_leg"] == "e", r["o_orderkey"]),
+    )
+    seq = head + rest
+    cut = max(1, -(-len(seq) // n_batches)) if seq else 1
+    batches = [seq[i : i + cut] for i in range(0, len(seq), cut)] or [[]]
+
+    state = _FakeState()
+    emitted: dict[int, tuple] = {}
+
+    def run(batch_rows, wm, timed_out):
+        state.wm_ms = wm
+        state.hasTimedOut = timed_out
+        if timed_out:
+            state.timeout_ts = None
+            it = iter([])
+        else:
+            it = iter([pd.DataFrame(batch_rows)[[
+                "kind", "d", "o_orderkey", "is_view", "is_purchase", "cents",
+            ]]])
+        (out,) = _pit_gated_fn((1,), it, state)
+        for r in out.itertuples(index=False):
+            assert r.views_before != -1, "late-probe sentinel fired in-contract"
+            assert r.o_orderkey not in emitted, "probe answered twice"
+            emitted[int(r.o_orderkey)] = (
+                int(r.views_before), int(r.purchases_before),
+                int(r.value_cents_before),
+            )
+
+    ev_wm = pr_wm = 0
+    for b in batches:
+        wm = min(ev_wm, pr_wm)
+        if state.timeout_ts is not None and state.timeout_ts <= wm:
+            run([], wm, True)
+        if b:
+            run(b, wm, False)
+        for r in b:
+            if r["_leg"] == "e":
+                ev_wm = max(ev_wm, r["_ts"])
+            else:
+                pr_wm = max(pr_wm, r["_ts"])
+    final_wm = min(ev_wm, pr_wm)
+    while state.timeout_ts is not None and state.timeout_ts <= final_wm:
+        run([], final_wm, True)
+
+    want = {
+        r["o_orderkey"]: (
+            sum(e["is_view"] for e in ev_rows if e["d"] < r["d"]),
+            sum(e["is_purchase"] for e in ev_rows if e["d"] < r["d"]),
+            sum(e["cents"] for e in ev_rows if e["d"] < r["d"]),
+        )
+        for r in pr_rows
+        if _day_start_ms(r["d"]) < final_wm
+    }
+    assert emitted == want, (events, probes, n_batches, emitted, want)
