@@ -1394,3 +1394,131 @@ LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
 LEFT JOIN pq p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
 GROUP BY e.query_id
 """
+
+
+MRL_DIMS = (16, 32, 64)  # matryoshka truncation levels (full dim last)
+
+
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation ledger (Kusupati et al. 2022): brute-force
+    cosine top-k per query at each embedding PREFIX length (16/32/64 of
+    the 64-dim fixture) and, per (query, dim), how many of the FULL-dim
+    top-k the truncated ranking recovers. The design question this
+    answers at 100 TB: how short can the cheap first-pass vector be
+    before rerank recall collapses — the short-prefix scan reads dim/64
+    of the float bytes per candidate, so the ledger prices the
+    bandwidth/recall trade directly, and pinning it as a hash contract
+    (the sim_ann_recall_report discipline) turns an embedding-pipeline
+    regression (wrong slice, re-ordered dims) into a correctness
+    failure.
+
+    One corpus pass scores ALL truncation levels: the elementwise
+    product vector is computed once per (query, vector) pair and each
+    level folds a PREFIX of it (left fold from 0.0, the engine-parity
+    convention _DOT pins), so adding a level adds an aggregate over an
+    already-materialized array, not a scan. Ranking + set intersection
+    are the audited topk/recall idioms shared with ann_topk /
+    ann_recall_report."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    )
+    norm_cols = [
+        F.expr(
+            f"sqrt(aggregate(transform(slice(v, 1, {d}), x -> x * x),"
+            " cast(0.0 AS double), (acc, x) -> acc + x))"
+        ).alias(f"n{d}")
+        for d in MRL_DIMS
+    ]
+    e = emb.select("vec_id", "v", *norm_cols)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_DIMS],
+    )
+    pairs = F.broadcast(q).join(e, F.col("query_id") != F.col("vec_id"))
+    scored = pairs.withColumn(
+        "p", F.expr("zip_with(qv, v, (x, y) -> x * y)")
+    ).select(
+        "query_id",
+        "vec_id",
+        *[
+            (
+                F.expr(
+                    f"aggregate(slice(p, 1, {d}), cast(0.0 AS double),"
+                    " (acc, x) -> acc + x)"
+                )
+                / (F.col(f"qn{d}") * F.col(f"n{d}"))
+            ).alias(f"cos{d}")
+            for d in MRL_DIMS
+        ],
+    )
+    stack_args = ", ".join(f"{d}L, cos{d}" for d in MRL_DIMS)
+    stacked = scored.selectExpr(
+        "query_id", "vec_id", f"stack({len(MRL_DIMS)}, {stack_args}) AS (dim, cos)"
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = (
+        stacked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("dim", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    truth = topk.filter(F.col("dim") == MRL_DIMS[-1]).select(
+        "query_id", "neighbor_id"
+    )
+    probe = truth.withColumn(
+        "dim", F.explode(F.array(*[F.lit(d).cast("long") for d in MRL_DIMS]))
+    )
+    # both sides of the hits join are <= N_QUERIES x TOPK x |dims| rows;
+    # a LeftOuter broadcast must build RIGHT, so the hint goes on the
+    # ranked side (already reduced by the WindowGroupLimit pushdown)
+    j = probe.join(
+        F.broadcast(topk.withColumn("hit", F.lit(1))),
+        ["dim", "query_id", "neighbor_id"],
+        "left",
+    )
+    return j.groupBy("query_id", "dim").agg(
+        F.count("hit").alias("hits"),
+        (F.count("hit").cast("double") / F.lit(float(TOPK))).alias("recall"),
+    )
+
+
+_MRL_DIMS_SQL = ", ".join(str(d) for d in MRL_DIMS)
+
+ORACLE_MRL_TRUNCATION_RECALL = f"""
+WITH dims AS (SELECT unnest([{_MRL_DIMS_SQL}]) AS dim),
+e AS (
+    SELECT d.dim, x.vec_id, x.v,
+           sqrt(list_reduce(list_transform(range(1, d.dim + 1),
+                i -> x.v[i] * x.v[i]), (acc, y) -> acc + y)) AS nrm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) x
+    CROSS JOIN dims d
+),
+scored AS (
+    SELECT q.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, q.dim + 1),
+                i -> q.v[i] * c.v[i]), (acc, y) -> acc + y)
+             / (q.nrm * c.nrm) AS cos
+    FROM e q JOIN e c ON q.dim = c.dim
+     AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+topk AS (
+    SELECT dim, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY dim, query_id ORDER BY cos DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) WHERE rank <= {TOPK}
+),
+truth AS (
+    SELECT query_id, neighbor_id FROM topk WHERE dim = {MRL_DIMS[-1]}
+)
+SELECT t.query_id, CAST(d.dim AS BIGINT) AS dim,
+       CAST(count(c.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(c.neighbor_id) AS DOUBLE) / {TOPK} AS recall
+FROM truth t
+CROSS JOIN dims d
+LEFT JOIN topk c ON c.dim = d.dim AND c.query_id = t.query_id
+ AND c.neighbor_id = t.neighbor_id
+GROUP BY 1, 2
+"""

@@ -995,3 +995,107 @@ SELECT CAST(count(*) AS BIGINT) AS true_pairs,
 FROM truth t
 LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
 """
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup — |A∩B| / |A| for the smaller
+    shingle set A — the truncation/extension-dup case Jaccard
+    under-scores when sizes diverge (a doc pasted inside a larger one).
+    Candidates come from PREFIX FILTERING (the AllPairs/PPJoin family,
+    Bayardo et al. WWW'07), not MinHash: order each doc's shingles by a
+    canonical key (md5), keep only the first floor((1-t)*n)+1 as probe
+    keys, and equi-join probes against the full shingle index. Any pair
+    with containment >= t MUST share a probe key (if none of the first
+    (1-t)*n+1 canonical shingles of A hit B, fewer than t*n can), so
+    unlike LSH the filter is EXACT — 100% recall, which is why the
+    oracle below is plain all-pairs containment with no candidate
+    mirror. Orientation: the probe side is the potential contained doc,
+    (n, doc_id) lexicographically strictly smaller, so ties emit once.
+
+    Scale shape: probe rows are ~(1-t) of the shingle table; the join
+    key is the shingle string, per-key fanout bounded by the
+    MAX_SHINGLE_DF cap (same guard as the Jaccard family); exact
+    verification runs only over candidate docs via the shared
+    _pair-style semi-join reduction. No all-pairs, no per-query scan —
+    two shuffles on shingle / doc keys end to end."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    w = Window.partitionBy("doc_id").orderBy("pk", "s")
+    ranked = sh.withColumn("pk", F.md5("s")).select(
+        "doc_id",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.floor(F.lit(1.0 - CONTAINMENT_THRESHOLD) * F.col("n")) + 1
+    )
+    idx = ranked.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(idx.alias("i"), "s")
+        .filter(
+            (F.col("p.n") < F.col("nb"))
+            | ((F.col("p.n") == F.col("nb")) & (F.col("p.doc_id") < F.col("doc_b")))
+        )
+        .select(F.col("p.doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sizes = ranked.filter(F.col("rn") == 1).select("doc_id", "n")
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    common = (
+        shc.alias("x")
+        .join(
+            shc.alias("y"),
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(cand, ["doc_a", "doc_b"])
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn(
+            "containment", F.col("common").cast("double") / F.col("na")
+        )
+    )
+    return out.filter(F.col("containment") >= CONTAINMENT_THRESHOLD).select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        "containment",
+    )
+
+
+# No candidate mirror: prefix filtering is exact (100% recall), so the
+# truth is plain all-pairs containment oriented to the smaller set.
+ORACLE_CONTAINMENT_PREFIX = f"""{_DUCK_SHINGLES},
+common AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+oriented AS (
+    SELECT CASE WHEN (x.n, da) < (y.n, db) THEN da ELSE db END AS contained_doc,
+           CASE WHEN (x.n, da) < (y.n, db) THEN db ELSE da END AS container_doc,
+           CAST(c AS DOUBLE) / least(x.n, y.n) AS containment
+    FROM common
+    JOIN sizes x ON da = x.doc_id
+    JOIN sizes y ON db = y.doc_id
+)
+SELECT contained_doc, container_doc, containment
+FROM oriented WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""

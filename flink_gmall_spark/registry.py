@@ -330,6 +330,8 @@ _register("curation_bpe_greedy_drift", curation.bpe_greedy_drift, curation.ORACL
 # --- Round-9 additions (queue for the round-10 sample window; each
 # subset-simmed MATCH under the hostile config at commit time) ----------------
 _register("sim_hard_negatives_ivf", ann.hard_negatives_ivf, ann.ORACLE_HARD_NEGATIVES_IVF, tags=("similarity", "ml-training", "negative-sampling", "contrastive", "topk", "ivf", "recall-ledger"))
+_register("dedup_containment_prefix", dedup.containment_prefix_pairs, dedup.ORACLE_CONTAINMENT_PREFIX, tags=("dedup", "containment", "prefix-filter", "set-similarity", "exact-filter"))
+_register("sim_mrl_truncation_recall", ann.mrl_truncation_recall, ann.ORACLE_MRL_TRUNCATION_RECALL, tags=("similarity", "matryoshka", "truncation", "recall-ledger", "self-measurement"))
 
 
 # =============================================================================

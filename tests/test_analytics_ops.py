@@ -649,3 +649,37 @@ def test_bpe_greedy_drift_ledger_reconciles(spark, sf_dir):
     # >= its dictionary total (every freq >= 1)
     assert out["bpe_corpus_tokens"] >= out["bpe_dict_tokens"]
     assert out["greedy_corpus_tokens"] >= out["greedy_dict_tokens"]
+
+
+def test_containment_prefix_finds_asymmetric_pair_jaccard_misses(spark, tmp_path):
+    """The case the containment operator exists for: doc 1 is pasted
+    verbatim inside the much longer doc 2, so containment is 1.0 while
+    Jaccard (|A∩B| / |A∪B|) sits far below JACCARD_THRESHOLD — the
+    Jaccard family would never pair them. The prefix filter is exact,
+    so the pair must surface with the exact score, oriented smaller set
+    first; the unrelated doc 3 must pair with nothing."""
+    import os
+
+    from flink_gmall_spark.operators import dedup
+
+    inner = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))  # 58 shingles
+    rows = [
+        (1, inner, "en", "s", len(inner)),
+        (2, inner + " " + filler, "en", "s", 1),
+        (3, "totally different content with no overlap at all", "en", "s", 1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in dedup.containment_prefix_pairs(spark, d).collect()
+    }
+    assert got == {(1, 2): 1.0}, got
+    # the same corpus through the Jaccard verifier: 4 common shingles
+    # over a ~64-shingle union is far below threshold — no pair
+    assert dedup.ngram_jaccard_pairs(spark, d).count() == 0

@@ -735,3 +735,35 @@ def test_bpe_greedy_drift_no_join_arrow_batched(spark, sf_dir):
     assert "Join" not in outer and "Exchange" not in outer, outer
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after <= before + 1, (before, after)
+
+
+def test_containment_prefix_equijoin_only(spark, sf_dir):
+    """The containment dedup's prefix filter must keep the whole plan
+    equi-join shaped: probe prefixes join the shingle index on the
+    shingle string, verification joins on doc/shingle keys — no
+    nested-loop or cartesian anywhere (an all-pairs containment would
+    show one). The canonical prefix ranking is the Window pass."""
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.containment_prefix_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_mrl_truncation_single_pass_topk_pushdown(spark, sf_dir):
+    """The matryoshka ledger scores all truncation levels from ONE
+    product vector per (query, vector) pair: the only nested-loop is
+    the broadcast of the 8-row query side against the corpus (the
+    audited ann_topk shape, BuildLeft); per-(query,dim) top-k pushes
+    down as WindowGroupLimit so ranking never materializes the full
+    scored set; the hits join broadcasts the tiny truth probe."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.mrl_truncation_recall(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildLeft" in line, line
