@@ -117,6 +117,23 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def _cell_ranked(emb: DataFrame) -> DataFrame:
+    """Per-vector centroid affinity ranking (crank 1 = assigned cell) —
+    the broadcast-centroid assignment pass shared by the probe-candidate
+    generator and the cell-balance ledger, so index assignment and its
+    health report cannot drift."""
+    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    affinity = emb.join(F.broadcast(cent), how="cross").withColumn(
+        "ccos", F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    return affinity.withColumn("crank", F.row_number().over(w_assign))
+
+
 def _ivf_probe_candidates(emb: DataFrame) -> DataFrame:
     """(query_id, vec_id) candidate pairs from the IVF probe plan.
 
@@ -130,16 +147,7 @@ def _ivf_probe_candidates(emb: DataFrame) -> DataFrame:
     the probe semantics cannot drift between the serving and the mining
     path.
     """
-    cent = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
-    affinity = emb.join(F.broadcast(cent), how="cross").withColumn(
-        "ccos", F.expr(_DOT.format(a="v", b="cv")) / (F.col("nrm") * F.col("cn"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
-    ranked = affinity.withColumn("crank", F.row_number().over(w_assign))
+    ranked = _cell_ranked(emb)
     cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cid")
     probes = (
         ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE))
@@ -1521,4 +1529,44 @@ CROSS JOIN dims d
 LEFT JOIN topk c ON c.dim = d.dim AND c.query_id = t.query_id
  AND c.neighbor_id = t.neighbor_id
 GROUP BY 1, 2
+"""
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index HEALTH ledger: the cell-size distribution of the
+    centroid assignment (cells used, min/max/mean members, imbalance =
+    max/mean). At 100 TB the probe cost of ivf_topk and the IVF-served
+    miner is corpus/n_cells x nprobe ONLY if cells are balanced — one
+    hot cell turns every probe that touches it into a near-linear scan,
+    so production indexes alarm on exactly this ratio (FAISS's
+    imbalance_factor). Pinned as a hash contract via integer stats +
+    two deterministic double divisions, same discipline as
+    sim_ann_recall_report; assignment comes from the shared
+    _cell_ranked pass, so the report audits the very cells the serving
+    path probes. One corpus pass + one bounded (<= N_CELLS rows)
+    aggregation — report cost is assignment cost."""
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cells = _cell_ranked(emb).filter(F.col("crank") == 1).select("vec_id", "cid")
+    sz = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    return sz.agg(
+        F.count(F.lit(1)).alias("cells_used"),
+        F.min("sz").alias("min_sz"),
+        F.max("sz").alias("max_sz"),
+        (F.sum("sz").cast("double") / F.count(F.lit(1))).alias("avg_sz"),
+        (
+            (F.max("sz") * F.count(F.lit(1))).cast("double") / F.sum("sz")
+        ).alias("imbalance"),
+    )
+
+
+ORACLE_IVF_CELL_BALANCE = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+sz AS (SELECT cid, count(*) AS sz FROM cells GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS cells_used,
+       CAST(min(sz) AS BIGINT) AS min_sz,
+       CAST(max(sz) AS BIGINT) AS max_sz,
+       CAST(sum(sz) AS DOUBLE) / count(*) AS avg_sz,
+       CAST(max(sz) * count(*) AS DOUBLE) / sum(sz) AS imbalance
+FROM sz
 """

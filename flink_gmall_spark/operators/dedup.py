@@ -1099,3 +1099,78 @@ oriented AS (
 SELECT contained_doc, container_doc, containment
 FROM oriented WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
+
+
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline OBSERVABILITY: docs and chars surviving each stage
+    of the family applied in production order — exact (content hash,
+    keep smallest id) → near (MinHash+LSH pairs whose keeper survived
+    the previous stage) → containment (drop docs contained in a
+    surviving container) — the filter_funnel discipline applied to the
+    dedup family, so a threshold or signature regression shows up as a
+    stage-level survivor-count shift pinned by the hash contract, not a
+    silent corpus drift. Four bounded rows.
+
+    Stage semantics are SEQUENTIAL: a stage only drops a doc if the
+    partner justifying the drop itself survived every earlier stage
+    (semi-join on the keeper side before the anti-join), matching how a
+    pipeline actually applies the passes. Scale shape: three anti-joins
+    over doc ids + the audited pair generators — no new corpus passes
+    beyond the stages being measured."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    keep = exact_dedup(spark, sf_dir).select(F.col("keep_id").alias("doc_id"))
+    s1 = docs.join(keep, "doc_id", "left_semi")
+    near = minhash_lsh_pairs(spark, sf_dir)
+    drop2 = near.join(
+        s1.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    ).select(F.col("doc_b").alias("doc_id"))
+    s2 = s1.join(drop2, "doc_id", "left_anti")
+    cont = containment_prefix_pairs(spark, sf_dir)
+    drop3 = cont.join(
+        s2.select(F.col("doc_id").alias("container_doc")),
+        "container_doc",
+        "left_semi",
+    ).select(F.col("contained_doc").alias("doc_id"))
+    s3 = s2.join(drop3, "doc_id", "left_anti")
+
+    def stat(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_chars")
+
+    return (
+        stat(docs, "raw")
+        .unionByName(stat(s1, "exact"))
+        .unionByName(stat(s2, "near"))
+        .unionByName(stat(s3, "containment"))
+    )
+
+
+ORACLE_DEDUP_FUNNEL = f"""
+WITH s1 AS (
+    SELECT d.doc_id, d.n_chars FROM documents d
+    JOIN (SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.keep_id
+),
+near AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH}) t),
+s2 AS (
+    SELECT * FROM s1 WHERE doc_id NOT IN (
+        SELECT n.doc_b FROM near n JOIN s1 a ON n.doc_a = a.doc_id)
+),
+cont AS (SELECT contained_doc, container_doc
+         FROM ({ORACLE_CONTAINMENT_PREFIX}) t),
+s3 AS (
+    SELECT * FROM s2 WHERE doc_id NOT IN (
+        SELECT c.contained_doc FROM cont c JOIN s2 b ON c.container_doc = b.doc_id)
+)
+SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+UNION ALL SELECT 'exact', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM s1
+UNION ALL SELECT 'near', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM s2
+UNION ALL SELECT 'containment', CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT) FROM s3
+"""

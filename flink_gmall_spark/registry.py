@@ -332,6 +332,8 @@ _register("curation_bpe_greedy_drift", curation.bpe_greedy_drift, curation.ORACL
 _register("sim_hard_negatives_ivf", ann.hard_negatives_ivf, ann.ORACLE_HARD_NEGATIVES_IVF, tags=("similarity", "ml-training", "negative-sampling", "contrastive", "topk", "ivf", "recall-ledger"))
 _register("dedup_containment_prefix", dedup.containment_prefix_pairs, dedup.ORACLE_CONTAINMENT_PREFIX, tags=("dedup", "containment", "prefix-filter", "set-similarity", "exact-filter"))
 _register("sim_mrl_truncation_recall", ann.mrl_truncation_recall, ann.ORACLE_MRL_TRUNCATION_RECALL, tags=("similarity", "matryoshka", "truncation", "recall-ledger", "self-measurement"))
+_register("sim_ivf_cell_balance", ann.ivf_cell_balance, ann.ORACLE_IVF_CELL_BALANCE, tags=("similarity", "ivf", "index-health", "self-measurement", "imbalance"))
+_register("dedup_funnel_report", dedup.dedup_funnel_report, dedup.ORACLE_DEDUP_FUNNEL, tags=("dedup", "observability", "funnel", "e2e", "self-measurement"))
 
 
 # =============================================================================
