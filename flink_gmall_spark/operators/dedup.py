@@ -74,27 +74,33 @@ GROUP BY 1
 FREQ_FILTER_STRATEGY = "window"
 
 
-def raw_shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-k-gram shingles per doc WITHOUT the corpus DF cap —
-    a pure per-row map (split/transform/explode, no aggregation), so it
-    runs unchanged on a STREAMING DataFrame. Batch callers get the cap
-    through _shingles; streaming callers apply the batch-maintained
-    frequent-shingle block list instead (stream_decontaminate_bloom)."""
+def shingle_array(docs: DataFrame) -> DataFrame:
+    """Per-row DISTINCT shingle array (doc_id, sh_arr) WITHOUT the corpus
+    DF cap — the pre-explode form of raw_shingles, for consumers that
+    need the per-doc set as a value (e.g. a streaming probe that must
+    carry its own set size through a single aggregation)."""
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") >= SHINGLE_K
     )
     # Spark SQL array indexing is 0-based: i in [0, n-k]
     return toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(t) - {SHINGLE_K}),"
-                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-                )
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(0, size(t) - {SHINGLE_K}),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
             )
-        ).alias("s"),
+        ).alias("sh_arr"),
     )
+
+
+def raw_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-k-gram shingles per doc WITHOUT the corpus DF cap —
+    a pure per-row map (split/transform/explode, no aggregation), so it
+    runs unchanged on a STREAMING DataFrame. Batch callers get the cap
+    through _shingles; streaming callers apply the batch-maintained
+    frequent-shingle block list instead (stream_decontaminate_bloom)."""
+    return shingle_array(docs).select("doc_id", F.explode("sh_arr").alias("s"))
 
 
 def _shingles(docs: DataFrame, strategy: str | None = None) -> DataFrame:
@@ -1173,4 +1179,21 @@ UNION ALL SELECT 'near', CAST(count(*) AS BIGINT),
        CAST(sum(n_chars) AS BIGINT) FROM s2
 UNION ALL SELECT 'containment', CAST(count(*) AS BIGINT),
        CAST(sum(n_chars) AS BIGINT) FROM s3
+"""
+
+
+# Oracle for the streaming containment probe (streaming/jobs.py:
+# stream_containment_probe): every doc probed against every OTHER doc's
+# capped shingle set, |A∩B| / |A| for the PROBE side A — both directions,
+# unlike the batch pair op's smaller-set orientation, because the probe
+# question is "is this incoming doc inside any existing doc".
+ORACLE_CONTAINMENT_PROBE = f"""{_DUCK_SHINGLES},
+common AS (
+    SELECT a.doc_id AS doc_id, b.doc_id AS container_doc, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.doc_id, c.container_doc, CAST(c.c AS DOUBLE) / x.n AS containment
+FROM common c JOIN sizes x ON c.doc_id = x.doc_id
+WHERE CAST(c.c AS DOUBLE) / x.n >= {CONTAINMENT_THRESHOLD}
 """

@@ -1553,3 +1553,80 @@ def stream_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _store, clustered = zorder_stream_rewrite(spark, sf_dir)
     return zorder_rollup(spark.read.parquet(clustered))
+
+
+def stream_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the containment family — the INGEST-TIME probe:
+    for each arriving document A, which existing corpus documents B
+    contain it (|A∩B| / |A| >= threshold)? The static side is the
+    batch-maintained capped shingle index (dedup._shingles) plus the
+    frequent-shingle block list; the stream side derives its per-doc
+    DISTINCT shingle set as an ARRAY (dedup.shingle_array — a pure
+    per-row map), subtracts the broadcast block list with array_except
+    so the doc carries its own capped set size |A| through the plan,
+    explodes, and equi-joins the static index on the shingle string.
+    Carrying |A| as a VALUE is what keeps this to ONE streaming
+    aggregation (group by probe doc, container, |A|) — Spark disallows
+    chained streaming aggs, so a second per-doc size pass would not
+    run. Unlike the batch pair op there is no smaller-set orientation:
+    the probe question is directional by construction, and
+    ORACLE_CONTAINMENT_PROBE mirrors that (both directions, a <> b).
+
+    At 100 TB: per micro-batch cost is the probe explode + one shuffle
+    on the shingle key against the index partition it lands in; the
+    block list is the same tiny corpus artifact the bloom twin
+    broadcasts, here folded in map-side as an array literal (bounded by
+    corpus_df_cap construction, the BPE-merge-table class of bounded
+    driver state)."""
+    from flink_gmall_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        MAX_SHINGLE_DF,
+        _shingles,
+        raw_shingles,
+        shingle_array,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs_static = load(spark, sf_dir, "documents")
+    sh_static = _shingles(docs_static).select(
+        F.col("doc_id").alias("container_doc"), "s"
+    )
+    blocked = [
+        r["s"]
+        for r in raw_shingles(docs_static)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("s")
+        .collect()
+    ]
+    docs = read_stream(spark, sf_dir, "documents")
+    probe = (
+        shingle_array(docs)
+        .withColumn(
+            "sh_capped",
+            F.array_except(
+                "sh_arr", F.array(*[F.lit(s) for s in blocked]) if blocked else F.array().cast("array<string>")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("sh_capped").alias("n"),
+            F.explode("sh_capped").alias("s"),
+        )
+    )
+    hits = (
+        probe.join(sh_static, "s")
+        .filter(F.col("doc_id") != F.col("container_doc"))
+        .groupBy("doc_id", "container_doc", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mem = run_to_memory(hits, "complete")
+    return (
+        mem.withColumn(
+            "containment", F.col("c").cast("double") / F.col("n")
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_id", "container_doc", "containment")
+    )
