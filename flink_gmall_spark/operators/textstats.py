@@ -712,3 +712,77 @@ SELECT term, exact_ct, sample_ct
 FROM exact
 ORDER BY exact_ct DESC, term ASC LIMIT {FREQ_TOPK}
 """
+
+
+SWEEP_MIN_TOKENS = (0, 5, 10, 20, 40, 80, 160, 320)
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter CALIBRATION curve: survivors (docs, tokens) of the
+    quality gate at each candidate min-token threshold, holding the
+    other gate terms (max length, >=1 stopword) fixed — the table a
+    pipeline owner reads to pick MIN_TOKENS, produced the same way
+    filter_funnel prices the fixed pipeline. Pinned as a hash contract
+    so a tokenizer or stopword change that silently shifts the curve
+    fails correctness.
+
+    ONE corpus pass for the whole grid: per-threshold survivors are
+    |SWEEP| conditional aggregates over the same base stats, stacked to
+    rows afterwards — at 100 TB the sweep costs exactly one scan plus a
+    map-side-combined aggregation to a single |SWEEP|-row result, vs
+    |SWEEP| scans for the naive loop."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        tokens_col("text").alias("t")
+    ).select(
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+    aggs = []
+    for thr in SWEEP_MIN_TOKENS:
+        keep = (
+            (F.col("n_tokens") >= thr)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("stop_ct") >= 1)
+        )
+        aggs.append(F.count(F.when(keep, 1)).alias(f"d{thr}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias(f"k{thr}")
+        )
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{thr}L, d{thr}, k{thr}" for thr in SWEEP_MIN_TOKENS
+    )
+    return wide.selectExpr(
+        f"stack({len(SWEEP_MIN_TOKENS)}, {stack_args})"
+        " AS (min_tokens, n_docs, kept_tokens)"
+    )
+
+
+_SWEEP_SQL = ", ".join(str(t) for t in SWEEP_MIN_TOKENS)
+
+ORACLE_QUALITY_THRESHOLD_SWEEP = f"""
+WITH base AS (
+    SELECT CAST(len({_DUCK_T}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({_DUCK_T},
+                x -> list_contains([{_DUCK_STOPS}], x))) AS BIGINT) AS stop_ct
+    FROM documents
+),
+grid AS (SELECT unnest([{_SWEEP_SQL}]) AS min_tokens)
+SELECT CAST(g.min_tokens AS BIGINT) AS min_tokens,
+       CAST(count(CASE WHEN b.n_tokens >= g.min_tokens
+                        AND b.n_tokens <= {MAX_TOKENS}
+                        AND b.stop_ct >= 1 THEN 1 END) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN b.n_tokens >= g.min_tokens
+                               AND b.n_tokens <= {MAX_TOKENS}
+                               AND b.stop_ct >= 1 THEN b.n_tokens END), 0)
+            AS BIGINT) AS kept_tokens
+FROM grid g CROSS JOIN base b
+GROUP BY 1
+"""

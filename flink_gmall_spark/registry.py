@@ -335,6 +335,7 @@ _register("sim_mrl_truncation_recall", ann.mrl_truncation_recall, ann.ORACLE_MRL
 _register("sim_ivf_cell_balance", ann.ivf_cell_balance, ann.ORACLE_IVF_CELL_BALANCE, tags=("similarity", "ivf", "index-health", "self-measurement", "imbalance"))
 _register("dedup_funnel_report", dedup.dedup_funnel_report, dedup.ORACLE_DEDUP_FUNNEL, tags=("dedup", "observability", "funnel", "e2e", "self-measurement"))
 _register("stream_containment_probe", stream_jobs.stream_containment_probe, dedup.ORACLE_CONTAINMENT_PROBE, tags=("streaming", "dedup", "containment", "stream-static-join", "complete-mode"))
+_register("text_quality_threshold_sweep", textstats.quality_threshold_sweep, textstats.ORACLE_QUALITY_THRESHOLD_SWEEP, tags=("text", "curation", "quality", "calibration", "single-pass", "self-measurement"))
 
 
 # =============================================================================

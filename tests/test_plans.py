@@ -767,3 +767,15 @@ def test_mrl_truncation_single_pass_topk_pushdown(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildLeft" in line, line
+
+
+def test_quality_sweep_single_scan(spark, sf_dir):
+    """The calibration sweep must price the whole threshold grid from
+    ONE corpus scan (conditional aggregates stacked post-agg), not one
+    scan per threshold, and the aggregation must partial (map-side
+    combine) before the exchange."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.quality_threshold_sweep(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan, plan
