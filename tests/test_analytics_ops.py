@@ -683,3 +683,79 @@ def test_containment_prefix_finds_asymmetric_pair_jaccard_misses(spark, tmp_path
     # the same corpus through the Jaccard verifier: 4 common shingles
     # over a ~64-shingle union is far below threshold — no pair
     assert dedup.ngram_jaccard_pairs(spark, d).count() == 0
+
+
+def test_containment_prefix_matches_bruteforce_random_corpus(spark, tmp_path):
+    """Prefix filtering claims EXACT recall (the floor((1-t)n)+1 rule) —
+    pin it against a brute-force reference on a seeded random corpus
+    built to stress the filter: shared vocab so shingle sets overlap
+    partially, many docs just above/below the threshold boundary, and
+    duplicated prefixes. The reference computes all-pairs containment
+    over the SAME capped shingle sets in pandas."""
+    import os
+    import random
+
+    from flink_gmall_spark.operators import dedup
+
+    rng = random.Random(907)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(20):
+        n = rng.randint(3, 40)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        text = " ".join(toks)
+        rows.append((i, text, "en", "s", len(text)))
+    for i in range(20, 40):
+        # derived docs: the base pasted into filler, with a random
+        # fraction of tokens mutated — containment lands on BOTH sides
+        # of the threshold, exercising the boundary
+        base = rows[i - 20][1].split()
+        mut = [
+            (t if rng.random() > 0.15 else vocab[rng.randrange(len(vocab))])
+            for t in base
+        ]
+        filler = [f"fill{i}_{j}" for j in range(rng.randint(0, 25))]
+        text = " ".join(mut + filler)
+        rows.append((i, text, "en", "s", len(text)))
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    # reference: capped distinct shingle sets (same K, same DF cap)
+    sets: dict[int, set] = {}
+    for i, text, *_ in rows:
+        t = text.split()
+        if len(t) >= dedup.SHINGLE_K:
+            sets[i] = {
+                " ".join(t[j : j + dedup.SHINGLE_K])
+                for j in range(len(t) - dedup.SHINGLE_K + 1)
+            }
+    df_ct: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df_ct[sh] = df_ct.get(sh, 0) + 1
+    sets = {
+        i: {sh for sh in s if df_ct[sh] <= dedup.MAX_SHINGLE_DF}
+        for i, s in sets.items()
+    }
+    sets = {i: s for i, s in sets.items() if s}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            ka, kb = (len(sets[a]), a), (len(sets[b]), b)
+            if ka >= kb:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= dedup.CONTAINMENT_THRESHOLD:
+                want[(a, b)] = c
+
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in dedup.containment_prefix_pairs(spark, d).collect()
+    }
+    assert got == want, (set(got) ^ set(want), got, want)
+    assert want, "degenerate fixture: reference found no pairs"

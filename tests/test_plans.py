@@ -779,3 +779,43 @@ def test_quality_sweep_single_scan(spark, sf_dir):
     plan = plan_of(textstats.quality_threshold_sweep(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_count" in plan, plan
+
+
+def test_span_corruption_map_only(spark, sf_dir):
+    """The corruption spec is pure per-row expression math — the plan
+    must contain NO exchange at all (zero shuffle, zero join): at scale
+    it is a map-only pass over the token split."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.span_corruption_spec(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" in plan and plan.count("Scan parquet") == 1, plan
+
+
+def test_pq_distortion_broadcast_codebook_single_scan(spark, sf_dir):
+    """The distortion ledger rides the encode pass: one corpus scan per
+    codebook consumer, the codebook folded to a broadcast single row
+    (nested-loop only as the 1-row cross), and a partial aggregation
+    before the PQ_M-row exchange."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.pq_distortion_report(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan or "partial" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line or "BuildRight" in line, line
+
+
+def test_raw_shingles_generate_is_fused(spark, sf_dir):
+    """The shingle explode must stay FUSED over the array expression
+    (Generate explode(array_distinct(transform(...)))). Materializing
+    the array in a separate Project below the Generate measured ~19x
+    slower on the sf0.1 shingle scan — a 13x bench regression on
+    curation_decontaminate when it briefly shipped that way in round 9."""
+    from flink_gmall_spark.operators import dedup
+    from flink_gmall_spark.sources import load
+
+    plan = plan_of(dedup.raw_shingles(load(spark, sf_dir, "documents")))
+    gen = [l for l in plan.splitlines() if "Generate" in l]
+    assert gen and all("array_distinct" in l for l in gen), plan
