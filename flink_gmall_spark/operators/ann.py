@@ -1570,3 +1570,47 @@ SELECT CAST(count(*) AS BIGINT) AS cells_used,
        CAST(max(sz) * count(*) AS DOUBLE) / sum(sz) AS imbalance
 FROM sz
 """
+
+
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook HEALTH ledger, the quantization companion to
+    sim_ivf_cell_balance: per subspace, the corpus count and total/mean
+    squared quantization error of the assigned codewords. Rising
+    distortion in one subspace is how a stale or mis-sliced codebook
+    shows up long before recall dashboards move — FAISS reports exactly
+    this as imbalance/quantization error per quantizer. Distortion
+    totals are summed as DECIMAL(27,15) (exact, order-independent —
+    the ADC discipline), then cast to double ONCE before the rounded
+    division, so the report hash-pins despite being float-valued.
+    Cost: the encode pass it audits plus a PQ_M-row aggregation."""
+    tune(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    agg = _pq_codes(e).groupBy("sub_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("sdist").cast("decimal(27,15)")).alias("S"),
+    )
+    return agg.select(
+        "sub_id",
+        "n_vectors",
+        F.round(F.col("S").cast("double"), 6).alias("total_sdist"),
+        F.round(F.col("S").cast("double") / F.col("n_vectors"), 6).alias(
+            "avg_sdist"
+        ),
+    )
+
+
+ORACLE_PQ_DISTORTION = f"""
+WITH {_DUCK_PQ_CTES},
+agg AS (
+    SELECT m, count(*) AS n_vectors,
+           sum(CAST(d AS DECIMAL(27,15))) AS S
+    FROM codes GROUP BY 1
+)
+SELECT CAST(m AS INT) AS sub_id, CAST(n_vectors AS BIGINT) AS n_vectors,
+       round(CAST(S AS DOUBLE), 6) AS total_sdist,
+       round(CAST(S AS DOUBLE) / n_vectors, 6) AS avg_sdist
+FROM agg
+"""

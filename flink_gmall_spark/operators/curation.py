@@ -2211,3 +2211,95 @@ WHERE r.rk <= q.quota
 
 
 ORACLE_RECIPE_V2 = _oracle_recipe_v2()
+
+
+MASK_BLOCK = 5  # tokens per corruption block
+MASK_MOD = 5  # 1-in-MASK_MOD blocks masked (~20% corruption)
+MASK_SEED = "spanmask1"
+
+
+def span_corruption_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SPAN-CORRUPTION spec (the T5/UL2 denoising-objective
+    shape): partition each doc's token sequence into MASK_BLOCK-token
+    blocks and mask the blocks a seeded hash selects (1 in MASK_MOD) —
+    every engine replica, every rerun, every backfill picks the SAME
+    spans, which is what makes cached corruption targets valid and the
+    spec oracle-checkable (the hex-threshold-sampling discipline applied
+    inside the document). Emits the per-doc ledger (blocks, masked
+    blocks, masked tokens, corruption ratio x1000 integer); the actual
+    target/input splice is a downstream map over the same hash, so
+    pinning the ledger pins the splice.
+
+    Pure per-row expression math — block list, seeded md5-prefix
+    selection, sequential fold for masked token count — zero shuffle,
+    zero UDF: at 100 TB this is a map-only pass whose cost is the token
+    split it already shares with the quality operators."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokens_col("text").alias("t")
+    ).select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    sel = (
+        f"CAST(conv(substring(md5(concat('{MASK_SEED}',"
+        " CAST(doc_id AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10)"
+        f" AS BIGINT) % {MASK_MOD} = 0"
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(n_tokens + {MASK_BLOCK - 1}) DIV {MASK_BLOCK}")
+        .cast("long")
+        .alias("n_blocks"),
+        F.expr(
+            f"CASE WHEN n_tokens = 0 THEN array() ELSE "
+            f"filter(sequence(0, (n_tokens + {MASK_BLOCK - 1}) DIV {MASK_BLOCK} - 1),"
+            f" b -> {sel}) END"
+        ).alias("mb"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_blocks",
+        F.size("mb").cast("long").alias("n_masked_blocks"),
+        F.expr(
+            f"aggregate(mb, CAST(0 AS BIGINT),"
+            f" (acc, b) -> acc + least(CAST({MASK_BLOCK} AS BIGINT),"
+            f" n_tokens - b * {MASK_BLOCK}))"
+        ).alias("n_masked_tokens"),
+    ).withColumn(
+        "corruption_x1000",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE (1000 * n_masked_tokens) DIV n_tokens END"
+        ).cast("long"),
+    )
+
+
+ORACLE_SPAN_CORRUPTION = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text),
+                '{TOKEN_SPLIT_RE}'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+blk AS (
+    SELECT doc_id, n_tokens,
+           (n_tokens + {MASK_BLOCK - 1}) // {MASK_BLOCK} AS n_blocks,
+           CASE WHEN n_tokens = 0 THEN []::BIGINT[] ELSE
+             list_filter(range(0, (n_tokens + {MASK_BLOCK - 1}) // {MASK_BLOCK}),
+               b -> CAST(('0x' || substring(md5('{MASK_SEED}' ||
+                    CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+                    1, 8))::UBIGINT % {MASK_MOD} AS BIGINT) = 0)
+           END AS mb
+    FROM base
+)
+SELECT doc_id, n_tokens, CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(len(mb) AS BIGINT) AS n_masked_blocks,
+       CAST(coalesce(list_sum(list_transform(mb,
+            b -> least({MASK_BLOCK}, n_tokens - b * {MASK_BLOCK}))), 0)
+            AS BIGINT) AS n_masked_tokens,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (1000 * CAST(coalesce(list_sum(list_transform(mb,
+                 b -> least({MASK_BLOCK}, n_tokens - b * {MASK_BLOCK}))), 0)
+                 AS BIGINT)) // n_tokens END AS corruption_x1000
+FROM blk
+"""

@@ -336,6 +336,9 @@ _register("sim_ivf_cell_balance", ann.ivf_cell_balance, ann.ORACLE_IVF_CELL_BALA
 _register("dedup_funnel_report", dedup.dedup_funnel_report, dedup.ORACLE_DEDUP_FUNNEL, tags=("dedup", "observability", "funnel", "e2e", "self-measurement"))
 _register("stream_containment_probe", stream_jobs.stream_containment_probe, dedup.ORACLE_CONTAINMENT_PROBE, tags=("streaming", "dedup", "containment", "stream-static-join", "complete-mode"))
 _register("text_quality_threshold_sweep", textstats.quality_threshold_sweep, textstats.ORACLE_QUALITY_THRESHOLD_SWEEP, tags=("text", "curation", "quality", "calibration", "single-pass", "self-measurement"))
+_register("sim_pq_distortion", ann.pq_distortion_report, ann.ORACLE_PQ_DISTORTION, tags=("similarity", "pq", "index-health", "self-measurement", "decimal-exact"))
+_register("curation_span_corruption", curation.span_corruption_spec, curation.ORACLE_SPAN_CORRUPTION, tags=("curation", "ml-training", "denoising", "deterministic", "map-only"))
+_register("stream_quality_threshold_sweep", stream_jobs.stream_quality_threshold_sweep, textstats.ORACLE_QUALITY_THRESHOLD_SWEEP, tags=("streaming", "text", "curation", "calibration", "complete-mode"))
 
 
 # =============================================================================

@@ -1630,3 +1630,50 @@ def stream_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .select("doc_id", "container_doc", "containment")
     )
+
+
+def stream_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text_quality_threshold_sweep — the LIVE
+    calibration curve: the document stream folds the whole threshold
+    grid through ONE global streaming aggregation (|SWEEP| x 2
+    conditional aggregates in a single complete-mode fold — the only
+    agg Spark allows on the stream), and the stack to (min_tokens,
+    n_docs, kept_tokens) rows happens batch-side on the memory table.
+    A pipeline owner watches this to see the curve settle as a backfill
+    streams in; shares ORACLE_QUALITY_THRESHOLD_SWEEP verbatim."""
+    from flink_gmall_spark.functions.tokenize import tokens_col
+    from flink_gmall_spark.operators.textstats import (
+        MAX_TOKENS,
+        STOPWORDS,
+        SWEEP_MIN_TOKENS,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(tokens_col("text").alias("t")).select(
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+    aggs = []
+    for thr in SWEEP_MIN_TOKENS:
+        keep = (
+            (F.col("n_tokens") >= thr)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("stop_ct") >= 1)
+        )
+        aggs.append(F.count(F.when(keep, 1)).alias(f"d{thr}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias(f"k{thr}")
+        )
+    wide = base.agg(*aggs)
+    mem = run_to_memory(wide, "complete")
+    stack_args = ", ".join(f"{thr}L, d{thr}, k{thr}" for thr in SWEEP_MIN_TOKENS)
+    return mem.selectExpr(
+        f"stack({len(SWEEP_MIN_TOKENS)}, {stack_args})"
+        " AS (min_tokens, n_docs, kept_tokens)"
+    )
