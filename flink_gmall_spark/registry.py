@@ -424,3 +424,16 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
+
+# Round-10 window roster (stage for the next rotation): lead with the 10
+# round-9 additions — sim_hard_negatives_ivf, dedup_containment_prefix,
+# sim_mrl_truncation_recall, sim_ivf_cell_balance, dedup_funnel_report,
+# stream_containment_probe, text_quality_threshold_sweep,
+# sim_pq_distortion, curation_span_corruption,
+# stream_quality_threshold_sweep (each subset-simmed MATCH at sf0.01 AND
+# sf0.1 pre-commit this round) — plus the 10 r5 entries deferred at the
+# round-9 rotation (stream_config_routing, stream_binned_range_join,
+# dedup_simhash_pairs, dedup_apply_near, sim_ivf_topk_trained,
+# sim_kmeans_assign, sim_semantic_dedup, ads_amount_quartiles,
+# ads_status_priority_cube, stream_dedup_distinct); fill the rest with
+# the then-oldest cohort (the r6-latest block).
