@@ -1614,3 +1614,139 @@ SELECT CAST(m AS INT) AS sub_id, CAST(n_vectors AS BIGINT) AS n_vectors,
        round(CAST(S AS DOUBLE) / n_vectors, 6) AS avg_sdist
 FROM agg
 """
+
+
+NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING curve — recall@k vs probe cost across nprobe values,
+    the calibration table every IVF deployment reads before pinning its
+    serving nprobe (the text-threshold-sweep discipline applied to the
+    index): per (query, nprobe), how many of the brute-force top-k the
+    probe-limited exact ranking recovers, plus the candidate count the
+    query paid for it. Probe sets are NESTED in nprobe (crank <= p), so
+    ONE assignment pass (_cell_ranked, shared with serving and the
+    cell-balance ledger) feeds every sweep point: candidates are
+    generated once at the widest nprobe with their cell rank attached,
+    and each sweep point filters crank <= p before its own ranking —
+    no per-point corpus pass. Hash-pinned integers (hits, candidates)
+    + the recall division, so index drift fails correctness."""
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    ranked = _cell_ranked(emb)
+    cells = ranked.filter(F.col("crank") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= max(NPROBE_SWEEP))
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid", F.col("crank").alias("prank"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "prank")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(emb, "vec_id")
+        .withColumn(
+            "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+        )
+        .select("query_id", "vec_id", "prank", "cos")
+    )
+    swept = scored.withColumn(
+        "nprobe",
+        F.explode(
+            F.array(*[F.lit(p).cast("long") for p in NPROBE_SWEEP])
+        ),
+    ).filter(F.col("prank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    topk = (
+        swept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("nprobe", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    n_cand = swept.groupBy("nprobe", "query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    exact = ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    probe_rows = exact.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(p).cast("long") for p in NPROBE_SWEEP])),
+    )
+    hits = (
+        probe_rows.join(
+            F.broadcast(topk.withColumn("hit", F.lit(1))),
+            ["nprobe", "query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("nprobe", "query_id")
+        .agg(F.count("hit").alias("hits"))
+    )
+    return hits.join(n_cand, ["nprobe", "query_id"]).select(
+        "query_id",
+        "nprobe",
+        "n_candidates",
+        "hits",
+        (F.col("hits").cast("double") / F.lit(float(TOPK))).alias("recall"),
+    )
+
+
+_NPROBE_SQL = ", ".join(str(p) for p in NPROBE_SWEEP)
+
+ORACLE_IVF_NPROBE_SWEEP = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+sweep AS (SELECT unnest([{_NPROBE_SQL}]) AS nprobe),
+probes_r AS (
+    SELECT vec_id AS query_id, cid, crank AS prank FROM ranked
+    WHERE vec_id < {N_QUERIES} AND crank <= {max(NPROBE_SWEEP)}
+),
+cand_r AS (
+    SELECT p.query_id, c.vec_id, p.prank
+    FROM probes_r p JOIN cells c ON p.cid = c.cid
+    WHERE p.query_id <> c.vec_id
+),
+swept AS (
+    SELECT s.nprobe, cr.query_id, cr.vec_id,
+           {_DUCK_DOT.format(a='q.v', b='n.v')} / (q.nrm * n.nrm) AS cos
+    FROM cand_r cr
+    CROSS JOIN sweep s
+    JOIN e q ON cr.query_id = q.vec_id
+    JOIN e n ON cr.vec_id = n.vec_id
+    WHERE cr.prank <= s.nprobe
+),
+topk_p AS (
+    SELECT nprobe, query_id, vec_id AS neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY nprobe, query_id ORDER BY cos DESC, vec_id ASC
+        ) AS rank FROM swept
+    ) WHERE rank <= {TOPK}
+),
+n_cand AS (
+    SELECT nprobe, query_id, count(*) AS n_candidates
+    FROM swept GROUP BY 1, 2
+),
+exact AS (SELECT query_id, neighbor_id FROM ({ORACLE_ANN_TOPK}) t)
+SELECT h.query_id, CAST(h.nprobe AS BIGINT) AS nprobe,
+       CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+       CAST(h.hits AS BIGINT) AS hits,
+       CAST(h.hits AS DOUBLE) / {TOPK} AS recall
+FROM (
+    SELECT s.nprobe, x.query_id, count(t.neighbor_id) AS hits
+    FROM exact x
+    CROSS JOIN sweep s
+    LEFT JOIN topk_p t ON t.nprobe = s.nprobe AND t.query_id = x.query_id
+     AND t.neighbor_id = x.neighbor_id
+    GROUP BY 1, 2
+) h
+JOIN n_cand nc ON h.nprobe = nc.nprobe AND h.query_id = nc.query_id
+"""

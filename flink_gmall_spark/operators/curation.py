@@ -2235,7 +2235,13 @@ def span_corruption_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero UDF: at 100 TB this is a map-only pass whose cost is the token
     split it already shares with the quality operators."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    return span_spec_transform(load(spark, sf_dir, "documents"))
+
+
+def span_spec_transform(docs: DataFrame) -> DataFrame:
+    """The per-row masking-spec transform behind span_corruption_spec —
+    shared verbatim by the streaming twin (stream_span_corruption), so
+    ingest-time and backfill specs cannot drift."""
     base = docs.select(
         "doc_id", tokens_col("text").alias("t")
     ).select("doc_id", F.size("t").cast("long").alias("n_tokens"))

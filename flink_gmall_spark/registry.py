@@ -339,6 +339,8 @@ _register("text_quality_threshold_sweep", textstats.quality_threshold_sweep, tex
 _register("sim_pq_distortion", ann.pq_distortion_report, ann.ORACLE_PQ_DISTORTION, tags=("similarity", "pq", "index-health", "self-measurement", "decimal-exact"))
 _register("curation_span_corruption", curation.span_corruption_spec, curation.ORACLE_SPAN_CORRUPTION, tags=("curation", "ml-training", "denoising", "deterministic", "map-only"))
 _register("stream_quality_threshold_sweep", stream_jobs.stream_quality_threshold_sweep, textstats.ORACLE_QUALITY_THRESHOLD_SWEEP, tags=("streaming", "text", "curation", "calibration", "complete-mode"))
+_register("sim_ivf_nprobe_sweep", ann.ivf_nprobe_sweep, ann.ORACLE_IVF_NPROBE_SWEEP, tags=("similarity", "ivf", "calibration", "recall-ledger", "self-measurement"))
+_register("stream_span_corruption", stream_jobs.stream_span_corruption, curation.ORACLE_SPAN_CORRUPTION, tags=("streaming", "curation", "ml-training", "denoising", "map-only", "append-mode"))
 
 
 # =============================================================================

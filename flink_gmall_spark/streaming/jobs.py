@@ -1677,3 +1677,19 @@ def stream_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         f"stack({len(SWEEP_MIN_TOKENS)}, {stack_args})"
         " AS (min_tokens, n_docs, kept_tokens)"
     )
+
+
+def stream_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_span_corruption — the masking spec
+    computed AT INGEST: the block-mask ledger is pure per-row expression
+    math (zero aggregation, zero join), so the streaming plan is the
+    batch plan run per micro-batch in append mode, and the seeded hash
+    guarantees the stream and any batch backfill pick byte-identical
+    spans — the property that makes corruption targets cacheable across
+    the two paths. The transform is curation.span_spec_transform, shared
+    VERBATIM with the batch entry; shares ORACLE_SPAN_CORRUPTION too."""
+    from flink_gmall_spark.operators.curation import span_spec_transform
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(span_spec_transform(docs), "append")
