@@ -2309,3 +2309,143 @@ SELECT doc_id, n_tokens, CAST(n_blocks AS BIGINT) AS n_blocks,
                  AS BIGINT)) // n_tokens END AS corruption_x1000
 FROM blk
 """
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY ledger — BPE tokens per word, by language:
+    the first number a multilingual data pipeline checks before fixing
+    a token budget, because a tokenizer trained lopsidedly spends 2-4x
+    more tokens per word on under-represented languages and silently
+    shifts the effective data mixture. Per-doc budgets come from the
+    audited serve path (bpe_token_budget's join against the symbolized
+    dictionary — shared transform, shared oracle subquery), rolled up
+    per document language; fertility is the x1000 integer ratio, so the
+    whole ledger hash-pins. A fertility drift after retraining the
+    merge table is a correctness failure here, not a surprise in the
+    training-run token accounting."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    budget = bpe_token_budget(spark, sf_dir)
+    j = budget.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.expr("(1000 * sum(n_bpe_tokens)) DIV sum(n_words)")
+        .cast("long")
+        .alias("fertility_x1000"),
+    )
+
+
+ORACLE_BPE_FERTILITY = f"""
+WITH budget AS ({ORACLE_BPE_TOKEN_BUDGET})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_words) AS BIGINT) AS n_words,
+       CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       (1000 * CAST(sum(b.n_bpe_tokens) AS BIGINT))
+         // CAST(sum(b.n_words) AS BIGINT) AS fertility_x1000
+FROM budget b JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD — the headline numbers a dataset release
+    publishes (docs, bytes, language count, exact-dup rate, quality
+    keep rate, mean tokens/doc), computed in ONE scan + ONE aggregation:
+    every per-row signal (content hash, language, token stats, quality
+    gate) is derived in a single projection and folded together, so the
+    card costs a corpus pass regardless of how many numbers it carries.
+    Rates are x1000 integers (hash-pinned); the same gate terms as
+    text_quality_scores, so the card and the per-doc table cannot
+    disagree."""
+    from flink_gmall_spark.operators.textstats import (
+        MAX_TOKENS,
+        MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        F.md5("text").alias("h"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        tokens_col("text").alias("t"),
+    ).select(
+        "h",
+        "lang",
+        "n_chars",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.count(
+            F.when(
+                (F.col("n_tokens") >= MIN_TOKENS)
+                & (F.col("n_tokens") <= MAX_TOKENS)
+                & (F.col("stop_ct") >= 1),
+                1,
+            )
+        ).alias("n_keep"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return agg.select(
+        "n_docs",
+        "total_chars",
+        "n_langs",
+        F.expr("(1000 * (n_docs - n_distinct)) DIV n_docs")
+        .cast("long")
+        .alias("exact_dup_x1000"),
+        F.expr("(1000 * n_keep) DIV n_docs").cast("long").alias("quality_keep_x1000"),
+        F.expr("(1000 * total_tokens) DIV n_docs")
+        .cast("long")
+        .alias("mean_tokens_x1000"),
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+WITH base AS (
+    SELECT md5(text) AS h, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len({{T}}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({{T}}, x -> list_contains([{{STOPS}}], x)))
+                AS BIGINT) AS stop_ct
+    FROM documents
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(count(CASE WHEN n_tokens >= {{MIN}} AND n_tokens <= {{MAX}}
+                           AND stop_ct >= 1 THEN 1 END) AS BIGINT) AS n_keep,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM base
+)
+SELECT n_docs, total_chars, n_langs,
+       (1000 * (n_docs - n_distinct)) // n_docs AS exact_dup_x1000,
+       (1000 * n_keep) // n_docs AS quality_keep_x1000,
+       (1000 * total_tokens) // n_docs AS mean_tokens_x1000
+FROM agg
+"""
+
+# fill the gate constants from textstats so card and per-doc table share
+# one definition (imported late to avoid a cycle at module load)
+from flink_gmall_spark.operators.textstats import (  # noqa: E402
+    _DUCK_STOPS as _CARD_STOPS,
+    _DUCK_T as _CARD_T,
+    MAX_TOKENS as _CARD_MAX,
+    MIN_TOKENS as _CARD_MIN,
+)
+
+ORACLE_DATASET_CARD = ORACLE_DATASET_CARD.format(
+    T=_CARD_T, STOPS=_CARD_STOPS, MIN=_CARD_MIN, MAX=_CARD_MAX
+)

@@ -1223,3 +1223,60 @@ SELECT c.doc_id, c.container_doc, CAST(c.c AS DOUBLE) / x.n AS containment
 FROM common c JOIN sizes x ON c.doc_id = x.doc_id
 WHERE CAST(c.c AS DOUBLE) / x.n >= {CONTAINMENT_THRESHOLD}
 """
+
+
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DUPLICATION COVERAGE — the fraction of a doc's
+    distinct shingles that occur in at least one OTHER doc (the
+    RefinedWeb/Dolma-style "duplicated n-gram" dataset metric, the
+    per-doc companion of the corpus-level funnel): documents scoring
+    high here are boilerplate-heavy or templated even when no single
+    pair crosses the near-dup threshold, so pipelines use this as a
+    soft quality signal where pairwise dedup is the hard filter.
+    Shingle df comes from one aggregation over the UNCAPPED shingle
+    table (the cap exists to bound pair joins; a coverage count is a
+    per-key aggregate and needs no cap); the x1000 integer ratio
+    hash-pins. Two shuffles (df on shingle, rollup on doc)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = raw_shingles(docs)
+    with_df = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    )
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("df") > 1, 1)).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_coverage_x1000",
+            F.expr("(1000 * n_dup_shingles) DIV n_shingles").cast("long"),
+        )
+    )
+
+
+ORACLE_DUP_NGRAM_COVERAGE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+sh_all AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - {SHINGLE_K - 2}),
+               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS s
+    FROM toks
+    WHERE len(t) >= {SHINGLE_K}
+),
+df AS (SELECT s, count(*) AS df FROM sh_all GROUP BY 1)
+SELECT a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(CASE WHEN df.df > 1 THEN 1 END) AS BIGINT) AS n_dup_shingles,
+       (1000 * CAST(count(CASE WHEN df.df > 1 THEN 1 END) AS BIGINT))
+         // count(*) AS dup_coverage_x1000
+FROM sh_all a JOIN df USING (s)
+GROUP BY 1
+"""

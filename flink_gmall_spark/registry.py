@@ -341,6 +341,9 @@ _register("curation_span_corruption", curation.span_corruption_spec, curation.OR
 _register("stream_quality_threshold_sweep", stream_jobs.stream_quality_threshold_sweep, textstats.ORACLE_QUALITY_THRESHOLD_SWEEP, tags=("streaming", "text", "curation", "calibration", "complete-mode"))
 _register("sim_ivf_nprobe_sweep", ann.ivf_nprobe_sweep, ann.ORACLE_IVF_NPROBE_SWEEP, tags=("similarity", "ivf", "calibration", "recall-ledger", "self-measurement"))
 _register("stream_span_corruption", stream_jobs.stream_span_corruption, curation.ORACLE_SPAN_CORRUPTION, tags=("streaming", "curation", "ml-training", "denoising", "map-only", "append-mode"))
+_register("curation_bpe_fertility", curation.bpe_fertility_by_lang, curation.ORACLE_BPE_FERTILITY, tags=("curation", "text", "tokenizer-training", "fertility", "mixing", "self-measurement"))
+_register("dedup_dup_ngram_coverage", dedup.dup_ngram_coverage, dedup.ORACLE_DUP_NGRAM_COVERAGE, tags=("dedup", "quality", "corpus-stats", "observability"))
+_register("curation_dataset_card", curation.dataset_card_report, curation.ORACLE_DATASET_CARD, tags=("curation", "observability", "e2e", "single-pass", "self-measurement"))
 
 
 # =============================================================================
