@@ -24,6 +24,8 @@ Scale design (100 TB point):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1030,6 +1032,14 @@ LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
 
 
 CONTAINMENT_THRESHOLD = 0.8
+# The threshold as an exact rational (4/5). The prefix length MUST be
+# computed in integer arithmetic: floor((1-t)*n)+1 in doubles is one
+# short whenever n is a multiple of 5 because 1.0-0.8 evaluates to
+# 0.19999999999999996, which silently breaks the filter's 100%-recall
+# guarantee at the containment==t boundary.
+CONTAINMENT_NUM, CONTAINMENT_DEN = (
+    Fraction(CONTAINMENT_THRESHOLD).limit_denominator(1000).as_integer_ratio()
+)
 
 
 def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,10 +1048,12 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-scores when sizes diverge (a doc pasted inside a larger one).
     Candidates come from PREFIX FILTERING (the AllPairs/PPJoin family,
     Bayardo et al. WWW'07), not MinHash: order each doc's shingles by a
-    canonical key (md5), keep only the first floor((1-t)*n)+1 as probe
-    keys, and equi-join probes against the full shingle index. Any pair
-    with containment >= t MUST share a probe key (if none of the first
-    (1-t)*n+1 canonical shingles of A hit B, fewer than t*n can), so
+    canonical key (md5), keep only the first n - ceil(t*n) + 1 as probe
+    keys (computed in INTEGER arithmetic — the float form floor((1-t)*n)+1
+    is one short when n is a multiple of 5), and equi-join probes against
+    the full shingle index. Any pair with containment >= t MUST share a
+    probe key (if all n - ceil(t*n) + 1 probe shingles of A miss B, the
+    overlap is at most ceil(t*n) - 1 < t*n), so
     unlike LSH the filter is EXACT — 100% recall, which is why the
     oracle below is plain all-pairs containment with no candidate
     mirror. Orientation: the probe side is the potential contained doc,
@@ -1063,10 +1075,12 @@ def containment_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
     )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.floor(F.lit(1.0 - CONTAINMENT_THRESHOLD) * F.col("n")) + 1
+    # p = n - ceil(t*n) + 1 exactly, via ceil(t*n) = (num*n + den - 1) div den
+    # in pure integer arithmetic (no float rounding at the t==c/n boundary).
+    c_min = F.expr(
+        f"({CONTAINMENT_NUM}L * n + {CONTAINMENT_DEN - 1}L) div {CONTAINMENT_DEN}L"
     )
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - c_min + 1)
     idx = ranked.select(
         F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")
     )

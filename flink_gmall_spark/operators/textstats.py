@@ -717,6 +717,51 @@ ORDER BY exact_ct DESC, term ASC LIMIT {FREQ_TOPK}
 SWEEP_MIN_TOKENS = (0, 5, 10, 20, 40, 80, 160, 320)
 
 
+def sweep_base_stats(docs: DataFrame) -> DataFrame:
+    """(n_tokens, stop_ct) per document — the sweep's gate terms, shared
+    by the batch entry and its streaming twin (both pair with
+    ORACLE_QUALITY_THRESHOLD_SWEEP) so the terms cannot drift between
+    the two engines. Works unchanged on a streaming DataFrame: pure
+    per-row expressions."""
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return docs.select(tokens_col("text").alias("t")).select(
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+
+
+def sweep_wide_aggs() -> list:
+    """The |SWEEP| x 2 conditional aggregates (d{thr} survivors, k{thr}
+    kept tokens) over sweep_base_stats columns — one corpus pass for the
+    whole grid."""
+    aggs = []
+    for thr in SWEEP_MIN_TOKENS:
+        keep = (
+            (F.col("n_tokens") >= thr)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("stop_ct") >= 1)
+        )
+        aggs.append(F.count(F.when(keep, 1)).alias(f"d{thr}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias(f"k{thr}")
+        )
+    return aggs
+
+
+def sweep_stack(wide: DataFrame) -> DataFrame:
+    """Unpivot the 1-row wide sweep aggregate to (min_tokens, n_docs,
+    kept_tokens) rows."""
+    stack_args = ", ".join(f"{thr}L, d{thr}, k{thr}" for thr in SWEEP_MIN_TOKENS)
+    return wide.selectExpr(
+        f"stack({len(SWEEP_MIN_TOKENS)}, {stack_args})"
+        " AS (min_tokens, n_docs, kept_tokens)"
+    )
+
+
 def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter CALIBRATION curve: survivors (docs, tokens) of the
     quality gate at each candidate min-token threshold, holding the
@@ -733,36 +778,7 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     |SWEEP| scans for the naive loop."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
-    base = docs.select(
-        tokens_col("text").alias("t")
-    ).select(
-        F.size("t").cast("long").alias("n_tokens"),
-        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
-        .cast("long")
-        .alias("stop_ct"),
-    )
-    aggs = []
-    for thr in SWEEP_MIN_TOKENS:
-        keep = (
-            (F.col("n_tokens") >= thr)
-            & (F.col("n_tokens") <= MAX_TOKENS)
-            & (F.col("stop_ct") >= 1)
-        )
-        aggs.append(F.count(F.when(keep, 1)).alias(f"d{thr}"))
-        aggs.append(
-            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
-            .cast("long")
-            .alias(f"k{thr}")
-        )
-    wide = base.agg(*aggs)
-    stack_args = ", ".join(
-        f"{thr}L, d{thr}, k{thr}" for thr in SWEEP_MIN_TOKENS
-    )
-    return wide.selectExpr(
-        f"stack({len(SWEEP_MIN_TOKENS)}, {stack_args})"
-        " AS (min_tokens, n_docs, kept_tokens)"
-    )
+    return sweep_stack(sweep_base_stats(docs).agg(*sweep_wide_aggs()))
 
 
 _SWEEP_SQL = ", ".join(str(t) for t in SWEEP_MIN_TOKENS)

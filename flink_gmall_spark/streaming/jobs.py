@@ -220,9 +220,19 @@ def run_to_memory_drain(
     changelog), pass ``target_input_rows`` — the loop stops as soon as
     the query's cumulative numInputRows reaches it (progress for a
     DATA batch is reported promptly). Without a target it falls back to
-    ``idle_triggers`` consecutive empty batches — correct but slow,
-    because Spark throttles no-data progress events to ~10 s
-    (spark.sql.streaming.noDataProgressEventInterval)."""
+    the engine's own drain signal: once at least one batch has run, a
+    drained finite source shows ``isDataAvailable=False`` with no
+    trigger in flight for ``idle_triggers`` consecutive polls. (A
+    drained Python source stops producing batches entirely — the offset
+    stops advancing so no further micro-batch EXECUTES, and Spark's
+    throttled no-data progress events reuse the last executed batchId —
+    so "a new zero-row batch appears" is a condition that can never
+    fire; the status probe is the only reliable no-target signal.)
+
+    Raises ``TimeoutError`` if the backlog has not drained (or the row
+    target has not been met) within ``timeout_s`` — a partial memory
+    table must fail loudly here, not as a downstream oracle hash
+    mismatch."""
     import time
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
@@ -236,6 +246,7 @@ def run_to_memory_drain(
     deadline = time.time() + timeout_s
     idle = 0
     rows_by_batch: dict[int, int] = {}
+    drained = False
     try:
         while time.time() < deadline:
             # recentProgress (not lastProgress): two fast batches can
@@ -249,16 +260,35 @@ def run_to_memory_drain(
                     new = True
             total = sum(rows_by_batch.values())
             if target_input_rows is not None and total >= target_input_rows:
+                drained = True
                 break
-            if target_input_rows is None and new:
-                last = max(rows_by_batch)
-                idle = idle + 1 if rows_by_batch[last] == 0 else 0
-                if idle >= idle_triggers:
-                    break
+            if target_input_rows is None:
+                st = q.status
+                if (
+                    rows_by_batch
+                    and not new
+                    and not st["isDataAvailable"]
+                    and not st["isTriggerActive"]
+                ):
+                    idle += 1
+                    if idle >= idle_triggers:
+                        drained = True
+                        break
+                else:
+                    idle = 0
             time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination()
+    if not drained:
+        got = sum(rows_by_batch.values())
+        want = (
+            f", target {target_input_rows}" if target_input_rows is not None else ""
+        )
+        raise TimeoutError(
+            f"run_to_memory_drain: backlog not drained within {timeout_s}s"
+            f" (got {got} input rows across {len(rows_by_batch)} batches{want})"
+        )
     spark = result.sparkSession
     return spark.table(name)
 
@@ -1640,43 +1670,19 @@ def stream_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     agg Spark allows on the stream), and the stack to (min_tokens,
     n_docs, kept_tokens) rows happens batch-side on the memory table.
     A pipeline owner watches this to see the curve settle as a backfill
-    streams in; shares ORACLE_QUALITY_THRESHOLD_SWEEP verbatim."""
-    from flink_gmall_spark.functions.tokenize import tokens_col
+    streams in; the gate terms, grid aggregates, and stack come from
+    textstats' sweep_* helpers, shared VERBATIM with the batch entry, so
+    the two engines cannot drift; shares ORACLE_QUALITY_THRESHOLD_SWEEP."""
     from flink_gmall_spark.operators.textstats import (
-        MAX_TOKENS,
-        STOPWORDS,
-        SWEEP_MIN_TOKENS,
+        sweep_base_stats,
+        sweep_stack,
+        sweep_wide_aggs,
     )
 
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
-    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
-    base = docs.select(tokens_col("text").alias("t")).select(
-        F.size("t").cast("long").alias("n_tokens"),
-        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
-        .cast("long")
-        .alias("stop_ct"),
-    )
-    aggs = []
-    for thr in SWEEP_MIN_TOKENS:
-        keep = (
-            (F.col("n_tokens") >= thr)
-            & (F.col("n_tokens") <= MAX_TOKENS)
-            & (F.col("stop_ct") >= 1)
-        )
-        aggs.append(F.count(F.when(keep, 1)).alias(f"d{thr}"))
-        aggs.append(
-            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
-            .cast("long")
-            .alias(f"k{thr}")
-        )
-    wide = base.agg(*aggs)
-    mem = run_to_memory(wide, "complete")
-    stack_args = ", ".join(f"{thr}L, d{thr}, k{thr}" for thr in SWEEP_MIN_TOKENS)
-    return mem.selectExpr(
-        f"stack({len(SWEEP_MIN_TOKENS)}, {stack_args})"
-        " AS (min_tokens, n_docs, kept_tokens)"
-    )
+    wide = sweep_base_stats(docs).agg(*sweep_wide_aggs())
+    return sweep_stack(run_to_memory(wide, "complete"))
 
 
 def stream_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:

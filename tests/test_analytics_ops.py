@@ -685,8 +685,46 @@ def test_containment_prefix_finds_asymmetric_pair_jaccard_misses(spark, tmp_path
     assert dedup.ngram_jaccard_pairs(spark, d).count() == 0
 
 
+def test_containment_prefix_boundary_n_multiple_of_denominator(spark, tmp_path):
+    """Regression for the float prefix-length bug: with t=0.8 and n=5
+    capped shingles, floor((1.0-0.8)*n)+1 evaluates to 1 (1.0-0.8 is
+    0.19999999999999996 in doubles) while the exact rule
+    n - ceil(t*n) + 1 gives 2. Construct the adversarial pair: doc A
+    with exactly 5 shingles; doc B containing exactly the 4 that are
+    NOT A's md5-first shingle, so containment = 4/5 = t exactly and the
+    pair is reachable ONLY through A's second probe key. The buggy
+    1-key prefix misses it; the exact filter must emit it."""
+    import hashlib
+    import os
+
+    from flink_gmall_spark.operators import dedup
+
+    toks = [f"bnd{j}" for j in range(7)]  # 7 tokens -> 5 shingles
+    sh = [" ".join(toks[j : j + 3]) for j in range(5)]
+    i = min(range(5), key=lambda j: hashlib.md5(sh[j].encode()).hexdigest())
+    # B holds every shingle of A except sh[i]: two spans split around it
+    # (a unique separator token keeps the cross-boundary junk shingles
+    # disjoint from A's), plus the junk makes |B| > |A| for orientation.
+    b_text = " ".join(toks[: i + 2]) + " SEPTOK " + " ".join(toks[i + 1 :])
+    rows = [
+        (1, " ".join(toks), "en", "s", 1),
+        (2, b_text, "en", "s", 1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in dedup.containment_prefix_pairs(spark, d).collect()
+    }
+    assert got == {(1, 2): 0.8}, got
+
+
 def test_containment_prefix_matches_bruteforce_random_corpus(spark, tmp_path):
-    """Prefix filtering claims EXACT recall (the floor((1-t)n)+1 rule) —
+    """Prefix filtering claims EXACT recall (the n - ceil(t*n) + 1 rule) —
     pin it against a brute-force reference on a seeded random corpus
     built to stress the filter: shared vocab so shingle sets overlap
     partially, many docs just above/below the threshold boundary, and

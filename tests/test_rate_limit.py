@@ -180,3 +180,50 @@ def test_with_deletes_streams_op_phase_waves(spark):
     assert all(len(c) <= 1 for c in by_epoch.values()), by_epoch
     assert seq == sorted(seq), by_epoch  # insert wave → update → delete
     assert len(seq) == 3 * n_rg, by_epoch  # one batch per (phase, rg)
+
+
+def test_run_to_memory_drain_no_target_uses_engine_drain_signal(spark):
+    """The no-target fallback: a drained finite Python source stops
+    producing batches entirely (unchanged offset -> no trigger) and
+    Spark's throttled no-data progress events REUSE the last executed
+    batchId, so 'a new zero-row batch' never appears — the fallback must
+    key off q.status (no data available, no trigger in flight) instead.
+    Regression: the old zero-row-batch counter spun to the full timeout
+    on every drained backlog."""
+    from flink_gmall_spark.streaming.jobs import run_to_memory_drain
+
+    base = os.path.join(tempfile.gettempdir(), "fgs_rate", uuid.uuid4().hex[:8])
+    os.makedirs(base)
+    src, _, expected = _make_backlog(base)
+    spark.dataSource.register(GmallCDCStreamDataSource)
+    env = (
+        spark.readStream.format("gmall_cdc_stream")
+        .option("path", src)
+        .option("maxRowGroupsPerBatch", "1")
+        .load()
+    )
+    t0 = time.time()
+    mem = run_to_memory_drain(env, "append", target_input_rows=None, timeout_s=120.0)
+    assert mem.count() == expected
+    # well under the timeout: the drain signal, not the deadline, ended it
+    assert time.time() - t0 < 60.0
+
+
+def test_run_to_memory_drain_unmet_target_raises(spark):
+    """A timeout must surface as a named drain failure, not a silently
+    partial memory table feeding a downstream oracle hash mismatch."""
+    from flink_gmall_spark.streaming.jobs import run_to_memory_drain
+
+    base = os.path.join(tempfile.gettempdir(), "fgs_rate", uuid.uuid4().hex[:8])
+    os.makedirs(base)
+    src, _, expected = _make_backlog(base)
+    spark.dataSource.register(GmallCDCStreamDataSource)
+    env = (
+        spark.readStream.format("gmall_cdc_stream")
+        .option("path", src)
+        .load()
+    )
+    with pytest.raises(TimeoutError, match="not drained"):
+        run_to_memory_drain(
+            env, "append", target_input_rows=expected + 1, timeout_s=8.0
+        )
