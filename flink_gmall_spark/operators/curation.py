@@ -2449,3 +2449,124 @@ from flink_gmall_spark.operators.textstats import (  # noqa: E402
 ORACLE_DATASET_CARD = ORACLE_DATASET_CARD.format(
     T=_CARD_T, STOPS=_CARD_STOPS, MIN=_CARD_MIN, MAX=_CARD_MAX
 )
+
+
+SHUFFLE_SEED = "gshuf1"
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC GLOBAL SHUFFLE ledger — the pre-training delivery
+    shuffle. Training wants documents in an order uncorrelated with
+    source/time/crawl layout; at 100 TB the only shuffle that survives
+    retries, re-partitioning, and incremental appends is a SEEDED HASH
+    ORDER: key = md5(seed || doc_id), shard = first hex digit (16
+    hash-range shards), within-shard order = the key itself. Nothing
+    depends on row order or cluster layout, a re-run lands every doc in
+    the same shard at the same position, and the physical write is one
+    repartitionByRange on the key (range exchange, no skew — md5 is
+    uniform).
+
+    This entry emits the shard LEDGER (per shard: docs, tokens, key
+    range) — the balance table an operator checks before submitting the
+    actual rewrite; the hash math is the same expression the write path
+    uses. Narrow map + one 16-group aggregation, no joins."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.expr(
+            f"md5(concat('{SHUFFLE_SEED}', CAST(doc_id AS STRING)))"
+        ).alias("k"),
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    ).withColumn("shard", F.substring("k", 1, 1))
+    return keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+
+
+ORACLE_GLOBAL_SHUFFLE = f"""
+WITH keyed AS (
+    SELECT md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)) AS k,
+           CAST(len({{T}}) AS BIGINT) AS n_tok
+    FROM documents
+)
+SELECT substring(k, 1, 1) AS shard,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       min(k) AS first_key,
+       max(k) AS last_key
+FROM keyed
+GROUP BY 1
+"""
+
+
+MAX_SEQ_LEN = 512   # model context length (tokens)
+LEN_BUCKET = 64     # bucketed-batching width
+
+
+def padding_waste_agg(docs: DataFrame) -> DataFrame:
+    """Per-length-bucket training-batch efficiency ledger — shared
+    VERBATIM by the batch entry and the streaming twin (both pair with
+    ORACLE_PADDING_WASTE). For each doc: effective length = min(n_tok,
+    MAX_SEQ_LEN), truncated tokens = max(n_tok - MAX_SEQ_LEN, 0); under
+    BUCKETED batching each sequence pads to its bucket's upper bound
+    (ceil(eff/LEN_BUCKET)*LEN_BUCKET), under NAIVE batching to
+    MAX_SEQ_LEN. The ledger prices both against the token mass — the
+    table that justifies sequence packing (curation_pack_chunks) over
+    padded batching. Pure per-row integer math + one keyed aggregation;
+    works unchanged on a stream."""
+    base = docs.select(
+        F.size(tokens_col("text")).cast("long").alias("n_tok")
+    ).select(
+        F.least(F.col("n_tok"), F.lit(MAX_SEQ_LEN)).alias("eff"),
+        F.greatest(F.col("n_tok") - MAX_SEQ_LEN, F.lit(0)).alias("trunc"),
+    ).withColumn(
+        "bucket_hi",
+        (
+            F.expr(f"(eff + {LEN_BUCKET - 1}) div {LEN_BUCKET}") * LEN_BUCKET
+        ).cast("long"),
+    )
+    return base.groupBy("bucket_hi").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("eff").cast("long").alias("tokens"),
+        F.sum(F.col("bucket_hi") - F.col("eff")).cast("long").alias("pad_bucketed"),
+        F.sum(F.lit(MAX_SEQ_LEN) - F.col("eff")).cast("long").alias("pad_naive"),
+        F.sum("trunc").cast("long").alias("trunc_tokens"),
+    )
+
+
+def padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry over padding_waste_agg — see its docstring."""
+    tune(spark)
+    return padding_waste_agg(load(spark, sf_dir, "documents"))
+
+
+ORACLE_PADDING_WASTE = f"""
+WITH base AS (
+    SELECT least(CAST(len({{T}}) AS BIGINT), {MAX_SEQ_LEN}) AS eff,
+           greatest(CAST(len({{T}}) AS BIGINT) - {MAX_SEQ_LEN}, 0) AS trunc
+    FROM documents
+),
+b AS (
+    SELECT eff, trunc,
+           ((eff + {LEN_BUCKET - 1}) // {LEN_BUCKET}) * {LEN_BUCKET} AS bucket_hi
+    FROM base
+)
+SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(eff) AS BIGINT) AS tokens,
+       CAST(sum(bucket_hi - eff) AS BIGINT) AS pad_bucketed,
+       CAST(sum({MAX_SEQ_LEN} - eff) AS BIGINT) AS pad_naive,
+       CAST(sum(trunc) AS BIGINT) AS trunc_tokens
+FROM b
+GROUP BY 1
+"""
+
+# fill the tokenizer expression from textstats (same late-import pattern
+# as ORACLE_DATASET_CARD, single definition of the token list)
+from flink_gmall_spark.operators.textstats import _DUCK_T as _SHUF_T  # noqa: E402
+
+ORACLE_GLOBAL_SHUFFLE = ORACLE_GLOBAL_SHUFFLE.format(T=_SHUF_T)
+ORACLE_PADDING_WASTE = ORACLE_PADDING_WASTE.format(T=_SHUF_T)

@@ -1294,3 +1294,159 @@ SELECT a.doc_id,
 FROM sh_all a JOIN df USING (s)
 GROUP BY 1
 """
+
+
+# Banding configs over the SAME 16 chunk min-hashes (bands x rows = 16):
+# the knob a pipeline owner turns to trade candidate volume (cost)
+# against recall at the Jaccard threshold. P(candidate | J=s) =
+# 1-(1-s^r)^b — more, narrower bands = higher recall AND more false
+# candidates; the sweep measures both on the live corpus.
+BAND_TUNING_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BANDING CALIBRATION SWEEP — for each (bands, rows_per_band)
+    layout of the same 16 min-hashes, the measured candidate-pair count,
+    hit count against the exact-Jaccard truth (>= JACCARD_THRESHOLD),
+    and recall/precision x1000 — the sim_ivf_nprobe_sweep discipline
+    applied to the dedup family's own index knob. The production config
+    (8, 2) is chosen from exactly this table, not from the collision
+    formula alone.
+
+    ONE signature pass feeds every config: the 16 chunk min-hashes are
+    computed once (_band_sigs' sig_wide), each config re-stacks them
+    into its own (band, sig) keys, and the union of all stacks goes
+    through a SINGLE self-equi-join grouped by config — 4 configs cost
+    one shuffle on (cfg, band, sig), not 4 plans. Truth pairs come from
+    the exact shared-shingle Jaccard (complete for J > 0), computed once
+    and semi-joined per config."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sig_wide, _ = _band_sigs(sh)
+    stacks = []
+    for nb, r in BAND_TUNING_CONFIGS:
+        stack_args = ", ".join(
+            f"{b}, concat({', '.join(f'm{b * r + i}' for i in range(r))})"
+            for b in range(nb)
+        )
+        stacks.append(
+            sig_wide.selectExpr(
+                f"{nb}L AS bands",
+                f"{r}L AS rows_per_band",
+                "doc_id",
+                f"stack({nb}, {stack_args}) AS (band, sig)",
+            )
+        )
+    sig = stacks[0]
+    for s in stacks[1:]:
+        sig = sig.unionByName(s)
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.rows_per_band") == F.col("b.rows_per_band"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.rows_per_band").alias("rows_per_band"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    truth = _pair_jaccard(sh).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    per_cfg = (
+        cand.groupBy("bands", "rows_per_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .join(
+            hits.groupBy("bands", "rows_per_band").agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit")
+            ),
+            ["bands", "rows_per_band"],
+            "left",
+        )
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("long"))
+        .crossJoin(n_true)
+    )
+    return per_cfg.select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.when(F.col("n_true") > 0, F.expr("(1000 * n_hit) DIV n_true"))
+        .cast("long")
+        .alias("recall_x1000"),
+        F.when(
+            F.col("n_candidates") > 0, F.expr("(1000 * n_hit) DIV n_candidates")
+        )
+        .cast("long")
+        .alias("precision_x1000"),
+    )
+
+
+def _band_tuning_cfg_ctes() -> str:
+    parts = []
+    for nb, r in BAND_TUNING_CONFIGS:
+        mins = " || ".join(
+            f"min(substring(h, 1 + ({r}*b+{i})*{CHUNK_HEX}, {CHUNK_HEX}))"
+            for i in range(r)
+        )
+        parts.append(
+            f"""sig_{nb}_{r} AS (
+    SELECT doc_id, b AS band, {mins} AS sig
+    FROM hashed, (SELECT unnest(range(0, {nb})) AS b)
+    GROUP BY 1, 2
+),
+cand_{nb}_{r} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig_{nb}_{r} a JOIN sig_{nb}_{r} b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _band_tuning_selects() -> str:
+    sels = []
+    for nb, r in BAND_TUNING_CONFIGS:
+        sels.append(
+            f"""SELECT CAST({nb} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       CAST((SELECT count(*) FROM cand_{nb}_{r}) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand_{nb}_{r} c JOIN truth t USING (doc_a, doc_b)) AS BIGINT) AS n_hit"""
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+ORACLE_MINHASH_BAND_TUNING = f"""{_DUCK_SHINGLES},
+hashed AS (
+    SELECT doc_id, s, md5(s) || md5('x' || s) AS h FROM sh
+),
+{_band_tuning_cfg_ctes()},
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT doc_a, doc_b
+    FROM common c JOIN sizes x ON c.doc_a = x.doc_id
+    JOIN sizes y ON c.doc_b = y.doc_id
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+),
+cfgs AS (
+{_band_tuning_selects()}
+)
+SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+       CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true END AS recall_x1000,
+       CASE WHEN n_candidates > 0 THEN (1000 * n_hit) // n_candidates END AS precision_x1000
+FROM cfgs
+"""

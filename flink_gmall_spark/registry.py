@@ -344,6 +344,10 @@ _register("stream_span_corruption", stream_jobs.stream_span_corruption, curation
 _register("curation_bpe_fertility", curation.bpe_fertility_by_lang, curation.ORACLE_BPE_FERTILITY, tags=("curation", "text", "tokenizer-training", "fertility", "mixing", "self-measurement"))
 _register("dedup_dup_ngram_coverage", dedup.dup_ngram_coverage, dedup.ORACLE_DUP_NGRAM_COVERAGE, tags=("dedup", "quality", "corpus-stats", "observability"))
 _register("curation_dataset_card", curation.dataset_card_report, curation.ORACLE_DATASET_CARD, tags=("curation", "observability", "e2e", "single-pass", "self-measurement"))
+_register("dedup_minhash_band_tuning", dedup.minhash_band_tuning, dedup.ORACLE_MINHASH_BAND_TUNING, tags=("dedup", "minhash", "lsh", "calibration", "recall-ledger", "self-measurement"))
+_register("curation_global_shuffle", curation.global_shuffle_shards, curation.ORACLE_GLOBAL_SHUFFLE, tags=("curation", "ml-training", "shuffle", "deterministic", "sharding"))
+_register("curation_padding_waste", curation.padding_waste, curation.ORACLE_PADDING_WASTE, tags=("curation", "ml-training", "batching", "packing", "observability"))
+_register("stream_padding_waste", stream_jobs.stream_padding_waste, curation.ORACLE_PADDING_WASTE, tags=("streaming", "curation", "ml-training", "batching", "complete-mode"))
 
 
 # =============================================================================
@@ -430,15 +434,22 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-10 window roster (stage for the next rotation): lead with the 10
+# Round-10 window roster (stage for the next rotation): lead with ALL 19
 # round-9 additions — sim_hard_negatives_ivf, dedup_containment_prefix,
 # sim_mrl_truncation_recall, sim_ivf_cell_balance, dedup_funnel_report,
 # stream_containment_probe, text_quality_threshold_sweep,
 # sim_pq_distortion, curation_span_corruption,
-# stream_quality_threshold_sweep (each subset-simmed MATCH at sf0.01 AND
-# sf0.1 pre-commit this round) — plus the 10 r5 entries deferred at the
-# round-9 rotation (stream_config_routing, stream_binned_range_join,
-# dedup_simhash_pairs, dedup_apply_near, sim_ivf_topk_trained,
-# sim_kmeans_assign, sim_semantic_dedup, ads_amount_quartiles,
-# ads_status_priority_cube, stream_dedup_distinct); fill the rest with
-# the then-oldest cohort (the r6-latest block).
+# stream_quality_threshold_sweep, sim_ivf_nprobe_sweep,
+# stream_span_corruption, curation_bpe_fertility,
+# dedup_dup_ngram_coverage, curation_dataset_card,
+# dedup_minhash_band_tuning, curation_global_shuffle,
+# curation_padding_waste, stream_padding_waste (each subset-simmed
+# MATCH at sf0.01 AND sf0.1 pre-commit this round) — plus the 10 r5
+# entries deferred at the round-9 rotation (stream_config_routing,
+# stream_binned_range_join, dedup_simhash_pairs, dedup_apply_near,
+# sim_ivf_topk_trained, sim_kmeans_assign, sim_semantic_dedup,
+# ads_amount_quartiles, ads_status_priority_cube, stream_dedup_distinct);
+# fill the remaining 21 with the then-oldest cohort (the r6-latest
+# block). Every never-driver-verified hash contract must be inside the
+# 50-entry window — the roster above is 29 names, leaving no round-9
+# addition outside it.

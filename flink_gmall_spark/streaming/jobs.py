@@ -1699,3 +1699,17 @@ def stream_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
     return run_to_memory(span_spec_transform(docs), "append")
+
+
+def stream_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_padding_waste — the batch-efficiency
+    ledger maintained LIVE as a backfill streams in: per-row integer
+    math plus one keyed complete-mode aggregation on bucket_hi (bounded
+    state: at most MAX_SEQ_LEN/LEN_BUCKET + 1 groups). The transform is
+    curation.padding_waste_agg, shared VERBATIM with the batch entry;
+    shares ORACLE_PADDING_WASTE too."""
+    from flink_gmall_spark.operators.curation import padding_waste_agg
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(padding_waste_agg(docs), "complete")

@@ -797,3 +797,82 @@ def test_containment_prefix_matches_bruteforce_random_corpus(spark, tmp_path):
     }
     assert got == want, (set(got) ^ set(want), got, want)
     assert want, "degenerate fixture: reference found no pairs"
+
+
+def test_band_tuning_candidate_nesting_and_recall(spark, sf_dir):
+    """The four banding configs share the same 16 chunk min-hashes, and
+    a (b, r) sig is the concat of consecutive chunks — so equality of a
+    wider sig implies equality of every narrower sig it contains:
+    cand(2,8) ⊆ cand(4,4) ⊆ cand(8,2) ⊆ cand(16,1). The ledger's
+    counts must be monotone in r, hits bounded by both candidates and
+    truth, and the production (8,2) row must exist."""
+    from flink_gmall_spark.operators import dedup
+
+    rows = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in dedup.minhash_band_tuning(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(dedup.BAND_TUNING_CONFIGS)
+    n_true = {r["n_true"] for r in rows.values()}
+    assert len(n_true) == 1  # truth is config-independent
+    for cfg, r in rows.items():
+        assert 0 <= r["n_hit"] <= r["n_candidates"], (cfg, r)
+        assert r["n_hit"] <= r["n_true"], (cfg, r)
+    ordered = [rows[c] for c in ((16, 1), (8, 2), (4, 4), (2, 8))]
+    for wide, narrow in zip(ordered, ordered[1:]):
+        assert wide["n_candidates"] >= narrow["n_candidates"]
+        assert wide["n_hit"] >= narrow["n_hit"]
+
+
+def test_global_shuffle_shards_partition_and_totals(spark, sf_dir):
+    """The shard ledger is a PARTITION of the corpus: doc totals add up,
+    every shard key is one hex digit, and each shard's key range starts
+    with its own digit (hash-range sharding, not modulo)."""
+    from flink_gmall_spark.operators import curation
+    from flink_gmall_spark.sources import load
+
+    out = curation.global_shuffle_shards(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["docs"] for r in out) == n_docs
+    hexd = set("0123456789abcdef")
+    for r in out:
+        assert r["shard"] in hexd
+        assert r["first_key"].startswith(r["shard"])
+        assert r["last_key"].startswith(r["shard"])
+        assert r["first_key"] <= r["last_key"]
+
+
+def test_padding_waste_hand_computed(spark, tmp_path):
+    """Hand-computed ledger on four known token counts: 3 (pads to 64),
+    64 (exact bucket fit), 100 (bucket 128), 600 (truncated to 512,
+    zero pad). Naive padding always prices against MAX_SEQ_LEN=512."""
+    import os
+
+    from flink_gmall_spark.operators import curation
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, words(3), "en", "s", 1),
+        (2, words(64), "en", "s", 1),
+        (3, words(100), "en", "s", 1),
+        (4, words(600), "en", "s", 1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["bucket_hi"]: (
+            r["docs"], r["tokens"], r["pad_bucketed"], r["pad_naive"], r["trunc_tokens"]
+        )
+        for r in curation.padding_waste(spark, d).collect()
+    }
+    assert got == {
+        64: (2, 67, 61, 957, 0),      # 3 and 64 tokens share bucket 64
+        128: (1, 100, 28, 412, 0),
+        512: (1, 512, 0, 0, 88),
+    }, got

@@ -819,3 +819,38 @@ def test_raw_shingles_generate_is_fused(spark, sf_dir):
     plan = plan_of(dedup.raw_shingles(load(spark, sf_dir, "documents")))
     gen = [l for l in plan.splitlines() if "Generate" in l]
     assert gen and all("array_distinct" in l for l in gen), plan
+
+
+def test_padding_waste_single_scan_no_join(spark, sf_dir):
+    """Per-row integer math + one keyed agg: exactly one parquet scan,
+    no join anywhere, partial aggregation before the exchange."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.padding_waste(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_global_shuffle_single_scan_no_join(spark, sf_dir):
+    """Seeded-hash sharding is a narrow map + one 16-group aggregation:
+    one scan, no join."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.global_shuffle_shards(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_band_tuning_single_sig_join_no_cartesian(spark, sf_dir):
+    """All four configs go through ONE stacked self-equi-join keyed on
+    (bands, rows_per_band, band, sig) — no per-config plan fan-out and
+    no cartesian product; the only nested-loop is the 1-row truth-count
+    broadcast."""
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.minhash_band_tuning(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line or "BuildRight" in line, line
