@@ -1750,3 +1750,157 @@ FROM (
 ) h
 JOIN n_cand nc ON h.nprobe = nc.nprobe AND h.query_id = nc.query_id
 """
+
+
+def _with_norm_label(emb: DataFrame) -> DataFrame:
+    """_with_norm plus the label column — the filtered-search variants
+    need the metadata attribute riding alongside the vector."""
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(v, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))"
+        ),
+    )
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search, brute-force baseline: top-k cosine
+    neighbors restricted to corpus vectors satisfying a metadata
+    predicate — here label = the query's own label (category-constrained
+    search, the canonical filtered-ANN workload). The filter is a
+    PRE-filter: it lives in the join condition, so ineligible vectors
+    are dropped before any dot product is computed — never a post-filter
+    over an unconstrained top-k, which under-fills k when the filter is
+    selective (the classic filtered-ANN failure mode).
+
+    Scale shape: identical to ann_topk (tiny broadcast query side, one
+    corpus scan) — the predicate only narrows the scored set. The
+    n_eligible column ledgers the per-query selectivity so an operator
+    can see when a filter is tight enough to warrant a per-label
+    partition layout instead."""
+    tune(spark)
+    emb = _with_norm_label(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(
+        emb,
+        (F.col("query_id") != F.col("vec_id")) & (F.col("qlabel") == F.col("label")),
+    )
+    scored = pairs.withColumn(
+        "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n_eligible",
+            F.count(F.lit(1)).over(Window.partitionBy("query_id")).cast("long"),
+        )
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+            "n_eligible",
+        )
+    )
+
+
+ORACLE_ANN_FILTERED_TOPK = f"""
+WITH e AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, q.label, e.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
+    FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+                   AND q.label = e.label
+),
+ranked AS (
+    SELECT query_id, label, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+           count(*) OVER (PARTITION BY query_id) AS n_eligible
+    FROM scored
+)
+SELECT query_id, label, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(cos, 6) AS sim, CAST(n_eligible AS BIGINT) AS n_eligible
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the IVF index: the label predicate is pushed
+    INTO the probe plan — candidates are the probed-cell members that
+    ALSO carry the query's label, filtered before any exact scoring
+    (pre-filter on the inverted lists, the strategy real vector stores
+    use when the filter is moderately selective; the alternative —
+    post-filtering an unconstrained top-k — silently under-fills k).
+    Probe semantics are _ivf_probe_candidates, shared verbatim with
+    ivf_topk and hard_negatives_ivf. Recall vs the brute-force filtered
+    truth is partial exactly as in unfiltered IVF: a filtered neighbor
+    outside the probed cells is missed — per-cell label skew makes this
+    WORSE than unfiltered recall, which is why the two entries pair."""
+    tune(spark)
+    embl = _with_norm_label(load(spark, sf_dir, "embeddings"))
+    emb = embl.select("vec_id", "v", "nrm")
+    qv = embl.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    labels = embl.select("vec_id", "label")
+    cand = (
+        _ivf_probe_candidates(emb)
+        .join(qv, "query_id")
+        .join(labels, "vec_id")
+        .filter(F.col("qlabel") == F.col("label"))
+        .join(emb, "vec_id")
+    )
+    scored = cand.withColumn(
+        "cos", F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+    )
+
+
+ORACLE_IVF_FILTERED_TOPK = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+filt AS (
+    SELECT s.query_id, ql.label, s.neighbor_id, s.cos
+    FROM scored s
+    JOIN lab ql ON s.query_id = ql.vec_id
+    JOIN lab nl ON s.neighbor_id = nl.vec_id
+    WHERE ql.label = nl.label
+),
+final AS (
+    SELECT query_id, label, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM filt
+)
+SELECT query_id, label, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
+FROM final WHERE rank <= {TOPK}
+"""

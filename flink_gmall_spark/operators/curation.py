@@ -2471,7 +2471,14 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual rewrite; the hash math is the same expression the write path
     uses. Narrow map + one 16-group aggregation, no joins."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    return shuffle_shard_agg(load(spark, sf_dir, "documents"))
+
+
+def shuffle_shard_agg(docs: DataFrame) -> DataFrame:
+    """The shard-ledger transform — shared VERBATIM by the batch entry
+    and the streaming twin (both pair with ORACLE_GLOBAL_SHUFFLE) so the
+    shard key expression cannot drift between the two engines. Pure
+    per-row math + one keyed aggregation; runs unchanged on a stream."""
     keyed = docs.select(
         F.expr(
             f"md5(concat('{SHUFFLE_SEED}', CAST(doc_id AS STRING)))"
@@ -2570,3 +2577,138 @@ from flink_gmall_spark.operators.textstats import _DUCK_T as _SHUF_T  # noqa: E4
 
 ORACLE_GLOBAL_SHUFFLE = ORACLE_GLOBAL_SHUFFLE.format(T=_SHUF_T)
 ORACLE_PADDING_WASTE = ORACLE_PADDING_WASTE.format(T=_SHUF_T)
+
+
+CHUNK_TOKENS = 128  # RAG/pretraining window width (tokens)
+CHUNK_STRIDE = 96   # window stride -> 32-token overlap between chunks
+
+
+def chunk_overlap_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW CHUNKING SPEC — overlapping fixed-width token
+    windows (the RAG-ingest / long-doc-pretraining chunker: width
+    CHUNK_TOKENS, stride CHUNK_STRIDE, so consecutive chunks share
+    CHUNK_TOKENS - CHUNK_STRIDE tokens of context). Emits the chunk
+    TABLE (doc_id, chunk_idx, tok_start, tok_len, is_tail): start
+    positions are i*stride for i in [0, n_starts), where n_starts = 1
+    for docs at-or-under one window and 1 + ceil((n_tok - width) /
+    stride) otherwise — the last chunk is the only one allowed short.
+    All integer arithmetic (div-based ceil), so the spec is
+    hash-pinnable and byte-identical on re-run.
+
+    Scale shape: map-only — one sequence() explode per doc, zero
+    shuffles, zero joins; the chunk count per doc is ~n_tok/stride, the
+    same output volume any chunker must produce. Slicing the actual
+    token arrays is the trivial follow-on map (slice(t, tok_start+1,
+    tok_len)); the spec is the testable contract."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    n_starts = F.when(F.col("n_tok") <= W, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(n_tok - {W} + {S - 1}) div {S}")
+    )
+    spec = base.withColumn("n_starts", n_starts.cast("long")).select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.expr("sequence(0, n_starts - 1)")).alias("chunk_idx"),
+    )
+    return spec.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * S).cast("long").alias("tok_start"),
+        F.least(F.lit(W), F.col("n_tok") - F.col("chunk_idx") * S)
+        .cast("long")
+        .alias("tok_len"),
+        (F.col("chunk_idx") * S + W >= F.col("n_tok")).alias("is_tail"),
+    )
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH base AS (
+    SELECT doc_id, CAST(len({{T}}) AS BIGINT) AS n_tok FROM documents
+),
+nz AS (
+    SELECT doc_id, n_tok,
+           CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+                ELSE 1 + (n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+           END AS n_starts
+    FROM base WHERE n_tok > 0
+),
+spec AS (
+    SELECT doc_id, n_tok, unnest(range(0, n_starts)) AS chunk_idx FROM nz
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS tok_start,
+       CAST(least({CHUNK_TOKENS}, n_tok - chunk_idx * {CHUNK_STRIDE}) AS BIGINT) AS tok_len,
+       chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS} >= n_tok AS is_tail
+FROM spec
+"""
+
+
+EPOCH_TARGET_TOKENS = 50_000  # per-source token budget the mixture wants
+MAX_EPOCHS = 4                # repeat cap (data-constrained scaling)
+
+
+def repeat_epochs_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UP-SAMPLING LEDGER — the other half of data mixing (mixture_
+    sample/temperature draw DOWN from big sources; scarce high-value
+    sources get repeated for multiple EPOCHS instead). Per source:
+    epochs = min(ceil(EPOCH_TARGET_TOKENS / source_tokens), MAX_EPOCHS)
+    — repeat until the target token budget is met or the repeat cap
+    bites (repeating data beyond a few epochs has sharply diminishing
+    returns, so the cap is first-class, and the shortfall column says
+    what the cap cost). effective_tokens = tokens * epochs is the
+    number the final mixture table sums. Integer-exact throughout.
+
+    Scale shape: one partial-agg pass to |sources| rows, then pure
+    row math — the physical repeat is a later map (explode(sequence(1,
+    epochs))) that never needs to materialize here."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(tokens_col("text")).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+    )
+    epochs = F.least(
+        F.expr(f"(({EPOCH_TARGET_TOKENS} + tokens - 1) div tokens)"),
+        F.lit(MAX_EPOCHS),
+    )
+    return per_src.filter(F.col("tokens") > 0).select(
+        "source",
+        "docs",
+        "tokens",
+        epochs.cast("long").alias("epochs"),
+        (F.col("tokens") * epochs).cast("long").alias("effective_tokens"),
+        F.greatest(
+            F.lit(EPOCH_TARGET_TOKENS) - F.col("tokens") * epochs, F.lit(0)
+        )
+        .cast("long")
+        .alias("shortfall"),
+    )
+
+
+ORACLE_REPEAT_EPOCHS = f"""
+WITH per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len({{T}})) AS BIGINT) AS tokens
+    FROM documents GROUP BY 1
+),
+e AS (
+    SELECT source, docs, tokens,
+           least(({EPOCH_TARGET_TOKENS} + tokens - 1) // tokens, {MAX_EPOCHS}) AS epochs
+    FROM per_src WHERE tokens > 0
+)
+SELECT source, docs, tokens, CAST(epochs AS BIGINT) AS epochs,
+       CAST(tokens * epochs AS BIGINT) AS effective_tokens,
+       CAST(greatest({EPOCH_TARGET_TOKENS} - tokens * epochs, 0) AS BIGINT) AS shortfall
+FROM e
+"""
+
+ORACLE_CHUNK_OVERLAP = ORACLE_CHUNK_OVERLAP.format(T=_SHUF_T)
+ORACLE_REPEAT_EPOCHS = ORACLE_REPEAT_EPOCHS.format(T=_SHUF_T)

@@ -1713,3 +1713,18 @@ def stream_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
     return run_to_memory(padding_waste_agg(docs), "complete")
+
+
+def stream_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_global_shuffle — the shard-balance
+    ledger maintained LIVE during an ingest: the seeded-hash shard key
+    is per-row math, the ledger one keyed complete-mode aggregation with
+    exactly 16 groups of state. An operator watches this to confirm the
+    incoming corpus hash-ranges evenly BEFORE submitting the physical
+    range rewrite. The transform is curation.shuffle_shard_agg, shared
+    VERBATIM with the batch entry; shares ORACLE_GLOBAL_SHUFFLE too."""
+    from flink_gmall_spark.operators.curation import shuffle_shard_agg
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(shuffle_shard_agg(docs), "complete")

@@ -876,3 +876,119 @@ def test_padding_waste_hand_computed(spark, tmp_path):
         128: (1, 100, 28, 412, 0),
         512: (1, 512, 0, 0, 88),
     }, got
+
+
+def test_filtered_ann_label_constraint_and_rank_shape(spark, sf_dir):
+    """Every returned neighbor must carry the query's own label (the
+    filter is a PRE-filter, so no off-label vector can leak into the
+    top-k), ranks are contiguous from 1, and the IVF variant's hits are
+    a subset of the brute-force filtered candidate universe with
+    count <= the brute-force count per query."""
+    from flink_gmall_spark.operators import ann
+    from flink_gmall_spark.sources import load
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    bf = ann.ann_filtered_topk(spark, sf_dir).collect()
+    assert bf, "fixture produced no filtered neighbors"
+    by_q: dict[int, list] = {}
+    for r in bf:
+        assert labels[r["neighbor_id"]] == r["label"] == labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        n_eligible = rows[0]["n_eligible"]
+        assert len(rows) == min(ann.TOPK, n_eligible), (q, len(rows), n_eligible)
+
+    ivf = ann.ivf_filtered_topk(spark, sf_dir).collect()
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    ivf_by_q: dict[int, int] = {}
+    for r in ivf:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+        ivf_by_q[r["query_id"]] = ivf_by_q.get(r["query_id"], 0) + 1
+    for q, n in ivf_by_q.items():
+        assert n <= len(by_q.get(q, [])), (q, n)
+    # rank-1 IVF hits that ARE in the brute-force top-k must carry the
+    # same neighbor ordering prefix property: an IVF rank-1 inside bf's
+    # top-k is bf's best PROBED eligible vector, so sim <= bf rank-1 sim
+    bf_best = {r["query_id"]: r["sim"] for r in bf if r["rank"] == 1}
+    for r in ivf:
+        if r["rank"] == 1 and r["query_id"] in bf_best:
+            assert r["sim"] <= bf_best[r["query_id"]] + 1e-9
+
+
+def test_chunk_overlap_hand_computed(spark, tmp_path):
+    """Hand-computed spec: 5 tokens -> one short tail chunk; 128 -> one
+    exact-width chunk; 129 -> two chunks with the tail at stride 96;
+    320 -> three full-width chunks, only the last a tail (192+128=320)."""
+    import os
+
+    from flink_gmall_spark.operators import curation
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [
+        (1, words(5), "en", "s", 1),
+        (2, words(128), "en", "s", 1),
+        (3, words(129), "en", "s", 1),
+        (4, words(320), "en", "s", 1),
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["tok_start"], r["tok_len"], r["is_tail"])
+        for r in curation.chunk_overlap_spec(spark, d).collect()
+    }
+    assert got == {
+        (1, 0): (0, 5, True),
+        (2, 0): (0, 128, True),
+        (3, 0): (0, 128, False),
+        (3, 1): (96, 33, True),
+        (4, 0): (0, 128, False),
+        (4, 1): (96, 128, False),
+        (4, 2): (192, 128, True),
+    }, got
+    # coverage property: the tail chunk always reaches the document end
+    for (doc, _), (start, ln, tail) in got.items():
+        if tail:
+            n = {1: 5, 2: 128, 3: 129, 4: 320}[doc]
+            assert start + ln == n
+
+
+def test_repeat_epochs_hand_computed(spark, tmp_path):
+    """Source 'tiny' (10 tokens) hits the MAX_EPOCHS cap with a
+    shortfall; source 'big' (60000 tokens > target) runs exactly one
+    epoch with zero shortfall."""
+    import os
+
+    from flink_gmall_spark.operators import curation
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    rows = [(1, words(10), "en", "tiny", 1)]
+    rows += [(2 + i, words(6000), "en", "big", 1) for i in range(10)]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["source"]: (
+            r["docs"], r["tokens"], r["epochs"], r["effective_tokens"], r["shortfall"]
+        )
+        for r in curation.repeat_epochs_ledger(spark, d).collect()
+    }
+    assert got == {
+        "tiny": (1, 10, 4, 40, 49_960),
+        "big": (10, 60_000, 1, 60_000, 0),
+    }, got

@@ -854,3 +854,35 @@ def test_band_tuning_single_sig_join_no_cartesian(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line or "BuildRight" in line, line
+
+
+def test_chunk_overlap_map_only(spark, sf_dir):
+    """The chunk spec is one sequence() explode per doc — NO exchange,
+    no join: one scan, map-only."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.chunk_overlap_spec(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_repeat_epochs_single_scan_no_join(spark, sf_dir):
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.repeat_epochs_ledger(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_filtered_ann_no_corpus_shuffle(spark, sf_dir):
+    """Brute-force filtered search must keep the ann_topk shape: the
+    query side broadcast, no SortMergeJoin, no cartesian product — the
+    label predicate narrows the scored set, it must not change the
+    join strategy."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.ann_filtered_topk(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
