@@ -2601,7 +2601,13 @@ def chunk_overlap_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     token arrays is the trivial follow-on map (slice(t, tok_start+1,
     tok_len)); the spec is the testable contract."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    return chunk_spec_transform(load(spark, sf_dir, "documents"))
+
+
+def chunk_spec_transform(docs: DataFrame) -> DataFrame:
+    """The chunk-spec transform — shared VERBATIM by the batch entry and
+    the streaming twin (both pair with ORACLE_CHUNK_OVERLAP); pure
+    per-row expression math, runs unchanged on a stream."""
     base = docs.select(
         "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tok")
     ).filter(F.col("n_tok") > 0)
@@ -2667,7 +2673,15 @@ def repeat_epochs_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     epochs))) that never needs to materialize here."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    per_src = (
+    return repeat_epochs_finish(repeat_epochs_fold(docs))
+
+
+def repeat_epochs_fold(docs: DataFrame) -> DataFrame:
+    """The per-source (docs, tokens) fold — the only aggregation in the
+    ledger, shared VERBATIM with the streaming twin (which runs it as a
+    complete-mode streaming agg and applies repeat_epochs_finish
+    batch-side on the memory table)."""
+    return (
         docs.select("source", F.size(tokens_col("text")).cast("long").alias("n_tok"))
         .groupBy("source")
         .agg(
@@ -2675,6 +2689,11 @@ def repeat_epochs_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("tokens"),
         )
     )
+
+
+def repeat_epochs_finish(per_src: DataFrame) -> DataFrame:
+    """Pure row math over the fold: epochs under the cap, effective
+    tokens, and the cap's shortfall."""
     epochs = F.least(
         F.expr(f"(({EPOCH_TARGET_TOKENS} + tokens - 1) div tokens)"),
         F.lit(MAX_EPOCHS),

@@ -353,6 +353,8 @@ _register("sim_ivf_filtered_topk", ann.ivf_filtered_topk, ann.ORACLE_IVF_FILTERE
 _register("curation_chunk_overlap", curation.chunk_overlap_spec, curation.ORACLE_CHUNK_OVERLAP, tags=("curation", "ml-training", "chunking", "rag", "map-only", "deterministic"))
 _register("curation_repeat_epochs", curation.repeat_epochs_ledger, curation.ORACLE_REPEAT_EPOCHS, tags=("curation", "ml-training", "mixing", "up-sampling", "observability"))
 _register("stream_global_shuffle", stream_jobs.stream_global_shuffle, curation.ORACLE_GLOBAL_SHUFFLE, tags=("streaming", "curation", "ml-training", "shuffle", "complete-mode"))
+_register("stream_chunk_overlap", stream_jobs.stream_chunk_overlap, curation.ORACLE_CHUNK_OVERLAP, tags=("streaming", "curation", "ml-training", "chunking", "map-only", "append-mode"))
+_register("stream_repeat_epochs", stream_jobs.stream_repeat_epochs, curation.ORACLE_REPEAT_EPOCHS, tags=("streaming", "curation", "ml-training", "mixing", "complete-mode"))
 
 
 # =============================================================================
@@ -439,7 +441,7 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-10 window roster (stage for the next rotation): lead with ALL 24
+# Round-10 window roster (stage for the next rotation): lead with ALL 26
 # round-9 additions — sim_hard_negatives_ivf, dedup_containment_prefix,
 # sim_mrl_truncation_recall, sim_ivf_cell_balance, dedup_funnel_report,
 # stream_containment_probe, text_quality_threshold_sweep,
@@ -450,13 +452,14 @@ def bench_queries() -> dict[str, QueryFn]:
 # dedup_minhash_band_tuning, curation_global_shuffle,
 # curation_padding_waste, stream_padding_waste, sim_ann_filtered_topk,
 # sim_ivf_filtered_topk, curation_chunk_overlap, curation_repeat_epochs,
-# stream_global_shuffle (each subset-simmed MATCH at sf0.01 AND sf0.1
+# stream_global_shuffle, stream_chunk_overlap, stream_repeat_epochs
+# (each subset-simmed MATCH at sf0.01 AND sf0.1
 # pre-commit this round) — plus the 10 r5 entries deferred at the
 # round-9 rotation (stream_config_routing, stream_binned_range_join,
 # dedup_simhash_pairs, dedup_apply_near, sim_ivf_topk_trained,
 # sim_kmeans_assign, sim_semantic_dedup, ads_amount_quartiles,
 # ads_status_priority_cube, stream_dedup_distinct); fill the remaining
-# 16 with the then-oldest cohort (the r6-latest block). Every
+# 14 with the then-oldest cohort (the r6-latest block). Every
 # never-driver-verified hash contract must be inside the 50-entry
-# window — the roster above is 34 names, leaving no round-9 addition
+# window — the roster above is 36 names, leaving no round-9 addition
 # outside it.

@@ -1728,3 +1728,35 @@ def stream_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
     return run_to_memory(shuffle_shard_agg(docs), "complete")
+
+
+def stream_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_chunk_overlap — the sliding-window
+    chunk spec computed AT INGEST: pure per-row expression math plus one
+    sequence() explode, so the streaming plan is the batch plan run per
+    micro-batch in append mode, and the integer start arithmetic makes
+    stream and backfill emit byte-identical specs. The transform is
+    curation.chunk_spec_transform, shared VERBATIM with the batch
+    entry; shares ORACLE_CHUNK_OVERLAP too."""
+    from flink_gmall_spark.operators.curation import chunk_spec_transform
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(chunk_spec_transform(docs), "append")
+
+
+def stream_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_repeat_epochs — the up-sampling ledger
+    maintained LIVE: the per-source (docs, tokens) fold is the one
+    streaming aggregation (complete mode, |sources| groups of state),
+    shared VERBATIM via curation.repeat_epochs_fold; the epoch/shortfall
+    row math applies batch-side on the memory table through
+    curation.repeat_epochs_finish. Shares ORACLE_REPEAT_EPOCHS."""
+    from flink_gmall_spark.operators.curation import (
+        repeat_epochs_finish,
+        repeat_epochs_fold,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return repeat_epochs_finish(run_to_memory(repeat_epochs_fold(docs), "complete"))
