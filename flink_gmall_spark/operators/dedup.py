@@ -1319,11 +1319,24 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a SINGLE self-equi-join grouped by config — 4 configs cost
     one shuffle on (cfg, band, sig), not 4 plans. Truth pairs come from
     the exact shared-shingle Jaccard (complete for J > 0), computed once
-    and semi-joined per config."""
+    and semi-joined per config.
+
+    Both shared subtrees are EAGERLY CHECKPOINTED: Spark does not reuse
+    exchanges across multi-consumer subtrees (the round-6 lesson), and
+    here sig_wide has 4 stack consumers and the shingle table 3 (the
+    signature agg + both sides of the truth self-join). Measured at
+    sf0.1/local[32]: 5.5 s steady / 18.5 s cold unchecked vs 3.1 s /
+    3.9 s with both checkpoints. sig_wide is one row per doc — always
+    safe; the shingle checkpoint is the bigger buffer, which is fine
+    HERE because banding calibration is a sampled-corpus job by nature
+    (the recall estimate needs thousands of docs, not 100 TB) — the
+    full-corpus serving path stays minhash_lsh_pairs, which deliberately
+    does NOT materialize (its docstring records that measurement)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    sh = _shingles(docs).localCheckpoint(eager=True)
     sig_wide, _ = _band_sigs(sh)
+    sig_wide = sig_wide.localCheckpoint(eager=True)
     stacks = []
     for nb, r in BAND_TUNING_CONFIGS:
         stack_args = ", ".join(
