@@ -992,3 +992,42 @@ def test_repeat_epochs_hand_computed(spark, tmp_path):
         "tiny": (1, 10, 4, 40, 49_960),
         "big": (10, 60_000, 1, 60_000, 0),
     }, got
+
+
+def test_chunk_overlap_and_padding_conservation(spark, sf_dir):
+    """Conservation properties on the real fixture: (a) every chunk
+    stays inside its document and the per-doc specs tile the token
+    range with stride steps (tok_start strictly increasing by STRIDE,
+    tail reaches n_tok); (b) padding_waste's tokens + trunc_tokens
+    equals the corpus's raw token mass."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.functions.tokenize import tokens_col
+    from flink_gmall_spark.operators import curation
+    from flink_gmall_spark.sources import load
+
+    spec = curation.chunk_overlap_spec(spark, sf_dir)
+    bad = spec.filter(
+        (F.col("tok_start") < 0)
+        | (F.col("tok_len") <= 0)
+        | (F.col("tok_len") > curation.CHUNK_TOKENS)
+        | (F.col("tok_start") != F.col("chunk_idx") * curation.CHUNK_STRIDE)
+    )
+    assert bad.count() == 0
+    # exactly one tail per doc, and non-tail chunks are full width
+    per_doc = spec.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_tail"), 1).otherwise(0)).alias("tails"),
+        F.sum(F.when(~F.col("is_tail") & (F.col("tok_len") != curation.CHUNK_TOKENS), 1)
+              .otherwise(0)).alias("short_non_tails"),
+    )
+    assert per_doc.filter("tails != 1 OR short_non_tails != 0").count() == 0
+
+    raw = (
+        load(spark, sf_dir, "documents")
+        .select(F.sum(F.size(tokens_col("text"))).alias("n"))
+        .collect()[0]["n"]
+    )
+    pw = curation.padding_waste(spark, sf_dir).agg(
+        F.sum("tokens").alias("t"), F.sum("trunc_tokens").alias("tr")
+    ).collect()[0]
+    assert pw["t"] + pw["tr"] == raw

@@ -57,6 +57,12 @@ DOC_OPS = [
     ("quality_scores", "textstats"),
     ("hashed_classifier_scores", "textstats"),
     ("hll_union_rollup", "textstats"),
+    ("containment_prefix_pairs", "dedup"),
+    ("minhash_band_tuning", "dedup"),
+    ("global_shuffle_shards", "curation"),
+    ("padding_waste", "curation"),
+    ("chunk_overlap_spec", "curation"),
+    ("repeat_epochs_ledger", "curation"),
 ]
 
 EMB_OPS = [
@@ -66,6 +72,8 @@ EMB_OPS = [
     ("semantic_dedup", "ann"),
     ("pq_encode", "ann"),
     ("pq_adc_topk", "ann"),
+    ("ann_filtered_topk", "ann"),
+    ("ivf_filtered_topk", "ann"),
 ]
 
 
