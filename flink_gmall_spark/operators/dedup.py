@@ -1463,3 +1463,74 @@ SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
        CASE WHEN n_candidates > 0 THEN (1000 * n_hit) // n_candidates END AS precision_x1000
 FROM cfgs
 """
+
+
+# Jaccard prefix-filter bound: J(A,B) >= t with |A| <= |B| implies
+# overlap c >= ceil(alpha*|A|) where alpha = 2t/(1+t) (from
+# c(1+t) >= t(|A|+|B|) >= 2t|A|), so the smaller side's safe probe
+# prefix is |A| - ceil(alpha*|A|) + 1 canonical-first shingles. Also
+# |B| <= |A|/t (c <= |A| forces it) — the PPJoin length filter. All
+# bounds computed as exact rationals (the containment lesson: float
+# floor/ceil is one off at every denominator multiple).
+_JT = Fraction(JACCARD_THRESHOLD).limit_denominator(1000)
+JP_ALPHA_NUM, JP_ALPHA_DEN = (2 * _JT / (1 + _JT)).as_integer_ratio()
+JP_LEN_NUM, JP_LEN_DEN = _JT.as_integer_ratio()  # t = NUM/DEN; nb*NUM <= na*DEN
+
+
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via PPJoin-style prefix filtering
+    (Bayardo et al. WWW'07) — the same result set as ngram_jaccard_pairs
+    (it SHARES that entry's oracle verbatim; the equivalence of the two
+    plans is the correctness contract), computed without joining every
+    shared shingle: each doc probes only its first
+    n - ceil(alpha*n) + 1 canonical shingles (alpha = 2t/(1+t)), the
+    length filter |B| <= |A|/t prunes size-mismatched pairs the
+    threshold already excludes, and exact Jaccard verifies candidates
+    only.
+
+    Scale shape vs the full shingle self-join: probe rows are ~(1-alpha)
+    of the shingle table (25% at t=0.6), so the candidate join's left
+    side shrinks 4x and the quadratic per-key fanout applies to the
+    prefix subset only. Canonical order here is md5 (deterministic,
+    engine-portable); production would order shingles by ascending
+    document frequency, which concentrates prefixes on RARE shingles
+    and cuts candidate volume further — the ordering is a pure
+    optimization knob, correctness never depends on it. The DF cap
+    (_shingles) stays, keeping this entry's universe identical to the
+    Jaccard family's."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    w = Window.partitionBy("doc_id").orderBy("pk", "s")
+    ranked = sh.withColumn("pk", F.md5("s")).select(
+        "doc_id",
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    c_min = F.expr(
+        f"({JP_ALPHA_NUM}L * n + {JP_ALPHA_DEN - 1}L) div {JP_ALPHA_DEN}L"
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - c_min + 1)
+    idx = ranked.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(idx.alias("i"), "s")
+        .filter(
+            # probe side is the (n, doc_id)-lexicographically smaller set
+            ((F.col("p.n") < F.col("nb"))
+             | ((F.col("p.n") == F.col("nb")) & (F.col("p.doc_id") < F.col("doc_b"))))
+            # PPJoin length filter: nb <= na/t, in integers
+            & (F.col("nb") * JP_LEN_NUM <= F.col("p.n") * JP_LEN_DEN)
+        )
+        .select(
+            # re-orient to doc-id order — the verify join and the shared
+            # ngram oracle key pairs by doc_id, not by set size
+            F.least(F.col("p.doc_id"), F.col("doc_b")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("doc_b")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs=cand)

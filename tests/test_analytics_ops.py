@@ -1031,3 +1031,45 @@ def test_chunk_overlap_and_padding_conservation(spark, sf_dir):
         F.sum("tokens").alias("t"), F.sum("trunc_tokens").alias("tr")
     ).collect()[0]
     assert pw["t"] + pw["tr"] == raw
+
+
+def test_jaccard_prefix_equals_full_selfjoin(spark, sf_dir, tmp_path):
+    """The prefix-filtered plan must emit EXACTLY ngram_jaccard_pairs'
+    result (they share one oracle): checked on the real fixture AND on
+    a seeded random corpus engineered with boundary-straddling pairs
+    (the same generator as the containment exactness test)."""
+    import os
+    import random
+
+    from flink_gmall_spark.operators import dedup
+
+    def pairs_of(df):
+        return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+
+    assert pairs_of(dedup.jaccard_prefix_pairs(spark, sf_dir)) == pairs_of(
+        dedup.ngram_jaccard_pairs(spark, sf_dir)
+    )
+
+    rng = random.Random(1733)
+    vocab = [f"tok{i}" for i in range(25)]
+    rows = []
+    for i in range(15):
+        n = rng.randint(3, 30)
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        rows.append((i, " ".join(toks), "en", "s", 1))
+    for i in range(15, 30):
+        base = rows[i - 15][1].split()
+        mut = [
+            (t if rng.random() > 0.2 else vocab[rng.randrange(len(vocab))])
+            for t in base
+        ]
+        rows.append((i, " ".join(mut), "en", "s", 1))
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = pairs_of(dedup.jaccard_prefix_pairs(spark, d))
+    want = pairs_of(dedup.ngram_jaccard_pairs(spark, d))
+    assert got == want and want, (set(got) ^ set(want), want)
