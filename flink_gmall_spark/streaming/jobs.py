@@ -276,6 +276,13 @@ def run_to_memory_drain(
                         break
                 else:
                     idle = 0
+            if not q.isActive:
+                # a dead query can never drain — surface ITS error now
+                # rather than a misleading TimeoutError at the deadline
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                break
             time.sleep(0.1)
     finally:
         q.stop()
