@@ -344,12 +344,12 @@ _register("stream_span_corruption", stream_jobs.stream_span_corruption, curation
 _register("curation_bpe_fertility", curation.bpe_fertility_by_lang, curation.ORACLE_BPE_FERTILITY, tags=("curation", "text", "tokenizer-training", "fertility", "mixing", "self-measurement"))
 _register("dedup_dup_ngram_coverage", dedup.dup_ngram_coverage, dedup.ORACLE_DUP_NGRAM_COVERAGE, tags=("dedup", "quality", "corpus-stats", "observability"))
 _register("curation_dataset_card", curation.dataset_card_report, curation.ORACLE_DATASET_CARD, tags=("curation", "observability", "e2e", "single-pass", "self-measurement"))
-_register("dedup_minhash_band_tuning", dedup.minhash_band_tuning, dedup.ORACLE_MINHASH_BAND_TUNING, tags=("dedup", "minhash", "lsh", "calibration", "recall-ledger", "self-measurement"))
+_register("dedup_minhash_band_tuning", dedup.minhash_band_tuning, dedup.ORACLE_MINHASH_BAND_TUNING, bench=True, tags=("dedup", "minhash", "lsh", "calibration", "recall-ledger", "self-measurement"))
 _register("curation_global_shuffle", curation.global_shuffle_shards, curation.ORACLE_GLOBAL_SHUFFLE, tags=("curation", "ml-training", "shuffle", "deterministic", "sharding"))
 _register("curation_padding_waste", curation.padding_waste, curation.ORACLE_PADDING_WASTE, tags=("curation", "ml-training", "batching", "packing", "observability"))
 _register("stream_padding_waste", stream_jobs.stream_padding_waste, curation.ORACLE_PADDING_WASTE, tags=("streaming", "curation", "ml-training", "batching", "complete-mode"))
 _register("sim_ann_filtered_topk", ann.ann_filtered_topk, ann.ORACLE_ANN_FILTERED_TOPK, tags=("similarity", "ann", "filtered-search", "topk", "brute-force-baseline"))
-_register("sim_ivf_filtered_topk", ann.ivf_filtered_topk, ann.ORACLE_IVF_FILTERED_TOPK, tags=("similarity", "ann", "filtered-search", "topk", "ivf", "pre-filter"))
+_register("sim_ivf_filtered_topk", ann.ivf_filtered_topk, ann.ORACLE_IVF_FILTERED_TOPK, bench=True, tags=("similarity", "ann", "filtered-search", "topk", "ivf", "pre-filter"))
 _register("curation_chunk_overlap", curation.chunk_overlap_spec, curation.ORACLE_CHUNK_OVERLAP, tags=("curation", "ml-training", "chunking", "rag", "map-only", "deterministic"))
 _register("curation_repeat_epochs", curation.repeat_epochs_ledger, curation.ORACLE_REPEAT_EPOCHS, tags=("curation", "ml-training", "mixing", "up-sampling", "observability"))
 _register("stream_global_shuffle", stream_jobs.stream_global_shuffle, curation.ORACLE_GLOBAL_SHUFFLE, tags=("streaming", "curation", "ml-training", "shuffle", "complete-mode"))

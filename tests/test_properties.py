@@ -1058,3 +1058,35 @@ def test_pit_gated_fn_matches_batch_pit_on_cleared_prefix(events, probes, n_batc
         if _day_start_ms(r["d"]) < final_wm
     }
     assert emitted == want, (events, probes, n_batches, emitted, want)
+
+
+def test_prefix_filter_bounds_are_safe_and_tight():
+    """Pure-math invariant for BOTH prefix-filter bounds (containment
+    and Jaccard): for every n, the integer prefix length p must satisfy
+    SAFETY — missing all p probe keys forces the overlap below the
+    threshold's minimum (n - p < c_min) — and TIGHTNESS (p-1 would not).
+    Also pins the float-expression bug: floor((1-t)*n)+1 computed in
+    doubles disagrees with the exact rule at denominator multiples."""
+    import math
+
+    from flink_gmall_spark.operators.dedup import (
+        CONTAINMENT_DEN,
+        CONTAINMENT_NUM,
+        JP_ALPHA_DEN,
+        JP_ALPHA_NUM,
+    )
+
+    float_bug_seen = False
+    for num, den in ((CONTAINMENT_NUM, CONTAINMENT_DEN), (JP_ALPHA_NUM, JP_ALPHA_DEN)):
+        for n in range(1, 2000):
+            c_min = (num * n + den - 1) // den  # ceil(num*n/den), exact
+            p = n - c_min + 1
+            assert n - p < c_min, (num, den, n)            # safety
+            assert p < 1 or n - (p - 1) >= c_min, (num, den, n)  # tightness
+            # the old double expression, for the containment constants
+            if (num, den) == (CONTAINMENT_NUM, CONTAINMENT_DEN):
+                p_float = math.floor((1.0 - num / den) * n) + 1
+                if p_float != p:
+                    float_bug_seen = True
+                    assert n % den == 0, n  # bug bites exactly at multiples
+    assert float_bug_seen  # the regression the integer rule exists for
