@@ -2731,3 +2731,127 @@ FROM e
 
 ORACLE_CHUNK_OVERLAP = ORACLE_CHUNK_OVERLAP.format(T=_SHUF_T)
 ORACLE_REPEAT_EPOCHS = ORACLE_REPEAT_EPOCHS.format(T=_SHUF_T)
+
+
+def pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE COMPOSITION — a pretraining data build end to end in
+    one declarative DAG, each stage a primitive this repo ships and
+    oracle-checks standalone: (1) the quality gate (the SAME terms as
+    text_quality_scores / curation_dataset_card: token count in
+    [MIN_TOKENS, MAX_TOKENS], >=1 stopword); (2) exact dedup keeping
+    the smallest doc_id per md5(text) (dedup_exact's policy);
+    (3) sliding-window chunking (chunk_spec_transform, shared verbatim
+    with its standalone entry); (4) seeded-hash shard assignment (the
+    curation_global_shuffle key); (5) the per-shard delivery ledger
+    (docs, chunks, tokens) a training job consumes.
+
+    Scale shape: one corpus scan; the only shuffles are the dedup
+    window on the 128-bit hash and the final 16-group aggregation — the
+    chunk explode and shard key are pure maps between them. Every stage
+    is deterministic (hash-keyed, integer arithmetic), so a re-run or a
+    backfill produces the byte-identical build — the property that lets
+    the shard manifests be content-addressed."""
+    from flink_gmall_spark.operators.textstats import (
+        MAX_TOKENS,
+        MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        "text",
+        tokens_col("text").alias("t"),
+    ).select(
+        "doc_id",
+        "text",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    )
+    gated = base.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_tokens") <= MAX_TOKENS)
+        & (F.col("stop_ct") >= 1)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("hrank") == 1)
+        .select("doc_id", "text")
+    )
+    chunks = chunk_spec_transform(deduped)
+    sharded = chunks.withColumn(
+        "shard",
+        F.expr(
+            f"substring(md5(concat('{SHUFFLE_SEED}', CAST(doc_id AS STRING))), 1, 1)"
+        ),
+    )
+    return sharded.groupBy("shard").agg(
+        F.countDistinct("doc_id").cast("long").alias("docs"),
+        F.count(F.lit(1)).alias("chunks"),
+        F.sum("tok_len").cast("long").alias("tokens"),
+    )
+
+
+ORACLE_PRETRAIN_BUILD = f"""
+WITH base AS (
+    SELECT doc_id, text, CAST(len({{T}}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({{T}}, x -> list_contains([{{STOPS}}], x)))
+                AS BIGINT) AS stop_ct
+    FROM documents
+),
+gated AS (
+    SELECT doc_id, text FROM base
+    WHERE n_tokens >= {{MIN}} AND n_tokens <= {{MAX}} AND stop_ct >= 1
+),
+deduped AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS hrank
+        FROM gated
+    ) WHERE hrank = 1
+),
+toks2 AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '{{RE}}'),
+                                x -> x <> '')) AS BIGINT) AS n_tok
+    FROM deduped
+),
+nz AS (
+    SELECT doc_id, n_tok,
+           CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+                ELSE 1 + (n_tok - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+           END AS n_starts
+    FROM toks2 WHERE n_tok > 0
+),
+spec AS (
+    SELECT doc_id, n_tok, unnest(range(0, n_starts)) AS chunk_idx FROM nz
+),
+chunks AS (
+    SELECT doc_id,
+           least({CHUNK_TOKENS}, n_tok - chunk_idx * {CHUNK_STRIDE}) AS tok_len,
+           substring(md5('{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+    FROM spec
+)
+SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+       CAST(count(*) AS BIGINT) AS chunks,
+       CAST(sum(tok_len) AS BIGINT) AS tokens
+FROM chunks
+GROUP BY 1
+"""
+
+from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE as _PB_RE  # noqa: E402
+from flink_gmall_spark.operators.textstats import (  # noqa: E402
+    _DUCK_STOPS as _PB_STOPS,
+    _DUCK_T as _PB_T,
+    MAX_TOKENS as _PB_MAX,
+    MIN_TOKENS as _PB_MIN,
+)
+
+ORACLE_PRETRAIN_BUILD = ORACLE_PRETRAIN_BUILD.format(
+    T=_PB_T, STOPS=_PB_STOPS, MIN=_PB_MIN, MAX=_PB_MAX, RE=_PB_RE
+)

@@ -1073,3 +1073,47 @@ def test_jaccard_prefix_equals_full_selfjoin(spark, sf_dir, tmp_path):
     got = pairs_of(dedup.jaccard_prefix_pairs(spark, d))
     want = pairs_of(dedup.ngram_jaccard_pairs(spark, d))
     assert got == want and want, (set(got) ^ set(want), want)
+
+
+def test_pretrain_build_hand_computed(spark, tmp_path):
+    """End-to-end on a crafted corpus: doc 1 fails the gate (no
+    stopword), docs 2 and 3 are exact duplicates (3 survives dedup by
+    smaller... 2 < 3, so 2 survives), doc 4 is long enough to chunk
+    twice. Ledger must show exactly the surviving docs' chunks and
+    token mass."""
+    import hashlib
+    import os
+
+    from flink_gmall_spark.operators import curation
+
+    def words(n):
+        # 'the' first so the stopword gate passes
+        return "the " + " ".join(f"w{i}" for i in range(n - 1))
+
+    rows = [
+        (1, " ".join(f"x{i}" for i in range(10)), "en", "s", 1),  # no stopword
+        (2, words(10), "en", "s", 1),
+        (3, words(10), "en", "s", 1),          # exact dup of 2
+        (4, words(200), "en", "s", 1),         # chunks: 128 + tail 72+... see below
+    ]
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["shard"]: (r["docs"], r["chunks"], r["tokens"])
+        for r in curation.pretrain_build(spark, d).collect()
+    }
+    # survivors: doc 2 (one 10-token chunk), doc 4 (200 tokens ->
+    # n_starts = 1 + ceil(72/96) = 2: chunk 128 + chunk (200-96)=104)
+    def shard_of(doc_id):
+        return hashlib.md5(f"{curation.SHUFFLE_SEED}{doc_id}".encode()).hexdigest()[0]
+
+    want: dict[str, list] = {}
+    want.setdefault(shard_of(2), [0, 0, 0])
+    want[shard_of(2)][0] += 1; want[shard_of(2)][1] += 1; want[shard_of(2)][2] += 10
+    want.setdefault(shard_of(4), [0, 0, 0])
+    want[shard_of(4)][0] += 1; want[shard_of(4)][1] += 2; want[shard_of(4)][2] += 128 + 104
+    assert got == {k: tuple(v) for k, v in want.items()}, (got, want)

@@ -886,3 +886,15 @@ def test_filtered_ann_no_corpus_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pretrain_build_single_scan_no_join(spark, sf_dir):
+    """The capstone build is one corpus scan with NO join anywhere: the
+    dedup stage is a window on md5(text), chunking and sharding are
+    maps, the ledger one 16-group aggregation."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.pretrain_build(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
