@@ -1090,3 +1090,73 @@ def test_prefix_filter_bounds_are_safe_and_tight():
                     float_bug_seen = True
                     assert n % den == 0, n  # bug bites exactly at multiples
     assert float_bug_seen  # the regression the integer rule exists for
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+def test_chunk_spec_arithmetic_reference(n_tok):
+    """The integer chunk-spec rule vs a pure-Python reference chunker
+    (walk starts by stride, last chunk short): identical start/len
+    lists for every n, every chunk non-empty and window-bounded, tail
+    reaches the document end, consecutive chunks overlap by exactly
+    width - stride except the tail."""
+    from flink_gmall_spark.operators.curation import CHUNK_STRIDE, CHUNK_TOKENS
+
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    n_starts = 1 if n_tok <= W else 1 + -(-(n_tok - W) // S)
+    spec = [(i * S, min(W, n_tok - i * S)) for i in range(n_starts)]
+
+    # reference: walk forward until a window reaches the end
+    ref, start = [], 0
+    while True:
+        ln = min(W, n_tok - start)
+        ref.append((start, ln))
+        if start + W >= n_tok:
+            break
+        start += S
+    assert spec == ref, (n_tok, spec, ref)
+    for s_, ln in spec:
+        assert 1 <= ln <= W and s_ + ln <= n_tok
+    assert spec[-1][0] + spec[-1][1] == n_tok
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=50))
+def test_padding_waste_reference(token_counts):
+    """The ledger arithmetic vs a per-document reference: bucketed pad,
+    naive pad, and truncation summed by hand must equal the grouped
+    ledger, and total tokens + truncation must equal the raw mass."""
+    from flink_gmall_spark.operators.curation import LEN_BUCKET, MAX_SEQ_LEN
+
+    ref: dict[int, list] = {}
+    for n in token_counts:
+        eff = min(n, MAX_SEQ_LEN)
+        trunc = max(n - MAX_SEQ_LEN, 0)
+        bucket = ((eff + LEN_BUCKET - 1) // LEN_BUCKET) * LEN_BUCKET
+        row = ref.setdefault(bucket, [0, 0, 0, 0, 0])
+        row[0] += 1
+        row[1] += eff
+        row[2] += bucket - eff
+        row[3] += MAX_SEQ_LEN - eff
+        row[4] += trunc
+    assert sum(r[1] + r[4] for r in ref.values()) == sum(token_counts)
+    for bucket, (docs, toks, padb, padn, trunc) in ref.items():
+        assert 0 <= bucket <= MAX_SEQ_LEN
+        assert padb <= padn or bucket == MAX_SEQ_LEN  # bucketed never worse
+        assert toks + padb == docs * bucket
+
+
+@given(st.integers(min_value=1, max_value=10**9))
+def test_repeat_epochs_arithmetic(tokens):
+    """epochs = min(ceil(target/tokens), cap) in pure integers: the
+    chosen epochs either meet the target or hit the cap, and one epoch
+    fewer would always miss the target (minimality)."""
+    from flink_gmall_spark.operators.curation import (
+        EPOCH_TARGET_TOKENS,
+        MAX_EPOCHS,
+    )
+
+    epochs = min((EPOCH_TARGET_TOKENS + tokens - 1) // tokens, MAX_EPOCHS)
+    assert 1 <= epochs <= MAX_EPOCHS
+    met = tokens * epochs >= EPOCH_TARGET_TOKENS
+    assert met or epochs == MAX_EPOCHS
+    if epochs > 1:
+        assert tokens * (epochs - 1) < EPOCH_TARGET_TOKENS
