@@ -802,3 +802,122 @@ SELECT CAST(g.min_tokens AS BIGINT) AS min_tokens,
 FROM grid g CROSS JOIN base b
 GROUP BY 1
 """
+
+
+ROC_THRESHOLDS = (-200, -100, -50, 0, 50, 100, 200)  # score per 100 tokens
+
+
+def classifier_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION against weak supervision — the table an
+    operator reads before wiring the learned filter into the funnel:
+    the hashed classifier's length-normalized score (100*score div
+    n_tokens, integer-exact) thresholded at every grid point, confusion
+    counts against the heuristic quality gate (the same MIN/MAX/stopword
+    terms as text_quality_scores) standing in as the reference label —
+    exactly how production quality classifiers are sanity-checked
+    against the rule-based filter they replace.
+
+    ONE corpus pass: per-doc (normalized score, gate verdict) in one
+    projection, then |GRID| x 4 conditional confusion aggregates stacked
+    to rows — the quality_threshold_sweep discipline. tpr/fpr are x1000
+    integers (hash-pinned); NULL when a class is empty."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
+    idx = (
+        f"(locate(substring(md5(tok), 1, 1), '{_HEXES}') - 1) * 16"
+        f" + locate(substring(md5(tok), 2, 1), '{_HEXES}')"
+    )
+    base = docs.select(tokens_col("text").alias("t")).filter(
+        F.size("t") > 0
+    ).select(
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform(t, tok -> element_at(array({w_arr}), {idx})),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("score"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    ).select(
+        F.expr("(100 * score) div n_tokens").alias("nscore"),
+        (
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (F.col("stop_ct") >= 1)
+        ).alias("truth"),
+    )
+    aggs = []
+    for i, thr in enumerate(ROC_THRESHOLDS):
+        pred = F.col("nscore") >= thr
+        aggs.append(F.count(F.when(pred & F.col("truth"), 1)).alias(f"tp{i}"))
+        aggs.append(F.count(F.when(pred & ~F.col("truth"), 1)).alias(f"fp{i}"))
+        aggs.append(F.count(F.when(~pred & F.col("truth"), 1)).alias(f"fn{i}"))
+        aggs.append(F.count(F.when(~pred & ~F.col("truth"), 1)).alias(f"tn{i}"))
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{thr}L, tp{i}, fp{i}, fn{i}, tn{i}"
+        for i, thr in enumerate(ROC_THRESHOLDS)
+    )
+    stacked = wide.selectExpr(
+        f"stack({len(ROC_THRESHOLDS)}, {stack_args})"
+        " AS (threshold, tp, fp, fn, tn)"
+    )
+    return stacked.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("(1000 * tp) DIV (tp + fn)")).cast("long").alias("tpr_x1000"),
+        F.when(F.col("fp") + F.col("tn") > 0,
+               F.expr("(1000 * fp) DIV (fp + tn)")).cast("long").alias("fpr_x1000"),
+    )
+
+
+def _oracle_classifier_roc() -> str:
+    w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
+    idx = (
+        f"(strpos('{_HEXES}', substring(md5(tok), 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXES}', substring(md5(tok), 2, 1))"
+    )
+    score = (
+        f"list_reduce(list_transform(t, tok -> [{w_arr}][{idx}]),"
+        " (acc, x) -> acc + x)"
+    )
+    grid = ", ".join(str(t) for t in ROC_THRESHOLDS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+base AS (
+    SELECT (100 * CAST({score} AS BIGINT)) // CAST(len(t) AS BIGINT) AS nscore,
+           (CAST(len(t) AS BIGINT) >= {MIN_TOKENS}
+            AND CAST(len(t) AS BIGINT) <= {MAX_TOKENS}
+            AND len(list_filter(t, x -> list_contains([{_DUCK_STOPS}], x))) >= 1)
+           AS truth
+    FROM toks WHERE len(t) > 0
+),
+grid AS (SELECT unnest([{grid}]) AS threshold),
+conf AS (
+    SELECT CAST(g.threshold AS BIGINT) AS threshold,
+           CAST(count(CASE WHEN b.nscore >= g.threshold AND b.truth THEN 1 END) AS BIGINT) AS tp,
+           CAST(count(CASE WHEN b.nscore >= g.threshold AND NOT b.truth THEN 1 END) AS BIGINT) AS fp,
+           CAST(count(CASE WHEN b.nscore < g.threshold AND b.truth THEN 1 END) AS BIGINT) AS fn,
+           CAST(count(CASE WHEN b.nscore < g.threshold AND NOT b.truth THEN 1 END) AS BIGINT) AS tn
+    FROM grid g CROSS JOIN base b
+    GROUP BY 1
+)
+SELECT threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fn > 0 THEN (1000 * tp) // (tp + fn) END AS tpr_x1000,
+       CASE WHEN fp + tn > 0 THEN (1000 * fp) // (fp + tn) END AS fpr_x1000
+FROM conf
+"""
+
+
+ORACLE_CLASSIFIER_ROC = _oracle_classifier_roc()

@@ -1117,3 +1117,24 @@ def test_pretrain_build_hand_computed(spark, tmp_path):
     want.setdefault(shard_of(4), [0, 0, 0])
     want[shard_of(4)][0] += 1; want[shard_of(4)][1] += 2; want[shard_of(4)][2] += 128 + 104
     assert got == {k: tuple(v) for k, v in want.items()}, (got, want)
+
+
+def test_classifier_roc_monotone_and_conserved(spark, sf_dir):
+    """ROC invariants on the real fixture: every row's confusion counts
+    sum to the same corpus total; tp and fp are monotone NON-INCREASING
+    in the threshold (raising the bar can only drop predictions); tpr
+    and fpr follow; the -200 row (everything kept at fixture scores)
+    pins tp = all positives."""
+    from flink_gmall_spark.operators import textstats
+
+    rows = sorted(
+        textstats.classifier_roc_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold"],
+    )
+    totals = {r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows}
+    assert len(totals) == 1 and totals.pop() > 0
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["tp"] <= lo["tp"] and hi["fp"] <= lo["fp"]
+        assert hi["fn"] >= lo["fn"] and hi["tn"] >= lo["tn"]
+    pos = rows[0]["tp"] + rows[0]["fn"]
+    assert all(r["tp"] + r["fn"] == pos for r in rows)

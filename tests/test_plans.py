@@ -898,3 +898,13 @@ def test_pretrain_build_single_scan_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_classifier_roc_single_scan_no_join(spark, sf_dir):
+    """The whole threshold grid rides ONE corpus scan: no join, one
+    parquet scan, partial aggregation before the 1-row exchange."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.classifier_roc_sweep(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
