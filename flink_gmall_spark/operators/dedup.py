@@ -1534,3 +1534,42 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _pair_jaccard(sh, pairs=cand)
+
+
+def apply_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filtering form of CONTAINMENT dedup: drop every doc
+    whose shingle set is >= t contained in some other doc (the
+    truncation/excerpt-dup strip — apply_near_dedup's policy applied to
+    the asymmetric family). The contained side of each pair is already
+    oriented by containment_prefix_pairs ((n, doc_id) smaller), so the
+    policy is one distinct + one anti-join over the pair list — the
+    greedy single-pass form production pipelines use. A doc contained
+    in a LARGER doc always drops; the larger container survives unless
+    itself contained elsewhere."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pairs = containment_prefix_pairs(spark, sf_dir)
+    losers = pairs.select(F.col("contained_doc").alias("doc_id")).distinct()
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+ORACLE_APPLY_CONTAINMENT = f"""{_DUCK_SHINGLES},
+common AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+losers AS (
+    SELECT DISTINCT CASE WHEN (x.n, da) < (y.n, db) THEN da ELSE db END AS doc_id
+    FROM common
+    JOIN sizes x ON da = x.doc_id
+    JOIN sizes y ON db = y.doc_id
+    WHERE CAST(c AS DOUBLE) / least(x.n, y.n) >= {CONTAINMENT_THRESHOLD}
+)
+SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""

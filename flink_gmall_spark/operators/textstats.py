@@ -823,13 +823,20 @@ def classifier_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (hash-pinned); NULL when a class is empty."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
+    return roc_finish(roc_base_stats(docs).agg(*roc_wide_aggs()))
+
+
+def roc_base_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc (nscore, truth) — the ROC sweep's terms, shared VERBATIM
+    by the batch entry and the streaming twin (both pair with
+    ORACLE_CLASSIFIER_ROC). Pure per-row expressions."""
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
     w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
     idx = (
         f"(locate(substring(md5(tok), 1, 1), '{_HEXES}') - 1) * 16"
         f" + locate(substring(md5(tok), 2, 1), '{_HEXES}')"
     )
-    base = docs.select(tokens_col("text").alias("t")).filter(
+    return docs.select(tokens_col("text").alias("t")).filter(
         F.size("t") > 0
     ).select(
         F.size("t").cast("long").alias("n_tokens"),
@@ -848,6 +855,11 @@ def classifier_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_ct") >= 1)
         ).alias("truth"),
     )
+
+
+def roc_wide_aggs() -> list:
+    """The |GRID| x 4 conditional confusion aggregates — one fold for
+    the whole grid."""
     aggs = []
     for i, thr in enumerate(ROC_THRESHOLDS):
         pred = F.col("nscore") >= thr
@@ -855,7 +867,12 @@ def classifier_roc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.count(F.when(pred & ~F.col("truth"), 1)).alias(f"fp{i}"))
         aggs.append(F.count(F.when(~pred & F.col("truth"), 1)).alias(f"fn{i}"))
         aggs.append(F.count(F.when(~pred & ~F.col("truth"), 1)).alias(f"tn{i}"))
-    wide = base.agg(*aggs)
+    return aggs
+
+
+def roc_finish(wide: DataFrame) -> DataFrame:
+    """Stack the 1-row wide confusion fold to grid rows + the x1000
+    rate math (NULL-guarded on empty classes, both engines)."""
     stack_args = ", ".join(
         f"{thr}L, tp{i}, fp{i}, fn{i}, tn{i}"
         for i, thr in enumerate(ROC_THRESHOLDS)

@@ -358,6 +358,8 @@ _register("stream_repeat_epochs", stream_jobs.stream_repeat_epochs, curation.ORA
 _register("dedup_jaccard_prefix", dedup.jaccard_prefix_pairs, dedup.ORACLE_NGRAM_JACCARD, tags=("dedup", "jaccard", "prefix-filter", "set-similarity", "exact-filter"))
 _register("curation_pretrain_build", curation.pretrain_build, curation.ORACLE_PRETRAIN_BUILD, tags=("curation", "ml-training", "e2e", "dedup", "chunking", "sharding", "deterministic"))
 _register("text_classifier_roc", textstats.classifier_roc_sweep, textstats.ORACLE_CLASSIFIER_ROC, tags=("text", "quality", "calibration", "learned-filter", "single-pass", "self-measurement"))
+_register("dedup_containment_apply", dedup.apply_containment_dedup, dedup.ORACLE_APPLY_CONTAINMENT, tags=("dedup", "containment", "prefix-filter", "corpus-filtering"))
+_register("stream_classifier_roc", stream_jobs.stream_classifier_roc, textstats.ORACLE_CLASSIFIER_ROC, tags=("streaming", "text", "quality", "calibration", "learned-filter", "complete-mode"))
 
 
 # =============================================================================
@@ -444,7 +446,7 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-10 window roster (stage for the next rotation): lead with ALL 29
+# Round-10 window roster (stage for the next rotation): lead with ALL 31
 # round-9 additions — sim_hard_negatives_ivf, dedup_containment_prefix,
 # sim_mrl_truncation_recall, sim_ivf_cell_balance, dedup_funnel_report,
 # stream_containment_probe, text_quality_threshold_sweep,
@@ -456,14 +458,14 @@ def bench_queries() -> dict[str, QueryFn]:
 # curation_padding_waste, stream_padding_waste, sim_ann_filtered_topk,
 # sim_ivf_filtered_topk, curation_chunk_overlap, curation_repeat_epochs,
 # stream_global_shuffle, stream_chunk_overlap, stream_repeat_epochs,
-# dedup_jaccard_prefix, curation_pretrain_build, text_classifier_roc
-# (each subset-simmed MATCH at sf0.01 AND sf0.1
+# dedup_jaccard_prefix, curation_pretrain_build, text_classifier_roc,
+# dedup_containment_apply, stream_classifier_roc (each subset-simmed MATCH at sf0.01 AND sf0.1
 # pre-commit this round) — plus the 10 r5 entries deferred at the
 # round-9 rotation (stream_config_routing, stream_binned_range_join,
 # dedup_simhash_pairs, dedup_apply_near, sim_ivf_topk_trained,
 # sim_kmeans_assign, sim_semantic_dedup, ads_amount_quartiles,
 # ads_status_priority_cube, stream_dedup_distinct); fill the remaining
-# 11 with the then-oldest cohort (the r6-latest block). Every
+# 9 with the then-oldest cohort (the r6-latest block). Every
 # never-driver-verified hash contract must be inside the 50-entry
-# window — the roster above is 39 names, leaving no round-9 addition
+# window — the roster above is 41 names, leaving no round-9 addition
 # outside it.

@@ -1767,3 +1767,23 @@ def stream_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
     return repeat_epochs_finish(run_to_memory(repeat_epochs_fold(docs), "complete"))
+
+
+def stream_classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text_classifier_roc — the learned-filter
+    calibration curve maintained LIVE as a backfill streams in: the
+    whole confusion grid folds through ONE complete-mode aggregation
+    (|GRID| x 4 counters of state), the stack and rate math apply
+    batch-side on the memory table. All terms come from textstats'
+    roc_* helpers, shared VERBATIM with the batch entry; shares
+    ORACLE_CLASSIFIER_ROC too."""
+    from flink_gmall_spark.operators.textstats import (
+        roc_base_stats,
+        roc_finish,
+        roc_wide_aggs,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    wide = roc_base_stats(docs).agg(*roc_wide_aggs())
+    return roc_finish(run_to_memory(wide, "complete"))
