@@ -112,6 +112,38 @@ def _host_fingerprint(before: dict, after: dict, wall_sec: float) -> dict:
         fp["steal_frac"] = round((ja["steal"] - jb["steal"]) / dt, 3)
     return fp
 
+def _wait_for_idle_host(max_wait_s: float, poll_s: float = 15.0) -> dict:
+    """Bounded wait-for-idle gate (VERDICT r9 ask #3).
+
+    The r9 driver bench started at load1 = 22.67 on a 32-cpu host and
+    polluted 3 queries up to 2× — provably host contention (the same
+    tree at load1 = 0.74 matched r8). loadavg is host-wide, so waiting
+    for it to drain is the one lever a bench process has against noisy
+    neighbours. Gate: proceed once load1 < 2 × ncpu/16 (= 4.0 on this
+    32-cpu container), give up after ``max_wait_s`` and run anyway —
+    a bench that never runs is worse than a flagged-noisy one. The
+    returned marker lands in the JSON ``host`` block either way, so a
+    hot-host round is self-documenting (waited vs gave_up vs clean).
+    """
+    ncpu = os.cpu_count() or 16
+    threshold = 2.0 * ncpu / 16.0
+    t0 = time.monotonic()
+    waited = 0.0
+    load1 = _host_snapshot().get("load1")
+    gate: dict = {"load1_gate": threshold}
+    while load1 is not None and load1 >= threshold:
+        remaining = max_wait_s - (time.monotonic() - t0)
+        if remaining <= 0:
+            gate["gate_gave_up"] = True
+            break
+        time.sleep(min(poll_s, remaining))
+        waited = time.monotonic() - t0
+        load1 = _host_snapshot().get("load1")
+    if waited:
+        gate["gated_wait_s"] = round(waited, 2)
+    return gate
+
+
 # The 24-query headline set benched every round since r2 — the anchor for
 # round-over-round comparison. Round 7 added the heaviest analytics plans
 # (pagerank_deep / triangles / association_rules, VERDICT r6 ask #4) to
@@ -159,6 +191,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    gate = _wait_for_idle_host(
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "600"))
+    )
     spark = get_spark("flink-gmall-bench")
     host_before = _host_snapshot()
     bench_t0 = time.perf_counter()
@@ -233,9 +268,12 @@ def main() -> None:
             ),
             # Host fingerprint sits tail-side so it survives the driver's
             # 2000-char truncation alongside the numbers it contextualizes.
-            "host": _host_fingerprint(
-                host_before, _host_snapshot(), time.perf_counter() - bench_t0
-            ),
+            "host": {
+                **_host_fingerprint(
+                    host_before, _host_snapshot(), time.perf_counter() - bench_t0
+                ),
+                **gate,
+            },
             "sf": sf,
             "n_failed": len(errors),
         }

@@ -329,7 +329,12 @@ WHERE r.rank <= {TOPK}
 """
 
 
-def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+HN_EXACT_SAMPLE_SEED = "hn-exact:"  # md5 domain-separation for the audit sample
+
+
+def hard_negatives_ivf(
+    spark: SparkSession, sf_dir: str, exact_sample_hex: str | None = None
+) -> DataFrame:
     """hard_negatives served from the IVF PROBE candidate set — the
     100 TB path the brute-force entry's docstring names (VERDICT r8 ask
     #2). Candidate generation is _ivf_probe_candidates — the exact plan
@@ -346,8 +351,17 @@ def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-mined negatives, how many appear in hard_negatives' exact TOPK.
     Pinned as a hash contract — a probe regression (bad centroids,
     broken cell join) fails correctness, not just a quality dashboard.
-    On a cluster the exact side runs over a sampled query set, same
-    plan.
+
+    ``exact_sample_hex`` (VERDICT r9 ask #4) bounds the brute-force
+    audit side when the query set grows: when set to a 6-hex-digit
+    threshold (the curation_sample_* discipline — md5-prefix < hex ==
+    deterministic Bernoulli at rate int(hex,16)/16^6), the exact top-k
+    is computed ONLY for the sampled query ids (the query_id filter
+    pushes through hard_negatives' window into its broadcast query-side
+    scan, so the brute-force join really shrinks), and unsampled
+    queries report ``hits_exact = -1`` ("not audited") instead of a
+    fake 0. The default (None) keeps the full-set behavior — the
+    registry/oracle hash contract is unchanged.
     """
     tune(spark)
     emb = _with_norm(load(spark, sf_dir, "embeddings"))
@@ -382,14 +396,26 @@ def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("sim"),
         )
     )
-    exact = hard_negatives(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    exact_base = hard_negatives(spark, sf_dir)
+    if exact_sample_hex is not None:
+        audited = (
+            F.substring(
+                F.md5(F.concat(F.lit(HN_EXACT_SAMPLE_SEED), F.col("query_id").cast("string"))),
+                1,
+                6,
+            )
+            < F.lit(exact_sample_hex)
+        )
+        exact_base = exact_base.filter(audited)
+    exact = exact_base.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     hits = (
         negs.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count("hit").cast("long").alias("hits_exact"))
     )
+    hits_out = F.coalesce("hits_exact", F.lit(0)).cast("long")
+    if exact_sample_hex is not None:
+        hits_out = F.when(audited, hits_out).otherwise(F.lit(-1).cast("long"))
     return (
         negs.join(F.broadcast(excluded), "query_id", "left")
         .join(F.broadcast(hits), "query_id", "left")
@@ -399,7 +425,7 @@ def hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             "sim",
             F.coalesce("n_excluded", F.lit(0)).cast("long").alias("n_excluded"),
-            F.coalesce("hits_exact", F.lit(0)).cast("long").alias("hits_exact"),
+            hits_out.alias("hits_exact"),
         )
     )
 

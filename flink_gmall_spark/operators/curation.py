@@ -2733,32 +2733,19 @@ ORACLE_CHUNK_OVERLAP = ORACLE_CHUNK_OVERLAP.format(T=_SHUF_T)
 ORACLE_REPEAT_EPOCHS = ORACLE_REPEAT_EPOCHS.format(T=_SHUF_T)
 
 
-def pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE CAPSTONE COMPOSITION — a pretraining data build end to end in
-    one declarative DAG, each stage a primitive this repo ships and
-    oracle-checks standalone: (1) the quality gate (the SAME terms as
-    text_quality_scores / curation_dataset_card: token count in
-    [MIN_TOKENS, MAX_TOKENS], >=1 stopword); (2) exact dedup keeping
-    the smallest doc_id per md5(text) (dedup_exact's policy);
-    (3) sliding-window chunking (chunk_spec_transform, shared verbatim
-    with its standalone entry); (4) seeded-hash shard assignment (the
-    curation_global_shuffle key); (5) the per-shard delivery ledger
-    (docs, chunks, tokens) a training job consumes.
-
-    Scale shape: one corpus scan; the only shuffles are the dedup
-    window on the 128-bit hash and the final 16-group aggregation — the
-    chunk explode and shard key are pure maps between them. Every stage
-    is deterministic (hash-keyed, integer arithmetic), so a re-run or a
-    backfill produces the byte-identical build — the property that lets
-    the shard manifests be content-addressed."""
+def pretrain_gate(docs: DataFrame) -> DataFrame:
+    """Stage 1 of the pretrain-build capstone — the quality gate (the
+    SAME terms as text_quality_scores / curation_dataset_card: token
+    count in [MIN_TOKENS, MAX_TOKENS], >=1 stopword). Pure per-row
+    expression math, shared VERBATIM by the batch entry and the
+    streaming twin, so the two engines cannot drift on gate semantics.
+    Returns the surviving (doc_id, text) rows."""
     from flink_gmall_spark.operators.textstats import (
         MAX_TOKENS,
         MIN_TOKENS,
         STOPWORDS,
     )
 
-    tune(spark)
-    docs = load(spark, sf_dir, "documents")
     stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
     base = docs.select(
         "doc_id",
@@ -2772,17 +2759,20 @@ def pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stop_ct"),
     )
-    gated = base.filter(
+    return base.filter(
         (F.col("n_tokens") >= MIN_TOKENS)
         & (F.col("n_tokens") <= MAX_TOKENS)
         & (F.col("stop_ct") >= 1)
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        gated.withColumn("hrank", F.row_number().over(w))
-        .filter(F.col("hrank") == 1)
-        .select("doc_id", "text")
-    )
+    ).select("doc_id", "text")
+
+
+def pretrain_finish(deduped: DataFrame) -> DataFrame:
+    """Stages 3-5 of the pretrain-build capstone — sliding-window
+    chunking (chunk_spec_transform, shared verbatim with its standalone
+    entry), seeded-hash shard assignment (the curation_global_shuffle
+    key), and the per-shard delivery ledger. Shared VERBATIM by the
+    batch entry and the streaming twin; input is the deduped
+    (doc_id, text) corpus, whichever engine produced it."""
     chunks = chunk_spec_transform(deduped)
     sharded = chunks.withColumn(
         "shard",
@@ -2795,6 +2785,36 @@ def pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("chunks"),
         F.sum("tok_len").cast("long").alias("tokens"),
     )
+
+
+def pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE COMPOSITION — a pretraining data build end to end in
+    one declarative DAG, each stage a primitive this repo ships and
+    oracle-checks standalone: (1) the quality gate (pretrain_gate,
+    shared verbatim with the streaming twin); (2) exact dedup keeping
+    the smallest doc_id per md5(text) (dedup_exact's policy);
+    (3) sliding-window chunking (chunk_spec_transform, shared verbatim
+    with its standalone entry); (4) seeded-hash shard assignment (the
+    curation_global_shuffle key); (5) the per-shard delivery ledger
+    (docs, chunks, tokens) a training job consumes — stages 3-5 via
+    pretrain_finish, shared verbatim with the streaming twin.
+
+    Scale shape: one corpus scan; the only shuffles are the dedup
+    window on the 128-bit hash and the final 16-group aggregation — the
+    chunk explode and shard key are pure maps between them. Every stage
+    is deterministic (hash-keyed, integer arithmetic), so a re-run or a
+    backfill produces the byte-identical build — the property that lets
+    the shard manifests be content-addressed."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    gated = pretrain_gate(docs)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("hrank") == 1)
+        .select("doc_id", "text")
+    )
+    return pretrain_finish(deduped)
 
 
 ORACLE_PRETRAIN_BUILD = f"""

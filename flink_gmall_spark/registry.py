@@ -361,6 +361,9 @@ _register("text_classifier_roc", textstats.classifier_roc_sweep, textstats.ORACL
 _register("dedup_containment_apply", dedup.apply_containment_dedup, dedup.ORACLE_APPLY_CONTAINMENT, tags=("dedup", "containment", "prefix-filter", "corpus-filtering"))
 _register("stream_classifier_roc", stream_jobs.stream_classifier_roc, textstats.ORACLE_CLASSIFIER_ROC, tags=("streaming", "text", "quality", "calibration", "learned-filter", "complete-mode"))
 
+# --- Round-10 additions (VERDICT r9 asks + coverage widening) ----------------
+_register("stream_pretrain_build", stream_jobs.stream_pretrain_build, curation.ORACLE_PRETRAIN_BUILD, tags=("streaming", "curation", "ml-training", "e2e", "dedup", "chunking", "sharding", "complete-mode"))
+
 
 # =============================================================================
 # Round-9 sample window. The driver samples the FIRST 50 registrations, so
@@ -389,37 +392,33 @@ _register("stream_classifier_roc", stream_jobs.stream_classifier_roc, textstats.
 # window). After this round every entry's driver row is ≤4 rounds old;
 # the round-10 window leads with any round-9 additions + those 10.
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 6 round-8 additions
-    "stream_pit_features_gated", "stream_zorder_compaction",
-    "stream_cdc_delete_aware_agg", "ads_ldiversity_export",
-    "sim_hard_negatives", "curation_bpe_greedy_drift",
-    # 2 — oldest rows (r4, deferred from the round-8 window)
-    "stream_province_stats", "source_pyds_cdc_upsert",
-    "sink_pyds_dim_roundtrip", "stream_pyds_cdc_dist",
-    # 3 — r5-stale refresh: ADS batch block (A5-A12 + derived)
-    "ads_totals", "ads_top_brands", "ads_hourly_stats",
-    "ads_status_stats", "ads_user_scores", "ads_gmv_by_date",
-    "ads_province_rollup", "ads_visitor_ratios", "ads_keyword_weighted",
-    "ads_gmv_moving_avg", "ads_monthly_status_pivot",
-    "ads_amount_percentiles", "ads_conversion_funnel",
-    # 3 — r5-stale refresh: dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_connected_components",
-    "dedup_chunk_first_occurrence",
-    # 3 — r5-stale refresh: similarity / ANN
-    "sim_ann_topk", "sim_block_topk", "sim_ivf_topk",
-    "sim_embedding_neardup_lsh", "sim_label_centroids",
-    # 3 — r5-stale refresh: scale mechanics
-    "scale_salted_status_rollup", "scale_bucketed_join",
-    "scale_skew_join_aqe", "scale_binned_range_join",
-    # 3 — r5-stale refresh: text + curation + misc batch
-    "text_lang_id", "text_quality_scores", "text_token_counts",
-    "curation_bpe_pair_counts", "curation_lm_score",
-    "multimodal_embed_stub", "dws_supplier_stats", "udaf_activity_streaks",
-    "pipeline_e2e_hourly",
-    # 3 — r5-stale refresh: remaining stream twins
-    "stream_dedup_fingerprints", "stream_dedup_within_watermark",
-    "stream_pipeline_payment_province",
+    # 1 — never driver-verified: the 31 round-9 additions (registration
+    # order; each subset-simmed MATCH at sf0.01 AND sf0.1 pre-commit in
+    # round 9, per-round sim re-verified round 10)
+    "sim_hard_negatives_ivf", "dedup_containment_prefix",
+    "sim_mrl_truncation_recall", "sim_ivf_cell_balance",
+    "dedup_funnel_report", "stream_containment_probe",
+    "text_quality_threshold_sweep", "sim_pq_distortion",
+    "curation_span_corruption", "stream_quality_threshold_sweep",
+    "sim_ivf_nprobe_sweep", "stream_span_corruption",
+    "curation_bpe_fertility", "dedup_dup_ngram_coverage",
+    "curation_dataset_card", "dedup_minhash_band_tuning",
+    "curation_global_shuffle", "curation_padding_waste",
+    "stream_padding_waste", "sim_ann_filtered_topk",
+    "sim_ivf_filtered_topk", "curation_chunk_overlap",
+    "curation_repeat_epochs", "stream_global_shuffle",
+    "stream_chunk_overlap", "stream_repeat_epochs",
+    "dedup_jaccard_prefix", "curation_pretrain_build",
+    "text_classifier_roc", "dedup_containment_apply",
+    "stream_classifier_roc",
+    # 2 — oldest rows (r5-latest, deferred at the round-9 rotation)
+    "stream_config_routing", "stream_binned_range_join",
+    "dedup_simhash_pairs", "dedup_apply_near", "sim_ivf_topk_trained",
+    "sim_kmeans_assign", "sim_semantic_dedup", "ads_amount_quartiles",
+    "ads_status_priority_cube", "stream_dedup_distinct",
+    # 3 — r6-stale refresh fills: TPC-H block (registration order)
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
@@ -446,26 +445,14 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-10 window roster (stage for the next rotation): lead with ALL 31
-# round-9 additions — sim_hard_negatives_ivf, dedup_containment_prefix,
-# sim_mrl_truncation_recall, sim_ivf_cell_balance, dedup_funnel_report,
-# stream_containment_probe, text_quality_threshold_sweep,
-# sim_pq_distortion, curation_span_corruption,
-# stream_quality_threshold_sweep, sim_ivf_nprobe_sweep,
-# stream_span_corruption, curation_bpe_fertility,
-# dedup_dup_ngram_coverage, curation_dataset_card,
-# dedup_minhash_band_tuning, curation_global_shuffle,
-# curation_padding_waste, stream_padding_waste, sim_ann_filtered_topk,
-# sim_ivf_filtered_topk, curation_chunk_overlap, curation_repeat_epochs,
-# stream_global_shuffle, stream_chunk_overlap, stream_repeat_epochs,
-# dedup_jaccard_prefix, curation_pretrain_build, text_classifier_roc,
-# dedup_containment_apply, stream_classifier_roc (each subset-simmed MATCH at sf0.01 AND sf0.1
-# pre-commit this round) — plus the 10 r5 entries deferred at the
-# round-9 rotation (stream_config_routing, stream_binned_range_join,
-# dedup_simhash_pairs, dedup_apply_near, sim_ivf_topk_trained,
-# sim_kmeans_assign, sim_semantic_dedup, ads_amount_quartiles,
-# ads_status_priority_cube, stream_dedup_distinct); fill the remaining
-# 9 with the then-oldest cohort (the r6-latest block). Every
-# never-driver-verified hash contract must be inside the 50-entry
-# window — the roster above is 41 names, leaving no round-9 addition
-# outside it.
+# Round-10 rotation APPLIED above (2026-08-15): the 31 round-9
+# additions lead, then the 10 r5-deferred entries, then 9 r6-stale
+# TPC-H fills (q1,q3,q4,q5,q6,q7,q8,q10,q13 — first of the 50-entry
+# r6-latest cohort in registration order). After CORRECTNESS_r10
+# every entry's driver row is <=4 rounds old.
+#
+# Round-11 window staging: lead with any round-10 additions
+# (never-driver-verified), then refresh the remaining 41 of the
+# r6-latest cohort (tpch_q14/q15 + the ads graph/cohort block +
+# curation BPE family + scale_* + stream twins — see ROADMAP.md
+# "Round-11 sample rotation" for the roster).

@@ -4,6 +4,17 @@ import os
 
 import pytest
 
+try:  # Spark-invoking property tests pay one-off JVM/Arrow warm-up costs
+    # (888 ms observed vs a 1.57 ms replay) that trip Hypothesis's default
+    # 200 ms deadline as a FlakyFailure. Wall-clock is not a semantic
+    # property here — disable the deadline suite-wide.
+    from hypothesis import settings as _hyp_settings
+
+    _hyp_settings.register_profile("spark_suite", deadline=None)
+    _hyp_settings.load_profile("spark_suite")
+except ImportError:  # pragma: no cover - hypothesis is a test-only dep
+    pass
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

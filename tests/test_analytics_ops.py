@@ -615,6 +615,46 @@ def test_hard_negatives_excludes_near_dups(spark):
     assert got == want
 
 
+def test_hard_negatives_ivf_sampled_exact_side(spark):
+    """VERDICT r9 ask #4: the sampled-audit knob. At a non-default
+    6-hex sample threshold the mined negatives are IDENTICAL to the
+    full-audit run (the sample only bounds the brute-force ledger side),
+    audited queries keep their exact hits_exact, unsampled queries
+    report the -1 "not audited" sentinel, and the audited set is exactly
+    the md5-prefix-threshold subset — deterministic across runs."""
+    import hashlib
+
+    from flink_gmall_spark.operators import ann
+
+    sf_dir = "/root/testdata/sf0.001"
+    hexthr = "800000"  # ~0.5 sample rate over query ids
+    full = ann.hard_negatives_ivf(spark, sf_dir).toPandas()
+    samp = ann.hard_negatives_ivf(spark, sf_dir, exact_sample_hex=hexthr).toPandas()
+
+    def audited(qid: int) -> bool:
+        h = hashlib.md5(f"{ann.HN_EXACT_SAMPLE_SEED}{qid}".encode()).hexdigest()[:6]
+        return h < hexthr
+
+    qids = sorted(full["query_id"].unique())
+    in_sample = {q for q in qids if audited(int(q))}
+    assert 0 < len(in_sample) < len(qids), "pick a threshold that splits the fixture"
+    # mined rows identical modulo the ledger column
+    cols = ["query_id", "neighbor_id", "rank", "sim", "n_excluded"]
+    key = ["query_id", "rank"]
+    assert (
+        full.sort_values(key)[cols].reset_index(drop=True).equals(
+            samp.sort_values(key)[cols].reset_index(drop=True)
+        )
+    )
+    by_q_full = full.groupby("query_id")["hits_exact"].first()
+    by_q_samp = samp.groupby("query_id")["hits_exact"].first()
+    for q in qids:
+        if q in in_sample:
+            assert by_q_samp[q] == by_q_full[q]
+        else:
+            assert by_q_samp[q] == -1
+
+
 def test_greedy_token_count_longest_match_and_fallback():
     """The serve-side matcher's contract: longest vocab token wins at
     each position, and a position no multi-char token covers advances by

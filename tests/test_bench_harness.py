@@ -117,3 +117,35 @@ def test_classify_flags_contention_steal_and_cache():
 def test_classify_returns_none_for_pre_r9_files():
     assert bench_compare.classify_host({}, {"host": IDLE}) is None
     assert bench_compare.classify_host({"host": IDLE}, {}) is None
+
+
+# --- idle-host gate (VERDICT r9 ask #3) --------------------------------------
+
+def test_idle_gate_passes_immediately_on_quiet_host(monkeypatch):
+    monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 0.5})
+    gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
+    assert gate == {"load1_gate": bench.os.cpu_count() * 2.0 / 16.0}
+    assert "gated_wait_s" not in gate and "gate_gave_up" not in gate
+
+
+def test_idle_gate_waits_until_load_drains(monkeypatch):
+    loads = iter([22.0, 9.0, 0.8])
+    monkeypatch.setattr(
+        bench, "_host_snapshot", lambda: {"load1": next(loads, 0.8)}
+    )
+    gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
+    assert gate["gated_wait_s"] > 0
+    assert "gate_gave_up" not in gate
+
+
+def test_idle_gate_gives_up_after_budget(monkeypatch):
+    monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 50.0})
+    gate = bench._wait_for_idle_host(max_wait_s=0.05, poll_s=0.01)
+    assert gate["gate_gave_up"] is True
+    assert gate["gated_wait_s"] <= 1.0
+
+
+def test_idle_gate_tolerates_missing_loadavg(monkeypatch):
+    monkeypatch.setattr(bench, "_host_snapshot", lambda: {})
+    gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
+    assert "gate_gave_up" not in gate

@@ -1160,3 +1160,88 @@ def test_repeat_epochs_arithmetic(tokens):
     assert met or epochs == MAX_EPOCHS
     if epochs > 1:
         assert tokens * (epochs - 1) < EPOCH_TARGET_TOKENS
+
+
+def _prefix_probe_keys(shingles: set[str], num: int, den: int):
+    """Pure-python mirror of containment_prefix_pairs' probe-key rule:
+    order by (md5(s), s), keep the first n - ceil(t*n) + 1 where
+    ceil(t*n) = (num*n + den - 1) // den in integer arithmetic."""
+    import hashlib
+
+    n = len(shingles)
+    c_min = (num * n + den - 1) // den
+    p = n - c_min + 1
+    ordered = sorted(
+        shingles, key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s)
+    )
+    return set(ordered[: max(p, 0)]), c_min
+
+
+_PPJOIN_THRESHOLDS = [
+    (1, 2), (3, 5), (2, 3), (7, 10), (3, 4), (4, 5), (17, 20),
+    (9, 10), (19, 20), (1, 1),
+]
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    st.sampled_from(_PPJOIN_THRESHOLDS),
+)
+def test_ppjoin_prefix_bound_pairwise_full_recall(a, b, thr):
+    """The exactness claim of containment_prefix_pairs (VERDICT r9 ask
+    #5): for ANY pair (A, B) with |A∩B|/|A| >= t, the prefix of A —
+    the first n - ceil(t*n) + 1 shingles in (md5, s) order — must
+    intersect B. Equivalently: if every probe shingle of A misses B,
+    the overlap is at most ceil(t*n) - 1 < t*n. Swept over random
+    shingle sets and a (num, den) threshold grid including the n-
+    multiple-of-den boundary the float form floor((1-t)*n)+1 gets
+    wrong."""
+    num, den = thr
+    A = {f"s{v}" for v in a}
+    B = {f"s{v}" for v in b}
+    probe, c_min = _prefix_probe_keys(A, num, den)
+    assert 1 <= len(probe) <= len(A)  # p >= 1 for any t <= 1
+    if len(A & B) >= c_min:  # integer form of containment >= t
+        assert probe & B, (
+            f"prefix filter missed a qualifying pair: |A|={len(A)} "
+            f"overlap={len(A & B)} c_min={c_min} t={num}/{den}"
+        )
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=20), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from(_PPJOIN_THRESHOLDS),
+)
+def test_ppjoin_candidate_generation_covers_all_qualifying_pairs(corpus, thr):
+    """Corpus-level mirror of the operator's candidate join: probe rows
+    (each doc's prefix) equi-joined against the full shingle index with
+    the (n, doc_id) strict orientation. Every pair whose containment —
+    measured on the SMALLER side, the operator's orientation — meets t
+    must appear as a candidate; ties in n emit exactly once."""
+    num, den = thr
+    docs = {i: {f"s{v}" for v in s} for i, s in enumerate(corpus)}
+    prefixes = {
+        i: _prefix_probe_keys(s, num, den)[0] for i, s in enumerate(docs.values())
+    }
+    cand = set()
+    for ia, sa in docs.items():
+        for ib, sb in docs.items():
+            ordered = (len(sa), ia) < (len(sb), ib)
+            if ordered and prefixes[ia] & sb:
+                cand.add((ia, ib))
+    for ia, sa in docs.items():
+        for ib, sb in docs.items():
+            if (len(sa), ia) >= (len(sb), ib):
+                continue
+            overlap = len(sa & sb)
+            # qualifying in integer arithmetic: overlap/|A| >= num/den
+            if overlap * den >= num * len(sa):
+                assert (ia, ib) in cand, (
+                    f"candidate join missed ({ia},{ib}): "
+                    f"na={len(sa)} overlap={overlap} t={num}/{den}"
+                )
