@@ -1930,3 +1930,130 @@ final AS (
 SELECT query_id, label, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
 FROM final WHERE rank <= {TOPK}
 """
+
+
+# --- Cosine range search (round 10) ------------------------------------------
+
+RANGE_RADIUS = 0.30  # cosine floor: return ALL neighbors with cos >= radius
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine RANGE query — every corpus vector within the
+    RANGE_RADIUS cosine ball of each query (the Faiss `range_search`
+    API shape, complementing top-k): the retrieval mode dedup and
+    contamination sweeps want ("give me EVERYTHING at least this
+    similar", not "the 10 best"). Brute-force exact baseline: the query
+    side (N_QUERIES rows) broadcasts against one corpus scan — the same
+    audit-twin role ann_topk/hard_negatives play for their IVF
+    counterparts. Result size is data-dependent by design; rank rides
+    along (cos DESC, vec_id ASC) so callers can cut consistent
+    prefixes."""
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        emb.join(F.broadcast(q), how="cross")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")),
+        )
+        .filter(F.col("cos") >= RANGE_RADIUS)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.round("cos", 6).alias("sim"),
+    )
+
+
+ORACLE_RANGE_SEARCH = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
+    FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+            AS BIGINT) AS rank,
+       round(cos, 6) AS sim
+FROM scored WHERE cos >= {RANGE_RADIUS}
+"""
+
+
+def ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search served from the IVF probe plan — the 100 TB path:
+    candidates are _ivf_probe_candidates (the exact generator ivf_topk
+    and hard_negatives_ivf serve from), so cost is corpus * nprobe /
+    n_cells per query instead of a corpus scan. Every emitted row is
+    exact by construction (an in-radius candidate is in the true
+    in-radius set — the index can only MISS, never hallucinate), so the
+    quality contract is the per-query ``n_exact`` recall denominator
+    riding along: found-vs-n_exact is the index's range recall, pinned
+    as a hash contract like hits_exact in hard_negatives_ivf. At a real
+    query volume the exact denominator runs over a sampled query set
+    (the hard_negatives_ivf exact_sample_hex discipline)."""
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    found = (
+        _ivf_probe_candidates(emb)
+        .join(F.broadcast(qv), "query_id")
+        .join(emb, "vec_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")),
+        )
+        .filter(F.col("cos") >= RANGE_RADIUS)
+    )
+    exact_counts = (
+        range_search(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        found.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(exact_counts), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
+
+
+ORACLE_IVF_RANGE_SEARCH = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+in_range AS (
+    SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= {RANGE_RADIUS}
+),
+exact_counts AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+    FROM ({ORACLE_RANGE_SEARCH}) t
+    GROUP BY 1
+)
+SELECT i.query_id, i.neighbor_id,
+       CAST(row_number() OVER (PARTITION BY i.query_id ORDER BY i.cos DESC, i.neighbor_id ASC)
+            AS BIGINT) AS rank,
+       round(i.cos, 6) AS sim,
+       COALESCE(x.n_exact, 0) AS n_exact
+FROM in_range i LEFT JOIN exact_counts x ON i.query_id = x.query_id
+"""

@@ -2875,3 +2875,124 @@ from flink_gmall_spark.operators.textstats import (  # noqa: E402
 ORACLE_PRETRAIN_BUILD = ORACLE_PRETRAIN_BUILD.format(
     T=_PB_T, STOPS=_PB_STOPS, MIN=_PB_MIN, MAX=_PB_MAX, RE=_PB_RE
 )
+
+
+# --- Curriculum staging (round 10) -------------------------------------------
+
+CURRICULUM_STAGES = 4  # equal-frequency quality stages, highest-score first
+
+
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM SCHEDULE — split the corpus into CURRICULUM_STAGES
+    equal-frequency stages by a quality score (stopword-ratio fluency
+    proxy, the quality_scores term), highest quality first: the
+    "clean data early, tail data late" ordering curriculum-learning
+    recipes feed a trainer. Output is the per-stage delivery ledger
+    (docs, tokens, score range).
+
+    Scale shape — a DISTRIBUTED ntile, not a global sort: the score
+    domain is bounded (integer x1000 ratio, <=1001 values), so the
+    stage boundary arithmetic runs on the tiny per-score histogram
+    (one partial-agg scan + a window over <=1001 rows), and each doc's
+    global rank = (docs with a higher score) + (its doc_id rank within
+    its own score value). The only corpus-sized operations are one
+    aggregation and one bounded-key window; nothing global-sorts the
+    corpus. Stage sizes follow SQL-standard NTILE (first N mod S
+    stages take the extra row), and the oracle IS the textbook
+    ntile(S) OVER (ORDER BY score DESC, doc_id) — the hash match
+    proves the distributed form equals the single-sort form. At
+    extreme skew (one score value holding a whole stage) the in-score
+    rank window keys would widen to a composite score; documented, not
+    hit at fixture scales."""
+    from flink_gmall_spark.operators.textstats import STOPWORDS
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        tokens_col("text").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE (1000 * stop_ct) DIV n_tokens END"
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    hist = base.groupBy("score").agg(F.count(F.lit(1)).alias("ct"))
+    w_cum = (
+        Window.orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "score", F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_in = Window.partitionBy("score").orderBy("doc_id")
+    S = CURRICULUM_STAGES
+    staged = (
+        base.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(cum), "score")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("grank", F.col("cum_before") + F.col("rk_in"))
+        .withColumn(
+            "stage",
+            F.expr(
+                f"CASE WHEN grank <= (n_total % {S}) * (n_total DIV {S} + 1)"
+                f" THEN 1 + (grank - 1) DIV (n_total DIV {S} + 1)"
+                f" ELSE 1 + (n_total % {S}) +"
+                f" (grank - (n_total % {S}) * (n_total DIV {S} + 1) - 1)"
+                f" DIV greatest(n_total DIV {S}, 1) END"
+            ).cast("long"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
+
+
+ORACLE_CURRICULUM_STAGES = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({T}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({T}, x -> list_contains([{STOPS}], x)))
+                AS BIGINT) AS stop_ct
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (1000 * stop_ct) // n_tokens END AS BIGINT) AS score
+    FROM base
+),
+staged AS (
+    SELECT n_tokens, score,
+           ntile({S}) OVER (ORDER BY score DESC, doc_id ASC) AS stage
+    FROM scored
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM staged
+GROUP BY 1
+"""
+
+from flink_gmall_spark.operators.textstats import _DUCK_STOPS as _CUR_STOPS  # noqa: E402
+
+ORACLE_CURRICULUM_STAGES = ORACLE_CURRICULUM_STAGES.format(
+    T=_PB_T, STOPS=_CUR_STOPS, S=CURRICULUM_STAGES
+)

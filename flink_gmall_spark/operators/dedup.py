@@ -1573,3 +1573,133 @@ SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
 WHERE l.doc_id IS NULL
 """
+
+
+# --- Winnowing fingerprints (round 10) ---------------------------------------
+
+WINNOW_W = 4  # winnowing window: guarantees any match of >= W+K-1 tokens
+WINNOW_MIN_SHARED = 2  # pair report floor — one shared fingerprint is noise
+
+
+def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
+    """Per-doc WINNOWED fingerprint rows (doc_id, fp) — the local
+    document-fingerprinting algorithm of Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 (the MOSS scheme): hash every positional word-K-gram,
+    slide a window of WINNOW_W consecutive hashes, keep each window's
+    MINIMUM. Guarantee: any shared run of >= WINNOW_W + SHINGLE_K - 1
+    tokens between two docs yields a shared fingerprint; expected
+    density is 2/(W+1) — ~2.5x fewer index rows than the full shingle
+    set at W=4, the whole point at 100 TB (the fingerprint index this
+    feeds is the thing that must fit a shuffle).
+
+    Shape: pure per-row array math (hash transform, window-min
+    transform, distinct, explode) — zero aggregation, zero join — so it
+    runs UNCHANGED on a streaming DataFrame (stream_winnowing twin).
+    The k-gram hash array is materialized once per row (O(m) md5 calls)
+    and the window-min transform + distinct live INSIDE the explode's
+    Generate, keeping the fused plan shape raw_shingles documents.
+    Hashes are md5 hex strings: lexicographic min is portable
+    bit-for-bit to the DuckDB oracle."""
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= SHINGLE_K
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(t) - {SHINGLE_K}),"
+            " i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"
+        ).alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                f"sequence(1, greatest(1, size(hs) - {WINNOW_W} + 1)),"
+                f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+            )
+        ).alias("fp"),
+    )
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry over winnow_fingerprint_rows — the corpus fingerprint
+    index (doc_id, fp) a plagiarism/overlap service serves from."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprint_rows(docs)
+
+
+_DUCK_WINNOW = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                          i -> md5(concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS hs
+    FROM toks WHERE len(t) >= {SHINGLE_K}
+),
+fps AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(1, len(hs) - {WINNOW_W} + 1) + 1),
+               j -> list_aggregate(hs[j : j + {WINNOW_W} - 1], 'min')))) AS fp
+    FROM hashed
+)"""
+
+ORACLE_WINNOW_FINGERPRINTS = f"""{_DUCK_WINNOW}
+SELECT doc_id, fp FROM fps
+"""
+
+
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints —
+    overlap detection at fingerprint density (2/(W+1)) instead of full
+    shingle density. Discipline mirrors the shingle family: a
+    document-frequency cap (MAX_SHINGLE_DF) drops boilerplate
+    fingerprints before the self-join so no shuffle key fans out
+    quadratically; pairs report once ((doc_a < doc_b)) with the shared
+    count, floored at WINNOW_MIN_SHARED. The bucketing contract is
+    exact — the oracle applies the identical winnow + cap — so the
+    entry is hash-checked, not best-effort."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprint_rows(docs)
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a = fpr.alias("a")
+    b = fpr.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+ORACLE_WINNOW_PAIRS = f"""{_DUCK_WINNOW},
+rare AS (
+    SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+fpr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""

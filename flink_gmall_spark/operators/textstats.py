@@ -938,3 +938,82 @@ FROM conf
 
 
 ORACLE_CLASSIFIER_ROC = _oracle_classifier_roc()
+
+
+# --- Lexical diversity (round 10) --------------------------------------------
+
+DIVERSITY_SCALE = 1_000_000  # Gini-Simpson x 10^6, integer-exact
+
+
+def token_diversity_transform(docs: DataFrame) -> DataFrame:
+    """Per-doc lexical-diversity quality signals, INTEGER-EXACT (no
+    float entropy — the repo's parity convention): type count,
+    type-token ratio x1000, and the Gini-Simpson diversity index
+    1 - Σ(c_i/n)² rendered as (n² − Σc_i²)·10^6 DIV n². Repetitive
+    SEO/boilerplate text scores low on both — the same filter axis an
+    entropy gate covers, in arithmetic both engines agree on
+    bit-for-bit.
+
+    Shape: pure per-row array math — the per-doc token histogram is
+    computed INSIDE the row (O(types·tokens) comparisons on ~10²-token
+    documents), so there is zero shuffle, zero join, and the transform
+    runs unchanged on a streaming DataFrame. At 100 TB this is the
+    shape you want: a map-only scan that never exchanges; the
+    explode+two-level-agg alternative shuffles the entire token stream
+    for the same answer. Docs with zero tokens are excluded (the
+    ratios are undefined; the oracle applies the same WHERE)."""
+    counts_sq = (
+        "transform(transform(array_distinct(t),"
+        " x -> CAST(size(filter(t, y -> y = x)) AS BIGINT)), c -> c * c)"
+    )
+    base = docs.select(
+        "doc_id", tokens_col("text").alias("t")
+    ).filter(F.size("t") >= 1)
+    return base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
+        F.expr(f"aggregate({counts_sq}, 0L, (a, b) -> a + b)").alias("_sum_sq"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr("(1000 * n_types) DIV n_tokens").cast("long").alias("ttr_x1000"),
+        F.expr(
+            f"((n_tokens * n_tokens - _sum_sq) * {DIVERSITY_SCALE})"
+            " DIV (n_tokens * n_tokens)"
+        )
+        .cast("long")
+        .alias("simpson_x1m"),
+    )
+
+
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry over token_diversity_transform."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return token_diversity_transform(docs)
+
+
+ORACLE_TOKEN_DIVERSITY = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+base AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+           list_reduce(
+               list_transform(
+                   list_transform(list_distinct(t),
+                                  x -> CAST(len(list_filter(t, y -> y = x)) AS BIGINT)),
+                   c -> c * c),
+               (a, b) -> a + b) AS sum_sq
+    FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST((1000 * n_types) // n_tokens AS BIGINT) AS ttr_x1000,
+       CAST(((n_tokens * n_tokens - sum_sq) * {DIVERSITY_SCALE})
+            // (n_tokens * n_tokens) AS BIGINT) AS simpson_x1m
+FROM base
+"""

@@ -363,6 +363,14 @@ _register("stream_classifier_roc", stream_jobs.stream_classifier_roc, textstats.
 
 # --- Round-10 additions (VERDICT r9 asks + coverage widening) ----------------
 _register("stream_pretrain_build", stream_jobs.stream_pretrain_build, curation.ORACLE_PRETRAIN_BUILD, tags=("streaming", "curation", "ml-training", "e2e", "dedup", "chunking", "sharding", "complete-mode"))
+_register("dedup_winnowing_fingerprints", dedup.winnowing_fingerprints, dedup.ORACLE_WINNOW_FINGERPRINTS, tags=("dedup", "fingerprinting", "winnowing", "map-only"))
+_register("dedup_winnowing_pairs", dedup.winnowing_pairs, dedup.ORACLE_WINNOW_PAIRS, bench=True, tags=("dedup", "fingerprinting", "winnowing", "near-dup"))
+_register("stream_winnowing_fingerprints", stream_jobs.stream_winnowing_fingerprints, dedup.ORACLE_WINNOW_FINGERPRINTS, tags=("streaming", "dedup", "fingerprinting", "winnowing", "map-only", "append-mode"))
+_register("sim_range_search", ann.range_search, ann.ORACLE_RANGE_SEARCH, tags=("similarity", "range-query", "exact", "audit-twin"))
+_register("sim_ivf_range_search", ann.ivf_range_search, ann.ORACLE_IVF_RANGE_SEARCH, bench=True, tags=("similarity", "range-query", "ivf", "recall-ledger"))
+_register("text_token_diversity", textstats.token_diversity, textstats.ORACLE_TOKEN_DIVERSITY, tags=("text", "quality", "diversity", "map-only"))
+_register("stream_token_diversity", stream_jobs.stream_token_diversity, textstats.ORACLE_TOKEN_DIVERSITY, tags=("streaming", "text", "quality", "diversity", "map-only", "append-mode"))
+_register("curation_curriculum_stages", curation.curriculum_stages, curation.ORACLE_CURRICULUM_STAGES, tags=("curation", "ml-training", "curriculum", "distributed-ntile"))
 
 
 # =============================================================================

@@ -1824,3 +1824,36 @@ def stream_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pretrain_finish(
         run_to_memory(deduped, "complete").select("doc_id", "text")
     )
+
+
+def stream_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_winnowing_fingerprints — document
+    fingerprints computed AT INGEST: winnowing is pure per-row array
+    math (hash transform, window-min, distinct, explode — zero
+    aggregation, zero join), so the streaming plan is the batch plan run
+    per micro-batch in append mode, and the md5 arithmetic makes stream
+    and backfill emit byte-identical fingerprint rows — the property
+    that lets a live ingest append straight into the batch-built
+    fingerprint index. The transform is dedup.winnow_fingerprint_rows,
+    shared VERBATIM with the batch entry; shares
+    ORACLE_WINNOW_FINGERPRINTS too."""
+    from flink_gmall_spark.operators.dedup import winnow_fingerprint_rows
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(winnow_fingerprint_rows(docs), "append")
+
+
+def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text_token_diversity — the lexical-diversity
+    gate signals computed AT INGEST: the per-doc token histogram lives
+    inside the row (zero aggregation, zero join), so the streaming plan
+    is the batch plan run per micro-batch in append mode and the
+    integer arithmetic makes stream and backfill emit byte-identical
+    rows. The transform is textstats.token_diversity_transform, shared
+    VERBATIM with the batch entry; shares ORACLE_TOKEN_DIVERSITY too."""
+    from flink_gmall_spark.operators.textstats import token_diversity_transform
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(token_diversity_transform(docs), "append")

@@ -1178,3 +1178,40 @@ def test_classifier_roc_monotone_and_conserved(spark, sf_dir):
         assert hi["fn"] >= lo["fn"] and hi["tn"] >= lo["tn"]
     pos = rows[0]["tp"] + rows[0]["fn"]
     assert all(r["tp"] + r["fn"] == pos for r in rows)
+
+
+def test_winnowing_spark_matches_pure_python_mirror(spark):
+    """Pins the Spark winnowing transform to the pure-python mirror the
+    property tests sweep (tests/test_properties.py::_winnow_fps) — so
+    the SIGMOD'03 guarantee proven there actually constrains the
+    operator. Checks every doc at sf0.001."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE
+    from flink_gmall_spark.operators import dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    got: dict[int, set[str]] = {}
+    for r in dedup.winnowing_fingerprints(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    want: dict[int, set[str]] = {}
+    for doc_id, text in rows:
+        toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+        if len(toks) < dedup.SHINGLE_K:
+            continue
+        hs = [
+            hashlib.md5(
+                " ".join(toks[i : i + dedup.SHINGLE_K]).encode()
+            ).hexdigest()
+            for i in range(len(toks) - dedup.SHINGLE_K + 1)
+        ]
+        nw = max(1, len(hs) - dedup.WINNOW_W + 1)
+        want[doc_id] = {min(hs[j : j + dedup.WINNOW_W]) for j in range(nw)}
+    assert got == want

@@ -908,3 +908,81 @@ def test_classifier_roc_single_scan_no_join(spark, sf_dir):
     plan = plan_of(textstats.classifier_roc_sweep(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+# --- round-10 additions -------------------------------------------------------
+
+def test_winnowing_fingerprints_map_only_fused_generate(spark, sf_dir):
+    """Winnowed fingerprints are pure per-row array math: the plan must
+    be a single scan with ZERO exchange, and the window-min transform +
+    distinct must live inside the Generate (the fused-explode shape —
+    see shingle_array's measured 19x regression when the exploded array
+    is materialized in a Project below the Generate)."""
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.winnowing_fingerprints(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    gen = plan[plan.index("Generate") :].splitlines()[0]
+    assert "array_distinct" in gen and "array_min" in gen, gen
+
+
+def test_winnowing_pairs_equijoin_with_df_cap(spark, sf_dir):
+    """Pair generation must be an equi-join on the fingerprint key —
+    never a cartesian/nested-loop over docs — with the frequent-
+    fingerprint cap applied before the self-join."""
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.winnowing_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan  # DF cap agg is map-side partial
+
+
+def test_token_diversity_map_only(spark, sf_dir):
+    """The per-doc token histogram lives INSIDE the row: one scan, zero
+    exchange, zero join — the shape that never shuffles the token
+    stream at 100 TB."""
+    from flink_gmall_spark.operators import textstats
+
+    plan = plan_of(textstats.token_diversity(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_range_search_broadcasts_query_side(spark, sf_dir):
+    """The exact range scan must broadcast the tiny query side against
+    ONE corpus scan; the only exchange is the final per-query window
+    over the (small) in-radius result."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.range_search(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_range_search_probe_join_not_corpus_scan_per_query(spark, sf_dir):
+    """The served path must come from the IVF probe plan: broadcast
+    hash joins on the cell/query keys, no per-query corpus nested loop
+    beyond the 16-centroid assignment cross."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(ann.ivf_range_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_curriculum_stages_no_global_sort(spark, sf_dir):
+    """The distributed-ntile contract: stage assignment must NOT
+    global-sort the corpus — no corpus-wide Sort below a single-
+    partition Exchange; the only rangepartitioning-free exchanges are
+    the bounded score-histogram aggregation and the per-score window."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.curriculum_stages(spark, sf_dir))
+    # the tiny cum-boundary window may SinglePartition a <=1001-row side,
+    # but the corpus-side window partitions by score, never ntile's
+    # global ORDER BY (which would appear as rangepartitioning(score...))
+    assert "rangepartitioning" not in plan.lower(), plan

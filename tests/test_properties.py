@@ -1245,3 +1245,69 @@ def test_ppjoin_candidate_generation_covers_all_qualifying_pairs(corpus, thr):
                     f"candidate join missed ({ia},{ib}): "
                     f"na={len(sa)} overlap={overlap} t={num}/{den}"
                 )
+
+
+def _winnow_fps(tokens: list[str], k: int, w: int) -> set[str]:
+    """Pure-python mirror of dedup.winnow_fingerprint_rows: positional
+    word-k-gram md5 hex hashes, window-min over w consecutive hashes
+    (whole array when shorter), distinct set."""
+    import hashlib
+
+    if len(tokens) < k:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()
+        for i in range(len(tokens) - k + 1)
+    ]
+    nw = max(1, len(hs) - w + 1)
+    return {min(hs[j : j + w]) for j in range(nw)}
+
+
+_WTOK = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+
+
+@given(
+    st.lists(_WTOK, max_size=15),
+    st.lists(_WTOK, max_size=15),
+    st.lists(_WTOK, max_size=15),
+    st.lists(_WTOK, max_size=15),
+    st.lists(_WTOK, min_size=6, max_size=20),  # shared run >= W + K - 1 = 6
+)
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(
+    pre_a, suf_a, pre_b, suf_b, run
+):
+    """The winnowing detection guarantee (Schleimer et al. SIGMOD'03):
+    any two documents sharing a token run of length >= W + K - 1 share
+    at least one winnowed fingerprint. The shared run contributes >= W
+    consecutive identical k-gram hashes to both docs, so some window
+    lies entirely inside the run in each — and a window over the same
+    hash multiset selects the same minimum VALUE. Swept over random
+    contexts from a tiny alphabet (context k-grams freely collide with
+    run k-grams, which only adds shared hashes)."""
+    from flink_gmall_spark.operators.dedup import SHINGLE_K, WINNOW_W
+
+    assert WINNOW_W + SHINGLE_K - 1 <= 6
+    doc_a = pre_a + run + suf_a
+    doc_b = pre_b + run + suf_b
+    fa = _winnow_fps(doc_a, SHINGLE_K, WINNOW_W)
+    fb = _winnow_fps(doc_b, SHINGLE_K, WINNOW_W)
+    assert fa & fb, (doc_a, doc_b)
+
+
+@given(st.lists(_WTOK, min_size=3, max_size=60))
+def test_winnowing_density_and_membership(tokens):
+    """Structural invariants of the fingerprint set: non-empty whenever
+    the doc has >= K tokens, a subset of the doc's own k-gram hashes,
+    and never larger than the window count (the 2/(W+1) density bound's
+    hard ceiling)."""
+    import hashlib
+
+    from flink_gmall_spark.operators.dedup import SHINGLE_K, WINNOW_W
+
+    fps = _winnow_fps(tokens, SHINGLE_K, WINNOW_W)
+    hs = {
+        hashlib.md5(" ".join(tokens[i : i + SHINGLE_K]).encode()).hexdigest()
+        for i in range(len(tokens) - SHINGLE_K + 1)
+    }
+    assert fps and fps <= hs
+    assert len(fps) <= max(1, len(tokens) - SHINGLE_K + 1 - WINNOW_W + 1)
