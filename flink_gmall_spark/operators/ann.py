@@ -462,6 +462,61 @@ LEFT JOIN hits h ON i.query_id = h.query_id
 """
 
 
+HN_SAMPLE_HEX = "800000"  # registered sampled-audit entry: ~0.5 query rate
+
+
+def hard_negatives_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED-audit serving shape of hard_negatives_ivf, pinned as
+    its own driver hash contract (VERDICT r9 ask #4 upgraded from a
+    unit test): the mined negatives are the full IVF result, but the
+    brute-force recall ledger runs only over the deterministic
+    md5-threshold query sample (HN_SAMPLE_HEX), with unsampled queries
+    carrying the -1 "not audited" sentinel. This is the plan a real
+    query volume runs — the full-audit twin stays as the fixture-scale
+    contract."""
+    return hard_negatives_ivf(spark, sf_dir, exact_sample_hex=HN_SAMPLE_HEX)
+
+
+_DUCK_HN_AUDITED = (
+    f"substring(md5('{HN_EXACT_SAMPLE_SEED}' || CAST({{q}} AS VARCHAR)), 1, 6)"
+    f" < '{HN_SAMPLE_HEX}'"
+)
+
+ORACLE_HARD_NEGATIVES_IVF_SAMPLED = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+excluded AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_excluded
+    FROM scored WHERE cos >= {COSINE_THRESHOLD} GROUP BY 1
+),
+ranked_neg AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored WHERE cos < {COSINE_THRESHOLD}
+),
+ivf_negs AS (SELECT * FROM ranked_neg WHERE rank <= {TOPK}),
+exact_negs AS (
+    SELECT query_id, neighbor_id FROM ({ORACLE_HARD_NEGATIVES}) t
+    WHERE {_DUCK_HN_AUDITED.format(q='query_id')}
+),
+hits AS (
+    SELECT i.query_id, CAST(count(x.neighbor_id) AS BIGINT) AS hits_exact
+    FROM ivf_negs i
+    LEFT JOIN exact_negs x
+      ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+    GROUP BY 1
+)
+SELECT i.query_id, i.neighbor_id, CAST(i.rank AS BIGINT) AS rank,
+       round(i.cos, 6) AS sim,
+       COALESCE(xc.n_excluded, 0) AS n_excluded,
+       CASE WHEN {_DUCK_HN_AUDITED.format(q='i.query_id')}
+            THEN COALESCE(h.hits_exact, 0)
+            ELSE CAST(-1 AS BIGINT) END AS hits_exact
+FROM ivf_negs i
+LEFT JOIN excluded xc ON i.query_id = xc.query_id
+LEFT JOIN hits h ON i.query_id = h.query_id
+"""
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-bit LSH buckets.
 

@@ -371,6 +371,8 @@ _register("sim_ivf_range_search", ann.ivf_range_search, ann.ORACLE_IVF_RANGE_SEA
 _register("text_token_diversity", textstats.token_diversity, textstats.ORACLE_TOKEN_DIVERSITY, tags=("text", "quality", "diversity", "map-only"))
 _register("stream_token_diversity", stream_jobs.stream_token_diversity, textstats.ORACLE_TOKEN_DIVERSITY, tags=("streaming", "text", "quality", "diversity", "map-only", "append-mode"))
 _register("curation_curriculum_stages", curation.curriculum_stages, curation.ORACLE_CURRICULUM_STAGES, tags=("curation", "ml-training", "curriculum", "distributed-ntile"))
+_register("sim_hard_negatives_ivf_sampled", ann.hard_negatives_ivf_sampled, ann.ORACLE_HARD_NEGATIVES_IVF_SAMPLED, tags=("similarity", "mining", "ivf", "sampled-audit", "recall-ledger"))
+_register("stream_ivf_range_serve", stream_jobs.stream_ivf_range_serve, ann.ORACLE_IVF_RANGE_SEARCH, tags=("streaming", "similarity", "range-query", "ivf", "serving", "append-mode"))
 
 
 # =============================================================================

@@ -1857,3 +1857,80 @@ def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
     return run_to_memory(token_diversity_transform(docs), "append")
+
+
+def stream_ivf_range_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_range_search as a SERVING job — a query STREAM probing
+    the static IVF index, the deployment shape of a live retrieval
+    endpoint: the probe routing (query -> NPROBE cells -> candidate
+    members, ann._ivf_probe_candidates joined to the corpus vectors) is
+    resolved entirely on the STATIC side per micro-batch (the
+    stream-static join discipline of stream_config_routing), so the
+    streaming work per arriving query is one broadcast-able equi-join
+    on query_id plus the per-row cosine + radius filter — append mode,
+    zero streaming state. The per-query rank and the n_exact recall
+    denominator apply batch-side on the drained memory table (rank
+    windows cannot follow an append stream), exactly as the batch entry
+    computes them; shares ORACLE_IVF_RANGE_SEARCH, so the served
+    results are hash-identical to the batch index by contract."""
+    from flink_gmall_spark.operators.ann import (
+        _DOT,
+        N_QUERIES,
+        RANGE_RADIUS,
+        _ivf_probe_candidates,
+        _with_norm,
+        range_search,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    cand = (
+        _ivf_probe_candidates(emb)
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", "v", "nrm")
+    )
+    qs = (
+        read_stream(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("transform(embedding, x -> cast(x AS double))").alias("qv"),
+        )
+        .withColumn(
+            "qn",
+            F.expr(
+                "sqrt(aggregate(transform(qv, x -> x * x),"
+                " cast(0.0 AS double), (acc, x) -> acc + x))"
+            ),
+        )
+    )
+    served = (
+        qs.join(cand, "query_id")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")),
+        )
+        .filter(F.col("cos") >= RANGE_RADIUS)
+        .select("query_id", "vec_id", "cos")
+    )
+    from pyspark.sql import Window
+
+    mem = run_to_memory(served, "append")
+    exact_counts = (
+        range_search(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        mem.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(exact_counts), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("sim"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
