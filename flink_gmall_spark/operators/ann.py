@@ -2076,14 +2076,41 @@ def ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= RANGE_RADIUS)
     )
-    exact_counts = (
+    return range_rank_finish(
+        found.select("query_id", "vec_id", "cos"),
+        range_exact_counts(spark, sf_dir),
+    )
+
+
+RANGE_MISS_NEIGHBOR = -1  # sentinel: in-radius truth exists, index found none
+RANGE_MISS_SIM = -2.0  # impossible cosine marking the sentinel row
+
+
+def range_exact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query exact in-radius counts — the recall denominator shared
+    by ivf_range_search and streaming.stream_ivf_range_serve."""
+    return (
         range_search(spark, sf_dir)
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
+
+
+def range_rank_finish(in_range: DataFrame, exact_counts: DataFrame) -> DataFrame:
+    """Rank + recall-ledger finishing over (query_id, vec_id, cos)
+    in-radius rows — shared VERBATIM by the batch IVF entry and the
+    streaming serve twin so the two cannot drift (review r10).
+
+    Whole-query misses are VISIBLE: a query whose in-radius truth lives
+    entirely in unprobed cells would otherwise vanish from the output
+    (its n_exact denominator never surfacing, so a recall consumer
+    summing found/n_exact over the table over-reads); such queries emit
+    one sentinel row (neighbor_id = RANGE_MISS_NEIGHBOR, rank 0,
+    sim = RANGE_MISS_SIM — an impossible cosine) carrying the real
+    n_exact. The oracle applies the identical union."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        found.withColumn("rank", F.row_number().over(w).cast("long"))
+    hits = (
+        in_range.withColumn("rank", F.row_number().over(w).cast("long"))
         .join(F.broadcast(exact_counts), "query_id", "left")
         .select(
             "query_id",
@@ -2093,6 +2120,19 @@ def ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
         )
     )
+    missed = (
+        exact_counts.join(
+            in_range.select("query_id").distinct(), "query_id", "left_anti"
+        )
+        .select(
+            "query_id",
+            F.lit(RANGE_MISS_NEIGHBOR).cast("long").alias("neighbor_id"),
+            F.lit(0).cast("long").alias("rank"),
+            F.lit(RANGE_MISS_SIM).alias("sim"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+    )
+    return hits.unionByName(missed)
 
 
 ORACLE_IVF_RANGE_SEARCH = f"""
@@ -2111,4 +2151,10 @@ SELECT i.query_id, i.neighbor_id,
        round(i.cos, 6) AS sim,
        COALESCE(x.n_exact, 0) AS n_exact
 FROM in_range i LEFT JOIN exact_counts x ON i.query_id = x.query_id
+UNION ALL
+SELECT x.query_id, CAST({RANGE_MISS_NEIGHBOR} AS BIGINT) AS neighbor_id,
+       CAST(0 AS BIGINT) AS rank, CAST({RANGE_MISS_SIM} AS DOUBLE) AS sim,
+       x.n_exact
+FROM exact_counts x
+WHERE x.query_id NOT IN (SELECT query_id FROM in_range)
 """

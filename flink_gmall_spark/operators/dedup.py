@@ -1668,14 +1668,15 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry is hash-checked, not best-effort."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    fp = winnow_fingerprint_rows(docs)
-    rare = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # DF cap via the module's window idiom (_shingles FREQ_FILTER_STRATEGY
+    # = "window"): one pass over the fingerprint rows instead of a
+    # groupBy+join that would evaluate the md5 winnow subtree once more.
+    fpr = (
+        winnow_fingerprint_rows(docs)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("fp")
+        .select("doc_id", "fp")
     )
-    fpr = fp.join(rare, "fp")
     a = fpr.alias("a")
     b = fpr.alias("b")
     return (

@@ -943,6 +943,7 @@ ORACLE_CLASSIFIER_ROC = _oracle_classifier_roc()
 # --- Lexical diversity (round 10) --------------------------------------------
 
 DIVERSITY_SCALE = 1_000_000  # Gini-Simpson x 10^6, integer-exact
+DIVERSITY_EXACT_MAX_N = 3_000_000  # n²·SCALE fits BIGINT below this
 
 
 def token_diversity_transform(docs: DataFrame) -> DataFrame:
@@ -979,9 +980,17 @@ def token_diversity_transform(docs: DataFrame) -> DataFrame:
         "n_tokens",
         "n_types",
         F.expr("(1000 * n_types) DIV n_tokens").cast("long").alias("ttr_x1000"),
+        # (n² − Σc²)·10^6 overflows BIGINT past n ≈ 3.03e6 tokens (and the
+        # two engines diverge there: Spark wraps, DuckDB raises) — past the
+        # guard, divide by n BEFORE scaling: error < SCALE/n, i.e. below the
+        # x1m grain exactly where the branch activates, and every term then
+        # stays in range for any physically representable document.
         F.expr(
-            f"((n_tokens * n_tokens - _sum_sq) * {DIVERSITY_SCALE})"
-            " DIV (n_tokens * n_tokens)"
+            f"CASE WHEN n_tokens <= {DIVERSITY_EXACT_MAX_N}"
+            f" THEN ((n_tokens * n_tokens - _sum_sq) * {DIVERSITY_SCALE})"
+            "      DIV (n_tokens * n_tokens)"
+            f" ELSE (((n_tokens * n_tokens - _sum_sq) DIV n_tokens)"
+            f"       * {DIVERSITY_SCALE}) DIV n_tokens END"
         )
         .cast("long")
         .alias("simpson_x1m"),
@@ -1013,7 +1022,10 @@ base AS (
 )
 SELECT doc_id, n_tokens, n_types,
        CAST((1000 * n_types) // n_tokens AS BIGINT) AS ttr_x1000,
-       CAST(((n_tokens * n_tokens - sum_sq) * {DIVERSITY_SCALE})
-            // (n_tokens * n_tokens) AS BIGINT) AS simpson_x1m
+       CAST(CASE WHEN n_tokens <= {DIVERSITY_EXACT_MAX_N}
+            THEN ((n_tokens * n_tokens - sum_sq) * {DIVERSITY_SCALE})
+                 // (n_tokens * n_tokens)
+            ELSE (((n_tokens * n_tokens - sum_sq) // n_tokens)
+                  * {DIVERSITY_SCALE}) // n_tokens END AS BIGINT) AS simpson_x1m
 FROM base
 """

@@ -421,14 +421,21 @@ _SAMPLE_PRIORITY = [
     "dedup_jaccard_prefix", "curation_pretrain_build",
     "text_classifier_roc", "dedup_containment_apply",
     "stream_classifier_roc",
-    # 2 — oldest rows (r5-latest, deferred at the round-9 rotation)
+    # 1b — never driver-verified: the 11 round-10 additions (registration
+    # order; each subset-simmed MATCH at sf0.01 AND sf0.1 pre-commit).
+    # INVARIANT (review r10): every never-driver-verified hash contract
+    # sits inside the 50-entry window — never-verified outranks stale
+    # refresh, so the staged TPC-H fills + 2 r5 entries defer to r11.
+    "stream_pretrain_build", "dedup_winnowing_fingerprints",
+    "dedup_winnowing_pairs", "stream_winnowing_fingerprints",
+    "sim_range_search", "sim_ivf_range_search", "text_token_diversity",
+    "stream_token_diversity", "curation_curriculum_stages",
+    "sim_hard_negatives_ivf_sampled", "stream_ivf_range_serve",
+    # 2 — oldest rows (r5-latest, deferred at the round-9 rotation;
+    # the last two registered defer again to r11 to keep the invariant)
     "stream_config_routing", "stream_binned_range_join",
     "dedup_simhash_pairs", "dedup_apply_near", "sim_ivf_topk_trained",
     "sim_kmeans_assign", "sim_semantic_dedup", "ads_amount_quartiles",
-    "ads_status_priority_cube", "stream_dedup_distinct",
-    # 3 — r6-stale refresh fills: TPC-H block (registration order)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
@@ -455,14 +462,15 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-10 rotation APPLIED above (2026-08-15): the 31 round-9
-# additions lead, then the 10 r5-deferred entries, then 9 r6-stale
-# TPC-H fills (q1,q3,q4,q5,q6,q7,q8,q10,q13 — first of the 50-entry
-# r6-latest cohort in registration order). After CORRECTNESS_r10
-# every entry's driver row is <=4 rounds old.
+# Round-10 rotation APPLIED above (2026-08-15, amended after the
+# session code review): the 31 round-9 additions + the 11 round-10
+# additions (42 never-driver-verified contracts, ALL in-window — the
+# invariant outranks stale refresh) + 8 of the 10 r5-deferred entries.
+# Deferred to round 11: ads_status_priority_cube, stream_dedup_distinct
+# (r5) and the 9 staged TPC-H r6 fills.
 #
-# Round-11 window staging: lead with any round-10 additions
-# (never-driver-verified), then refresh the remaining 41 of the
-# r6-latest cohort (tpch_q14/q15 + the ads graph/cohort block +
-# curation BPE family + scale_* + stream twins — see ROADMAP.md
-# "Round-11 sample rotation" for the roster).
+# Round-11 window staging: lead with any round-11 additions
+# (never-driver-verified), then the 2 r5 deferrals, the 9 TPC-H fills
+# (q1,q3,q4,q5,q6,q7,q8,q10,q13), and the r6-latest cohort in
+# registration order up to the 50 — see ROADMAP.md "Round-11 sample
+# rotation" for the roster.

@@ -1879,7 +1879,8 @@ def stream_ivf_range_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         RANGE_RADIUS,
         _ivf_probe_candidates,
         _with_norm,
-        range_search,
+        range_exact_counts,
+        range_rank_finish,
     )
     from flink_gmall_spark.sources import load
 
@@ -1890,20 +1891,17 @@ def stream_ivf_range_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, "vec_id")
         .select("query_id", "vec_id", "v", "nrm")
     )
-    qs = (
-        read_stream(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.expr("transform(embedding, x -> cast(x AS double))").alias("qv"),
+    # _with_norm runs unchanged on the stream (pure per-row math) — the
+    # parity-critical double-cast + sequential fold stays ONE definition
+    # (review r10: an inline copy here could silently drift the hash)
+    qs = _with_norm(
+        read_stream(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < N_QUERIES
         )
-        .withColumn(
-            "qn",
-            F.expr(
-                "sqrt(aggregate(transform(qv, x -> x * x),"
-                " cast(0.0 AS double), (acc, x) -> acc + x))"
-            ),
-        )
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     served = (
         qs.join(cand, "query_id")
@@ -1914,23 +1912,7 @@ def stream_ivf_range_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= RANGE_RADIUS)
         .select("query_id", "vec_id", "cos")
     )
-    from pyspark.sql import Window
-
-    mem = run_to_memory(served, "append")
-    exact_counts = (
-        range_search(spark, sf_dir)
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        mem.withColumn("rank", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(exact_counts), "query_id", "left")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            F.round("cos", 6).alias("sim"),
-            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
-        )
+    return range_rank_finish(
+        run_to_memory(served, "append"),
+        range_exact_counts(spark, sf_dir),
     )

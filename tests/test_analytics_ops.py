@@ -1215,3 +1215,67 @@ def test_winnowing_spark_matches_pure_python_mirror(spark):
         nw = max(1, len(hs) - dedup.WINNOW_W + 1)
         want[doc_id] = {min(hs[j : j + dedup.WINNOW_W]) for j in range(nw)}
     assert got == want
+
+
+def test_ivf_range_search_whole_query_miss_sentinel(spark, tmp_path):
+    """Review r10 fix: a query whose in-radius truth lives entirely in
+    unprobed cells must surface as a sentinel ledger row, not vanish.
+    Crafted fixture: 16 basis-vector centroids; the one extra vector
+    sits at cos 0.35 from query 0 (in radius) but is assigned to cell 5,
+    outside query 0's probed cells {0,1,2,3} -> sentinel for q0; the
+    same vector is at cos ~0.937 from query 5, whose probes include
+    cell 5 -> a real hit for q5. The DuckDB oracle union must agree
+    cell-for-cell."""
+    import math
+    import os
+
+    import duckdb
+    from pyspark.sql import types as T
+
+    from flink_gmall_spark.operators import ann
+
+    dim = 16
+    rows = []
+    for i in range(16):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    nvec = [0.0] * dim
+    nvec[0] = 0.35
+    nvec[5] = math.sqrt(1.0 - 0.35 * 0.35)
+    rows.append((16, nvec, 0))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    d = str(tmp_path / "rs")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+    out = {r["query_id"]: r for r in ann.ivf_range_search(spark, d).collect()}
+    assert set(out) == {0, 5}
+    # q0: whole-query miss -> sentinel with the true denominator
+    assert out[0]["neighbor_id"] == ann.RANGE_MISS_NEIGHBOR
+    assert out[0]["rank"] == 0 and out[0]["sim"] == ann.RANGE_MISS_SIM
+    assert out[0]["n_exact"] == 1
+    # q5: the same vector is served from its probed cell
+    assert out[5]["neighbor_id"] == 16 and out[5]["rank"] == 1
+    assert out[5]["n_exact"] == 1 and out[5]["sim"] > 0.9
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = {r[0]: r for r in con.execute(ann.ORACLE_IVF_RANGE_SEARCH).fetchall()}
+    assert set(want) == {0, 5}
+    for q in (0, 5):
+        got = out[q]
+        assert (
+            got["neighbor_id"], got["rank"], got["sim"], got["n_exact"]
+        ) == want[q][1:]

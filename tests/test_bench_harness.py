@@ -120,15 +120,24 @@ def test_classify_returns_none_for_pre_r9_files():
 
 
 # --- idle-host gate (VERDICT r9 ask #3) --------------------------------------
+# Every test pins cpu_count: the gate threshold is 2*ncpu/16, and mocked
+# load values compared against the real host's core count would hang or
+# flip on small/large CI machines (review r10 finding).
+
+def _pin_cpus(monkeypatch, n=32):
+    monkeypatch.setattr(bench.os, "cpu_count", lambda: n)
+
 
 def test_idle_gate_passes_immediately_on_quiet_host(monkeypatch):
+    _pin_cpus(monkeypatch)
     monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 0.5})
     gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
-    assert gate == {"load1_gate": bench.os.cpu_count() * 2.0 / 16.0}
+    assert gate == {"load1_gate": 4.0}
     assert "gated_wait_s" not in gate and "gate_gave_up" not in gate
 
 
 def test_idle_gate_waits_until_load_drains(monkeypatch):
+    _pin_cpus(monkeypatch)
     loads = iter([22.0, 9.0, 0.8])
     monkeypatch.setattr(
         bench, "_host_snapshot", lambda: {"load1": next(loads, 0.8)}
@@ -139,6 +148,7 @@ def test_idle_gate_waits_until_load_drains(monkeypatch):
 
 
 def test_idle_gate_gives_up_after_budget(monkeypatch):
+    _pin_cpus(monkeypatch)
     monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 50.0})
     gate = bench._wait_for_idle_host(max_wait_s=0.05, poll_s=0.01)
     assert gate["gate_gave_up"] is True
@@ -146,6 +156,7 @@ def test_idle_gate_gives_up_after_budget(monkeypatch):
 
 
 def test_idle_gate_tolerates_missing_loadavg(monkeypatch):
+    _pin_cpus(monkeypatch)
     monkeypatch.setattr(bench, "_host_snapshot", lambda: {})
     gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
     assert "gate_gave_up" not in gate

@@ -937,7 +937,10 @@ def test_winnowing_pairs_equijoin_with_df_cap(spark, sf_dir):
     plan = plan_of(dedup.winnowing_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "partial_count" in plan, plan  # DF cap agg is map-side partial
+    # DF cap is the _shingles window idiom: one count-over-Window pass on
+    # the fingerprint rows, not a groupBy+join re-evaluating the winnow
+    w = plan[plan.index("Window") :].splitlines()[0]
+    assert "count(1)" in w, plan
 
 
 def test_token_diversity_map_only(spark, sf_dir):

@@ -1311,3 +1311,35 @@ def test_winnowing_density_and_membership(tokens):
     }
     assert fps and fps <= hs
     assert len(fps) <= max(1, len(tokens) - SHINGLE_K + 1 - WINNOW_W + 1)
+
+
+@given(
+    st.integers(min_value=1, max_value=10**9),
+    st.data(),
+)
+def test_simpson_branch_in_range_and_close(n, data):
+    """The token-diversity overflow guard: below DIVERSITY_EXACT_MAX_N
+    the exact (n²−Σc²)·SCALE DIV n² form is used and every intermediate
+    fits int64; above it the divide-early form's error vs the exact
+    rational is below the x1m grain (< SCALE/n ≤ 1 at the branch
+    point), and its intermediates stay in range for any physically
+    representable document (n ≤ 1e9)."""
+    from flink_gmall_spark.operators.textstats import (
+        DIVERSITY_EXACT_MAX_N,
+        DIVERSITY_SCALE,
+    )
+
+    # a plausible sum of squared counts: between all-distinct (n) and
+    # all-identical (n²)
+    sum_sq = data.draw(st.integers(min_value=n, max_value=n * n))
+    x = n * n - sum_sq
+    if n <= DIVERSITY_EXACT_MAX_N:
+        assert x * DIVERSITY_SCALE < 2**63
+        got = (x * DIVERSITY_SCALE) // (n * n)
+    else:
+        q = x // n
+        assert q * DIVERSITY_SCALE < 2**63  # q <= n <= 1e9
+        got = (q * DIVERSITY_SCALE) // n
+        exact = x * DIVERSITY_SCALE // (n * n)  # python bigint truth
+        assert abs(got - exact) <= DIVERSITY_SCALE // n + 1
+    assert 0 <= got <= DIVERSITY_SCALE
