@@ -2122,7 +2122,9 @@ def range_rank_finish(in_range: DataFrame, exact_counts: DataFrame) -> DataFrame
     )
     missed = (
         exact_counts.join(
-            in_range.select("query_id").distinct(), "query_id", "left_anti"
+            F.broadcast(in_range.select("query_id").distinct()),
+            "query_id",
+            "left_anti",
         )
         .select(
             "query_id",
