@@ -2882,6 +2882,38 @@ ORACLE_PRETRAIN_BUILD = ORACLE_PRETRAIN_BUILD.format(
 CURRICULUM_STAGES = 4  # equal-frequency quality stages, highest-score first
 
 
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tokens, score) — the stopword-ratio fluency
+    score (quality_scores' stop_ratio_x1000 term) shared VERBATIM by
+    curriculum_stages and preference_pairs so the two ranking consumers
+    cannot drift on what "quality" means."""
+    from flink_gmall_spark.operators.textstats import STOPWORDS
+
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return docs.select(
+        "doc_id",
+        "source",
+        tokens_col("text").alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
+        .cast("long")
+        .alias("stop_ct"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE (1000 * stop_ct) DIV n_tokens END"
+        )
+        .cast("long")
+        .alias("score"),
+    )
+
+
 def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CURRICULUM SCHEDULE — split the corpus into CURRICULUM_STAGES
     equal-frequency stages by a quality score (stopword-ratio fluency
@@ -2904,30 +2936,9 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme skew (one score value holding a whole stage) the in-score
     rank window keys would widen to a composite score; documented, not
     hit at fixture scales."""
-    from flink_gmall_spark.operators.textstats import STOPWORDS
-
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
-    base = docs.select(
-        "doc_id",
-        tokens_col("text").alias("t"),
-    ).select(
-        "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.expr(f"size(filter(t, x -> array_contains(array({stop_arr}), x)))")
-        .cast("long")
-        .alias("stop_ct"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        F.expr(
-            "CASE WHEN n_tokens = 0 THEN 0"
-            " ELSE (1000 * stop_ct) DIV n_tokens END"
-        )
-        .cast("long")
-        .alias("score"),
-    )
+    base = _quality_scored(docs).select("doc_id", "n_tokens", "score")
     hist = base.groupBy("score").agg(F.count(F.lit(1)).alias("ct"))
     w_cum = (
         Window.orderBy(F.desc("score"))
@@ -2995,4 +3006,115 @@ from flink_gmall_spark.operators.textstats import _DUCK_STOPS as _CUR_STOPS  # n
 
 ORACLE_CURRICULUM_STAGES = ORACLE_CURRICULUM_STAGES.format(
     T=_PB_T, STOPS=_CUR_STOPS, S=CURRICULUM_STAGES
+)
+
+
+PREF_MIN_GAP = 1  # drop pairs whose quality scores tie — no training signal
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR MINING — the contrastive/preference training-data
+    mechanic: within each source, rank documents by the quality score
+    (_quality_scored, shared verbatim with curriculum_stages) and pair
+    rank i with rank n+1-i (best with worst, second-best with
+    second-worst, ...), keeping pairs with a positive score gap. Output
+    is the (chosen, rejected, gap) table a reward-model or DPO-style
+    data build consumes; the nested pairing maximizes the minimum gap
+    across pairs for a given ranking, and everything is deterministic
+    (integer score, doc_id tiebreak) — a re-run mines byte-identical
+    pairs.
+
+    Scale shape — the curriculum_stages DISTRIBUTED-rank trick, per
+    source: the score domain is bounded (<= 1001 integer values), so
+    each doc's per-source global rank = (docs with a higher score in
+    this source, from the broadcast (source, score) histogram) + (its
+    doc_id rank within its own (source, score) group). No per-source
+    global sort; the pairing itself is one equi-join on
+    (source, pair_id). The oracle is the textbook row_number form —
+    the hash match proves the distributed form equals it."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = _quality_scored(docs).select("doc_id", "source", "score")
+    hist = base.groupBy("source", "score").agg(F.count(F.lit(1)).alias("ct"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "score",
+        F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    ntot = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_in = Window.partitionBy("source", "score").orderBy("doc_id")
+    ranked = (
+        base.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(cum), ["source", "score"])
+        .join(F.broadcast(ntot), "source")
+        .withColumn("grank", F.col("cum_before") + F.col("rk_in"))
+        .withColumn(
+            "pair_id", F.least(F.col("grank"), F.col("n") + 1 - F.col("grank"))
+        )
+        .filter(F.col("grank") * 2 != F.col("n") + 1)  # odd middle unpaired
+    )
+    chosen = ranked.filter(F.col("grank") * 2 < F.col("n") + 1).select(
+        "source",
+        F.col("pair_id").cast("long").alias("pair_id"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("cs"),
+    )
+    rejected = ranked.filter(F.col("grank") * 2 > F.col("n") + 1).select(
+        "source",
+        F.col("pair_id").cast("long").alias("pair_id"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rs"),
+    )
+    return (
+        chosen.join(rejected, ["source", "pair_id"])
+        .withColumn("gap", (F.col("cs") - F.col("rs")).cast("long"))
+        .filter(F.col("gap") >= PREF_MIN_GAP)
+        .select("source", "pair_id", "chosen_doc", "rejected_doc", "gap")
+    )
+
+
+ORACLE_PREFERENCE_PAIRS = """
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len({T}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({T}, x -> list_contains([{STOPS}], x)))
+                AS BIGINT) AS stop_ct
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, source,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (1000 * stop_ct) // n_tokens END AS BIGINT) AS score
+    FROM base
+),
+ranked AS (
+    SELECT doc_id, source, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id ASC) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM scored
+),
+c AS (
+    SELECT source, CAST(rk AS BIGINT) AS pair_id,
+           doc_id AS chosen_doc, score AS cs
+    FROM ranked WHERE 2 * rk < n + 1
+),
+r AS (
+    SELECT source, CAST(n + 1 - rk AS BIGINT) AS pair_id,
+           doc_id AS rejected_doc, score AS rs
+    FROM ranked WHERE 2 * rk > n + 1
+)
+SELECT c.source, c.pair_id, c.chosen_doc, r.rejected_doc,
+       CAST(c.cs - r.rs AS BIGINT) AS gap
+FROM c JOIN r ON c.source = r.source AND c.pair_id = r.pair_id
+WHERE c.cs - r.rs >= {MIN_GAP}
+"""
+
+ORACLE_PREFERENCE_PAIRS = ORACLE_PREFERENCE_PAIRS.format(
+    T=_PB_T, STOPS=_CUR_STOPS, MIN_GAP=PREF_MIN_GAP
 )

@@ -1704,3 +1704,42 @@ FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
+
+
+def winnowing_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measurement for the winnowing family (the lsh_recall_report
+    discipline): of the TRUE near-dup pairs (exact n-gram Jaccard >=
+    threshold — the all-pairs truth), how many does the winnowed
+    fingerprint pair join recover? One hash-pinned integer ledger row
+    (true_pairs / found_pairs / missed_pairs). Winnowing guarantees
+    detection of shared RUNS >= WINNOW_W + SHINGLE_K - 1 tokens, which
+    is a different notion than set-Jaccard — scattered shared shingles
+    with no contiguous run CAN be missed, and this ledger prices that
+    gap empirically so the W knob is tuned on numbers, not vibes. The
+    truth side is audit-scale (or a sampled partition at 100 TB); the
+    fingerprint side is the production path being audited."""
+    tune(spark)
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    found = winnowing_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    j = truth.join(found, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("true_pairs"),
+        F.count("hit").alias("found_pairs"),
+        (F.count(F.lit(1)) - F.count("hit")).alias("missed_pairs"),
+    )
+
+
+ORACLE_WINNOW_RECALL_REPORT = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({{J}}) t),
+found AS (SELECT doc_a, doc_b FROM ({{W}}) t)
+SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+       CAST(count(f.doc_a) AS BIGINT) AS found_pairs,
+       CAST(count(*) - count(f.doc_a) AS BIGINT) AS missed_pairs
+FROM truth t
+LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+"""
+ORACLE_WINNOW_RECALL_REPORT = ORACLE_WINNOW_RECALL_REPORT.format(
+    J=ORACLE_NGRAM_JACCARD, W=ORACLE_WINNOW_PAIRS
+)

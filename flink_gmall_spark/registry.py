@@ -373,6 +373,8 @@ _register("stream_token_diversity", stream_jobs.stream_token_diversity, textstat
 _register("curation_curriculum_stages", curation.curriculum_stages, curation.ORACLE_CURRICULUM_STAGES, tags=("curation", "ml-training", "curriculum", "distributed-ntile"))
 _register("sim_hard_negatives_ivf_sampled", ann.hard_negatives_ivf_sampled, ann.ORACLE_HARD_NEGATIVES_IVF_SAMPLED, tags=("similarity", "mining", "ivf", "sampled-audit", "recall-ledger"))
 _register("stream_ivf_range_serve", stream_jobs.stream_ivf_range_serve, ann.ORACLE_IVF_RANGE_SEARCH, tags=("streaming", "similarity", "range-query", "ivf", "serving", "append-mode"))
+_register("curation_preference_pairs", curation.preference_pairs, curation.ORACLE_PREFERENCE_PAIRS, tags=("curation", "ml-training", "preference-pairs", "distributed-rank"))
+_register("dedup_winnowing_recall_report", dedup.winnowing_recall_report, dedup.ORACLE_WINNOW_RECALL_REPORT, tags=("dedup", "winnowing", "recall-ledger", "self-measurement"))
 
 
 # =============================================================================
@@ -431,11 +433,12 @@ _SAMPLE_PRIORITY = [
     "sim_range_search", "sim_ivf_range_search", "text_token_diversity",
     "stream_token_diversity", "curation_curriculum_stages",
     "sim_hard_negatives_ivf_sampled", "stream_ivf_range_serve",
+    "curation_preference_pairs", "dedup_winnowing_recall_report",
     # 2 — oldest rows (r5-latest, deferred at the round-9 rotation;
-    # the last two registered defer again to r11 to keep the invariant)
+    # the last four registered defer again to r11 to keep the invariant)
     "stream_config_routing", "stream_binned_range_join",
     "dedup_simhash_pairs", "dedup_apply_near", "sim_ivf_topk_trained",
-    "sim_kmeans_assign", "sim_semantic_dedup", "ads_amount_quartiles",
+    "sim_kmeans_assign",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
@@ -463,11 +466,12 @@ def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
 # Round-10 rotation APPLIED above (2026-08-15, amended after the
-# session code review): the 31 round-9 additions + the 11 round-10
-# additions (42 never-driver-verified contracts, ALL in-window — the
-# invariant outranks stale refresh) + 8 of the 10 r5-deferred entries.
-# Deferred to round 11: ads_status_priority_cube, stream_dedup_distinct
-# (r5) and the 9 staged TPC-H r6 fills.
+# session code review): the 31 round-9 additions + the 13 round-10
+# additions (44 never-driver-verified contracts, ALL in-window — the
+# invariant outranks stale refresh) + 6 of the 10 r5-deferred entries.
+# Deferred to round 11: sim_semantic_dedup, ads_amount_quartiles,
+# ads_status_priority_cube, stream_dedup_distinct (r5) and the 9
+# staged TPC-H r6 fills.
 #
 # Round-11 window staging: lead with any round-11 additions
 # (never-driver-verified), then the 2 r5 deferrals, the 9 TPC-H fills

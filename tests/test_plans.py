@@ -989,3 +989,15 @@ def test_curriculum_stages_no_global_sort(spark, sf_dir):
     # but the corpus-side window partitions by score, never ntile's
     # global ORDER BY (which would appear as rangepartitioning(score...))
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_preference_pairs_no_global_sort_broadcast_rank(spark, sf_dir):
+    """The distributed-rank contract, per source: no rangepartitioning
+    of the corpus (the oracle's textbook row_number would need one),
+    histogram/count sides broadcast, pairing as a hash equi-join."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.preference_pairs(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
