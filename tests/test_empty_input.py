@@ -63,6 +63,15 @@ DOC_OPS = [
     ("padding_waste", "curation"),
     ("chunk_overlap_spec", "curation"),
     ("repeat_epochs_ledger", "curation"),
+    # round-10 additions
+    ("winnowing_fingerprints", "dedup"),
+    ("winnowing_pairs", "dedup"),
+    ("winnowing_recall_report", "dedup"),
+    ("lsh_recall_report", "dedup"),
+    ("token_diversity", "textstats"),
+    ("curriculum_stages", "curation"),
+    ("preference_pairs", "curation"),
+    ("pretrain_build", "curation"),
 ]
 
 EMB_OPS = [
@@ -74,6 +83,10 @@ EMB_OPS = [
     ("pq_adc_topk", "ann"),
     ("ann_filtered_topk", "ann"),
     ("ivf_filtered_topk", "ann"),
+    # round-10 additions
+    ("range_search", "ann"),
+    ("ivf_range_search", "ann"),
+    ("hard_negatives_ivf", "ann"),
 ]
 
 
@@ -92,6 +105,12 @@ def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
         # the absent-sketch guard must keep the bound boolean TRUE (the
         # oracle pins it) — a NULL here is an oracle hash mismatch
         assert got[got.lang == "*ALL*"].hll_ok.all()
+    elif fn_name in ("winnowing_recall_report", "lsh_recall_report"):
+        # global recall ledgers are ungrouped aggregations: ONE all-zero
+        # row on empty input — the same row DuckDB's global agg emits,
+        # so the oracle contract holds
+        assert len(got) == 1
+        assert (got.iloc[0][["true_pairs", "found_pairs", "missed_pairs"]] == 0).all()
     else:
         assert got.empty, got.head()
 
