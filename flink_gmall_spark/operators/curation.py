@@ -3041,38 +3041,41 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # cum_before AND the per-source total ride the same tiny histogram
+    # windows — ONE hist subtree, ONE broadcast join (a separate ntot
+    # aggregate would re-scan the corpus for the same numbers)
     cum = hist.select(
         "source",
         "score",
         F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("ct").over(Window.partitionBy("source")).alias("n"),
     )
-    ntot = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w_in = Window.partitionBy("source", "score").orderBy("doc_id")
     ranked = (
         base.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
         .join(F.broadcast(cum), ["source", "score"])
-        .join(F.broadcast(ntot), "source")
         .withColumn("grank", F.col("cum_before") + F.col("rk_in"))
         .withColumn(
             "pair_id", F.least(F.col("grank"), F.col("n") + 1 - F.col("grank"))
         )
-        .filter(F.col("grank") * 2 != F.col("n") + 1)  # odd middle unpaired
     )
-    chosen = ranked.filter(F.col("grank") * 2 < F.col("n") + 1).select(
-        "source",
-        F.col("pair_id").cast("long").alias("pair_id"),
-        F.col("doc_id").alias("chosen_doc"),
-        F.col("score").alias("cs"),
-    )
-    rejected = ranked.filter(F.col("grank") * 2 > F.col("n") + 1).select(
-        "source",
-        F.col("pair_id").cast("long").alias("pair_id"),
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("score").alias("rs"),
+    # Single-pass pairing (review r10): a chosen-vs-rejected SELF-JOIN
+    # evaluates the whole tokenize/score/rank subtree twice; instead fold
+    # both sides of each pair in ONE groupBy on (source, pair_id) with
+    # conditional aggregates — each group holds exactly the rank-i and
+    # rank-(n+1-i) rows. An odd source's middle element (grank*2 == n+1)
+    # matches neither condition, leaves NULLs, and the gap filter drops
+    # its group.
+    is_chosen = F.col("grank") * 2 < F.col("n") + 1
+    is_rejected = F.col("grank") * 2 > F.col("n") + 1
+    paired = ranked.groupBy("source", F.col("pair_id").cast("long").alias("pair_id")).agg(
+        F.max(F.when(is_chosen, F.col("doc_id"))).alias("chosen_doc"),
+        F.max(F.when(is_chosen, F.col("score"))).alias("cs"),
+        F.max(F.when(is_rejected, F.col("doc_id"))).alias("rejected_doc"),
+        F.max(F.when(is_rejected, F.col("score"))).alias("rs"),
     )
     return (
-        chosen.join(rejected, ["source", "pair_id"])
-        .withColumn("gap", (F.col("cs") - F.col("rs")).cast("long"))
+        paired.withColumn("gap", (F.col("cs") - F.col("rs")).cast("long"))
         .filter(F.col("gap") >= PREF_MIN_GAP)
         .select("source", "pair_id", "chosen_doc", "rejected_doc", "gap")
     )

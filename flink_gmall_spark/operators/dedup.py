@@ -1008,11 +1008,18 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB); the LSH side is the production path being audited.
     """
     tune(spark)
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    found = minhash_lsh_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("hit")
+    return _recall_ledger(
+        ngram_jaccard_pairs(spark, sf_dir), minhash_lsh_pairs(spark, sf_dir)
     )
-    j = truth.join(found, ["doc_a", "doc_b"], "left")
+
+
+def _recall_ledger(truth: DataFrame, found: DataFrame) -> DataFrame:
+    """The (true_pairs, found_pairs, missed_pairs) audit fold shared by
+    every candidate-generation recall report (LSH, winnowing) — one
+    definition so the ledger shape cannot drift between families."""
+    t = truth.select("doc_a", "doc_b")
+    f_ = found.select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    j = t.join(f_, ["doc_a", "doc_b"], "left")
     return j.agg(
         F.count(F.lit(1)).alias("true_pairs"),
         F.count("hit").alias("found_pairs"),
@@ -1020,15 +1027,23 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LSH_RECALL_REPORT = f"""
-WITH truth AS (SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD}) t),
-found AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH_LSH}) t)
+def _oracle_recall_ledger(truth_sql: str, found_sql: str) -> str:
+    """DuckDB twin of _recall_ledger, parameterized on the two pair
+    subqueries."""
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({truth_sql}) t),
+found AS (SELECT doc_a, doc_b FROM ({found_sql}) t)
 SELECT CAST(count(*) AS BIGINT) AS true_pairs,
        CAST(count(f.doc_a) AS BIGINT) AS found_pairs,
        CAST(count(*) - count(f.doc_a) AS BIGINT) AS missed_pairs
 FROM truth t
 LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
 """
+
+
+ORACLE_LSH_RECALL_REPORT = _oracle_recall_ledger(
+    ORACLE_NGRAM_JACCARD, ORACLE_MINHASH_LSH
+)
 
 
 CONTAINMENT_THRESHOLD = 0.8
@@ -1719,27 +1734,11 @@ def winnowing_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth side is audit-scale (or a sampled partition at 100 TB); the
     fingerprint side is the production path being audited."""
     tune(spark)
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    found = winnowing_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("hit")
-    )
-    j = truth.join(found, ["doc_a", "doc_b"], "left")
-    return j.agg(
-        F.count(F.lit(1)).alias("true_pairs"),
-        F.count("hit").alias("found_pairs"),
-        (F.count(F.lit(1)) - F.count("hit")).alias("missed_pairs"),
+    return _recall_ledger(
+        ngram_jaccard_pairs(spark, sf_dir), winnowing_pairs(spark, sf_dir)
     )
 
 
-ORACLE_WINNOW_RECALL_REPORT = f"""
-WITH truth AS (SELECT doc_a, doc_b FROM ({{J}}) t),
-found AS (SELECT doc_a, doc_b FROM ({{W}}) t)
-SELECT CAST(count(*) AS BIGINT) AS true_pairs,
-       CAST(count(f.doc_a) AS BIGINT) AS found_pairs,
-       CAST(count(*) - count(f.doc_a) AS BIGINT) AS missed_pairs
-FROM truth t
-LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
-"""
-ORACLE_WINNOW_RECALL_REPORT = ORACLE_WINNOW_RECALL_REPORT.format(
-    J=ORACLE_NGRAM_JACCARD, W=ORACLE_WINNOW_PAIRS
+ORACLE_WINNOW_RECALL_REPORT = _oracle_recall_ledger(
+    ORACLE_NGRAM_JACCARD, ORACLE_WINNOW_PAIRS
 )
