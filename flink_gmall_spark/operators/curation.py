@@ -2935,25 +2935,38 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the distributed form equals the single-sort form. At
     extreme skew (one score value holding a whole stage) the in-score
     rank window keys would widen to a composite score; documented, not
-    hit at fixture scales."""
+    hit at fixture scales (the skew bound is property-tested —
+    tests/test_properties.py — and recorded in SCALE.md)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    base = _quality_scored(docs).select("doc_id", "n_tokens", "score")
+    return curriculum_finish(
+        _quality_scored(docs).select("doc_id", "n_tokens", "score")
+    )
+
+
+def curriculum_finish(base: DataFrame) -> DataFrame:
+    """Stage assignment + per-stage ledger over the scored corpus
+    (doc_id, n_tokens, score) — the distributed-ntile arithmetic of
+    curriculum_stages, shared VERBATIM by the batch entry and the
+    streaming twin so the two cannot drift on boundary semantics."""
     hist = base.groupBy("score").agg(F.count(F.lit(1)).alias("ct"))
     w_cum = (
         Window.orderBy(F.desc("score"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # cum_before AND the corpus total ride the same tiny histogram —
+    # ONE hist subtree, ONE broadcast join (the preference_pairs idiom;
+    # a separate base.agg() total would re-scan the corpus a third time)
     cum = hist.select(
-        "score", F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before")
+        "score",
+        F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before"),
+        F.sum("ct").over(Window.partitionBy()).cast("long").alias("n_total"),
     )
-    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     w_in = Window.partitionBy("score").orderBy("doc_id")
     S = CURRICULUM_STAGES
     staged = (
         base.withColumn("rk_in", F.row_number().over(w_in).cast("long"))
         .join(F.broadcast(cum), "score")
-        .crossJoin(F.broadcast(tot))
         .withColumn("grank", F.col("cum_before") + F.col("rk_in"))
         .withColumn(
             "stage",

@@ -1615,25 +1615,46 @@ def winnow_fingerprint_rows(docs: DataFrame) -> DataFrame:
     Generate, keeping the fused plan shape raw_shingles documents.
     Hashes are md5 hex strings: lexicographic min is portable
     bit-for-bit to the DuckDB oracle."""
+    return _kgram_hashes(docs).select(
+        "doc_id",
+        F.explode(F.expr(_winnow_fp_expr(WINNOW_W))).alias("fp"),
+    )
+
+
+# The k-gram hash term lists are BUILT from SHINGLE_K (advisor r10: a
+# hardcoded t[i], t[i+1], t[i+2] next to a SHINGLE_K-derived sequence
+# bound would silently desynchronize if the constant moved). Spark
+# t[i] is 0-based with i from sequence(0, ...); DuckDB lists are
+# 1-based with i from range(1, ...) — the +j offsets are shared.
+_KGRAM_TERMS = ", ".join(f"t[i+{j}]" for j in range(SHINGLE_K))
+_DUCK_KGRAM_TERMS = ", ' ', ".join(f"t[i+{j}]" for j in range(SHINGLE_K))
+
+
+def _kgram_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs) — the positional word-K-gram md5 hash array
+    winnowing slides over, materialized once per row (O(m) md5 calls);
+    shared by the production-W fingerprint path and the W-sweep so the
+    hash arithmetic cannot drift between them."""
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") >= SHINGLE_K
     )
-    hashed = toks.select(
+    return toks.select(
         "doc_id",
         F.expr(
             f"transform(sequence(0, size(t) - {SHINGLE_K}),"
-            " i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"
+            f" i -> md5(concat_ws(' ', {_KGRAM_TERMS})))"
         ).alias("hs"),
     )
-    return hashed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform("
-                f"sequence(1, greatest(1, size(hs) - {WINNOW_W} + 1)),"
-                f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
-            )
-        ).alias("fp"),
+
+
+def _winnow_fp_expr(w: int) -> str:
+    """The window-min fingerprint expression over ``hs`` for window
+    width ``w`` — one SQL string so the consumer's explode stays FUSED
+    over the computed array (the Generate-fusion lesson)."""
+    return (
+        "array_distinct(transform("
+        f"sequence(1, greatest(1, size(hs) - {w} + 1)),"
+        f" j -> array_min(slice(hs, j, {w}))))"
     )
 
 
@@ -1655,7 +1676,7 @@ WITH toks AS (
 hashed AS (
     SELECT doc_id,
            list_transform(range(1, len(t) - {SHINGLE_K - 2}),
-                          i -> md5(concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS hs
+                          i -> md5(concat({_DUCK_KGRAM_TERMS}))) AS hs
     FROM toks WHERE len(t) >= {SHINGLE_K}
 ),
 fps AS (

@@ -376,6 +376,9 @@ _register("stream_ivf_range_serve", stream_jobs.stream_ivf_range_serve, ann.ORAC
 _register("curation_preference_pairs", curation.preference_pairs, curation.ORACLE_PREFERENCE_PAIRS, tags=("curation", "ml-training", "preference-pairs", "distributed-rank"))
 _register("dedup_winnowing_recall_report", dedup.winnowing_recall_report, dedup.ORACLE_WINNOW_RECALL_REPORT, tags=("dedup", "winnowing", "recall-ledger", "self-measurement"))
 
+# --- Round-11 additions (VERDICT r10 asks) -----------------------------------
+_register("sim_ivf_range_search_sampled", ann.ivf_range_search_sampled, ann.ORACLE_IVF_RANGE_SEARCH_SAMPLED, tags=("similarity", "range-query", "ivf", "sampled-audit", "recall-ledger"))
+
 
 # =============================================================================
 # Round-9 sample window. The driver samples the FIRST 50 registrations, so
@@ -423,7 +426,7 @@ _SAMPLE_PRIORITY = [
     "dedup_jaccard_prefix", "curation_pretrain_build",
     "text_classifier_roc", "dedup_containment_apply",
     "stream_classifier_roc",
-    # 1b — never driver-verified: the 11 round-10 additions (registration
+    # 1b — never driver-verified: the 13 round-10 additions (registration
     # order; each subset-simmed MATCH at sf0.01 AND sf0.1 pre-commit).
     # INVARIANT (review r10): every never-driver-verified hash contract
     # sits inside the 50-entry window — never-verified outranks stale

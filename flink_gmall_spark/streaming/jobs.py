@@ -1794,21 +1794,24 @@ def stream_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capstone build maintained INCREMENTALLY as a backfill streams
     in. Stage mapping onto the incremental engine: the quality gate is
     curation.pretrain_gate (stateless filter, shared VERBATIM); exact
-    dedup is the one streaming aggregation — groupBy(text).min(doc_id)
-    in complete mode — which reproduces the batch "smallest doc_id per
-    md5(text)" policy ARRIVAL-ORDER-INDEPENDENTLY (min is commutative;
-    a first-seen dropDuplicates would tie the winner to micro-batch
-    order and drift from any backfill); chunk/shard/ledger apply
-    batch-side on the drained memory table via curation.pretrain_finish
-    (shared VERBATIM — the explode can't follow a streaming agg in one
-    query anyway). Shares ORACLE_PRETRAIN_BUILD, so stream and batch
-    builds are hash-identical by contract.
+    dedup is the one streaming aggregation — groupBy(md5(text)) keeping
+    min(struct(doc_id, text)) in complete mode — the batch policy's OWN
+    key ("smallest doc_id per md5(text)"), reproduced
+    ARRIVAL-ORDER-INDEPENDENTLY (min is commutative; a first-seen
+    dropDuplicates would tie the winner to micro-batch order and drift
+    from any backfill). doc_id is unique, so the min struct IS the
+    min-doc_id row; chunk/shard/ledger apply batch-side on the drained
+    memory table via curation.pretrain_finish (shared VERBATIM — the
+    explode can't follow a streaming agg in one query anyway). Shares
+    ORACLE_PRETRAIN_BUILD, so stream and batch builds are hash-identical
+    by contract.
 
-    State bound: one (text, min doc_id) entry per distinct gated doc —
-    the honest cost of exact streaming dedup; a production ingest bounds
-    it by keying on the md5 fingerprint instead of the text and ageing
-    entries with dropDuplicatesWithinWatermark once the re-fetch horizon
-    passes (the stream_dedup_within_watermark precedent)."""
+    State bound: one (128-bit key, winning (doc_id, text)) entry per
+    distinct gated doc — the key matches the batch dedup window's
+    hash key instead of holding a second full text copy; a production
+    ingest further bounds it by ageing entries with
+    dropDuplicatesWithinWatermark once the re-fetch horizon passes
+    (the stream_dedup_within_watermark precedent)."""
     from flink_gmall_spark.operators.curation import (
         pretrain_finish,
         pretrain_gate,
@@ -1818,11 +1821,11 @@ def stream_pretrain_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_stream(spark, sf_dir, "documents")
     deduped = (
         pretrain_gate(docs)
-        .groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
     )
     return pretrain_finish(
-        run_to_memory(deduped, "complete").select("doc_id", "text")
+        run_to_memory(deduped, "complete").select("s.doc_id", "s.text")
     )
 
 

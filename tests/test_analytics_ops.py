@@ -655,6 +655,59 @@ def test_hard_negatives_ivf_sampled_exact_side(spark):
             assert by_q_samp[q] == -1
 
 
+def test_ivf_range_search_sampled_denominator(spark):
+    """VERDICT r10 ask #2: the sampled range-recall denominator at a
+    NON-DEFAULT threshold. The served in-radius rows are identical to
+    the full-audit run (the sample only bounds the brute-force
+    denominator), audited queries keep their exact n_exact, unsampled
+    queries report the -1 "not audited" sentinel, whole-query MISS
+    sentinel rows survive only for audited queries, and the audited set
+    is exactly the md5-prefix-threshold subset."""
+    import hashlib
+
+    from flink_gmall_spark.operators import ann
+
+    sf_dir = "/root/testdata/sf0.001"
+    hexthr = "400000"  # ~0.25 sample rate — NOT the registered 800000
+    full = ann.ivf_range_search(spark, sf_dir).toPandas()
+    samp = ann.ivf_range_search(
+        spark, sf_dir, exact_sample_hex=hexthr
+    ).toPandas()
+
+    def audited(qid: int) -> bool:
+        h = hashlib.md5(
+            f"{ann.RANGE_EXACT_SAMPLE_SEED}{qid}".encode()
+        ).hexdigest()[:6]
+        return h < hexthr
+
+    served_full = full[full["neighbor_id"] != ann.RANGE_MISS_NEIGHBOR]
+    served_samp = samp[samp["neighbor_id"] != ann.RANGE_MISS_NEIGHBOR]
+    qids = sorted(int(q) for q in full["query_id"].unique())
+    in_sample = {q for q in qids if audited(q)}
+    assert 0 < len(in_sample) < len(qids), "pick a threshold that splits the fixture"
+    cols = ["query_id", "neighbor_id", "rank", "sim"]
+    key = ["query_id", "rank"]
+    assert (
+        served_full.sort_values(key)[cols].reset_index(drop=True).equals(
+            served_samp.sort_values(key)[cols].reset_index(drop=True)
+        )
+    )
+    nf = served_full.groupby("query_id")["n_exact"].first()
+    ns = served_samp.groupby("query_id")["n_exact"].first()
+    for q in nf.index:
+        if int(q) in in_sample:
+            assert ns[q] == nf[q]
+        else:
+            assert ns[q] == -1
+    miss_full = set(
+        full.loc[full["neighbor_id"] == ann.RANGE_MISS_NEIGHBOR, "query_id"]
+    )
+    miss_samp = set(
+        samp.loc[samp["neighbor_id"] == ann.RANGE_MISS_NEIGHBOR, "query_id"]
+    )
+    assert miss_samp == {q for q in miss_full if int(q) in in_sample}
+
+
 def test_greedy_token_count_longest_match_and_fallback():
     """The serve-side matcher's contract: longest vocab token wins at
     each position, and a position no multi-char token covers advances by

@@ -977,6 +977,26 @@ def test_ivf_range_search_probe_join_not_corpus_scan_per_query(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_range_exact_counts_sampled_filter_reaches_query_scan(spark, sf_dir):
+    """The sampled denominator's whole point is COST: the md5 audit
+    predicate must reach the brute-force join's broadcast query side
+    (below the join, inside the BroadcastExchange subtree), so unsampled
+    queries never multiply against the corpus scan — and the unused rank
+    window must be pruned away entirely."""
+    from flink_gmall_spark.operators import ann
+
+    plan = plan_of(
+        ann.range_exact_counts(spark, sf_dir, exact_sample_hex="400000")
+    )
+    probe = ann.RANGE_EXACT_SAMPLE_SEED
+    assert probe in plan, plan
+    # children print AFTER their parent: pushed == the filter text shows
+    # up below both the join and the broadcast exchange
+    assert plan.index(probe) > plan.index("BroadcastNestedLoopJoin"), plan
+    assert plan.index(probe) > plan.index("BroadcastExchange"), plan
+    assert "Window" not in plan, plan
+
+
 def test_curriculum_stages_no_global_sort(spark, sf_dir):
     """The distributed-ntile contract: stage assignment must NOT
     global-sort the corpus — no corpus-wide Sort below a single-
