@@ -2957,8 +2957,12 @@ def curriculum_finish(base: DataFrame) -> DataFrame:
     # cum_before AND the corpus total ride the same tiny histogram —
     # ONE hist subtree, ONE broadcast join (the preference_pairs idiom;
     # a separate base.agg() total would re-scan the corpus a third time)
+    # the join key re-aliases (fresh exprIds): base and hist descend from
+    # the SAME relation, and when that relation is a memory-table view
+    # (the streaming twin) the self-join otherwise fails analysis with
+    # "conflicting references"
     cum = hist.select(
-        "score",
+        F.col("score").alias("score"),
         F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before"),
         F.sum("ct").over(Window.partitionBy()).cast("long").alias("n_total"),
     )
@@ -3044,10 +3048,20 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id rank within its own (source, score) group). No per-source
     global sort; the pairing itself is one equi-join on
     (source, pair_id). The oracle is the textbook row_number form —
-    the hash match proves the distributed form equals it."""
+    the hash match proves the distributed form equals it (skew bound
+    property-tested, tests/test_properties.py; recorded in SCALE.md)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    base = _quality_scored(docs).select("doc_id", "source", "score")
+    return preference_finish(
+        _quality_scored(docs).select("doc_id", "source", "score")
+    )
+
+
+def preference_finish(base: DataFrame) -> DataFrame:
+    """Per-source distributed rank + nested pairing over the scored
+    corpus (doc_id, source, score) — the pairing arithmetic of
+    preference_pairs, shared VERBATIM by the batch entry and the
+    streaming twin so the two cannot drift on rank or gap semantics."""
     hist = base.groupBy("source", "score").agg(F.count(F.lit(1)).alias("ct"))
     w_cum = (
         Window.partitionBy("source")
@@ -3057,9 +3071,11 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cum_before AND the per-source total ride the same tiny histogram
     # windows — ONE hist subtree, ONE broadcast join (a separate ntot
     # aggregate would re-scan the corpus for the same numbers)
+    # key re-aliases for the same conflicting-references reason as
+    # curriculum_finish (memory-table view self-join in the stream twin)
     cum = hist.select(
-        "source",
-        "score",
+        F.col("source").alias("source"),
+        F.col("score").alias("score"),
         F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cum_before"),
         F.sum("ct").over(Window.partitionBy("source")).alias("n"),
     )

@@ -1862,6 +1862,49 @@ def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(token_diversity_transform(docs), "append")
 
 
+def stream_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_curriculum_stages (VERDICT r10 ask
+    #5) — the curriculum schedule maintained over a live backfill. The
+    quality scoring is pure per-row expression math
+    (curation._quality_scored, shared VERBATIM), so it runs AT INGEST
+    in append mode with ZERO streaming state — the stream_token_diversity
+    discipline; the stage boundaries and per-stage ledger apply
+    batch-side on the drained scored table via
+    curation.curriculum_finish (shared VERBATIM — rank windows cannot
+    follow an append stream), exactly as stream_ivf_range_serve finishes
+    its ranks. Shares ORACLE_CURRICULUM_STAGES, so stream and batch
+    schedules are hash-identical by contract."""
+    from flink_gmall_spark.operators.curation import (
+        _quality_scored,
+        curriculum_finish,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    scored = _quality_scored(docs).select("doc_id", "n_tokens", "score")
+    return curriculum_finish(run_to_memory(scored, "append"))
+
+
+def stream_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_preference_pairs (VERDICT r10 ask #7)
+    — the DPO-style pair mine maintained over a live backfill. Scoring
+    is the same ZERO-state append-mode ingest map
+    (curation._quality_scored, shared VERBATIM); the per-source
+    distributed rank and nested pairing apply batch-side on the drained
+    scored table via curation.preference_finish (shared VERBATIM).
+    Shares ORACLE_PREFERENCE_PAIRS, so stream and batch mines are
+    hash-identical by contract."""
+    from flink_gmall_spark.operators.curation import (
+        _quality_scored,
+        preference_finish,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    scored = _quality_scored(docs).select("doc_id", "source", "score")
+    return preference_finish(run_to_memory(scored, "append"))
+
+
 def stream_ivf_range_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_ivf_range_search as a SERVING job — a query STREAM probing
     the static IVF index, the deployment shape of a live retrieval
