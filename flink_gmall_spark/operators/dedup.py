@@ -1763,3 +1763,166 @@ def winnowing_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINNOW_RECALL_REPORT = _oracle_recall_ledger(
     ORACLE_NGRAM_JACCARD, ORACLE_WINNOW_PAIRS
 )
+
+
+# Window widths swept over the SAME k-gram hash arrays (the production
+# W=4 included): the knob a pipeline owner turns to trade fingerprint
+# index density (~2/(W+1) of the shingle count) against the guaranteed
+# detectable run length (W + K - 1 tokens) and the empirical recall
+# against exact set-Jaccard truth.
+WINNOW_W_SWEEP = (2, 4, 8, 16)
+
+
+def winnowing_w_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING WINDOW CALIBRATION SWEEP (VERDICT r10 ask #3) — the
+    minhash_band_tuning discipline applied to the winnowing family's own
+    knob: for each W in WINNOW_W_SWEEP, the fingerprint index size, the
+    candidate-pair volume after the DF cap + MIN_SHARED floor, and
+    recall/precision x1000 against the exact n-gram Jaccard truth — so W
+    is tuned on numbers, not on the 2/(W+1) density formula alone.
+
+    ONE k-gram hash pass feeds every W: _kgram_hashes materializes the
+    per-doc hash array once, and a SINGLE fused Generate explodes all
+    four per-W fingerprint sets as (w, fp) structs — 4 window widths
+    cost one corpus scan, not 4 plans. Shared-subtree checkpointing was
+    MEASURED, not assumed (the band_tuning ask): eagerly checkpointing
+    fps and capped is a steady-state WASH at sf0.1/local[32] (medians
+    4.8 s checked vs 4.9 s unchecked, interleaved warm runs) — AQE
+    exchange reuse covers these two multi-consumer subtrees, the
+    minhash_lsh_pairs counter-lesson — so the plan stays declarative;
+    don't re-add materialization here without a new measurement.
+    The output joins from a literal W dimension so a W with zero
+    candidates (or an empty corpus) still reports its row, mirroring
+    the oracle's unconditional per-W selects."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    per_w = ", ".join(
+        f"transform({_winnow_fp_expr(w)},"
+        f" f -> named_struct('w', CAST({w} AS BIGINT), 'fp', f))"
+        for w in WINNOW_W_SWEEP
+    )
+    fps = (
+        _kgram_hashes(docs)
+        .select("doc_id", F.explode(F.expr(f"flatten(array({per_w}))")).alias("s"))
+        .select("doc_id", "s.w", "s.fp")
+    )
+    n_fps = fps.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_fps"))
+    capped = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("w", "fp"))
+        )
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("w", "doc_id", "fp")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.w").alias("w"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+        .select("w", "doc_a", "doc_b")
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    cand_counts = pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    hit_counts = (
+        pairs.join(truth, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    ws = spark.createDataFrame(
+        [(w,) for w in WINNOW_W_SWEEP], "w bigint"
+    )
+    per = (
+        ws.join(F.broadcast(n_fps), "w", "left")
+        .join(F.broadcast(cand_counts), "w", "left")
+        .join(F.broadcast(hit_counts), "w", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "w",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    return per.select(
+        "w",
+        "n_fps",
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        F.when(F.col("n_true") > 0, F.expr("(1000 * n_hit) DIV n_true"))
+        .cast("long")
+        .alias("recall_x1000"),
+        F.when(
+            F.col("n_candidates") > 0, F.expr("(1000 * n_hit) DIV n_candidates")
+        )
+        .cast("long")
+        .alias("precision_x1000"),
+    )
+
+
+def _winnow_sweep_ctes() -> str:
+    parts = []
+    for w in WINNOW_W_SWEEP:
+        parts.append(
+            f"""fps_{w} AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(1, len(hs) - {w} + 1) + 1),
+               j -> list_aggregate(hs[j : j + {w - 1}], 'min')))) AS fp
+    FROM hashed
+),
+rare_{w} AS (SELECT fp FROM fps_{w} GROUP BY fp HAVING count(*) <= {MAX_SHINGLE_DF}),
+fpr_{w} AS (SELECT f.doc_id, f.fp FROM fps_{w} f JOIN rare_{w} r ON f.fp = r.fp),
+pairs_{w} AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM fpr_{w} a JOIN fpr_{w} b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _winnow_sweep_selects() -> str:
+    sels = []
+    for w in WINNOW_W_SWEEP:
+        sels.append(
+            f"""SELECT CAST({w} AS BIGINT) AS w,
+       CAST((SELECT count(*) FROM fps_{w}) AS BIGINT) AS n_fps,
+       CAST((SELECT count(*) FROM pairs_{w}) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM pairs_{w} p JOIN truth t USING (doc_a, doc_b)) AS BIGINT) AS n_hit"""
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+# _DUCK_WINNOW's toks/hashed CTEs are W-independent; reuse them verbatim
+# by cutting the W-specific fps CTE off at its marker.
+_DUCK_WINNOW_BASE = _DUCK_WINNOW[: _DUCK_WINNOW.index(",\nfps AS (")]
+
+ORACLE_WINNOW_W_SWEEP = f"""{_DUCK_WINNOW_BASE},
+{_winnow_sweep_ctes()},
+truth AS (SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD}) t)
+SELECT w, n_fps, n_candidates, n_true, n_hit,
+       CAST(CASE WHEN n_true > 0 THEN (1000 * n_hit) // n_true END AS BIGINT)
+           AS recall_x1000,
+       CAST(CASE WHEN n_candidates > 0 THEN (1000 * n_hit) // n_candidates END
+            AS BIGINT) AS precision_x1000
+FROM (
+{_winnow_sweep_selects()}
+) t
+"""

@@ -380,6 +380,7 @@ _register("dedup_winnowing_recall_report", dedup.winnowing_recall_report, dedup.
 _register("sim_ivf_range_search_sampled", ann.ivf_range_search_sampled, ann.ORACLE_IVF_RANGE_SEARCH_SAMPLED, tags=("similarity", "range-query", "ivf", "sampled-audit", "recall-ledger"))
 _register("stream_curriculum_stages", stream_jobs.stream_curriculum_stages, curation.ORACLE_CURRICULUM_STAGES, tags=("streaming", "curation", "ml-training", "curriculum", "distributed-ntile", "append-mode"))
 _register("stream_preference_pairs", stream_jobs.stream_preference_pairs, curation.ORACLE_PREFERENCE_PAIRS, tags=("streaming", "curation", "ml-training", "preference-pairs", "distributed-rank", "append-mode"))
+_register("dedup_winnowing_w_sweep", dedup.winnowing_w_sweep, dedup.ORACLE_WINNOW_W_SWEEP, bench=True, tags=("dedup", "winnowing", "calibration", "recall-ledger", "self-measurement"))
 
 
 # =============================================================================
