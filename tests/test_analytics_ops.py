@@ -708,6 +708,43 @@ def test_ivf_range_search_sampled_denominator(spark):
     assert miss_samp == {q for q in miss_full if int(q) in in_sample}
 
 
+def test_curriculum_and_preference_finish_under_total_tie_skew(spark):
+    """VERDICT r10 ask #4 (skew guard), Spark side: the DEGENERATE
+    corpus — every doc the same score — puts the whole corpus in ONE
+    in-score rank-window partition; the ledgers must still equal the
+    textbook forms (correctness is skew-proof; the runtime bound and
+    the composite-key widening threshold are recorded in SCALE.md)."""
+    from flink_gmall_spark.operators.curation import (
+        CURRICULUM_STAGES,
+        curriculum_finish,
+        preference_finish,
+    )
+
+    n = 1003  # indivisible by the stage count: big AND small stages
+    base = spark.createDataFrame(
+        [(i, 10 + (i % 7), 500) for i in range(n)],
+        "doc_id long, n_tokens long, score long",
+    )
+    out = {r["stage"]: r for r in curriculum_finish(base).collect()}
+    assert sorted(out) == list(range(1, CURRICULUM_STAGES + 1))
+    pos = 0
+    for stage in sorted(out):
+        size = n // CURRICULUM_STAGES + (1 if stage <= n % CURRICULUM_STAGES else 0)
+        seg = range(pos, pos + size)  # one score value: grank == doc_id rank
+        pos += size
+        assert out[stage]["n_docs"] == size
+        assert out[stage]["n_tokens"] == sum(10 + (i % 7) for i in seg)
+        assert out[stage]["min_score"] == 500
+        assert out[stage]["max_score"] == 500
+    # preference side: one source, all-tied scores — every pair's gap is
+    # 0, so the whole mine must come back empty (not crash, not emit)
+    pbase = spark.createDataFrame(
+        [(i, "s", 500) for i in range(50)],
+        "doc_id long, source string, score long",
+    )
+    assert preference_finish(pbase).count() == 0
+
+
 def test_greedy_token_count_longest_match_and_fallback():
     """The serve-side matcher's contract: longest vocab token wins at
     each position, and a position no multi-char token covers advances by

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from decimal import ROUND_HALF_UP, Decimal
 
-from hypothesis import given
+from hypothesis import example, given
 from hypothesis import strategies as st
 
 from flink_gmall_spark.functions.tokenize import _tokenize_py
@@ -1343,3 +1343,118 @@ def test_simpson_branch_in_range_and_close(n, data):
         exact = x * DIVERSITY_SCALE // (n * n)  # python bigint truth
         assert abs(got - exact) <= DIVERSITY_SCALE // n + 1
     assert 0 <= got <= DIVERSITY_SCALE
+
+
+def _ntile_sizes(n: int, s: int) -> list[int]:
+    """SQL-standard NTILE stage sizes: the first n % s stages take the
+    extra row."""
+    big = n % s
+    return [n // s + 1] * big + [n // s] * (s - big)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=250))
+@example([7] * 97)  # TOTAL tie: one score value spans every stage boundary
+@example([1] * 96 + [0])  # near-total tie, n % S != 0
+def test_curriculum_distributed_rank_equals_ntile_under_skew(scores):
+    """VERDICT r10 ask #4 (skew guard): curriculum_stages' histogram
+    stage assignment — grank = (docs with a higher score) + (doc_id rank
+    within the score) pushed through the CASE boundary formula — equals
+    sequential NTILE bucketing over (score DESC, doc_id) for ANY score
+    multiset, INCLUDING the degenerate all-one-score corpus where the
+    in-score rank window holds the entire corpus (the skew case SCALE.md
+    bounds). The tiny 0..3 domain forces heavy ties by construction."""
+    from collections import Counter
+
+    from flink_gmall_spark.operators.curation import CURRICULUM_STAGES as S
+
+    docs = list(enumerate(scores))  # (doc_id, score), doc_id unique
+    n = len(docs)
+    order = sorted(docs, key=lambda p: (-p[1], p[0]))
+    expected = {}
+    pos = 0
+    for stage, size in enumerate(_ntile_sizes(n, S), start=1):
+        for _ in range(size):
+            if pos < n:
+                expected[order[pos][0]] = stage
+                pos += 1
+    hist = Counter(sc for _, sc in docs)
+    cum_before, run = {}, 0
+    for sc in sorted(hist, reverse=True):
+        cum_before[sc] = run
+        run += hist[sc]
+    by_score: dict[int, list[int]] = {}
+    for d, sc in docs:
+        by_score.setdefault(sc, []).append(d)
+    big, size_big, size_small = n % S, n // S + 1, max(n // S, 1)
+    got = {}
+    for sc, ds in by_score.items():
+        for rk, d in enumerate(sorted(ds), start=1):
+            grank = cum_before[sc] + rk
+            if grank <= big * size_big:
+                got[d] = 1 + (grank - 1) // size_big
+            else:
+                got[d] = 1 + big + (grank - big * size_big - 1) // size_small
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # source
+            st.integers(min_value=0, max_value=3),  # score (heavy ties)
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@example([(0, 5)] * 60)  # one source, total tie: every gap is 0
+def test_preference_distributed_rank_pairs_equal_textbook(rows):
+    """VERDICT r10 ask #4 (skew guard), preference_pairs side: the
+    per-source histogram rank + nested pairing + conditional-aggregate
+    fold equals the textbook row_number pairing for any (source, score)
+    multiset, including all-tied sources (whole source in one
+    (source, score) rank window; zero-gap pairs must all drop)."""
+    from collections import defaultdict
+
+    from flink_gmall_spark.operators.curation import PREF_MIN_GAP
+
+    docs = [(i, src, sc) for i, (src, sc) in enumerate(rows)]
+    by_src = defaultdict(list)
+    for d, src, sc in docs:
+        by_src[src].append((d, sc))
+    expected = set()
+    for src, items in by_src.items():
+        order = sorted(items, key=lambda p: (-p[1], p[0]))
+        n = len(order)
+        for rk in range(1, n // 2 + 1):
+            (cd, cs), (rd, rs) = order[rk - 1], order[n - rk]
+            if cs - rs >= PREF_MIN_GAP:
+                expected.add((src, rk, cd, rd, cs - rs))
+    got = set()
+    for src, items in by_src.items():
+        n = len(items)
+        hist = defaultdict(int)
+        for _, sc in items:
+            hist[sc] += 1
+        cum_before, run = {}, 0
+        for sc in sorted(hist, reverse=True):
+            cum_before[sc] = run
+            run += hist[sc]
+        by_score = defaultdict(list)
+        for d, sc in items:
+            by_score[sc].append(d)
+        half: dict[int, dict] = defaultdict(dict)
+        for sc, ds in by_score.items():
+            for rk, d in enumerate(sorted(ds), start=1):
+                grank = cum_before[sc] + rk
+                pair_id = min(grank, n + 1 - grank)
+                if 2 * grank < n + 1:
+                    half[pair_id]["chosen"] = (d, sc)
+                elif 2 * grank > n + 1:
+                    half[pair_id]["rejected"] = (d, sc)
+        for pair_id, sides in half.items():
+            if "chosen" in sides and "rejected" in sides:
+                (cd, cs), (rd, rs) = sides["chosen"], sides["rejected"]
+                if cs - rs >= PREF_MIN_GAP:
+                    got.add((src, pair_id, cd, rd, cs - rs))
+    assert got == expected
