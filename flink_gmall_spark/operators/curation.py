@@ -2579,6 +2579,146 @@ ORACLE_GLOBAL_SHUFFLE = ORACLE_GLOBAL_SHUFFLE.format(T=_SHUF_T)
 ORACLE_PADDING_WASTE = ORACLE_PADDING_WASTE.format(T=_SHUF_T)
 
 
+# Candidate training sequence lengths priced by curation_seq_len_sweep:
+# longer L loses less to truncation but pads more; the sweep prices the
+# trade on the live corpus so L is picked on numbers.
+SEQ_LEN_SWEEP = (128, 256, 512, 1024)
+
+
+def _seq_len_base(docs: DataFrame) -> DataFrame:
+    """(n_tok) per non-empty doc — the scored input of the sequence-
+    length sweep, shared VERBATIM by the batch entry and the streaming
+    twin."""
+    return docs.select(
+        F.size(tokens_col("text")).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+
+
+def _seq_len_wide_aggs() -> list:
+    """The 2 + 3·|SWEEP| conditional aggregates of the sweep — ONE
+    corpus pass prices every candidate length (map-side partials, a
+    single global fold; the corpus is never row-duplicated per L)."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+    ]
+    for L in SEQ_LEN_SWEEP:
+        aggs += [
+            F.sum(F.least(F.col("n_tok"), F.lit(L)))
+            .cast("long")
+            .alias(f"eff_{L}"),
+            F.sum(F.greatest(F.col("n_tok") - L, F.lit(0)))
+            .cast("long")
+            .alias(f"trunc_{L}"),
+            F.sum(F.expr(f"(n_tok + {L - 1}) div {L}"))
+            .cast("long")
+            .alias(f"chunks_{L}"),
+        ]
+    return aggs
+
+
+def seq_len_finish(wide: DataFrame) -> DataFrame:
+    """Unpivot the wide sweep aggregates into the per-L ledger — shared
+    VERBATIM by the batch entry and the streaming twin. Per candidate
+    length: truncation loss and padding under one-sequence-per-doc
+    (naive) batching, chunk count and tail padding under per-doc packed
+    chunking (every token kept), and both utilizations x1000 in the
+    repo's integer-DIV grain."""
+    stack_args = ", ".join(
+        f"{L}L, eff_{L}, trunc_{L}, chunks_{L}" for L in SEQ_LEN_SWEEP
+    )
+    per = wide.selectExpr(
+        "docs",
+        "tokens",
+        f"stack({len(SEQ_LEN_SWEEP)}, {stack_args})"
+        " AS (seq_len, eff, trunc_tokens, n_chunks)",
+    )
+    return per.select(
+        "seq_len",
+        "docs",
+        "tokens",
+        "trunc_tokens",
+        "n_chunks",
+        (F.col("seq_len") * F.col("docs") - F.col("eff"))
+        .cast("long")
+        .alias("pad_naive"),
+        (F.col("seq_len") * F.col("n_chunks") - F.col("tokens"))
+        .cast("long")
+        .alias("pad_packed"),
+        F.expr("CASE WHEN docs > 0 THEN (1000 * eff) DIV (docs * seq_len) END")
+        .cast("long")
+        .alias("util_naive_x1000"),
+        F.expr(
+            "CASE WHEN n_chunks > 0"
+            " THEN (1000 * tokens) DIV (n_chunks * seq_len) END"
+        )
+        .cast("long")
+        .alias("util_packed_x1000"),
+    )
+
+
+def seq_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH CALIBRATION SWEEP — the padding_waste discipline
+    widened into a knob sweep: for each candidate training sequence
+    length in SEQ_LEN_SWEEP, the truncation loss and padding of naive
+    one-sequence-per-doc batching AND the chunk volume and tail padding
+    of per-doc packed chunking, with both utilizations x1000 — the table
+    a pipeline owner reads to pick L (and to justify packing over padded
+    batching at that L).
+
+    Scale shape: ONE corpus scan, ZERO row duplication — every
+    per-L metric is a conditional aggregate over the same (n_tok) row
+    (map-side partials into a single global fold), and the per-L rows
+    come from a driver-free stack() unpivot of the one wide row. The
+    aggregation is complete-mode streamable; the streaming twin shares
+    every stage verbatim. Overflow headroom: 1000·tokens stays under
+    2^63 up to ~9e15 tokens — two orders past a 100 TB text corpus."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return seq_len_finish(_seq_len_base(docs).agg(*_seq_len_wide_aggs()))
+
+
+def _seq_len_oracle() -> str:
+    per_l_aggs = ",\n           ".join(
+        f"CAST(sum(least(n_tok, {L})) AS BIGINT) AS eff_{L},\n"
+        f"           CAST(sum(greatest(n_tok - {L}, 0)) AS BIGINT) AS trunc_{L},\n"
+        f"           CAST(sum((n_tok + {L - 1}) // {L}) AS BIGINT) AS chunks_{L}"
+        for L in SEQ_LEN_SWEEP
+    )
+    per_l_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({L} AS BIGINT) AS seq_len, docs, tokens,"
+        f" trunc_{L} AS trunc_tokens, chunks_{L} AS n_chunks,"
+        f" eff_{L} AS eff FROM agg"
+        for L in SEQ_LEN_SWEEP
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST(len({{T}}) AS BIGINT) AS n_tok FROM documents
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           {per_l_aggs}
+    FROM base WHERE n_tok > 0
+)
+SELECT seq_len, docs, tokens, trunc_tokens, n_chunks,
+       CAST(seq_len * docs - eff AS BIGINT) AS pad_naive,
+       CAST(seq_len * n_chunks - tokens AS BIGINT) AS pad_packed,
+       CAST(CASE WHEN docs > 0 THEN (1000 * eff) // (docs * seq_len) END
+            AS BIGINT) AS util_naive_x1000,
+       CAST(CASE WHEN n_chunks > 0 THEN (1000 * tokens) // (n_chunks * seq_len)
+            END AS BIGINT) AS util_packed_x1000
+FROM (
+{per_l_rows}
+) t
+"""
+
+
+# _SHUF_T (the shared tokenizer expression) is imported just above the
+# padding_waste oracle formats; interpolate it here at definition time.
+ORACLE_SEQ_LEN_SWEEP = _seq_len_oracle().format(T=_SHUF_T)
+
+
 CHUNK_TOKENS = 128  # RAG/pretraining window width (tokens)
 CHUNK_STRIDE = 96   # window stride -> 32-token overlap between chunks
 

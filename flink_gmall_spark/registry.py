@@ -381,6 +381,9 @@ _register("sim_ivf_range_search_sampled", ann.ivf_range_search_sampled, ann.ORAC
 _register("stream_curriculum_stages", stream_jobs.stream_curriculum_stages, curation.ORACLE_CURRICULUM_STAGES, tags=("streaming", "curation", "ml-training", "curriculum", "distributed-ntile", "append-mode"))
 _register("stream_preference_pairs", stream_jobs.stream_preference_pairs, curation.ORACLE_PREFERENCE_PAIRS, tags=("streaming", "curation", "ml-training", "preference-pairs", "distributed-rank", "append-mode"))
 _register("dedup_winnowing_w_sweep", dedup.winnowing_w_sweep, dedup.ORACLE_WINNOW_W_SWEEP, bench=True, tags=("dedup", "winnowing", "calibration", "recall-ledger", "self-measurement"))
+_register("stream_ivf_range_serve_sampled", stream_jobs.stream_ivf_range_serve_sampled, ann.ORACLE_IVF_RANGE_SEARCH_SAMPLED, tags=("streaming", "similarity", "range-query", "ivf", "serving", "sampled-audit", "append-mode"))
+_register("curation_seq_len_sweep", curation.seq_len_sweep, curation.ORACLE_SEQ_LEN_SWEEP, tags=("curation", "ml-training", "packing", "calibration", "single-pass"))
+_register("stream_seq_len_sweep", stream_jobs.stream_seq_len_sweep, curation.ORACLE_SEQ_LEN_SWEEP, tags=("streaming", "curation", "ml-training", "packing", "calibration", "complete-mode"))
 
 
 # =============================================================================
