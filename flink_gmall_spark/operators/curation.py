@@ -3290,3 +3290,261 @@ WHERE c.cs - r.rs >= {MIN_GAP}
 ORACLE_PREFERENCE_PAIRS = ORACLE_PREFERENCE_PAIRS.format(
     T=_PB_T, STOPS=_CUR_STOPS, MIN_GAP=PREF_MIN_GAP
 )
+
+
+# --- DSIR-style importance resampling (round 11) ------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# estimate per-hashed-n-gram-bucket importance weights from a target
+# domain sample vs the raw corpus, score every document, and resample
+# proportionally. This is the INTEGER-EXACT variant in the repo's parity
+# conventions: bucket probabilities at a x100000 grain (Laplace
+# smoothed), the per-doc score an arithmetic-mean weight x1000 (DSIR's
+# log-ratio sum replaced by the linear-grain ratio mean so both engines
+# agree bit-for-bit; same keep-the-target-like ordering in the smooth
+# regime, documented as the proxy it is), and the resample draw a
+# deterministic md5 32-bit uniform per doc_id.
+
+DSIR_TARGET_SOURCE = "src0"  # the target-domain slice of the fixture
+DSIR_P_SCALE = 100_000  # bucket-probability grain; (cnt+1)*1e5 < 2^63
+#   up to ~9e13 tokens per side — an order past a 100 TB text corpus
+DSIR_W_SCALE = 1000  # weight/score grain: w = 1000 * p_tgt / p_raw
+DSIR_W_CAP = 2 * DSIR_W_SCALE  # keep-prob cap: >=2x target-like => always keep
+DSIR_SEED = "dsir:"  # md5 domain separation for the resample draw
+_DSIR_U32 = 4294967296  # the 8-hex-digit uniform's range (2^32)
+
+
+def dsir_weight_table(docs: DataFrame) -> DataFrame:
+    """(bucket, raw_ct, tgt_ct, w_x1000) for EVERY bucket 1..HASH_DIM —
+    the trained artifact of the DSIR estimator. One tokenized corpus
+    pass: raw and target counts fold in the same 256-key aggregation as
+    conditional sums (map-side partials, so the shuffle moves <=256 rows
+    per task); totals and the smoothed ratio ride a window over the
+    256-row table. Buckets the corpus never hit still appear (literal
+    range left-join) with the smoothing floor, so the serve-side array
+    lookup is total."""
+    from flink_gmall_spark.operators.textstats import HASH_DIM, HASH_IDX_SPARK
+
+    counts = (
+        docs.select("source", F.explode(tokens_col("text")).alias("tok"))
+        .select(
+            F.expr(HASH_IDX_SPARK.format(tok="tok")).cast("long").alias("bucket"),
+            (F.col("source") == DSIR_TARGET_SOURCE).alias("is_t"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("raw_ct"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("tgt_ct"),
+        )
+    )
+    all_b = docs.sparkSession.range(1, HASH_DIM + 1).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    full = all_b.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket",
+        F.coalesce("raw_ct", F.lit(0)).cast("long").alias("raw_ct"),
+        F.coalesce("tgt_ct", F.lit(0)).cast("long").alias("tgt_ct"),
+    )
+    w_all = Window.partitionBy()
+    return full.select(
+        "bucket",
+        "raw_ct",
+        "tgt_ct",
+        F.sum("raw_ct").over(w_all).alias("raw_tot"),
+        F.sum("tgt_ct").over(w_all).alias("tgt_tot"),
+    ).select(
+        "bucket",
+        "raw_ct",
+        "tgt_ct",
+        F.expr(
+            f"({DSIR_W_SCALE} * (({DSIR_P_SCALE} * (tgt_ct + 1))"
+            f" DIV (tgt_tot + {HASH_DIM})))"
+            f" DIV greatest(({DSIR_P_SCALE} * (raw_ct + 1))"
+            f" DIV (raw_tot + {HASH_DIM}), 1)"
+        )
+        .cast("long")
+        .alias("w_x1000"),
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry over dsir_weight_table — the 256-row weight table a
+    deployment broadcasts to its ingest filters; pinned as its own hash
+    contract so estimator regressions are localizable."""
+    tune(spark)
+    return dsir_weight_table(load(spark, sf_dir, "documents"))
+
+
+def _dsir_warr(docs: DataFrame) -> DataFrame:
+    """The weight table folded into ONE array row ordered by bucket —
+    the broadcastable serve-side artifact (element_at(warr, idx) is the
+    whole per-token lookup; buckets are exactly 1..HASH_DIM)."""
+    return dsir_weight_table(docs).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(bucket, w_x1000))),"
+            " s -> s.w_x1000)"
+        ).alias("warr")
+    )
+
+
+def _dsir_scored(docs: DataFrame, warr: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, score, keep) — serve-side scoring + the
+    deterministic resample draw, shared VERBATIM by the batch entry and
+    the streaming twin. The weight array arrives on a constant join key
+    (broadcast; stream-static-safe), each document scores in one JVM
+    fold over its tokens (the hashed_classifier serving shape with
+    LEARNED weights), and the keep decision compares a 32-bit md5
+    uniform against min(score, W_CAP)/W_CAP in exact integers (both
+    products stay under 2^45)."""
+    from flink_gmall_spark.operators.textstats import HASH_IDX_SPARK
+
+    idx = HASH_IDX_SPARK.format(tok="tok")
+    toks = docs.select(
+        "doc_id", "source", tokens_col("text").alias("t")
+    ).filter(F.size("t") > 0)
+    scored = (
+        toks.withColumn("one", F.lit(1))
+        .join(F.broadcast(warr.withColumn("one", F.lit(1))), "one")
+        .select(
+            "doc_id",
+            "source",
+            F.size("t").cast("long").alias("n_tok"),
+            F.expr(
+                f"aggregate(transform(t, tok -> element_at(warr,"
+                f" CAST(({idx}) AS INT))),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
+            ).alias("wsum"),
+        )
+        .withColumn("score", F.expr("wsum DIV n_tok").cast("long"))
+    )
+    u32 = (
+        f"CAST(conv(substring(md5(concat('{DSIR_SEED}',"
+        f" CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return scored.withColumn(
+        "keep",
+        F.expr(
+            f"{u32} * {DSIR_W_CAP}"
+            f" < least(score, CAST({DSIR_W_CAP} AS BIGINT)) * {_DSIR_U32}"
+        ),
+    )
+
+
+def _dsir_ledger(dec: DataFrame) -> DataFrame:
+    """Per-source delivery ledger over the scored+decided rows — shared
+    VERBATIM by the batch entry and the streaming twin (the one
+    aggregation, complete-mode streamable on the bounded source key)."""
+    agg = dec.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum("score").cast("long").alias("score_sum"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "tokens",
+        "kept_tokens",
+        F.expr("score_sum DIV n_docs").cast("long").alias("mean_score_x1000"),
+    )
+
+
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-STYLE IMPORTANCE RESAMPLING — the estimate-then-apply data
+    selection job: hashed-bucket importance weights estimated from the
+    target-domain slice vs the raw corpus (dsir_weight_table), every
+    document scored by its mean bucket weight, and a deterministic
+    md5-uniform draw keeping each doc with probability
+    min(score, W_CAP)/W_CAP — target-like documents survive
+    preferentially. Output is the per-source ledger (docs/kept/token
+    masses/mean score) a mixture owner reads.
+
+    Scale shape: the honest TWO corpus passes of any estimate-then-apply
+    job — one tokenized pass folding into the 256-key count aggregation,
+    one serve pass scoring each doc in a single JVM fold against the
+    broadcast 256-long weight array (zero per-token shuffle; the only
+    other exchange is the bounded per-source ledger fold). Every number
+    is BIGINT-exact, so re-runs and backfills select the byte-identical
+    subset."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return _dsir_ledger(_dsir_scored(docs, _dsir_warr(docs)))
+
+
+from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE as _DSIR_RE  # noqa: E402
+from flink_gmall_spark.operators.textstats import (  # noqa: E402
+    HASH_DIM as _DSIR_DIM,
+    HASH_IDX_DUCK as _DSIR_IDX_DUCK,
+)
+
+_DUCK_DSIR_WEIGHT_CTES = f"""
+toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '{_DSIR_RE}'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+tok_rows AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
+bucketed AS (
+    SELECT doc_id, source,
+           CAST({_DSIR_IDX_DUCK.format(tok='tok')} AS BIGINT) AS bucket
+    FROM tok_rows
+),
+counts AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS raw_ct,
+           CAST(count(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 END)
+                AS BIGINT) AS tgt_ct
+    FROM bucketed GROUP BY 1
+),
+allb AS (SELECT CAST(unnest(range(1, {_DSIR_DIM} + 1)) AS BIGINT) AS bucket),
+filled AS (
+    SELECT a.bucket, COALESCE(c.raw_ct, 0) AS raw_ct,
+           COALESCE(c.tgt_ct, 0) AS tgt_ct
+    FROM allb a LEFT JOIN counts c ON a.bucket = c.bucket
+),
+tot AS (SELECT sum(raw_ct) AS raw_tot, sum(tgt_ct) AS tgt_tot FROM filled),
+weights AS (
+    SELECT bucket, raw_ct, tgt_ct,
+           CAST(({DSIR_W_SCALE} * (({DSIR_P_SCALE} * (tgt_ct + 1))
+                 // (tgt_tot + {_DSIR_DIM})))
+                // greatest(({DSIR_P_SCALE} * (raw_ct + 1))
+                            // (raw_tot + {_DSIR_DIM}), 1) AS BIGINT) AS w_x1000
+    FROM filled, tot
+)"""
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH {_DUCK_DSIR_WEIGHT_CTES}
+SELECT bucket, raw_ct, tgt_ct, w_x1000 FROM weights
+"""
+
+ORACLE_IMPORTANCE_RESAMPLE = f"""
+WITH {_DUCK_DSIR_WEIGHT_CTES},
+scored AS (
+    SELECT b.doc_id, min(b.source) AS source,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(w.w_x1000) AS BIGINT) AS wsum
+    FROM bucketed b JOIN weights w ON b.bucket = w.bucket
+    GROUP BY b.doc_id
+),
+dec AS (
+    SELECT source, n_tok, wsum // n_tok AS score,
+           CAST(('0x' || substring(md5('{DSIR_SEED}'
+                || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+               * {DSIR_W_CAP}
+             < least(wsum // n_tok, {DSIR_W_CAP}) * {_DSIR_U32} AS keep
+    FROM scored
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       CAST(COALESCE(sum(CASE WHEN keep THEN n_tok END), 0) AS BIGINT)
+           AS kept_tokens,
+       CAST(sum(score) // count(*) AS BIGINT) AS mean_score_x1000
+FROM dec GROUP BY 1
+"""

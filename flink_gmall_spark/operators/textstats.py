@@ -418,6 +418,18 @@ CLS_WEIGHTS = [((7 * i * i + 3 * i + 5) % 21) - 10 for i in range(HASH_DIM)]
 
 _HEXES = "0123456789abcdef"
 
+# The 1..HASH_DIM bucket index of a token (two md5 hex digits) — ONE
+# definition per engine, shared by the frozen-weight classifier here and
+# curation's DSIR importance estimator ({tok} is the token expression).
+HASH_IDX_SPARK = (
+    f"(locate(substring(md5({{tok}}), 1, 1), '{_HEXES}') - 1) * 16"
+    f" + locate(substring(md5({{tok}}), 2, 1), '{_HEXES}')"
+)
+HASH_IDX_DUCK = (
+    f"(strpos('{_HEXES}', substring(md5({{tok}}), 1, 1)) - 1) * 16"
+    f" + strpos('{_HEXES}', substring(md5({{tok}}), 2, 1))"
+)
+
 
 def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-filter SERVING — the feature-hashing linear classifier
@@ -437,10 +449,7 @@ def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
-    idx = (
-        f"(locate(substring(md5(tok), 1, 1), '{_HEXES}') - 1) * 16"
-        f" + locate(substring(md5(tok), 2, 1), '{_HEXES}')"
-    )
+    idx = HASH_IDX_SPARK.format(tok="tok")
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") > 0
     )
@@ -462,10 +471,7 @@ def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_hashed_classifier() -> str:
     w_arr = ", ".join(str(w) for w in CLS_WEIGHTS)
-    idx = (
-        f"(strpos('{_HEXES}', substring(md5(tok), 1, 1)) - 1) * 16"
-        f" + strpos('{_HEXES}', substring(md5(tok), 2, 1))"
-    )
+    idx = HASH_IDX_DUCK.format(tok="tok")
     score = (
         f"list_reduce(list_transform(t, tok -> [{w_arr}][{idx}]),"
         " (acc, x) -> acc + x)"

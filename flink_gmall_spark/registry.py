@@ -384,6 +384,9 @@ _register("dedup_winnowing_w_sweep", dedup.winnowing_w_sweep, dedup.ORACLE_WINNO
 _register("stream_ivf_range_serve_sampled", stream_jobs.stream_ivf_range_serve_sampled, ann.ORACLE_IVF_RANGE_SEARCH_SAMPLED, tags=("streaming", "similarity", "range-query", "ivf", "serving", "sampled-audit", "append-mode"))
 _register("curation_seq_len_sweep", curation.seq_len_sweep, curation.ORACLE_SEQ_LEN_SWEEP, tags=("curation", "ml-training", "packing", "calibration", "single-pass"))
 _register("stream_seq_len_sweep", stream_jobs.stream_seq_len_sweep, curation.ORACLE_SEQ_LEN_SWEEP, tags=("streaming", "curation", "ml-training", "packing", "calibration", "complete-mode"))
+_register("curation_dsir_weights", curation.dsir_weights, curation.ORACLE_DSIR_WEIGHTS, tags=("curation", "ml-training", "importance-sampling", "feature-hashing", "calibration"))
+_register("curation_importance_resample", curation.importance_resample, curation.ORACLE_IMPORTANCE_RESAMPLE, bench=True, tags=("curation", "ml-training", "importance-sampling", "sampling", "deterministic"))
+_register("stream_importance_resample", stream_jobs.stream_importance_resample, curation.ORACLE_IMPORTANCE_RESAMPLE, tags=("streaming", "curation", "ml-training", "importance-sampling", "serving", "complete-mode"))
 
 
 # =============================================================================

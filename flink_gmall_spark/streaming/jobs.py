@@ -1862,6 +1862,30 @@ def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(token_diversity_transform(docs), "append")
 
 
+def stream_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_importance_resample — the DSIR
+    deployment shape: importance weights estimated OFFLINE on the
+    backfill (dsir_weight_table over the static table, folded into the
+    one-row broadcast array), documents scored and resampled AT INGEST
+    (per-row JVM fold + deterministic md5 draw, _dsir_scored shared
+    VERBATIM via a stream-static broadcast join on the constant key),
+    the per-source ledger folding through ONE complete-mode aggregation
+    on the bounded source key (_dsir_ledger, also shared). Shares
+    ORACLE_IMPORTANCE_RESAMPLE — stream-filtered and batch-selected
+    subsets are identical by contract."""
+    from flink_gmall_spark.operators.curation import (
+        _dsir_ledger,
+        _dsir_scored,
+        _dsir_warr,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    warr = _dsir_warr(load(spark, sf_dir, "documents"))
+    docs = read_stream(spark, sf_dir, "documents")
+    return run_to_memory(_dsir_ledger(_dsir_scored(docs, warr)), "complete")
+
+
 def stream_seq_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of curation_seq_len_sweep — the sequence-length
     calibration table maintained LIVE as a backfill streams in: the

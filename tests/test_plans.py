@@ -997,6 +997,19 @@ def test_range_exact_counts_sampled_filter_reaches_query_scan(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_importance_resample_serve_is_fold_not_explode(spark, sf_dir):
+    """The DSIR serve pass must score each document in ONE in-row JVM
+    fold against the broadcast weight array — the only Generate in the
+    whole plan is the estimator's token explode, the weight row joins
+    broadcast, and nothing sort-merges."""
+    from flink_gmall_spark.operators import curation
+
+    plan = plan_of(curation.importance_resample(spark, sf_dir))
+    assert plan.count("Generate") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_curriculum_stages_no_global_sort(spark, sf_dir):
     """The distributed-ntile contract: stage assignment must NOT
     global-sort the corpus — no corpus-wide Sort below a single-
