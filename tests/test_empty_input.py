@@ -72,6 +72,11 @@ DOC_OPS = [
     ("curriculum_stages", "curation"),
     ("preference_pairs", "curation"),
     ("pretrain_build", "curation"),
+    # round-11 additions
+    ("winnowing_w_sweep", "dedup"),
+    ("seq_len_sweep", "curation"),
+    ("dsir_weights", "curation"),
+    ("importance_resample", "curation"),
 ]
 
 EMB_OPS = [
@@ -87,6 +92,8 @@ EMB_OPS = [
     ("range_search", "ann"),
     ("ivf_range_search", "ann"),
     ("hard_negatives_ivf", "ann"),
+    # round-11 additions
+    ("ivf_range_search_sampled", "ann"),
 ]
 
 
@@ -111,6 +118,26 @@ def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
         # so the oracle contract holds
         assert len(got) == 1
         assert (got.iloc[0][["true_pairs", "found_pairs", "missed_pairs"]] == 0).all()
+    elif fn_name == "winnowing_w_sweep":
+        # sweeps report every knob value even on a cold corpus (the
+        # literal W dimension) — all counts zero, ratios NULL, exactly
+        # the oracle's unconditional per-W rows
+        assert len(got) == 4
+        assert (got[["n_fps", "n_candidates", "n_true", "n_hit"]] == 0).all().all()
+        assert got["recall_x1000"].isna().all()
+    elif fn_name == "seq_len_sweep":
+        # the one wide aggregate row always exists; stack emits a row
+        # per L with docs=0 and NULL sums — same as DuckDB's global agg
+        assert len(got) == 4
+        assert (got["docs"] == 0).all()
+        assert got["util_naive_x1000"].isna().all()
+    elif fn_name == "dsir_weights":
+        # the weight table covers every bucket by construction; with no
+        # evidence both smoothed probabilities equal the floor, so every
+        # weight sits at the x1000 parity point
+        assert len(got) == 256
+        assert (got["raw_ct"] == 0).all() and (got["tgt_ct"] == 0).all()
+        assert (got["w_x1000"] == 1000).all()
     else:
         assert got.empty, got.head()
 
