@@ -390,67 +390,48 @@ _register("stream_importance_resample", stream_jobs.stream_importance_resample, 
 
 
 # =============================================================================
-# Round-9 sample window. The driver samples the FIRST 50 registrations, so
-# ordering is evidence strategy, not aesthetics. CORRECTNESS_r08 greened the
-# entire round-8 window (50/50), so it rotates out wholesale. This window
-# (VERDICT r8 ask #1 / ROADMAP round-9 rotation, staged verbatim in the
-# round-8 registry comment) = the 6 round-8 additions (never
-# driver-verified; each subset-simmed MATCH at sf0.01 AND sf0.1 under the
-# hostile config at commit time, and re-verified ALL MATCH by the round-8
-# judge's own sim) + the 4 deferred r4 entries (oldest rows in the
-# registry, exactly 4 rounds old) + 40 of the 50 entries whose latest row
-# is r5. The 10 r5 entries deferred to round 10 each share their
-# transform and/or oracle with a sibling that stays in this window or
-# carries a fresher row: stream_config_routing (oracle shared verbatim
-# with dwd_config_routing, green r8), stream_binned_range_join (twin of
-# scale_binned_range_join, in window), dedup_simhash_pairs (pair stage of
-# dedup_simhash, in window), dedup_apply_near (applies
-# dedup_minhash_lsh's pairs, in window), sim_ivf_topk_trained /
-# sim_kmeans_assign (k-means train/assign shared with sim_label_centroids
-# + sim_ivf_topk, both in window), sim_semantic_dedup (sibling
-# sim_semantic_dedup_trained green r6), ads_amount_quartiles
-# (percentile_cont family with ads_amount_percentiles, in window),
-# ads_status_priority_cube (grouping-set family with
-# ads_monthly_status_pivot, in window), stream_dedup_distinct
-# (dropDuplicates mechanics shared with stream_dedup_within_watermark, in
-# window). After this round every entry's driver row is ≤4 rounds old;
-# the round-10 window leads with any round-9 additions + those 10.
+# Round-11 sample window (VERDICT r10 ask #1 / ROADMAP "Round-11 sample
+# rotation", staged in round 10 and APPLIED 2026-08-15). The driver
+# samples the FIRST 50 registrations, so ordering is evidence strategy.
+# CORRECTNESS_r10 greened the entire round-10 window (50/50), and the
+# union of r1-r10 covers every contract, so the roster shifts to the
+# staged FRESHNESS plan: the 10 round-11 additions (never
+# driver-verified; each subset-simmed MATCH at sf0.01 AND sf0.1 under
+# the hostile config pre-commit), the 4 r5 deferrals, the 9 staged
+# TPC-H fills, then the r6-latest cohort in registration order up to
+# 50 — with ONE swap inside the cohort: text_hashed_classifier jumps
+# the queue because its bucket-index expression was refactored into the
+# shared HASH_IDX templates this round (changed code outranks untouched
+# stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 31 round-9 additions (registration
-    # order; each subset-simmed MATCH at sf0.01 AND sf0.1 pre-commit in
-    # round 9, per-round sim re-verified round 10)
-    "sim_hard_negatives_ivf", "dedup_containment_prefix",
-    "sim_mrl_truncation_recall", "sim_ivf_cell_balance",
-    "dedup_funnel_report", "stream_containment_probe",
-    "text_quality_threshold_sweep", "sim_pq_distortion",
-    "curation_span_corruption", "stream_quality_threshold_sweep",
-    "sim_ivf_nprobe_sweep", "stream_span_corruption",
-    "curation_bpe_fertility", "dedup_dup_ngram_coverage",
-    "curation_dataset_card", "dedup_minhash_band_tuning",
-    "curation_global_shuffle", "curation_padding_waste",
-    "stream_padding_waste", "sim_ann_filtered_topk",
-    "sim_ivf_filtered_topk", "curation_chunk_overlap",
-    "curation_repeat_epochs", "stream_global_shuffle",
-    "stream_chunk_overlap", "stream_repeat_epochs",
-    "dedup_jaccard_prefix", "curation_pretrain_build",
-    "text_classifier_roc", "dedup_containment_apply",
-    "stream_classifier_roc",
-    # 1b — never driver-verified: the 13 round-10 additions (registration
-    # order; each subset-simmed MATCH at sf0.01 AND sf0.1 pre-commit).
-    # INVARIANT (review r10): every never-driver-verified hash contract
-    # sits inside the 50-entry window — never-verified outranks stale
-    # refresh, so the staged TPC-H fills + 2 r5 entries defer to r11.
-    "stream_pretrain_build", "dedup_winnowing_fingerprints",
-    "dedup_winnowing_pairs", "stream_winnowing_fingerprints",
-    "sim_range_search", "sim_ivf_range_search", "text_token_diversity",
-    "stream_token_diversity", "curation_curriculum_stages",
-    "sim_hard_negatives_ivf_sampled", "stream_ivf_range_serve",
-    "curation_preference_pairs", "dedup_winnowing_recall_report",
-    # 2 — oldest rows (r5-latest, deferred at the round-9 rotation;
-    # the last four registered defer again to r11 to keep the invariant)
-    "stream_config_routing", "stream_binned_range_join",
-    "dedup_simhash_pairs", "dedup_apply_near", "sim_ivf_topk_trained",
-    "sim_kmeans_assign",
+    # 1 — never driver-verified: the 10 round-11 additions
+    # (registration order)
+    "sim_ivf_range_search_sampled", "stream_curriculum_stages",
+    "stream_preference_pairs", "dedup_winnowing_w_sweep",
+    "stream_ivf_range_serve_sampled", "curation_seq_len_sweep",
+    "stream_seq_len_sweep", "curation_dsir_weights",
+    "curation_importance_resample", "stream_importance_resample",
+    # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
+    "sim_semantic_dedup", "ads_amount_quartiles",
+    "ads_status_priority_cube", "stream_dedup_distinct",
+    # 3 — the 9 staged TPC-H fills (r5-latest)
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q10", "tpch_q13",
+    # 4 — r6-latest cohort in registration order (26) + the
+    # changed-code swap-in (text_hashed_classifier, r6-latest too)
+    "tpch_q14", "tpch_q15", "ads_user_activity_similarity",
+    "ads_copurchase_pairs", "ads_cohort_retention",
+    "ads_event_transitions", "ads_rfm_segments",
+    "ads_rfm_segments_approx", "ads_association_rules",
+    "ads_timed_funnel", "ads_part_pagerank", "ads_part_pagerank_deep",
+    "scale_partition_pruned_read", "scale_runtime_bloom_join",
+    "scale_dynamic_partition_pruning", "scale_epoch_compaction",
+    "stream_ads_hourly_from_sink", "dwd_props_variant_stats",
+    "dws_keyword_stats_udtf", "stream_intra_doc_chunks",
+    "stream_pq_encode", "stream_pq_index_serve",
+    "dedup_cluster_representatives", "dedup_intra_doc_chunks",
+    "dedup_incremental_minhash", "dedup_lsh_recall_report",
+    "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
@@ -477,16 +458,21 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-10 rotation APPLIED above (2026-08-15, amended after the
-# session code review): the 31 round-9 additions + the 13 round-10
-# additions (44 never-driver-verified contracts, ALL in-window — the
-# invariant outranks stale refresh) + 6 of the 10 r5-deferred entries.
-# Deferred to round 11: sim_semantic_dedup, ads_amount_quartiles,
-# ads_status_priority_cube, stream_dedup_distinct (r5) and the 9
-# staged TPC-H r6 fills.
+# Round-11 rotation APPLIED above (2026-08-15): 10 round-11 additions
+# + 4 r5 deferrals + 9 TPC-H fills + 27 r6-latest (26 in registration
+# order + the text_hashed_classifier changed-code swap-in). With every
+# contract ever-green since round 10, the operative invariant is now
+# FRESHNESS: after this window greens, the oldest driver row in the
+# registry is r6-latest, and the r12 roster continues the cohort.
 #
-# Round-11 window staging: lead with any round-11 additions
-# (never-driver-verified), then the 2 r5 deferrals, the 9 TPC-H fills
-# (q1,q3,q4,q5,q6,q7,q8,q10,q13), and the r6-latest cohort in
-# registration order up to the 50 — see ROADMAP.md "Round-11 sample
+# Round-12 window staging: lead with any round-12 additions
+# (never-driver-verified), then the remaining r6-latest cohort in
+# registration order starting from the displaced curation_bpe_train:
+# curation_bpe_train, curation_adaptive_quality_filter,
+# curation_collocations_lift, curation_bpe_encode,
+# curation_multimodal_dedup_pipeline, curation_bpe_token_budget,
+# curation_train_val_test_split, sim_semantic_dedup_trained,
+# sim_pq_encode, sim_pq_adc_topk, sim_ivfpq_topk, sim_ann_recall_report,
+# text_hll_union_rollup, text_lang_id_confusion, then the r7-latest
+# cohort in registration order up to 50 — see ROADMAP.md "Round-12 sample
 # rotation" for the roster.
