@@ -332,6 +332,32 @@ WHERE r.rank <= {TOPK}
 HN_EXACT_SAMPLE_SEED = "hn-exact:"  # md5 domain-separation for the audit sample
 
 
+def audit_sampled(seed: str, exact_sample_hex: str) -> Column:
+    """THE audit-sampling predicate over query_id — deterministic
+    Bernoulli at rate int(hex,16)/16^6 via md5-prefix < 6-hex threshold,
+    domain-separated by the family's seed. One definition (review r11)
+    shared by the hard-negatives and range-search audit dials so the
+    sampling convention cannot drift between families;
+    _duck_audit_sampled is its oracle twin."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("query_id").cast("string"))),
+            1,
+            6,
+        )
+        < F.lit(exact_sample_hex)
+    )
+
+
+def _duck_audit_sampled(seed: str, exact_sample_hex: str, q: str) -> str:
+    """DuckDB twin of audit_sampled; ``q`` is the query_id SQL
+    expression (may be a '{q}' placeholder for later .format)."""
+    return (
+        f"substring(md5('{seed}' || CAST({q} AS VARCHAR)), 1, 6)"
+        f" < '{exact_sample_hex}'"
+    )
+
+
 def hard_negatives_ivf(
     spark: SparkSession, sf_dir: str, exact_sample_hex: str | None = None
 ) -> DataFrame:
@@ -398,14 +424,7 @@ def hard_negatives_ivf(
     )
     exact_base = hard_negatives(spark, sf_dir)
     if exact_sample_hex is not None:
-        audited = (
-            F.substring(
-                F.md5(F.concat(F.lit(HN_EXACT_SAMPLE_SEED), F.col("query_id").cast("string"))),
-                1,
-                6,
-            )
-            < F.lit(exact_sample_hex)
-        )
+        audited = audit_sampled(HN_EXACT_SAMPLE_SEED, exact_sample_hex)
         exact_base = exact_base.filter(audited)
     exact = exact_base.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     hits = (
@@ -477,10 +496,7 @@ def hard_negatives_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives_ivf(spark, sf_dir, exact_sample_hex=HN_SAMPLE_HEX)
 
 
-_DUCK_HN_AUDITED = (
-    f"substring(md5('{HN_EXACT_SAMPLE_SEED}' || CAST({{q}} AS VARCHAR)), 1, 6)"
-    f" < '{HN_SAMPLE_HEX}'"
-)
+_DUCK_HN_AUDITED = _duck_audit_sampled(HN_EXACT_SAMPLE_SEED, HN_SAMPLE_HEX, "{q}")
 
 ORACLE_HARD_NEGATIVES_IVF_SAMPLED = f"""
 WITH {_DUCK_IVF_SCORED_CTES},
@@ -2087,9 +2103,7 @@ def ivf_range_search(
     return range_rank_finish(
         found.select("query_id", "vec_id", "cos"),
         range_exact_counts(spark, sf_dir, exact_sample_hex),
-        audited=(
-            None if exact_sample_hex is None else _range_audited(exact_sample_hex)
-        ),
+        exact_sample_hex=exact_sample_hex,
     )
 
 
@@ -2099,22 +2113,9 @@ RANGE_EXACT_SAMPLE_SEED = "range-exact:"  # md5 domain-separation, audit sample
 
 
 def _range_audited(exact_sample_hex: str) -> Column:
-    """The deterministic Bernoulli audit predicate over query_id — the
-    hard_negatives_ivf sampling discipline (md5-prefix < 6-hex threshold
-    == rate int(hex,16)/16^6), domain-separated by its own seed."""
-    return (
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(RANGE_EXACT_SAMPLE_SEED),
-                    F.col("query_id").cast("string"),
-                )
-            ),
-            1,
-            6,
-        )
-        < F.lit(exact_sample_hex)
-    )
+    """audit_sampled under the range family's seed — the shared
+    hard_negatives_ivf sampling discipline."""
+    return audit_sampled(RANGE_EXACT_SAMPLE_SEED, exact_sample_hex)
 
 
 def range_exact_counts(
@@ -2138,7 +2139,7 @@ def range_exact_counts(
 def range_rank_finish(
     in_range: DataFrame,
     exact_counts: DataFrame,
-    audited: Column | None = None,
+    exact_sample_hex: str | None = None,
 ) -> DataFrame:
     """Rank + recall-ledger finishing over (query_id, vec_id, cos)
     in-radius rows — shared VERBATIM by the batch IVF entry and the
@@ -2152,15 +2153,17 @@ def range_rank_finish(
     sim = RANGE_MISS_SIM — an impossible cosine) carrying the real
     n_exact. The oracle applies the identical union.
 
-    With ``audited`` set (the sampled-denominator path), exact_counts
-    holds only the sampled queries and every unsampled query's rows
-    carry n_exact = -1 ("not audited") instead of a fake 0; sentinel
-    rows can only exist for audited queries by construction."""
+    With ``exact_sample_hex`` set (the sampled-denominator path —
+    exact_counts must have been built with the SAME threshold),
+    exact_counts holds only the sampled queries and every unsampled
+    query's rows carry n_exact = -1 ("not audited") instead of a fake
+    0; sentinel rows can only exist for audited queries by
+    construction."""
     n_exact_out = F.coalesce("n_exact", F.lit(0)).cast("long")
-    if audited is not None:
-        n_exact_out = F.when(audited, n_exact_out).otherwise(
-            F.lit(-1).cast("long")
-        )
+    if exact_sample_hex is not None:
+        n_exact_out = F.when(
+            _range_audited(exact_sample_hex), n_exact_out
+        ).otherwise(F.lit(-1).cast("long"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     hits = (
         in_range.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -2230,9 +2233,8 @@ def ivf_range_search_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_range_search(spark, sf_dir, exact_sample_hex=RANGE_SAMPLE_HEX)
 
 
-_DUCK_RANGE_AUDITED = (
-    f"substring(md5('{RANGE_EXACT_SAMPLE_SEED}' || CAST({{q}} AS VARCHAR)), 1, 6)"
-    f" < '{RANGE_SAMPLE_HEX}'"
+_DUCK_RANGE_AUDITED = _duck_audit_sampled(
+    RANGE_EXACT_SAMPLE_SEED, RANGE_SAMPLE_HEX, "{q}"
 )
 
 ORACLE_IVF_RANGE_SEARCH_SAMPLED = f"""

@@ -2595,9 +2595,13 @@ def _seq_len_base(docs: DataFrame) -> DataFrame:
 
 
 def _seq_len_wide_aggs() -> list:
-    """The 2 + 3·|SWEEP| conditional aggregates of the sweep — ONE
+    """The 2 + 2·|SWEEP| conditional aggregates of the sweep — ONE
     corpus pass prices every candidate length (map-side partials, a
-    single global fold; the corpus is never row-duplicated per L)."""
+    single global fold; the corpus is never row-duplicated per L).
+    Truncation is NOT aggregated: greatest(n_tok - L, 0) ==
+    n_tok - least(n_tok, L) identically, so trunc_tokens derives as
+    tokens - eff in the finish (review r11 — fewer hot-fold terms and
+    fewer streaming-state counters than a redundant sum)."""
     aggs = [
         F.count(F.lit(1)).cast("long").alias("docs"),
         F.sum("n_tok").cast("long").alias("tokens"),
@@ -2607,9 +2611,6 @@ def _seq_len_wide_aggs() -> list:
             F.sum(F.least(F.col("n_tok"), F.lit(L)))
             .cast("long")
             .alias(f"eff_{L}"),
-            F.sum(F.greatest(F.col("n_tok") - L, F.lit(0)))
-            .cast("long")
-            .alias(f"trunc_{L}"),
             F.sum(F.expr(f"(n_tok + {L - 1}) div {L}"))
             .cast("long")
             .alias(f"chunks_{L}"),
@@ -2625,19 +2626,19 @@ def seq_len_finish(wide: DataFrame) -> DataFrame:
     chunking (every token kept), and both utilizations x1000 in the
     repo's integer-DIV grain."""
     stack_args = ", ".join(
-        f"{L}L, eff_{L}, trunc_{L}, chunks_{L}" for L in SEQ_LEN_SWEEP
+        f"{L}L, eff_{L}, chunks_{L}" for L in SEQ_LEN_SWEEP
     )
     per = wide.selectExpr(
         "docs",
         "tokens",
         f"stack({len(SEQ_LEN_SWEEP)}, {stack_args})"
-        " AS (seq_len, eff, trunc_tokens, n_chunks)",
+        " AS (seq_len, eff, n_chunks)",
     )
     return per.select(
         "seq_len",
         "docs",
         "tokens",
-        "trunc_tokens",
+        (F.col("tokens") - F.col("eff")).cast("long").alias("trunc_tokens"),
         "n_chunks",
         (F.col("seq_len") * F.col("docs") - F.col("eff"))
         .cast("long")
@@ -2681,13 +2682,13 @@ def seq_len_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _seq_len_oracle() -> str:
     per_l_aggs = ",\n           ".join(
         f"CAST(sum(least(n_tok, {L})) AS BIGINT) AS eff_{L},\n"
-        f"           CAST(sum(greatest(n_tok - {L}, 0)) AS BIGINT) AS trunc_{L},\n"
         f"           CAST(sum((n_tok + {L - 1}) // {L}) AS BIGINT) AS chunks_{L}"
         for L in SEQ_LEN_SWEEP
     )
     per_l_rows = "\nUNION ALL\n".join(
         f"SELECT CAST({L} AS BIGINT) AS seq_len, docs, tokens,"
-        f" trunc_{L} AS trunc_tokens, chunks_{L} AS n_chunks,"
+        f" CAST(tokens - eff_{L} AS BIGINT) AS trunc_tokens,"
+        f" chunks_{L} AS n_chunks,"
         f" eff_{L} AS eff FROM agg"
         for L in SEQ_LEN_SWEEP
     )

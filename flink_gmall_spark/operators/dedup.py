@@ -1666,7 +1666,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint_rows(docs)
 
 
-_DUCK_WINNOW = f"""
+# toks/hashed are W-independent — their own constant so the single-W
+# oracle and the W-sweep oracle COMPOSE from one definition (review
+# r11: the sweep previously string-sliced the finished _DUCK_WINNOW)
+_DUCK_WINNOW_BASE = f"""
 WITH toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
@@ -1678,7 +1681,9 @@ hashed AS (
            list_transform(range(1, len(t) - {SHINGLE_K - 2}),
                           i -> md5(concat({_DUCK_KGRAM_TERMS}))) AS hs
     FROM toks WHERE len(t) >= {SHINGLE_K}
-),
+)"""
+
+_DUCK_WINNOW = f"""{_DUCK_WINNOW_BASE},
 fps AS (
     SELECT doc_id,
            unnest(list_distinct(list_transform(
@@ -1909,10 +1914,6 @@ def _winnow_sweep_selects() -> str:
         )
     return "\nUNION ALL\n".join(sels)
 
-
-# _DUCK_WINNOW's toks/hashed CTEs are W-independent; reuse them verbatim
-# by cutting the W-specific fps CTE off at its marker.
-_DUCK_WINNOW_BASE = _DUCK_WINNOW[: _DUCK_WINNOW.index(",\nfps AS (")]
 
 ORACLE_WINNOW_W_SWEEP = f"""{_DUCK_WINNOW_BASE},
 {_winnow_sweep_ctes()},

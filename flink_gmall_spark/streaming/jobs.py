@@ -2005,14 +2005,10 @@ def stream_ivf_range_serve(
         .filter(F.col("cos") >= RANGE_RADIUS)
         .select("query_id", "vec_id", "cos")
     )
-    from flink_gmall_spark.operators.ann import _range_audited
-
     return range_rank_finish(
         run_to_memory(served, "append"),
         range_exact_counts(spark, sf_dir, exact_sample_hex),
-        audited=(
-            None if exact_sample_hex is None else _range_audited(exact_sample_hex)
-        ),
+        exact_sample_hex=exact_sample_hex,
     )
 
 
