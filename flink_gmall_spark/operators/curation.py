@@ -3324,9 +3324,16 @@ def dsir_weight_table(docs: DataFrame) -> DataFrame:
     256-row table. Buckets the corpus never hit still appear (literal
     range left-join) with the smoothing floor, so the serve-side array
     lookup is total."""
-    from flink_gmall_spark.operators.textstats import HASH_DIM, HASH_IDX_SPARK
+    return dsir_weight_finish(_dsir_counts(docs))
 
-    counts = (
+
+def _dsir_counts(docs: DataFrame) -> DataFrame:
+    """The 256-key conditional count aggregation — shared VERBATIM by
+    the batch estimator and the streaming twin (complete-mode
+    streamable: <= HASH_DIM keys x 2 counters of state)."""
+    from flink_gmall_spark.operators.textstats import HASH_IDX_SPARK
+
+    return (
         docs.select("source", F.explode(tokens_col("text")).alias("tok"))
         .select(
             F.expr(HASH_IDX_SPARK.format(tok="tok")).cast("long").alias("bucket"),
@@ -3340,7 +3347,16 @@ def dsir_weight_table(docs: DataFrame) -> DataFrame:
             .alias("tgt_ct"),
         )
     )
-    all_b = docs.sparkSession.range(1, HASH_DIM + 1).select(
+
+
+def dsir_weight_finish(counts: DataFrame) -> DataFrame:
+    """Bucket fill + totals + smoothed-ratio weight over the <=256-row
+    count table — shared VERBATIM by the batch estimator and the
+    streaming twin (window math cannot follow a streaming aggregation
+    in one query)."""
+    from flink_gmall_spark.operators.textstats import HASH_DIM
+
+    all_b = counts.sparkSession.range(1, HASH_DIM + 1).select(
         F.col("id").cast("long").alias("bucket")
     )
     full = all_b.join(F.broadcast(counts), "bucket", "left").select(

@@ -387,6 +387,7 @@ _register("stream_seq_len_sweep", stream_jobs.stream_seq_len_sweep, curation.ORA
 _register("curation_dsir_weights", curation.dsir_weights, curation.ORACLE_DSIR_WEIGHTS, tags=("curation", "ml-training", "importance-sampling", "feature-hashing", "calibration"))
 _register("curation_importance_resample", curation.importance_resample, curation.ORACLE_IMPORTANCE_RESAMPLE, bench=True, tags=("curation", "ml-training", "importance-sampling", "sampling", "deterministic"))
 _register("stream_importance_resample", stream_jobs.stream_importance_resample, curation.ORACLE_IMPORTANCE_RESAMPLE, tags=("streaming", "curation", "ml-training", "importance-sampling", "serving", "complete-mode"))
+_register("stream_dsir_weights", stream_jobs.stream_dsir_weights, curation.ORACLE_DSIR_WEIGHTS, tags=("streaming", "curation", "ml-training", "importance-sampling", "feature-hashing", "complete-mode"))
 
 
 # =============================================================================
@@ -404,21 +405,24 @@ _register("stream_importance_resample", stream_jobs.stream_importance_resample, 
 # shared HASH_IDX templates this round (changed code outranks untouched
 # stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 10 round-11 additions
-    # (registration order)
+    # 1 — never driver-verified: the 11 round-11 additions
+    # (registration order; stream_dsir_weights landed post-rotation and
+    # was folded in per the invariant, displacing the cohort tail)
     "sim_ivf_range_search_sampled", "stream_curriculum_stages",
     "stream_preference_pairs", "dedup_winnowing_w_sweep",
     "stream_ivf_range_serve_sampled", "curation_seq_len_sweep",
     "stream_seq_len_sweep", "curation_dsir_weights",
     "curation_importance_resample", "stream_importance_resample",
+    "stream_dsir_weights",
     # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
     "sim_semantic_dedup", "ads_amount_quartiles",
     "ads_status_priority_cube", "stream_dedup_distinct",
     # 3 — the 9 staged TPC-H fills (r5-latest)
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (26) + the
-    # changed-code swap-in (text_hashed_classifier, r6-latest too)
+    # 4 — r6-latest cohort in registration order (25) + the
+    # changed-code swap-in (text_hashed_classifier, r6-latest too);
+    # dedup_lsh_recall_report defers to the r12 head
     "tpch_q14", "tpch_q15", "ads_user_activity_similarity",
     "ads_copurchase_pairs", "ads_cohort_retention",
     "ads_event_transitions", "ads_rfm_segments",
@@ -430,7 +434,7 @@ _SAMPLE_PRIORITY = [
     "dws_keyword_stats_udtf", "stream_intra_doc_chunks",
     "stream_pq_encode", "stream_pq_index_serve",
     "dedup_cluster_representatives", "dedup_intra_doc_chunks",
-    "dedup_incremental_minhash", "dedup_lsh_recall_report",
+    "dedup_incremental_minhash",
     "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
@@ -458,17 +462,19 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-11 rotation APPLIED above (2026-08-15): 10 round-11 additions
-# + 4 r5 deferrals + 9 TPC-H fills + 27 r6-latest (26 in registration
-# order + the text_hashed_classifier changed-code swap-in). With every
+# Round-11 rotation APPLIED above (2026-08-15, amended for the late
+# stream_dsir_weights addition): 11 round-11 additions + 4 r5
+# deferrals + 9 TPC-H fills + 26 r6-latest (25 in registration order +
+# the text_hashed_classifier changed-code swap-in). With every
 # contract ever-green since round 10, the operative invariant is now
 # FRESHNESS: after this window greens, the oldest driver row in the
 # registry is r6-latest, and the r12 roster continues the cohort.
 #
 # Round-12 window staging: lead with any round-12 additions
 # (never-driver-verified), then the remaining r6-latest cohort in
-# registration order starting from the displaced curation_bpe_train:
-# curation_bpe_train, curation_adaptive_quality_filter,
+# registration order starting from the displaced entries:
+# dedup_lsh_recall_report, curation_bpe_train,
+# curation_adaptive_quality_filter,
 # curation_collocations_lift, curation_bpe_encode,
 # curation_multimodal_dedup_pipeline, curation_bpe_token_budget,
 # curation_train_val_test_split, sim_semantic_dedup_trained,

@@ -1862,6 +1862,26 @@ def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(token_diversity_transform(docs), "append")
 
 
+def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_dsir_weights — the importance
+    estimator maintained LIVE as the backfill streams in: the 256-key
+    conditional count aggregation folds complete-mode
+    (curation._dsir_counts shared VERBATIM; <= HASH_DIM keys x 2
+    counters of state), the bucket fill / totals / smoothed-ratio math
+    applies batch-side on the drained count table via
+    curation.dsir_weight_finish (also shared — window math cannot
+    follow a streaming agg). Shares ORACLE_DSIR_WEIGHTS: live and
+    backfilled weight tables are hash-identical by contract."""
+    from flink_gmall_spark.operators.curation import (
+        _dsir_counts,
+        dsir_weight_finish,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return dsir_weight_finish(run_to_memory(_dsir_counts(docs), "complete"))
+
+
 def stream_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of curation_importance_resample — the DSIR
     deployment shape: importance weights estimated OFFLINE on the

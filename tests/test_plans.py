@@ -928,6 +928,30 @@ def test_winnowing_fingerprints_map_only_fused_generate(spark, sf_dir):
     assert "array_distinct" in gen and "array_min" in gen, gen
 
 
+def test_winnowing_w_sweep_single_fused_generate(spark, sf_dir):
+    """The W-sweep's whole point is ONE hash pass for all widths: every
+    per-W window-min transform must live inside a SINGLE fused Generate
+    (flatten over the per-W struct arrays), never one explode per W or
+    a materialized array Project below the Generate; the pair stage
+    stays an equi-join."""
+    from flink_gmall_spark.operators import dedup
+
+    plan = plan_of(dedup.winnowing_w_sweep(spark, sf_dir))
+    gens = [
+        ln for ln in plan.splitlines() if "Generate" in ln and "array_min" in ln
+    ]
+    assert gens, plan
+    for gen in gens:
+        # all widths in ONE fused explode: the flatten-of-structs shape,
+        # computed inside the Generate (explode over the expression, not
+        # over a pre-materialized column)
+        assert "explode(flatten(" in gen and "named_struct" in gen, gen
+    # the only nested-loop join allowed is the 1-row n_true broadcast
+    # cross (the band_tuning shape); pair generation itself must hash
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
 def test_winnowing_pairs_equijoin_with_df_cap(spark, sf_dir):
     """Pair generation must be an equi-join on the fingerprint key —
     never a cartesian/nested-loop over docs — with the frequent-
