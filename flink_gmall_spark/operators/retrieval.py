@@ -1,0 +1,471 @@
+"""Lexical retrieval (BM25) and hybrid lexical+semantic rank fusion (RRF)
+over the ``documents`` / ``embeddings`` tables.
+
+The reference's lexical surface stops at keyword extraction + windowed
+counts (``KeywordStatsApp.java:40-67``, ``KeywordUDTF.java:14-24``); a
+training-data pipeline at 100 TB also needs the retrieval direction —
+"which documents match this query" — for targeted curation, eval-set
+mining, and RAG corpus serving. ``bm25_topk`` is the classic
+Robertson/Sparck Jones BM25 ranking function (public formula; Lucene /
+Elasticsearch default) re-expressed as three keyed DataFrame
+aggregations plus one broadcast join; ``hybrid_rrf`` fuses its ranks
+with the brute-force cosine ranks of ``ann.ann_topk`` via Reciprocal
+Rank Fusion (Cormack/Clarke/Buettcher, SIGIR'09: score = Σ 1/(k+rank)).
+
+Query model: the documents with ``doc_id < N_RETR_QUERIES`` act as the
+query set (a "more-like-this" workload — no external query table
+exists in the fixtures), scored against every OTHER document. Query
+term frequency participates naturally: the score is summed over query
+token OCCURRENCES (BM25's qtf weighting with the usual k3→∞
+simplification), which keeps the query side a stateless explode — the
+property the streaming serve twin relies on (no distinct / no state at
+ingest).
+
+Cross-engine exactness (the module's parity contract):
+
+- NO transcendentals. The idf is the Robertson–Sparck Jones ratio
+  WITHOUT the log — ``(N - df + 0.5) / (df + 0.5)`` — because ``ln`` is
+  not correctly-rounded in either engine (JVM ``Math.log`` vs libm) and
+  a last-ulp divergence would flip ranks. The ratio is monotone in df
+  exactly like the logged form, so ranking semantics are preserved; the
+  docstring-visible tradeoff is a more aggressive rare-term boost.
+- Every per-term score is a chain of correctly-rounded IEEE-double
+  ops (+, -, *, /) evaluated in the SAME written order in both engines
+  (all literals spelled identically, every int operand cast to DOUBLE
+  before mixing — DuckDB would otherwise promote bare decimal literals
+  to DECIMAL and diverge), so the doubles are bit-identical.
+- The per-term double is floor-scaled to BIGINT (``floor(x * 1e6)``;
+  floor is exact on doubles) BEFORE the per-document sum, so the sum is
+  an order-free integer — the repo's integer-exact discipline. At a
+  web-scale corpus (N ~ 1e10) the scaled per-term score reaches ~2e16;
+  the BIGINT sum then bounds the per-(query,doc) matched-occurrence
+  count at ~460 before overflow — widen to DECIMAL(38,0) or drop
+  BM25_SCALE at that N (documented, not silently capped).
+
+Scale shape: tf/df/dl are keyed corpus-sized aggregations (term- or
+doc-keyed, never all-pairs); the 1-row corpus stats broadcast via the
+repo's 1-row crossJoin idiom; the query side (≤ N_RETR_QUERIES docs of
+tokens) broadcasts into the postings join, so the big corpus table is
+never shuffled for the join itself. At 100 TB the posting list of a
+stopword-grade term is the skew risk — the MAX_POSTING_DF guard caps
+join fan-out per term exactly like dedup's MAX_SHINGLE_DF window idiom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.functions.tokenize import tokens_col
+from flink_gmall_spark.session import tune
+from flink_gmall_spark.sources import load
+
+N_RETR_QUERIES = 8  # doc_id < 8 are the query documents
+RETR_TOPK = 10
+BM25_SCALE = 1_000_000  # per-term floor-scale before the integer sum
+RRF_K = 60  # SIGIR'09 default
+# Posting-list fan-out cap: terms present in more than this many docs are
+# dropped from the match join (stopword-grade terms carry ~no idf signal
+# and dominate join cost at scale). Fixture corpora stay far below it.
+MAX_POSTING_DF = 100_000
+
+_DUCK_T = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# BM25 parameter grid for the calibration sweep: (k1_x10, b_x100,
+# (k1, k1+1, b, 1-b)) — constants pre-folded as LITERAL STRINGS so both
+# engines parse the identical decimal text (computing 1-b or k1+1 in
+# either engine could round differently from the folded literal). Config
+# 0 is the default the single-config entries use.
+BM25_SWEEP = [
+    (12, 75, ("1.2", "2.2", "0.75", "0.25")),  # default (Lucene-classic)
+    (9, 40, ("0.9", "1.9", "0.4", "0.6")),  # modern Lucene default
+    (15, 75, ("1.5", "2.5", "0.75", "0.25")),  # stronger tf saturation
+    (12, 0, ("1.2", "2.2", "0.0", "1.0")),  # no length normalization
+]
+_DEFAULT_CFG = BM25_SWEEP[0][2]
+
+
+def bm25_score_sql(k1: str, k1p1: str, b: str, omb: str) -> str:
+    """The per-posting BM25 term score as ONE SQL expression string,
+    valid verbatim in BOTH Spark SQL and DuckDB over the bare feature
+    columns (tf, df, dl, n_docs, total_len) — a single definition so the
+    engines cannot drift (every literal spelled identically, every op in
+    the same written order; see the module parity contract)."""
+    return (
+        "CAST(floor(((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        f" * ((CAST(tf AS DOUBLE) * CAST({k1p1} AS DOUBLE))"
+        f" / (CAST(tf AS DOUBLE) + CAST({k1} AS DOUBLE)"
+        f" * (CAST({omb} AS DOUBLE) + (CAST({b} AS DOUBLE) * CAST(dl AS DOUBLE))"
+        " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        f" * CAST({BM25_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf) term-frequency postings — one corpus shuffle."""
+    return (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def posting_features(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, tf, df, dl, n_docs, total_len) — everything a BM25
+    variant needs per posting, one definition shared by the single-config
+    score table and the parameter sweep. tf/df/dl are keyed corpus
+    aggregations (Catalyst reuses the tf exchange for both consumers);
+    the 1-row stats side rides the repo's broadcast-crossJoin idiom."""
+    tf = _postings(docs)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq.filter(F.col("df") <= MAX_POSTING_DF), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+
+
+def scored_postings(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, score_i): the default-config BM25 term score of
+    every posting, floor-scaled to BIGINT. Entirely static/corpus-side —
+    the streaming serve twin joins a query stream against exactly this
+    table. The score expression is the shared bm25_score_sql template
+    (six double ops per posting, identical text in the DuckDB mirror)."""
+    return posting_features(docs).select(
+        "tok",
+        "doc_id",
+        F.expr(bm25_score_sql(*_DEFAULT_CFG)).alias("score_i"),
+    )
+
+
+def query_occurrences(docs: DataFrame) -> DataFrame:
+    """(query_id, tok) — one row per query token OCCURRENCE (qtf kept by
+    repetition, not by a distinct+weight; stateless on a stream)."""
+    return docs.filter(F.col("doc_id") < N_RETR_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(tokens_col("text")).alias("tok"),
+    )
+
+
+def bm25_match(occ: DataFrame, sp: DataFrame) -> DataFrame:
+    """Term-level match rows (query_id, doc_id, score_i), self excluded.
+
+    The occurrence side is ≤ N_RETR_QUERIES documents of tokens —
+    broadcast — so the corpus-sized postings never shuffle for this join.
+    """
+    return F.broadcast(occ).join(sp, "tok").filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+
+
+def bm25_finish(matched: DataFrame) -> DataFrame:
+    """Order-free integer sum per (query, doc), then windowed top-k.
+    Shared VERBATIM by the batch entry and the streaming serve twin."""
+    agg = matched.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("score_i").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_TOPK)
+        .select("query_id", "doc_id", "n_hits", "score", "rank")
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval: query docs (doc_id < N_RETR_QUERIES) against
+    the rest of the corpus. Plan: three keyed corpus aggregations
+    (tf, df, dl — Catalyst reuses the tf exchange for both consumers),
+    a 1-row stats broadcast, one BROADCAST match join on tok, one
+    bounded-key aggregation, one per-query window."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return bm25_finish(bm25_match(query_occurrences(docs), scored_postings(docs)))
+
+
+# Shared CTE base: postings features + query occurrences + the matched
+# feature rows. Composed (not string-sliced) into every oracle below;
+# the score expression itself is the SAME bm25_score_sql template Spark
+# compiles (bare feature-column names in both engines).
+_DUCK_FEAT_BASE = f"""
+tok AS (
+    SELECT doc_id, unnest({_DUCK_T}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+dfreq AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+feat AS (
+    SELECT tf.tok, tf.doc_id, tf.tf, f.df, d.dl, s.n_docs, s.total_len
+    FROM tf
+    JOIN dfreq f ON f.tok = tf.tok AND f.df <= {MAX_POSTING_DF}
+    JOIN dl d ON d.doc_id = tf.doc_id
+    CROSS JOIN stats s
+),
+qocc AS (
+    SELECT doc_id AS query_id, unnest({_DUCK_T}) AS tok
+    FROM documents WHERE doc_id < {N_RETR_QUERIES}
+),
+matched AS (
+    SELECT q.query_id, feat.doc_id, feat.tf, feat.df, feat.dl,
+           feat.n_docs, feat.total_len
+    FROM qocc q JOIN feat ON feat.tok = q.tok AND feat.doc_id <> q.query_id
+)"""
+
+_DUCK_BM25_BASE = f"""{_DUCK_FEAT_BASE},
+bm25_agg AS (
+    SELECT query_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum({bm25_score_sql(*_DEFAULT_CFG)}) AS BIGINT) AS score
+    FROM matched
+    GROUP BY 1, 2
+),
+bm25_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM bm25_agg
+)"""
+
+ORACLE_BM25_TOPK = f"""
+WITH {_DUCK_BM25_BASE}
+SELECT query_id, doc_id, n_hits, score, CAST(rank AS BIGINT) AS rank
+FROM bm25_ranked WHERE rank <= {RETR_TOPK}
+"""
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    top-k (documents) and the brute-force cosine top-k (embeddings;
+    ``ann.ann_topk``, the exactness baseline) — the standard two-tower
+    fusion a RAG corpus serves. ``rrf = 1/(K+lex_rank) + 1/(K+sem_rank)``
+    with absent ranks contributing 0 (rank sentinel 0 in the output).
+
+    Exactness: each 1/(K+r) is one correctly-rounded division of
+    bit-identical doubles and the two terms add in a FIXED written
+    order (a 2-term expression, not a group sum) — hash-exact without
+    integerization. Plan: both rank lists are query-bounded
+    (N_RETR_QUERIES × RETR_TOPK rows), so the fusion join is a
+    broadcast-able full-outer over tiny inputs; all corpus-scale work
+    happened inside the two upstream retrievers.
+    """
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    tune(spark)
+    lex = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("lex_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("sem_rank").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_TOPK)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+    )
+
+
+# The semantic side mirrors ann.ORACLE_ANN_TOPK's CTE chain (same
+# sequential-fold dot product); kept in the ann module's own constants.
+def _duck_ann_ranked() -> str:
+    from flink_gmall_spark.operators.ann import (
+        _DUCK_DOT,
+        _DUCK_NORM,
+        N_QUERIES,
+    )
+
+    return f"""
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+ann_scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
+    FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
+),
+ann_ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM ann_scored
+)"""
+
+
+def _oracle_hybrid_rrf() -> str:
+    return f"""
+WITH {_DUCK_BM25_BASE},
+{_duck_ann_ranked()},
+lex AS (
+    SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {RETR_TOPK}
+),
+sem AS (
+    SELECT query_id, neighbor_id AS doc_id, rank
+    FROM ann_ranked WHERE rank <= {RETR_TOPK}
+),
+fused AS (
+    SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(l.rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(s.rank, 0) AS BIGINT) AS sem_rank,
+           COALESCE(CAST(1.0 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE) + CAST(l.rank AS DOUBLE)),
+                    CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE) + CAST(s.rank AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)) AS rrf
+    FROM lex l FULL OUTER JOIN sem s
+      ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+final_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+    FROM fused
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf, CAST(rank AS BIGINT) AS rank
+FROM final_ranked WHERE rank <= {RETR_TOPK}
+"""
+
+
+ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()
+
+
+def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 PARAMETER CALIBRATION SWEEP — the band-tuning discipline
+    (dedup.minhash_band_tuning precedent) applied to the (k1, b) knobs:
+    every config in BM25_SWEEP scored through ONE shared postings/match
+    pass, priced by its top-k agreement with the default config so the
+    retrieval owner tunes saturation/length-normalization on numbers.
+
+    Plan shape: the corpus work (tf/df/dl/stats + the broadcast match
+    join) happens ONCE; all four per-config scores are columns of the
+    same matched row (pure expression math — zero row duplication),
+    folded in ONE (query, doc) aggregation, and only the bounded agg
+    table (≤ queries × corpus-hits rows) unpivots through a driver-free
+    stack() into config space. The overlap ledger deliberately avoids a
+    self-join (which would duplicate the whole corpus subtree for the
+    probe side — plan-gated): default-topk membership is a windowed
+    max-flag over the SAME stacked rows, since every config's rank for a
+    given (query, doc) lives in that one partition.
+
+    Output: one row per config — (k1_x10, b_x100, ranked_ct,
+    overlap_default_ct); the default config's row pins
+    overlap == ranked_ct as a self-check.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    matched = bm25_match(query_occurrences(docs), posting_features(docs))
+    agg = matched.groupBy("query_id", "doc_id").agg(
+        *[
+            F.sum(F.expr(bm25_score_sql(*cfg))).alias(f"s{i}")
+            for i, (_, _, cfg) in enumerate(BM25_SWEEP)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({k1x} AS BIGINT), CAST({bx} AS BIGINT), s{i}"
+        for i, (k1x, bx, _) in enumerate(BM25_SWEEP)
+    )
+    stacked = agg.selectExpr(
+        "query_id",
+        "doc_id",
+        f"stack({len(BM25_SWEEP)}, {stack_args}) AS (k1_x10, b_x100, score)",
+    )
+    w = Window.partitionBy("k1_x10", "b_x100", "query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = stacked.withColumn("rank", F.row_number().over(w))
+    in_dflt = F.max(
+        F.when(
+            (F.col("k1_x10") == BM25_SWEEP[0][0])
+            & (F.col("b_x100") == BM25_SWEEP[0][1])
+            & (F.col("rank") <= RETR_TOPK),
+            1,
+        ).otherwise(0)
+    ).over(Window.partitionBy("query_id", "doc_id"))
+    return (
+        ranked.withColumn("in_dflt", in_dflt)
+        .filter(F.col("rank") <= RETR_TOPK)
+        .groupBy("k1_x10", "b_x100")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ranked_ct"),
+            F.sum("in_dflt").cast("long").alias("overlap_default_ct"),
+        )
+    )
+
+
+def _oracle_bm25_param_sweep() -> str:
+    per_cfg_sums = ",\n           ".join(
+        f"CAST(sum({bm25_score_sql(*cfg)}) AS BIGINT) AS s{i}"
+        for i, (_, _, cfg) in enumerate(BM25_SWEEP)
+    )
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, CAST({k1x} AS BIGINT) AS k1_x10,"
+        f" CAST({bx} AS BIGINT) AS b_x100, s{i} AS score FROM agg"
+        for i, (k1x, bx, _) in enumerate(BM25_SWEEP)
+    )
+    return f"""
+WITH {_DUCK_FEAT_BASE},
+agg AS (
+    SELECT query_id, doc_id,
+           {per_cfg_sums}
+    FROM matched GROUP BY 1, 2
+),
+stacked AS (
+{stacked}
+),
+flagged AS (
+    SELECT *,
+           max(CASE WHEN k1_x10 = {BM25_SWEEP[0][0]}
+                     AND b_x100 = {BM25_SWEEP[0][1]}
+                     AND rank <= {RETR_TOPK} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY query_id, doc_id) AS in_dflt
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY k1_x10, b_x100, query_id
+            ORDER BY score DESC, doc_id ASC) AS rank
+        FROM stacked
+    )
+)
+SELECT k1_x10, b_x100,
+       CAST(count(*) AS BIGINT) AS ranked_ct,
+       CAST(sum(in_dflt) AS BIGINT) AS overlap_default_ct
+FROM flagged WHERE rank <= {RETR_TOPK}
+GROUP BY 1, 2
+"""
+
+
+ORACLE_BM25_PARAM_SWEEP = _oracle_bm25_param_sweep()

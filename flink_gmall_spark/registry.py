@@ -21,7 +21,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_gmall_spark import pipeline
-from flink_gmall_spark.operators import ann, curation, dedup, multimodal, scale, textstats, udaf
+from flink_gmall_spark.operators import ann, curation, dedup, multimodal, retrieval, scale, textstats, udaf
 from flink_gmall_spark.plans import ads, dwd, dwm, dws, tpch
 from flink_gmall_spark.streaming import jobs as stream_jobs
 from flink_gmall_spark.streaming import state as stream_state
@@ -388,6 +388,10 @@ _register("curation_dsir_weights", curation.dsir_weights, curation.ORACLE_DSIR_W
 _register("curation_importance_resample", curation.importance_resample, curation.ORACLE_IMPORTANCE_RESAMPLE, bench=True, tags=("curation", "ml-training", "importance-sampling", "sampling", "deterministic"))
 _register("stream_importance_resample", stream_jobs.stream_importance_resample, curation.ORACLE_IMPORTANCE_RESAMPLE, tags=("streaming", "curation", "ml-training", "importance-sampling", "serving", "complete-mode"))
 _register("stream_dsir_weights", stream_jobs.stream_dsir_weights, curation.ORACLE_DSIR_WEIGHTS, tags=("streaming", "curation", "ml-training", "importance-sampling", "feature-hashing", "complete-mode"))
+_register("text_bm25_topk", retrieval.bm25_topk, retrieval.ORACLE_BM25_TOPK, bench=True, tags=("text-analysis", "retrieval", "lexical", "bm25", "top-n"))
+_register("sim_hybrid_rrf", retrieval.hybrid_rrf, retrieval.ORACLE_HYBRID_RRF, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "top-n"))
+_register("stream_bm25_serve", stream_jobs.stream_bm25_serve, retrieval.ORACLE_BM25_TOPK, tags=("streaming", "retrieval", "lexical", "bm25", "serving", "append-mode"))
+_register("text_bm25_param_sweep", retrieval.bm25_param_sweep, retrieval.ORACLE_BM25_PARAM_SWEEP, bench=True, tags=("text-analysis", "retrieval", "bm25", "calibration", "self-measurement", "single-pass"))
 
 
 # =============================================================================
@@ -405,24 +409,30 @@ _register("stream_dsir_weights", stream_jobs.stream_dsir_weights, curation.ORACL
 # shared HASH_IDX templates this round (changed code outranks untouched
 # stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 11 round-11 additions
-    # (registration order; stream_dsir_weights landed post-rotation and
-    # was folded in per the invariant, displacing the cohort tail)
+    # 1 — never driver-verified: the 15 round-11 additions
+    # (registration order; stream_dsir_weights and the retrieval trio
+    # landed post-rotation and were folded in per the invariant,
+    # displacing the cohort tail)
     "sim_ivf_range_search_sampled", "stream_curriculum_stages",
     "stream_preference_pairs", "dedup_winnowing_w_sweep",
     "stream_ivf_range_serve_sampled", "curation_seq_len_sweep",
     "stream_seq_len_sweep", "curation_dsir_weights",
     "curation_importance_resample", "stream_importance_resample",
     "stream_dsir_weights",
+    "text_bm25_topk", "sim_hybrid_rrf", "stream_bm25_serve",
+    "text_bm25_param_sweep",
     # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
     "sim_semantic_dedup", "ads_amount_quartiles",
     "ads_status_priority_cube", "stream_dedup_distinct",
     # 3 — the 9 staged TPC-H fills (r5-latest)
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (25) + the
+    # 4 — r6-latest cohort in registration order (21) + the
     # changed-code swap-in (text_hashed_classifier, r6-latest too);
-    # dedup_lsh_recall_report defers to the r12 head
+    # stream_pq_index_serve, dedup_lsh_recall_report,
+    # dedup_cluster_representatives, dedup_intra_doc_chunks and
+    # dedup_incremental_minhash defer to the r12 head (displaced by the
+    # late retrieval additions)
     "tpch_q14", "tpch_q15", "ads_user_activity_similarity",
     "ads_copurchase_pairs", "ads_cohort_retention",
     "ads_event_transitions", "ads_rfm_segments",
@@ -432,9 +442,7 @@ _SAMPLE_PRIORITY = [
     "scale_dynamic_partition_pruning", "scale_epoch_compaction",
     "stream_ads_hourly_from_sink", "dwd_props_variant_stats",
     "dws_keyword_stats_udtf", "stream_intra_doc_chunks",
-    "stream_pq_encode", "stream_pq_index_serve",
-    "dedup_cluster_representatives", "dedup_intra_doc_chunks",
-    "dedup_incremental_minhash",
+    "stream_pq_encode",
     "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
@@ -463,17 +471,20 @@ def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
 # Round-11 rotation APPLIED above (2026-08-15, amended for the late
-# stream_dsir_weights addition): 11 round-11 additions + 4 r5
-# deferrals + 9 TPC-H fills + 26 r6-latest (25 in registration order +
-# the text_hashed_classifier changed-code swap-in). With every
-# contract ever-green since round 10, the operative invariant is now
-# FRESHNESS: after this window greens, the oldest driver row in the
-# registry is r6-latest, and the r12 roster continues the cohort.
+# stream_dsir_weights addition and the retrieval quartet): 15 round-11
+# additions + 4 r5 deferrals + 9 TPC-H fills + 22 r6-latest (21 in
+# registration order + the text_hashed_classifier changed-code
+# swap-in). With every contract ever-green since round 10, the
+# operative invariant is now FRESHNESS: after this window greens, the
+# oldest driver row in the registry is r6-latest, and the r12 roster
+# continues the cohort.
 #
 # Round-12 window staging: lead with any round-12 additions
 # (never-driver-verified), then the remaining r6-latest cohort in
 # registration order starting from the displaced entries:
-# dedup_lsh_recall_report, curation_bpe_train,
+# stream_pq_index_serve, dedup_lsh_recall_report,
+# dedup_cluster_representatives, dedup_intra_doc_chunks,
+# dedup_incremental_minhash, curation_bpe_train,
 # curation_adaptive_quality_filter,
 # curation_collocations_lift, curation_bpe_encode,
 # curation_multimodal_dedup_pipeline, curation_bpe_token_budget,

@@ -2045,3 +2045,33 @@ def stream_ivf_range_serve_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     return stream_ivf_range_serve(
         spark, sf_dir, exact_sample_hex=RANGE_SAMPLE_HEX
     )
+
+
+def stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval.bm25_topk as a SERVING job — a query STREAM scored
+    against the static BM25 index, the deployment shape of a lexical
+    retrieval endpoint. The corpus side (retrieval.scored_postings:
+    tf/df/dl/stats folded into one per-posting BIGINT term score) is
+    entirely static and resolved per micro-batch; the per-arriving-query
+    work is a stateless tokenize+explode (occurrence-level — BM25's qtf
+    weighting by repetition is what makes the ingest map state-free; a
+    distinct would be illegal in append mode) plus one stream-static
+    equi-join on tok. The per-(query, doc) integer sum and the top-k
+    window apply batch-side on the drained match table via
+    retrieval.bm25_finish (shared VERBATIM — rank windows cannot follow
+    an append stream); shares ORACLE_BM25_TOPK, so the served ranking is
+    hash-identical to the batch index by contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        bm25_finish,
+        query_occurrences,
+        scored_postings,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    sp = scored_postings(load(spark, sf_dir, "documents"))
+    occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
+    served = occ.join(sp, "tok").filter(
+        F.col("doc_id") != F.col("query_id")
+    ).select("query_id", "doc_id", "score_i")
+    return bm25_finish(run_to_memory(served, "append"))

@@ -77,6 +77,8 @@ DOC_OPS = [
     ("seq_len_sweep", "curation"),
     ("dsir_weights", "curation"),
     ("importance_resample", "curation"),
+    ("bm25_topk", "retrieval"),
+    ("bm25_param_sweep", "retrieval"),
 ]
 
 EMB_OPS = [
@@ -94,6 +96,7 @@ EMB_OPS = [
     ("hard_negatives_ivf", "ann"),
     # round-11 additions
     ("ivf_range_search_sampled", "ann"),
+    ("hybrid_rrf", "retrieval"),
 ]
 
 

@@ -1,0 +1,218 @@
+"""BM25 lexical retrieval + hybrid RRF fusion — hand-computed fixture
+checks against a pure-python mirror, the qtf/occurrence contract, the
+posting-DF fan-out guard, plan gates, and batch/stream hash equality."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_gmall_spark.operators import retrieval as R
+
+TINY = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry date"),
+    (2, "apple apple apple elderberry"),
+    (3, "cherry date elderberry fig"),
+    (4, "apple banana banana"),
+]
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_bm25(corpus, n_queries, max_df=None, k1=1.2, k1p1=2.2, b=0.75, omb=0.25):
+    """Pure-python mirror of the engine formula: same IEEE-double op
+    order, same floor-scale, occurrence-level query terms. The constants
+    arrive pre-folded exactly like BM25_SWEEP's literal strings."""
+    tf = {}
+    for doc_id, text in corpus:
+        for t in _toks(text):
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    dl = {}
+    for (d, _), c in tf.items():
+        dl[d] = dl.get(d, 0) + c
+    n_docs, total_len = len(dl), sum(dl.values())
+    df = {}
+    for (_, t), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    avgdl = float(total_len) / float(n_docs)
+
+    def term_score(t, d):
+        idf = (float(n_docs - df[t]) + 0.5) / (float(df[t]) + 0.5)
+        tf_part = (float(tf[(d, t)]) * k1p1) / (
+            float(tf[(d, t)]) + k1 * (omb + (b * float(dl[d])) / avgdl)
+        )
+        return int(math.floor((idf * tf_part) * float(R.BM25_SCALE)))
+
+    out = {}
+    for q_id, text in corpus:
+        if q_id >= n_queries:
+            continue
+        for t in _toks(text):  # occurrence-level: repeats count again
+            if max_df is not None and df.get(t, 0) > max_df:
+                continue
+            for d in dl:
+                if d != q_id and (d, t) in tf:
+                    hits, score = out.get((q_id, d), (0, 0))
+                    out[(q_id, d)] = (hits + 1, score + term_score(t, d))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("retr_sf"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in TINY],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_bm25_matches_python_mirror(spark, tiny_dir):
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.score)
+        for r in R.bm25_topk(spark, tiny_dir).collect()
+    }
+    want = _py_bm25(TINY, R.N_RETR_QUERIES)
+    assert got == want  # top-k doesn't truncate at this size
+
+
+def test_bm25_rank_order_and_tiebreak(spark, tiny_dir):
+    rows = R.bm25_topk(spark, tiny_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # rank follows (score desc, doc_id asc)
+        keys = [(-r.score, r.doc_id) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_bm25_qtf_occurrence_weighting(spark, tiny_dir):
+    """Query 2 repeats 'apple' 3x — its contribution to any matched doc
+    must be exactly 3x the single-occurrence term score (the stateless-
+    ingest contract the streaming twin relies on)."""
+    want = _py_bm25(TINY, R.N_RETR_QUERIES)
+    # doc 4 matches query 2 only through 'apple' (3 occurrences)
+    hits, score = want[(2, 4)]
+    assert hits == 3 and score % 3 == 0
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.score)
+        for r in R.bm25_topk(spark, tiny_dir).collect()
+    }
+    assert got[(2, 4)] == (hits, score)
+
+
+def test_bm25_posting_df_guard(spark, tiny_dir, monkeypatch):
+    """A term above MAX_POSTING_DF drops out of the match join (the
+    stopword fan-out cap): cap=2 excludes apple/banana/cherry (df=3 in
+    TINY); date/elderberry/fig (df<=2) stay. The python mirror applies
+    the same cap."""
+    monkeypatch.setattr(R, "MAX_POSTING_DF", 2)
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.score)
+        for r in R.bm25_topk(spark, tiny_dir).collect()
+    }
+    want = _py_bm25(TINY, R.N_RETR_QUERIES, max_df=2)
+    assert got == want
+    # and the capped result really differs from the uncapped one
+    assert got != _py_bm25(TINY, R.N_RETR_QUERIES)
+
+
+def test_bm25_plan_broadcasts_query_side_no_cartesian_corpus(spark, sf_dir):
+    plan = R.bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the tok match join broadcasts the bounded query side
+    assert "BroadcastHashJoin" in plan, plan
+    # the only nested-loop is the 1-row stats broadcast; never a
+    # corpus-by-corpus cartesian
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hybrid_rrf_scores_and_membership(spark, sf_dir):
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in R.bm25_topk(spark, sf_dir).collect()
+    }
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    sem = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in ann_topk(spark, sf_dir).collect()
+    }
+    fused = R.hybrid_rrf(spark, sf_dir).collect()
+    assert fused, "hybrid fusion returned no rows"
+    for r in fused:
+        key = (r.query_id, r.doc_id)
+        assert key in lex or key in sem  # only docs some retriever ranked
+        assert r.lex_rank == lex.get(key, 0)
+        assert r.sem_rank == sem.get(key, 0)
+        want = (1.0 / (60.0 + lex[key]) if key in lex else 0.0) + (
+            1.0 / (60.0 + sem[key]) if key in sem else 0.0
+        )
+        assert r.rrf == want  # bit-exact: fixed-order 2-term double sum
+
+
+def test_bm25_param_sweep_matches_python_mirror(spark, tiny_dir):
+    """Each config's ledger recomputed from the pure-python mirror:
+    per-config topk sets, overlap counted against the default config."""
+    per_cfg_topk = {}
+    for k1x, bx, (k1s, k1p1s, bs, ombs) in R.BM25_SWEEP:
+        scores = _py_bm25(
+            TINY,
+            R.N_RETR_QUERIES,
+            k1=float(k1s),
+            k1p1=float(k1p1s),
+            b=float(bs),
+            omb=float(ombs),
+        )
+        by_q = {}
+        for (q, d), (_h, s) in scores.items():
+            by_q.setdefault(q, []).append((-s, d))
+        topk = set()
+        for q, lst in by_q.items():
+            for _s, d in sorted(lst)[: R.RETR_TOPK]:
+                topk.add((q, d))
+        per_cfg_topk[(k1x, bx)] = topk
+    dflt = per_cfg_topk[(R.BM25_SWEEP[0][0], R.BM25_SWEEP[0][1])]
+    want = {
+        cfg: (len(tk), len(tk & dflt)) for cfg, tk in per_cfg_topk.items()
+    }
+    got = {
+        (r.k1_x10, r.b_x100): (r.ranked_ct, r.overlap_default_ct)
+        for r in R.bm25_param_sweep(spark, tiny_dir).collect()
+    }
+    assert got == want
+    # default row self-overlap pins the join logic
+    assert got[(12, 75)][0] == got[(12, 75)][1]
+
+
+def test_bm25_param_sweep_plan_single_stack_no_cartesian(spark, sf_dir):
+    """Scale gate: all configs ride ONE matched pass — exactly one
+    stack() Generate, the match join broadcasts the query side, and no
+    corpus-by-corpus cartesian appears (the 1-row stats broadcast is a
+    BroadcastNestedLoopJoin, not CartesianProduct)."""
+    plan = (
+        R.bm25_param_sweep(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all 4 configs unpivot through ONE stack — no per-config re-scan
+    assert plan.count("stack(") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_bm25_serve_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_bm25_serve
+
+    batch = sorted(map(tuple, R.bm25_topk(spark, sf_dir).collect()))
+    served = sorted(map(tuple, stream_bm25_serve(spark, sf_dir).collect()))
+    assert batch == served
