@@ -276,6 +276,15 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("sem_rank"),
     )
+    return rrf_finish(lex, sem)
+
+
+def rrf_finish(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """The fusion step proper — full-outer join of the two rank lists,
+    the fixed-order two-term RRF sum, and the final per-query window.
+    Shared VERBATIM by the batch entry and the streaming serve twin
+    (lex: (query_id, doc_id, lex_rank); sem: (query_id, doc_id,
+    sem_rank))."""
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",

@@ -392,6 +392,7 @@ _register("text_bm25_topk", retrieval.bm25_topk, retrieval.ORACLE_BM25_TOPK, ben
 _register("sim_hybrid_rrf", retrieval.hybrid_rrf, retrieval.ORACLE_HYBRID_RRF, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "top-n"))
 _register("stream_bm25_serve", stream_jobs.stream_bm25_serve, retrieval.ORACLE_BM25_TOPK, tags=("streaming", "retrieval", "lexical", "bm25", "serving", "append-mode"))
 _register("text_bm25_param_sweep", retrieval.bm25_param_sweep, retrieval.ORACLE_BM25_PARAM_SWEEP, bench=True, tags=("text-analysis", "retrieval", "bm25", "calibration", "self-measurement", "single-pass"))
+_register("stream_hybrid_rrf_serve", stream_jobs.stream_hybrid_rrf_serve, retrieval.ORACLE_HYBRID_RRF, tags=("streaming", "retrieval", "hybrid", "rank-fusion", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -409,9 +410,9 @@ _register("text_bm25_param_sweep", retrieval.bm25_param_sweep, retrieval.ORACLE_
 # shared HASH_IDX templates this round (changed code outranks untouched
 # stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 15 round-11 additions
-    # (registration order; stream_dsir_weights and the retrieval trio
-    # landed post-rotation and were folded in per the invariant,
+    # 1 — never driver-verified: the 16 round-11 additions
+    # (registration order; stream_dsir_weights and the five retrieval
+    # entries landed post-rotation and were folded in per the invariant,
     # displacing the cohort tail)
     "sim_ivf_range_search_sampled", "stream_curriculum_stages",
     "stream_preference_pairs", "dedup_winnowing_w_sweep",
@@ -420,16 +421,16 @@ _SAMPLE_PRIORITY = [
     "curation_importance_resample", "stream_importance_resample",
     "stream_dsir_weights",
     "text_bm25_topk", "sim_hybrid_rrf", "stream_bm25_serve",
-    "text_bm25_param_sweep",
+    "text_bm25_param_sweep", "stream_hybrid_rrf_serve",
     # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
     "sim_semantic_dedup", "ads_amount_quartiles",
     "ads_status_priority_cube", "stream_dedup_distinct",
     # 3 — the 9 staged TPC-H fills (r5-latest)
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (21) + the
+    # 4 — r6-latest cohort in registration order (20) + the
     # changed-code swap-in (text_hashed_classifier, r6-latest too);
-    # stream_pq_index_serve, dedup_lsh_recall_report,
+    # stream_pq_encode, stream_pq_index_serve, dedup_lsh_recall_report,
     # dedup_cluster_representatives, dedup_intra_doc_chunks and
     # dedup_incremental_minhash defer to the r12 head (displaced by the
     # late retrieval additions)
@@ -442,7 +443,6 @@ _SAMPLE_PRIORITY = [
     "scale_dynamic_partition_pruning", "scale_epoch_compaction",
     "stream_ads_hourly_from_sink", "dwd_props_variant_stats",
     "dws_keyword_stats_udtf", "stream_intra_doc_chunks",
-    "stream_pq_encode",
     "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
@@ -471,9 +471,9 @@ def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
 # Round-11 rotation APPLIED above (2026-08-15, amended for the late
-# stream_dsir_weights addition and the retrieval quartet): 15 round-11
-# additions + 4 r5 deferrals + 9 TPC-H fills + 22 r6-latest (21 in
-# registration order + the text_hashed_classifier changed-code
+# stream_dsir_weights addition and the five retrieval entries): 16
+# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 21 r6-latest
+# (20 in registration order + the text_hashed_classifier changed-code
 # swap-in). With every contract ever-green since round 10, the
 # operative invariant is now FRESHNESS: after this window greens, the
 # oldest driver row in the registry is r6-latest, and the r12 roster
@@ -482,7 +482,7 @@ def bench_queries() -> dict[str, QueryFn]:
 # Round-12 window staging: lead with any round-12 additions
 # (never-driver-verified), then the remaining r6-latest cohort in
 # registration order starting from the displaced entries:
-# stream_pq_index_serve, dedup_lsh_recall_report,
+# stream_pq_encode, stream_pq_index_serve, dedup_lsh_recall_report,
 # dedup_cluster_representatives, dedup_intra_doc_chunks,
 # dedup_incremental_minhash, curation_bpe_train,
 # curation_adaptive_quality_filter,

@@ -2075,3 +2075,40 @@ def stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") != F.col("query_id")
     ).select("query_id", "doc_id", "score_i")
     return bm25_finish(run_to_memory(served, "append"))
+
+
+def stream_hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval.hybrid_rrf as a SERVING job — the lexical leg is the
+    live query stream of stream_bm25_serve (stateless tokenize+explode
+    at ingest, stream-static join against the scored postings), the
+    semantic leg is the static brute-force cosine index, and the fusion
+    itself (full-outer rank join + the fixed-order RRF sum + the final
+    per-query window) applies batch-side on the drained lexical match
+    table via retrieval.rrf_finish / bm25_finish (both shared VERBATIM
+    with the batch entry — rank windows cannot follow an append stream).
+    Shares ORACLE_HYBRID_RRF, so the served fusion is hash-identical to
+    the batch one by contract."""
+    from flink_gmall_spark.operators.ann import ann_topk
+    from flink_gmall_spark.operators.retrieval import (
+        bm25_finish,
+        query_occurrences,
+        rrf_finish,
+        scored_postings,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    sp = scored_postings(load(spark, sf_dir, "documents"))
+    occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
+    served = occ.join(sp, "tok").filter(
+        F.col("doc_id") != F.col("query_id")
+    ).select("query_id", "doc_id", "score_i")
+    lex = bm25_finish(run_to_memory(served, "append")).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    return rrf_finish(lex, sem)

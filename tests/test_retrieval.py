@@ -216,3 +216,13 @@ def test_stream_bm25_serve_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, R.bm25_topk(spark, sf_dir).collect()))
     served = sorted(map(tuple, stream_bm25_serve(spark, sf_dir).collect()))
     assert batch == served
+
+
+def test_stream_hybrid_rrf_serve_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_hybrid_rrf_serve
+
+    batch = sorted(map(tuple, R.hybrid_rrf(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_hybrid_rrf_serve(spark, sf_dir).collect())
+    )
+    assert batch == served
