@@ -96,24 +96,30 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_TOPK = f"""
-WITH e AS (
+# Shared CTE chain for the brute-force cosine ranking — composed into
+# ORACLE_ANN_TOPK here and into retrieval.ORACLE_HYBRID_RRF (one
+# definition, so the fusion oracle cannot drift from the real ann_topk
+# its Spark twin calls).
+DUCK_ANN_RANKED_CTES = f"""e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
     FROM embeddings
 ),
-scored AS (
+ann_scored AS (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
            {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
     FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
 ),
-ranked AS (
+ann_ranked AS (
     SELECT query_id, neighbor_id, cos,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-    FROM scored
-)
+    FROM ann_scored
+)"""
+
+ORACLE_ANN_TOPK = f"""
+WITH {DUCK_ANN_RANKED_CTES}
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS sim
-FROM ranked WHERE rank <= {TOPK}
+FROM ann_ranked WHERE rank <= {TOPK}
 """
 
 

@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_gmall_spark.functions.tokenize import tokens_col
+from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
 from flink_gmall_spark.session import tune
 from flink_gmall_spark.sources import load
 
@@ -69,7 +69,9 @@ RRF_K = 60  # SIGIR'09 default
 # and dominate join cost at scale). Fixture corpora stay far below it.
 MAX_POSTING_DF = 100_000
 
-_DUCK_T = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_DUCK_T = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+)
 
 # BM25 parameter grid for the calibration sweep: (k1_x10, b_x100,
 # (k1, k1+1, b, 1-b)) — constants pre-folded as LITERAL STRINGS so both
@@ -152,13 +154,18 @@ def query_occurrences(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_match(occ: DataFrame, sp: DataFrame) -> DataFrame:
-    """Term-level match rows (query_id, doc_id, score_i), self excluded.
+def bm25_match(occ: DataFrame, sp: DataFrame, broadcast: bool = True) -> DataFrame:
+    """Term-level match rows against a tok-keyed posting table, self
+    excluded — the ONE definition of the match semantics, shared by the
+    batch entries and the streaming serve twins (which pass
+    broadcast=False: a streaming side cannot take the hint; the
+    stream-static join is already resolved per micro-batch).
 
     The occurrence side is ≤ N_RETR_QUERIES documents of tokens —
     broadcast — so the corpus-sized postings never shuffle for this join.
     """
-    return F.broadcast(occ).join(sp, "tok").filter(
+    left = F.broadcast(occ) if broadcast else occ
+    return left.join(sp, "tok").filter(
         F.col("doc_id") != F.col("query_id")
     )
 
@@ -309,44 +316,31 @@ def rrf_finish(lex: DataFrame, sem: DataFrame) -> DataFrame:
     )
 
 
-# The semantic side mirrors ann.ORACLE_ANN_TOPK's CTE chain (same
-# sequential-fold dot product); kept in the ann module's own constants.
-def _duck_ann_ranked() -> str:
+def _oracle_hybrid_rrf() -> str:
+    # The semantic leg composes ann.DUCK_ANN_RANKED_CTES — the SAME CTE
+    # chain ORACLE_ANN_TOPK is built from — and truncates at ann.TOPK /
+    # ann.N_QUERIES, because the Spark side calls the real ann_topk. The
+    # fusion presumes both retrievers rank the same query set; the assert
+    # makes that coupling loud instead of a far-away hash mismatch.
     from flink_gmall_spark.operators.ann import (
-        _DUCK_DOT,
-        _DUCK_NORM,
+        DUCK_ANN_RANKED_CTES,
         N_QUERIES,
+        TOPK,
     )
 
-    return f"""
-e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
-    FROM embeddings
-),
-ann_scored AS (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           {_DUCK_DOT.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cos
-    FROM e q JOIN e ON q.vec_id < {N_QUERIES} AND q.vec_id <> e.vec_id
-),
-ann_ranked AS (
-    SELECT query_id, neighbor_id, cos,
-           row_number() OVER (
-               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-    FROM ann_scored
-)"""
-
-
-def _oracle_hybrid_rrf() -> str:
+    assert N_QUERIES == N_RETR_QUERIES, (
+        "hybrid RRF fuses per-query rank lists: the lexical and semantic "
+        "retrievers must share one query set"
+    )
     return f"""
 WITH {_DUCK_BM25_BASE},
-{_duck_ann_ranked()},
+{DUCK_ANN_RANKED_CTES},
 lex AS (
     SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {RETR_TOPK}
 ),
 sem AS (
     SELECT query_id, neighbor_id AS doc_id, rank
-    FROM ann_ranked WHERE rank <= {RETR_TOPK}
+    FROM ann_ranked WHERE rank <= {TOPK}
 ),
 fused AS (
     SELECT COALESCE(l.query_id, s.query_id) AS query_id,

@@ -2063,6 +2063,7 @@ def stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical to the batch index by contract."""
     from flink_gmall_spark.operators.retrieval import (
         bm25_finish,
+        bm25_match,
         query_occurrences,
         scored_postings,
     )
@@ -2071,9 +2072,11 @@ def stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     sp = scored_postings(load(spark, sf_dir, "documents"))
     occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
-    served = occ.join(sp, "tok").filter(
-        F.col("doc_id") != F.col("query_id")
-    ).select("query_id", "doc_id", "score_i")
+    # shared match semantics (review r11): only the broadcast hint is
+    # batch-specific — a streaming side cannot take it
+    served = bm25_match(occ, sp, broadcast=False).select(
+        "query_id", "doc_id", "score_i"
+    )
     return bm25_finish(run_to_memory(served, "append"))
 
 
@@ -2089,21 +2092,12 @@ def stream_hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares ORACLE_HYBRID_RRF, so the served fusion is hash-identical to
     the batch one by contract."""
     from flink_gmall_spark.operators.ann import ann_topk
-    from flink_gmall_spark.operators.retrieval import (
-        bm25_finish,
-        query_occurrences,
-        rrf_finish,
-        scored_postings,
-    )
-    from flink_gmall_spark.sources import load
+    from flink_gmall_spark.operators.retrieval import rrf_finish
 
     tune(spark)
-    sp = scored_postings(load(spark, sf_dir, "documents"))
-    occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
-    served = occ.join(sp, "tok").filter(
-        F.col("doc_id") != F.col("query_id")
-    ).select("query_id", "doc_id", "score_i")
-    lex = bm25_finish(run_to_memory(served, "append")).select(
+    # the lexical leg IS stream_bm25_serve (review r11: one definition of
+    # the serve-side streaming query, not a hand-synced copy)
+    lex = stream_bm25_serve(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )
     sem = ann_topk(spark, sf_dir).select(
