@@ -90,18 +90,14 @@ GROUP BY o_orderstatus
 BUCKET_N = 8
 
 
-def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:
-    """Materialize ``table`` once per session as a bucketed+sorted parquet
+def _bucketed_df_table(
+    spark: SparkSession, sf_dir: str, label: str, df: DataFrame, key: str
+) -> str:
+    """Materialize ``df`` once per session as a bucketed+sorted parquet
     table on ``key`` (hash-bucketed into BUCKET_N files, like Hive
     bucketing). Subsequent scans expose the bucketing to the planner, so
     equi-joins and aggregations on ``key`` need no Exchange — the physical
-    layout IS the shuffle, paid once at write time.
-
-    This is the fact⋈fact strategy for dims too big to broadcast (SCALE.md
-    §Joins): at 100 TB both orders and lineitem are bucketed on the order
-    key at load time and every downstream join co-locates for free."""
-    from flink_gmall_spark.sources import load
-
+    layout IS the shuffle, paid once at write time."""
     # tag includes the application id: concurrent sessions (driver + CI)
     # must not overwrite each other's files mid-read — same reason the
     # stream staging dir renames atomically. Within a session the catalog
@@ -110,12 +106,11 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
 
     app = spark.sparkContext.applicationId
     tag = hashlib.md5(f"{os.path.realpath(sf_dir)}|{app}".encode()).hexdigest()[:8]
-    name = f"fgs_bkt_{table}_{tag}"
+    name = f"fgs_bkt_{label}_{tag}"
     if not spark.catalog.tableExists(name):
         path = scratch_dir("bucketed", name)
         (
-            load(spark, sf_dir, table)
-            .write.format("parquet")
+            df.write.format("parquet")
             .bucketBy(BUCKET_N, key)
             .sortBy(key)
             .option("path", path)
@@ -123,6 +118,17 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> s
             .saveAsTable(name)
         )
     return name
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:
+    """_bucketed_df_table over a raw fixture table.
+
+    This is the fact⋈fact strategy for dims too big to broadcast (SCALE.md
+    §Joins): at 100 TB both orders and lineitem are bucketed on the order
+    key at load time and every downstream join co-locates for free."""
+    from flink_gmall_spark.sources import load
+
+    return _bucketed_df_table(spark, sf_dir, table, load(spark, sf_dir, table), key)
 
 
 def bucketed_orders_join(spark, sf_dir: str) -> DataFrame:
@@ -855,3 +861,48 @@ SELECT *,
             ELSE 'sort_merge' END AS strategy
 FROM agg
 """
+
+
+def bucketed_postings_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 match join at BULK query volume — the co-location
+    strategy for when the query batch outgrows the broadcast that
+    retrieval.bm25_topk uses (8 queries broadcast fine; a corpus-sized
+    re-embedding or nightly eval batch does not). Both sides of the
+    match join — the scored postings index AND the query occurrences —
+    are materialized bucketed+sorted on ``tok`` (the _bucketed_table
+    discipline), so the tok equi-join SortMergeJoins with ZERO Exchange
+    below it: the posting index layout is paid once at index-build time
+    and every subsequent query batch co-locates for free. The merge
+    hints keep AQE from broadcasting the small fixture tables, which
+    would hide exactly the property this operator demonstrates
+    (bucketed_orders_join precedent).
+
+    Output and oracle are bm25_topk's own (shared ORACLE_BM25_TOPK):
+    bucketing must never change results, only the shuffle bill.
+    """
+    from flink_gmall_spark.operators.retrieval import (
+        bm25_finish,
+        query_occurrences,
+        scored_postings,
+    )
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sp = spark.table(
+        _bucketed_df_table(
+            spark, sf_dir, "bm25_postings", scored_postings(docs), "tok"
+        )
+    )
+    occ = spark.table(
+        _bucketed_df_table(
+            spark, sf_dir, "bm25_queries", query_occurrences(docs), "tok"
+        )
+    )
+    matched = (
+        occ.hint("merge")
+        .join(sp.hint("merge"), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    return bm25_finish(matched.select("query_id", "doc_id", "score_i"))

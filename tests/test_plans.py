@@ -108,6 +108,20 @@ def test_bucketed_join_no_join_shuffle(spark, sf_dir):
     assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 2, plan
 
 
+def test_bucketed_postings_serve_no_tok_shuffle(spark, sf_dir):
+    """The bulk-query BM25 serve: postings index and query occurrences
+    both bucketed on tok — the match SortMergeJoin takes its
+    partitioning from the file layout, so NO exchange ever repartitions
+    on tok; the only shuffles are the bounded (query, doc) aggregation
+    and the per-query rank window."""
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.bucketed_postings_serve(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(tok" not in plan, plan
+    assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 2, plan
+
+
 def test_dim_join_degrades_to_smj_without_broadcast(spark, sf_dir):
     """When a dim outgrows the broadcast threshold the same declarative
     plan must degrade to a shuffled join, not fail or collect — the
