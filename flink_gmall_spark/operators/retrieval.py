@@ -472,3 +472,93 @@ GROUP BY 1, 2
 
 
 ORACLE_BM25_PARAM_SWEEP = _oracle_bm25_param_sweep()
+
+
+FEEDBACK_K = 5  # PRF: top-K BM25 docs per query form the feedback set
+EXPANSION_M = 5  # expansion terms emitted per query
+PRF_SCALE = 1_000_000  # integer-scaled expansion weight: fb_tf * SCALE DIV df
+
+
+def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback QUERY EXPANSION (the RM/RM3 family,
+    Lavrenko & Croft SIGIR'01, reduced to the repo's integer-exact
+    discipline): take each query's top-FEEDBACK_K BM25 documents as the
+    relevance model, pool their term frequencies, drop terms the query
+    already contains, and emit the top-EXPANSION_M new terms ranked by
+    the df-normalized feedback weight ``fb_tf * PRF_SCALE DIV df`` (the
+    tfidf_top_terms idiom — monotone in the RM ratio, totally ordered
+    across engines; a true RM log-likelihood would rank by
+    engine-dependent float ties).
+
+    Plan shape: everything after the corpus-side postings pass is
+    query-bounded — the feedback set is ≤ N_RETR_QUERIES × FEEDBACK_K
+    rows BROADCAST into the postings join (doc-keyed), the original
+    query vocabulary is a broadcast anti-join, and the final rank rides
+    a per-query window over ≤ feedback-set-vocabulary rows. At 100 TB
+    the only corpus-scale work is the tf/df aggregation already shared
+    with the BM25 index build.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    tf = _postings(docs)
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    fb = bm25_topk(spark, sf_dir).filter(F.col("rank") <= FEEDBACK_K).select(
+        "query_id", "doc_id"
+    )
+    pooled = (
+        F.broadcast(fb)
+        .join(tf, "doc_id")
+        .groupBy("query_id", "tok")
+        .agg(F.sum("tf").alias("fb_tf"), F.count(F.lit(1)).alias("fb_docs"))
+    )
+    qvocab = query_occurrences(docs).distinct()
+    fresh = pooled.join(
+        F.broadcast(qvocab), ["query_id", "tok"], "left_anti"
+    ).join(dfreq, "tok")
+    scored = fresh.withColumn(
+        "score", F.expr(f"fb_tf * {PRF_SCALE} DIV df")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.desc("fb_tf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= EXPANSION_M)
+        .select("query_id", "tok", "fb_tf", "fb_docs", "df", "score", "rank")
+    )
+
+
+ORACLE_QUERY_EXPANSION_PRF = f"""
+WITH {_DUCK_BM25_BASE},
+fb AS (
+    SELECT query_id, doc_id FROM bm25_ranked WHERE rank <= {FEEDBACK_K}
+),
+pooled AS (
+    SELECT fb.query_id, tf.tok,
+           CAST(sum(tf.tf) AS BIGINT) AS fb_tf,
+           CAST(count(*) AS BIGINT) AS fb_docs
+    FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+    GROUP BY 1, 2
+),
+qvocab AS (
+    SELECT DISTINCT query_id, tok FROM qocc
+),
+fresh AS (
+    SELECT p.*, f.df,
+           p.fb_tf * {PRF_SCALE} // f.df AS score
+    FROM pooled p
+    JOIN dfreq f ON f.tok = p.tok
+    WHERE NOT EXISTS (
+        SELECT 1 FROM qvocab q
+        WHERE q.query_id = p.query_id AND q.tok = p.tok
+    )
+),
+prf_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY score DESC, fb_tf DESC, tok ASC) AS rank
+    FROM fresh
+)
+SELECT query_id, tok, fb_tf, fb_docs, df, score, CAST(rank AS BIGINT) AS rank
+FROM prf_ranked WHERE rank <= {EXPANSION_M}
+"""

@@ -79,6 +79,7 @@ DOC_OPS = [
     ("importance_resample", "curation"),
     ("bm25_topk", "retrieval"),
     ("bm25_param_sweep", "retrieval"),
+    ("query_expansion_prf", "retrieval"),
 ]
 
 EMB_OPS = [

@@ -218,6 +218,64 @@ def test_stream_bm25_serve_equals_batch(spark, sf_dir):
     assert batch == served
 
 
+def test_query_expansion_prf_matches_python_mirror(spark, tiny_dir):
+    """PRF expansion recomputed end-to-end in pure python: BM25 feedback
+    docs -> pooled tf -> minus query vocabulary -> df-normalized rank."""
+    scores = _py_bm25(TINY, R.N_RETR_QUERIES)
+    tf, df = {}, {}
+    for doc_id, text in TINY:
+        for t in _toks(text):
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    want = {}
+    for q in range(min(R.N_RETR_QUERIES, len(TINY))):
+        ranked = sorted(
+            ((d, s) for (qq, d), (_h, s) in scores.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )
+        fb = [d for d, _ in ranked[: R.FEEDBACK_K]]
+        qtoks = set(_toks(TINY[q][1]))
+        pooled = {}
+        for (d, t), c in tf.items():
+            if d in fb and t not in qtoks:
+                n, cnt = pooled.get(t, (0, 0))
+                pooled[t] = (n + c, cnt + 1)
+        rows = sorted(
+            (
+                (-(fb_tf * R.PRF_SCALE // df[t]), -fb_tf, t, fb_tf, fb_docs)
+                for t, (fb_tf, fb_docs) in pooled.items()
+            )
+        )
+        for rank, (_negs, _negtf, t, fb_tf, fb_docs) in enumerate(
+            rows[: R.EXPANSION_M], start=1
+        ):
+            want[(q, t)] = (fb_tf, fb_docs, df[t], fb_tf * R.PRF_SCALE // df[t], rank)
+    got = {
+        (r.query_id, r.tok): (r.fb_tf, r.fb_docs, r.df, r.score, r.rank)
+        for r in R.query_expansion_prf(spark, tiny_dir).collect()
+    }
+    assert got == want
+
+
+def test_query_expansion_prf_excludes_query_vocabulary(spark, sf_dir):
+    from flink_gmall_spark.sources import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < R.N_RETR_QUERIES)
+        .collect()
+    }
+    rows = R.query_expansion_prf(spark, sf_dir).collect()
+    assert rows, "PRF returned no expansion terms"
+    for r in rows:
+        toks = set(_toks(docs[r.query_id]))
+        assert r.tok not in toks  # expansion terms are NEW terms
+        assert 1 <= r.fb_docs <= R.FEEDBACK_K
+        assert 1 <= r.rank <= R.EXPANSION_M
+
+
 def test_stream_hybrid_rrf_serve_equals_batch(spark, sf_dir):
     from flink_gmall_spark.streaming.jobs import stream_hybrid_rrf_serve
 
