@@ -316,7 +316,7 @@ def rrf_finish(lex: DataFrame, sem: DataFrame) -> DataFrame:
     )
 
 
-def _oracle_hybrid_rrf() -> str:
+def _oracle_hybrid_ctes() -> str:
     # The semantic leg composes ann.DUCK_ANN_RANKED_CTES — the SAME CTE
     # chain ORACLE_ANN_TOPK is built from — and truncates at ann.TOPK /
     # ann.N_QUERIES, because the Spark side calls the real ann_topk. The
@@ -332,8 +332,7 @@ def _oracle_hybrid_rrf() -> str:
         "hybrid RRF fuses per-query rank lists: the lexical and semantic "
         "retrievers must share one query set"
     )
-    return f"""
-WITH {_DUCK_BM25_BASE},
+    return f"""{_DUCK_BM25_BASE},
 {DUCK_ANN_RANKED_CTES},
 lex AS (
     SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {RETR_TOPK}
@@ -358,13 +357,33 @@ final_ranked AS (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
     FROM fused
-)
-SELECT query_id, doc_id, lex_rank, sem_rank, rrf, CAST(rank AS BIGINT) AS rank
-FROM final_ranked WHERE rank <= {RETR_TOPK}
+),
+fused_topk AS (
+    SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
+           CAST(rank AS BIGINT) AS rank
+    FROM final_ranked WHERE rank <= {RETR_TOPK}
+)"""
+
+
+def _oracle_hybrid_rrf() -> str:
+    return f"""
+WITH {_oracle_hybrid_ctes()}
+SELECT * FROM fused_topk
 """
 
 
 ORACLE_HYBRID_RRF = _oracle_hybrid_rrf()
+
+ORACLE_FUSION_GAIN = f"""
+WITH {_oracle_hybrid_ctes()}
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_fused,
+       CAST(sum(CASE WHEN sem_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lex_only,
+       CAST(sum(CASE WHEN lex_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_only,
+       CAST(sum(CASE WHEN lex_rank > 0 AND sem_rank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM fused_topk
+GROUP BY query_id
+"""
 
 
 def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,9 +519,22 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    tf = _postings(docs)
+    return prf_finish(
+        bm25_topk(spark, sf_dir),
+        _postings(docs),
+        query_occurrences(docs).distinct(),
+    )
+
+
+def prf_finish(
+    lex_ranked: DataFrame, tf: DataFrame, qvocab: DataFrame
+) -> DataFrame:
+    """The expansion mine proper — feedback pool, vocabulary anti-join,
+    df-normalized rank. Shared VERBATIM by the batch entry and the
+    streaming serve twin (lex_ranked: bm25_finish output; tf: corpus
+    postings; qvocab: DISTINCT (query_id, tok))."""
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    fb = bm25_topk(spark, sf_dir).filter(F.col("rank") <= FEEDBACK_K).select(
+    fb = lex_ranked.filter(F.col("rank") <= FEEDBACK_K).select(
         "query_id", "doc_id"
     )
     pooled = (
@@ -511,7 +543,6 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "tok")
         .agg(F.sum("tf").alias("fb_tf"), F.count(F.lit(1)).alias("fb_docs"))
     )
-    qvocab = query_occurrences(docs).distinct()
     fresh = pooled.join(
         F.broadcast(qvocab), ["query_id", "tok"], "left_anti"
     ).join(dfreq, "tok")
@@ -525,6 +556,27 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= EXPANSION_M)
         .select("query_id", "tok", "fb_tf", "fb_docs", "df", "score", "rank")
+    )
+
+
+def fusion_gain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSION SELF-MEASUREMENT (the recall-report discipline applied to
+    RRF): for each query, how much of the fused top-k came only from
+    the lexical retriever, only from the semantic one, or from both —
+    the ledger that justifies (or kills) running two retrievers at 100
+    TB. Pure integer counts over hybrid_rrf's own output (rank sentinel
+    0 = absent), so the report is hash-exact by construction and costs
+    one bounded aggregation over ≤ N_RETR_QUERIES × RETR_TOPK rows."""
+    fused = hybrid_rrf(spark, sf_dir)
+    return fused.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fused"),
+        F.sum((F.col("sem_rank") == 0).cast("int")).cast("long").alias("n_lex_only"),
+        F.sum((F.col("lex_rank") == 0).cast("int")).cast("long").alias("n_sem_only"),
+        F.sum(
+            ((F.col("lex_rank") > 0) & (F.col("sem_rank") > 0)).cast("int")
+        )
+        .cast("long")
+        .alias("n_both"),
     )
 
 

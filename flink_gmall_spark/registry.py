@@ -395,6 +395,8 @@ _register("text_bm25_param_sweep", retrieval.bm25_param_sweep, retrieval.ORACLE_
 _register("stream_hybrid_rrf_serve", stream_jobs.stream_hybrid_rrf_serve, retrieval.ORACLE_HYBRID_RRF, tags=("streaming", "retrieval", "hybrid", "rank-fusion", "serving", "append-mode"))
 _register("scale_bucketed_postings_serve", scale.bucketed_postings_serve, retrieval.ORACLE_BM25_TOPK, tags=("scale", "retrieval", "bm25", "bucketing", "zero-shuffle-join", "serving"))
 _register("text_query_expansion_prf", retrieval.query_expansion_prf, retrieval.ORACLE_QUERY_EXPANSION_PRF, tags=("text-analysis", "retrieval", "query-expansion", "relevance-feedback", "top-n"))
+_register("sim_fusion_gain_report", retrieval.fusion_gain_report, retrieval.ORACLE_FUSION_GAIN, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "evaluation", "self-measurement"))
+_register("stream_query_expansion_prf", stream_jobs.stream_query_expansion_prf, retrieval.ORACLE_QUERY_EXPANSION_PRF, tags=("streaming", "retrieval", "query-expansion", "relevance-feedback", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -412,8 +414,8 @@ _register("text_query_expansion_prf", retrieval.query_expansion_prf, retrieval.O
 # shared HASH_IDX templates this round (changed code outranks untouched
 # stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 18 round-11 additions
-    # (registration order; stream_dsir_weights and the seven retrieval
+    # 1 — never driver-verified: the 20 round-11 additions
+    # (registration order; stream_dsir_weights and the nine retrieval
     # entries landed post-rotation and were folded in per the invariant,
     # displacing the cohort tail)
     "sim_ivf_range_search_sampled", "stream_curriculum_stages",
@@ -425,14 +427,16 @@ _SAMPLE_PRIORITY = [
     "text_bm25_topk", "sim_hybrid_rrf", "stream_bm25_serve",
     "text_bm25_param_sweep", "stream_hybrid_rrf_serve",
     "scale_bucketed_postings_serve", "text_query_expansion_prf",
+    "sim_fusion_gain_report", "stream_query_expansion_prf",
     # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
     "sim_semantic_dedup", "ads_amount_quartiles",
     "ads_status_priority_cube", "stream_dedup_distinct",
     # 3 — the 9 staged TPC-H fills (r5-latest)
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (18) + the
+    # 4 — r6-latest cohort in registration order (16) + the
     # changed-code swap-in (text_hashed_classifier, r6-latest too);
+    # stream_ads_hourly_from_sink, dwd_props_variant_stats,
     # dws_keyword_stats_udtf, stream_intra_doc_chunks, stream_pq_encode,
     # stream_pq_index_serve, dedup_lsh_recall_report,
     # dedup_cluster_representatives, dedup_intra_doc_chunks and
@@ -445,7 +449,6 @@ _SAMPLE_PRIORITY = [
     "ads_timed_funnel", "ads_part_pagerank", "ads_part_pagerank_deep",
     "scale_partition_pruned_read", "scale_runtime_bloom_join",
     "scale_dynamic_partition_pruning", "scale_epoch_compaction",
-    "stream_ads_hourly_from_sink", "dwd_props_variant_stats",
     "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
@@ -474,9 +477,9 @@ def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
 # Round-11 rotation APPLIED above (2026-08-15, amended for the late
-# stream_dsir_weights addition and the seven retrieval entries): 18
-# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 19 r6-latest
-# (18 in registration order + the text_hashed_classifier changed-code
+# stream_dsir_weights addition and the nine retrieval entries): 20
+# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 17 r6-latest
+# (16 in registration order + the text_hashed_classifier changed-code
 # swap-in). With every contract ever-green since round 10, the
 # operative invariant is now FRESHNESS: after this window greens, the
 # oldest driver row in the registry is r6-latest, and the r12 roster
@@ -485,6 +488,7 @@ def bench_queries() -> dict[str, QueryFn]:
 # Round-12 window staging: lead with any round-12 additions
 # (never-driver-verified), then the remaining r6-latest cohort in
 # registration order starting from the displaced entries:
+# stream_ads_hourly_from_sink, dwd_props_variant_stats,
 # dws_keyword_stats_udtf, stream_intra_doc_chunks, stream_pq_encode,
 # stream_pq_index_serve, dedup_lsh_recall_report,
 # dedup_cluster_representatives, dedup_intra_doc_chunks,

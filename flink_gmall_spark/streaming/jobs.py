@@ -2106,3 +2106,42 @@ def stream_hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("sem_rank"),
     )
     return rrf_finish(lex, sem)
+
+
+def stream_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_query_expansion_prf as a SERVING job — expansion terms mined
+    for queries ARRIVING ON A STREAM against the static corpus. Two
+    stateless append-mode passes over the query stream: (1) the
+    stream_bm25_serve match (tokenize+explode at ingest, stream-static
+    join against the scored postings — shared bm25_match, broadcast=False)
+    whose drained table feeds the shared bm25_finish ranking, and (2) the
+    raw query occurrences, drained for the vocabulary anti-join (a
+    deployed endpoint only sees query text on the stream — the exclusion
+    set cannot come from a batch table). The feedback pool, anti-join,
+    and df-normalized rank apply batch-side via retrieval.prf_finish
+    (shared VERBATIM — rank windows cannot follow an append stream).
+    Shares ORACLE_QUERY_EXPANSION_PRF, so the served expansions are
+    hash-identical to the batch mine by contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        _postings,
+        bm25_finish,
+        bm25_match,
+        prf_finish,
+        query_occurrences,
+        scored_postings,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs_static = load(spark, sf_dir, "documents")
+    sp = scored_postings(docs_static)
+    served = bm25_match(
+        query_occurrences(read_stream(spark, sf_dir, "documents")),
+        sp,
+        broadcast=False,
+    ).select("query_id", "doc_id", "score_i")
+    lex = bm25_finish(run_to_memory(served, "append"))
+    qvocab = run_to_memory(
+        query_occurrences(read_stream(spark, sf_dir, "documents")), "append"
+    ).distinct()
+    return prf_finish(lex, _postings(docs_static), qvocab)

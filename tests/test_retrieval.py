@@ -284,3 +284,35 @@ def test_stream_hybrid_rrf_serve_equals_batch(spark, sf_dir):
         map(tuple, stream_hybrid_rrf_serve(spark, sf_dir).collect())
     )
     assert batch == served
+
+
+def test_stream_query_expansion_prf_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_query_expansion_prf
+
+    batch = sorted(map(tuple, R.query_expansion_prf(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_query_expansion_prf(spark, sf_dir).collect())
+    )
+    assert batch == served
+
+
+def test_fusion_gain_report_consistent_with_hybrid(spark, sf_dir):
+    """The ledger's counts recomputed from hybrid_rrf's own rows, and the
+    partition identity n_lex_only + n_sem_only + n_both == n_fused."""
+    fused = R.hybrid_rrf(spark, sf_dir).collect()
+    want = {}
+    for r in fused:
+        f, lo, so, b = want.get(r.query_id, (0, 0, 0, 0))
+        want[r.query_id] = (
+            f + 1,
+            lo + (r.sem_rank == 0),
+            so + (r.lex_rank == 0),
+            b + (r.lex_rank > 0 and r.sem_rank > 0),
+        )
+    got = {
+        r.query_id: (r.n_fused, r.n_lex_only, r.n_sem_only, r.n_both)
+        for r in R.fusion_gain_report(spark, sf_dir).collect()
+    }
+    assert got == want
+    for f, lo, so, b in got.values():
+        assert lo + so + b == f
