@@ -1458,3 +1458,76 @@ def test_preference_distributed_rank_pairs_equal_textbook(rows):
                 if cs - rs >= PREF_MIN_GAP:
                     got.add((src, pair_id, cd, rd, cs - rs))
     assert got == expected
+
+
+@given(
+    st.integers(min_value=1, max_value=50),  # tf
+    st.integers(min_value=1, max_value=1000),  # df
+    st.integers(min_value=1, max_value=500),  # dl
+    st.integers(min_value=1, max_value=100_000),  # n_docs (>= df enforced)
+    st.integers(min_value=1, max_value=10_000_000),  # total_len (>= dl enforced)
+)
+def test_bm25_score_template_duckdb_equals_python_mirror(
+    tf, dfv, dl, n_docs, total_len
+):
+    """The BM25 parity contract, property-tested CROSS-ENGINE: the shared
+    bm25_score_sql template evaluated by DuckDB on arbitrary feature
+    values equals the pure-python IEEE-double mirror bit-for-bit (same
+    op order, floor-scale included). This pins the 'no transcendentals,
+    correctly-rounded ops in written order' argument on actual values
+    instead of only the fixture corpora — if either engine's literal
+    parsing or op grouping ever drifted from the mirror, a random
+    example breaks here before the driver hash does."""
+    import math
+
+    import duckdb
+
+    from flink_gmall_spark.operators.retrieval import (
+        BM25_SCALE,
+        BM25_SWEEP,
+        bm25_score_sql,
+    )
+
+    n_docs = max(n_docs, dfv)  # df <= n_docs by construction
+    total_len = max(total_len, dl, n_docs)  # every doc holds >= 1 token
+    con = duckdb.connect()
+    for k1x, bx, (k1s, k1p1s, bs, ombs) in BM25_SWEEP:
+        got = con.execute(
+            f"SELECT {bm25_score_sql(k1s, k1p1s, bs, ombs)} AS s FROM "
+            f"(SELECT CAST({tf} AS BIGINT) AS tf, CAST({dfv} AS BIGINT) AS df, "
+            f" CAST({dl} AS BIGINT) AS dl, CAST({n_docs} AS BIGINT) AS n_docs, "
+            f" CAST({total_len} AS BIGINT) AS total_len)"
+        ).fetchone()[0]
+        avgdl = float(total_len) / float(n_docs)
+        idf = (float(n_docs - dfv) + 0.5) / (float(dfv) + 0.5)
+        tf_part = (float(tf) * float(k1p1s)) / (
+            float(tf) + float(k1s) * (float(ombs) + (float(bs) * float(dl)) / avgdl)
+        )
+        want = int(math.floor((idf * tf_part) * float(BM25_SCALE)))
+        assert got == want, (k1x, bx, got, want)
+
+
+@given(
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=1, max_value=999),
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1000, max_value=100_000),
+    st.integers(min_value=500_000, max_value=10_000_000),
+)
+def test_bm25_score_monotonicity(tf, dfv, dl, n_docs, total_len):
+    """Ranking semantics of the log-free idf: the per-term score is
+    non-decreasing in tf and non-increasing in df — the two monotonicity
+    properties BM25's saturation/idf arguments rely on and the module
+    docstring claims survive the rational-idf substitution."""
+    import math
+
+    def score(tf_, df_):
+        avgdl = float(total_len) / float(n_docs)
+        idf = (float(n_docs - df_) + 0.5) / (float(df_) + 0.5)
+        tf_part = (float(tf_) * 2.2) / (
+            float(tf_) + 1.2 * (0.25 + (0.75 * float(dl)) / avgdl)
+        )
+        return int(math.floor((idf * tf_part) * 1_000_000.0))
+
+    assert score(tf + 1, dfv) >= score(tf, dfv)
+    assert score(tf, dfv + 1) <= score(tf, dfv)
