@@ -614,3 +614,114 @@ prf_ranked AS (
 SELECT query_id, tok, fb_tf, fb_docs, df, score, CAST(rank AS BIGINT) AS rank
 FROM prf_ranked WHERE rank <= {EXPANSION_M}
 """
+
+
+POS_K = 3  # positives per query: the top-POS_K BM25 docs
+NEG_K = 4  # negatives per query, deterministically hash-sampled
+# md5-threshold pre-sample for the negative pool: only (query, doc) pairs
+# whose hash sorts below this hex prefix are candidates (~1/4 of the
+# corpus per query) — the knob that bounds the negative-pool scan at
+# 100 TB exactly like ann's exact_sample_hex audit discipline.
+NEG_SAMPLE_HEX = "40"
+
+
+def retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING for embedding-model training — the standard
+    (query, positive, negative) data builder over the lexical index:
+    positives are each query's top-POS_K BM25 documents (lexical
+    relevance as the weak label, the classic BM25-negatives setup from
+    the DPR line of work, Karpukhin et al. 2020 — here inverted: BM25
+    gives the positives and the negatives are random), negatives are
+    NEG_K documents deterministically sampled per query by md5 order
+    from outside the query's ENTIRE top-RETR_TOPK list (not just the
+    positives — a rank-4 doc is too relevant to be a safe negative).
+
+    Determinism/parity: the negative sample is the md5 hex order of
+    (query_id '-' doc_id) under a threshold pre-filter (NEG_SAMPLE_HEX),
+    so both engines pick the identical docs with no RNG; every output
+    column is BIGINT/STRING. Plan shape: the negative pool is the ONLY
+    corpus-scale piece — a doc_id-projected scan crossed with the ≤
+    N_RETR_QUERIES broadcast query list, hash-filtered to ~1/4 BEFORE
+    the anti-join and window (pushdown-visible), then ranked per query;
+    positives and the final pos × neg pairing are query-bounded.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    topk = bm25_topk(spark, sf_dir)
+    pos = topk.filter(F.col("rank") <= POS_K).select(
+        "query_id",
+        F.col("doc_id").alias("pos_doc_id"),
+        F.col("rank").alias("pos_rank"),
+    )
+    qids = (
+        docs.filter(F.col("doc_id") < N_RETR_QUERIES)
+        .select(F.col("doc_id").alias("query_id"))
+        .distinct()
+    )
+    pool = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(qids))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("query_id").cast("string"),
+                    F.lit("-"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .filter(F.col("h") < NEG_SAMPLE_HEX)
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    eligible = pool.join(
+        F.broadcast(topk.select("query_id", "doc_id")),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("doc_id"))
+    negs = (
+        eligible.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("query_id", F.col("doc_id").alias("neg_doc_id"), "neg_rank")
+    )
+    return pos.join(negs, "query_id").select(
+        "query_id", "pos_doc_id", "pos_rank", "neg_doc_id", "neg_rank"
+    )
+
+
+ORACLE_RETRIEVAL_TRIPLETS = f"""
+WITH {_DUCK_BM25_BASE},
+topk AS (
+    SELECT query_id, doc_id, rank FROM bm25_ranked WHERE rank <= {RETR_TOPK}
+),
+pos AS (
+    SELECT query_id, doc_id AS pos_doc_id, rank AS pos_rank
+    FROM topk WHERE rank <= {POS_K}
+),
+pool AS (
+    SELECT q.query_id, d.doc_id,
+           md5(concat(CAST(q.query_id AS VARCHAR), '-', CAST(d.doc_id AS VARCHAR))) AS h
+    FROM (SELECT doc_id FROM documents) d
+    CROSS JOIN (SELECT DISTINCT doc_id AS query_id FROM documents
+                WHERE doc_id < {N_RETR_QUERIES}) q
+),
+eligible AS (
+    SELECT p.* FROM pool p
+    WHERE p.h < '{NEG_SAMPLE_HEX}' AND p.doc_id <> p.query_id
+      AND NOT EXISTS (
+          SELECT 1 FROM topk t
+          WHERE t.query_id = p.query_id AND t.doc_id = p.doc_id
+      )
+),
+negs AS (
+    SELECT query_id, doc_id AS neg_doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY h ASC, doc_id ASC) AS BIGINT)
+               AS neg_rank
+    FROM eligible
+    QUALIFY neg_rank <= {NEG_K}
+)
+SELECT pos.query_id, pos.pos_doc_id, pos.pos_rank, negs.neg_doc_id, negs.neg_rank
+FROM pos JOIN negs ON negs.query_id = pos.query_id
+"""

@@ -397,6 +397,7 @@ _register("scale_bucketed_postings_serve", scale.bucketed_postings_serve, retrie
 _register("text_query_expansion_prf", retrieval.query_expansion_prf, retrieval.ORACLE_QUERY_EXPANSION_PRF, tags=("text-analysis", "retrieval", "query-expansion", "relevance-feedback", "top-n"))
 _register("sim_fusion_gain_report", retrieval.fusion_gain_report, retrieval.ORACLE_FUSION_GAIN, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "evaluation", "self-measurement"))
 _register("stream_query_expansion_prf", stream_jobs.stream_query_expansion_prf, retrieval.ORACLE_QUERY_EXPANSION_PRF, tags=("streaming", "retrieval", "query-expansion", "relevance-feedback", "serving", "append-mode"))
+_register("curation_retrieval_triplets", retrieval.retrieval_triplets, retrieval.ORACLE_RETRIEVAL_TRIPLETS, tags=("curation", "retrieval", "ml-training", "triplet-mining", "sampling", "deterministic"))
 
 
 # =============================================================================
@@ -414,8 +415,8 @@ _register("stream_query_expansion_prf", stream_jobs.stream_query_expansion_prf, 
 # shared HASH_IDX templates this round (changed code outranks untouched
 # stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 20 round-11 additions
-    # (registration order; stream_dsir_weights and the nine retrieval
+    # 1 — never driver-verified: the 21 round-11 additions
+    # (registration order; stream_dsir_weights and the ten retrieval
     # entries landed post-rotation and were folded in per the invariant,
     # displacing the cohort tail)
     "sim_ivf_range_search_sampled", "stream_curriculum_stages",
@@ -428,27 +429,28 @@ _SAMPLE_PRIORITY = [
     "text_bm25_param_sweep", "stream_hybrid_rrf_serve",
     "scale_bucketed_postings_serve", "text_query_expansion_prf",
     "sim_fusion_gain_report", "stream_query_expansion_prf",
+    "curation_retrieval_triplets",
     # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
     "sim_semantic_dedup", "ads_amount_quartiles",
     "ads_status_priority_cube", "stream_dedup_distinct",
     # 3 — the 9 staged TPC-H fills (r5-latest)
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (16) + the
+    # 4 — r6-latest cohort in registration order (15) + the
     # changed-code swap-in (text_hashed_classifier, r6-latest too);
-    # stream_ads_hourly_from_sink, dwd_props_variant_stats,
-    # dws_keyword_stats_udtf, stream_intra_doc_chunks, stream_pq_encode,
-    # stream_pq_index_serve, dedup_lsh_recall_report,
-    # dedup_cluster_representatives, dedup_intra_doc_chunks and
-    # dedup_incremental_minhash defer to the r12 head (displaced by the
-    # late retrieval additions)
+    # scale_epoch_compaction, stream_ads_hourly_from_sink,
+    # dwd_props_variant_stats, dws_keyword_stats_udtf,
+    # stream_intra_doc_chunks, stream_pq_encode, stream_pq_index_serve,
+    # dedup_lsh_recall_report, dedup_cluster_representatives,
+    # dedup_intra_doc_chunks and dedup_incremental_minhash defer to the
+    # r12 head (displaced by the late retrieval additions)
     "tpch_q14", "tpch_q15", "ads_user_activity_similarity",
     "ads_copurchase_pairs", "ads_cohort_retention",
     "ads_event_transitions", "ads_rfm_segments",
     "ads_rfm_segments_approx", "ads_association_rules",
     "ads_timed_funnel", "ads_part_pagerank", "ads_part_pagerank_deep",
     "scale_partition_pruned_read", "scale_runtime_bloom_join",
-    "scale_dynamic_partition_pruning", "scale_epoch_compaction",
+    "scale_dynamic_partition_pruning",
     "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
@@ -477,9 +479,9 @@ def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
 # Round-11 rotation APPLIED above (2026-08-15, amended for the late
-# stream_dsir_weights addition and the nine retrieval entries): 20
-# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 17 r6-latest
-# (16 in registration order + the text_hashed_classifier changed-code
+# stream_dsir_weights addition and the ten retrieval entries): 21
+# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 16 r6-latest
+# (15 in registration order + the text_hashed_classifier changed-code
 # swap-in). With every contract ever-green since round 10, the
 # operative invariant is now FRESHNESS: after this window greens, the
 # oldest driver row in the registry is r6-latest, and the r12 roster
@@ -488,7 +490,8 @@ def bench_queries() -> dict[str, QueryFn]:
 # Round-12 window staging: lead with any round-12 additions
 # (never-driver-verified), then the remaining r6-latest cohort in
 # registration order starting from the displaced entries:
-# stream_ads_hourly_from_sink, dwd_props_variant_stats,
+# scale_epoch_compaction, stream_ads_hourly_from_sink,
+# dwd_props_variant_stats,
 # dws_keyword_stats_udtf, stream_intra_doc_chunks, stream_pq_encode,
 # stream_pq_index_serve, dedup_lsh_recall_report,
 # dedup_cluster_representatives, dedup_intra_doc_chunks,

@@ -80,6 +80,7 @@ DOC_OPS = [
     ("bm25_topk", "retrieval"),
     ("bm25_param_sweep", "retrieval"),
     ("query_expansion_prf", "retrieval"),
+    ("retrieval_triplets", "retrieval"),
 ]
 
 EMB_OPS = [

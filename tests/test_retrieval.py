@@ -296,6 +296,36 @@ def test_stream_query_expansion_prf_equals_batch(spark, sf_dir):
     assert batch == served
 
 
+def test_retrieval_triplets_contract(spark, sf_dir):
+    """Triplet invariants: positives are exactly the query's top-POS_K
+    BM25 docs; negatives never appear ANYWHERE in that query's
+    top-RETR_TOPK list (not merely outside the positives), never equal
+    the query, pass the md5-threshold pre-sample, and follow the md5
+    order; each (query, pos) carries the same <= NEG_K negative set."""
+    import hashlib
+
+    topk = {}
+    for r in R.bm25_topk(spark, sf_dir).collect():
+        topk.setdefault(r.query_id, {})[r.doc_id] = r.rank
+    rows = R.retrieval_triplets(spark, sf_dir).collect()
+    assert rows, "no triplets mined"
+    by_q_negs = {}
+    for r in rows:
+        assert topk[r.query_id][r.pos_doc_id] == r.pos_rank <= R.POS_K
+        assert r.neg_doc_id not in topk[r.query_id]
+        assert r.neg_doc_id != r.query_id
+        h = hashlib.md5(f"{r.query_id}-{r.neg_doc_id}".encode()).hexdigest()
+        assert h < R.NEG_SAMPLE_HEX
+        assert 1 <= r.neg_rank <= R.NEG_K
+        by_q_negs.setdefault((r.query_id, r.pos_doc_id), set()).add(
+            (r.neg_doc_id, r.neg_rank)
+        )
+    # every positive of a query pairs with the query's one negative set
+    per_q = {}
+    for (q, _p), negs in by_q_negs.items():
+        assert per_q.setdefault(q, negs) == negs
+
+
 def test_fusion_gain_report_consistent_with_hybrid(spark, sf_dir):
     """The ledger's counts recomputed from hybrid_rrf's own rows, and the
     partition identity n_lex_only + n_sem_only + n_both == n_fused."""
