@@ -647,7 +647,14 @@ def retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    topk = bm25_topk(spark, sf_dir)
+    return triplets_finish(bm25_topk(spark, sf_dir), docs)
+
+
+def triplets_finish(topk: DataFrame, docs: DataFrame) -> DataFrame:
+    """Everything downstream of the BM25 rank list — positives slice,
+    hash-sampled negative pool, pairing. Shared VERBATIM by the batch
+    entry and the streaming serve twin (topk: bm25_finish output; docs:
+    the STATIC corpus — the negative pool is corpus-side either way)."""
     pos = topk.filter(F.col("rank") <= POS_K).select(
         "query_id",
         F.col("doc_id").alias("pos_doc_id"),

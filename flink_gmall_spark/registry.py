@@ -398,6 +398,7 @@ _register("text_query_expansion_prf", retrieval.query_expansion_prf, retrieval.O
 _register("sim_fusion_gain_report", retrieval.fusion_gain_report, retrieval.ORACLE_FUSION_GAIN, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "evaluation", "self-measurement"))
 _register("stream_query_expansion_prf", stream_jobs.stream_query_expansion_prf, retrieval.ORACLE_QUERY_EXPANSION_PRF, tags=("streaming", "retrieval", "query-expansion", "relevance-feedback", "serving", "append-mode"))
 _register("curation_retrieval_triplets", retrieval.retrieval_triplets, retrieval.ORACLE_RETRIEVAL_TRIPLETS, tags=("curation", "retrieval", "ml-training", "triplet-mining", "sampling", "deterministic"))
+_register("stream_retrieval_triplets", stream_jobs.stream_retrieval_triplets, retrieval.ORACLE_RETRIEVAL_TRIPLETS, tags=("streaming", "curation", "retrieval", "ml-training", "triplet-mining", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -415,8 +416,8 @@ _register("curation_retrieval_triplets", retrieval.retrieval_triplets, retrieval
 # shared HASH_IDX templates this round (changed code outranks untouched
 # stale rows; the displaced curation_bpe_train heads the r12 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 21 round-11 additions
-    # (registration order; stream_dsir_weights and the ten retrieval
+    # 1 — never driver-verified: the 22 round-11 additions
+    # (registration order; stream_dsir_weights and the eleven retrieval
     # entries landed post-rotation and were folded in per the invariant,
     # displacing the cohort tail)
     "sim_ivf_range_search_sampled", "stream_curriculum_stages",
@@ -429,16 +430,17 @@ _SAMPLE_PRIORITY = [
     "text_bm25_param_sweep", "stream_hybrid_rrf_serve",
     "scale_bucketed_postings_serve", "text_query_expansion_prf",
     "sim_fusion_gain_report", "stream_query_expansion_prf",
-    "curation_retrieval_triplets",
+    "curation_retrieval_triplets", "stream_retrieval_triplets",
     # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
     "sim_semantic_dedup", "ads_amount_quartiles",
     "ads_status_priority_cube", "stream_dedup_distinct",
     # 3 — the 9 staged TPC-H fills (r5-latest)
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
     "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (15) + the
+    # 4 — r6-latest cohort in registration order (14) + the
     # changed-code swap-in (text_hashed_classifier, r6-latest too);
-    # scale_epoch_compaction, stream_ads_hourly_from_sink,
+    # scale_dynamic_partition_pruning, scale_epoch_compaction,
+    # stream_ads_hourly_from_sink,
     # dwd_props_variant_stats, dws_keyword_stats_udtf,
     # stream_intra_doc_chunks, stream_pq_encode, stream_pq_index_serve,
     # dedup_lsh_recall_report, dedup_cluster_representatives,
@@ -450,7 +452,6 @@ _SAMPLE_PRIORITY = [
     "ads_rfm_segments_approx", "ads_association_rules",
     "ads_timed_funnel", "ads_part_pagerank", "ads_part_pagerank_deep",
     "scale_partition_pruned_read", "scale_runtime_bloom_join",
-    "scale_dynamic_partition_pruning",
     "text_hashed_classifier",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
@@ -479,9 +480,9 @@ def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
 # Round-11 rotation APPLIED above (2026-08-15, amended for the late
-# stream_dsir_weights addition and the ten retrieval entries): 21
-# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 16 r6-latest
-# (15 in registration order + the text_hashed_classifier changed-code
+# stream_dsir_weights addition and the eleven retrieval entries): 22
+# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 15 r6-latest
+# (14 in registration order + the text_hashed_classifier changed-code
 # swap-in). With every contract ever-green since round 10, the
 # operative invariant is now FRESHNESS: after this window greens, the
 # oldest driver row in the registry is r6-latest, and the r12 roster
@@ -490,6 +491,7 @@ def bench_queries() -> dict[str, QueryFn]:
 # Round-12 window staging: lead with any round-12 additions
 # (never-driver-verified), then the remaining r6-latest cohort in
 # registration order starting from the displaced entries:
+# scale_dynamic_partition_pruning,
 # scale_epoch_compaction, stream_ads_hourly_from_sink,
 # dwd_props_variant_stats,
 # dws_keyword_stats_udtf, stream_intra_doc_chunks, stream_pq_encode,

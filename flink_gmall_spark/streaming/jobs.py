@@ -2145,3 +2145,34 @@ def stream_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_occurrences(read_stream(spark, sf_dir, "documents")), "append"
     ).distinct()
     return prf_finish(lex, _postings(docs_static), qvocab)
+
+
+def stream_retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation_retrieval_triplets as a SERVING job — triplets mined
+    incrementally for queries ARRIVING ON A STREAM (the online
+    hard-negative-refresh shape): the lexical leg is stream_bm25_serve's
+    stateless match join drained to the shared bm25_finish rank list,
+    and everything downstream — the positives slice, the md5-threshold
+    negative pool over the STATIC corpus, the pairing — applies
+    batch-side via retrieval.triplets_finish (shared VERBATIM). Shares
+    ORACLE_RETRIEVAL_TRIPLETS, so the served triplet set is
+    hash-identical to the batch mine by contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        bm25_finish,
+        bm25_match,
+        query_occurrences,
+        scored_postings,
+        triplets_finish,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs_static = load(spark, sf_dir, "documents")
+    served = bm25_match(
+        query_occurrences(read_stream(spark, sf_dir, "documents")),
+        scored_postings(docs_static),
+        broadcast=False,
+    ).select("query_id", "doc_id", "score_i")
+    return triplets_finish(
+        bm25_finish(run_to_memory(served, "append")), docs_static
+    )

@@ -326,6 +326,16 @@ def test_retrieval_triplets_contract(spark, sf_dir):
         assert per_q.setdefault(q, negs) == negs
 
 
+def test_stream_retrieval_triplets_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_retrieval_triplets
+
+    batch = sorted(map(tuple, R.retrieval_triplets(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_retrieval_triplets(spark, sf_dir).collect())
+    )
+    assert batch == served
+
+
 def test_fusion_gain_report_consistent_with_hybrid(spark, sf_dir):
     """The ledger's counts recomputed from hybrid_rrf's own rows, and the
     partition identity n_lex_only + n_sem_only + n_both == n_fused."""
