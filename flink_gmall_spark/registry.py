@@ -402,57 +402,47 @@ _register("stream_retrieval_triplets", stream_jobs.stream_retrieval_triplets, re
 
 
 # =============================================================================
-# Round-11 sample window (VERDICT r10 ask #1 / ROADMAP "Round-11 sample
-# rotation", staged in round 10 and APPLIED 2026-08-15). The driver
+# Round-12 sample window (VERDICT r11 ask #1 / ROADMAP "Round-12 sample
+# rotation", staged in round 11 and APPLIED 2026-08-15). The driver
 # samples the FIRST 50 registrations, so ordering is evidence strategy.
-# CORRECTNESS_r10 greened the entire round-10 window (50/50), and the
-# union of r1-r10 covers every contract, so the roster shifts to the
-# staged FRESHNESS plan: the 10 round-11 additions (never
-# driver-verified; each subset-simmed MATCH at sf0.01 AND sf0.1 under
-# the hostile config pre-commit), the 4 r5 deferrals, the 9 staged
-# TPC-H fills, then the r6-latest cohort in registration order up to
-# 50 — with ONE swap inside the cohort: text_hashed_classifier jumps
-# the queue because its bucket-index expression was refactored into the
-# shared HASH_IDX templates this round (changed code outranks untouched
-# stale rows; the displaced curation_bpe_train heads the r12 roster).
+# CORRECTNESS_r11 greened the entire round-11 window (50/50) and the
+# ever-green union now covers all 276 contracts, so FRESHNESS is the
+# operative invariant (oldest driver row ≤5 rounds): any round-12
+# additions lead (never driver-verified), then the 26 displaced
+# r6-latest entries in registration order, then the r7-latest cohort in
+# registration order up to the 50 cap. Round-12 additions displace the
+# r7 tail as they land (the displaced names head the r13 roster).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified: the 22 round-11 additions
-    # (registration order; stream_dsir_weights and the eleven retrieval
-    # entries landed post-rotation and were folded in per the invariant,
-    # displacing the cohort tail)
-    "sim_ivf_range_search_sampled", "stream_curriculum_stages",
-    "stream_preference_pairs", "dedup_winnowing_w_sweep",
-    "stream_ivf_range_serve_sampled", "curation_seq_len_sweep",
-    "stream_seq_len_sweep", "curation_dsir_weights",
-    "curation_importance_resample", "stream_importance_resample",
-    "stream_dsir_weights",
-    "text_bm25_topk", "sim_hybrid_rrf", "stream_bm25_serve",
-    "text_bm25_param_sweep", "stream_hybrid_rrf_serve",
-    "scale_bucketed_postings_serve", "text_query_expansion_prf",
-    "sim_fusion_gain_report", "stream_query_expansion_prf",
-    "curation_retrieval_triplets", "stream_retrieval_triplets",
-    # 2 — the 4 r5-latest deferrals (oldest driver rows in the registry)
-    "sim_semantic_dedup", "ads_amount_quartiles",
-    "ads_status_priority_cube", "stream_dedup_distinct",
-    # 3 — the 9 staged TPC-H fills (r5-latest)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q10", "tpch_q13",
-    # 4 — r6-latest cohort in registration order (14) + the
-    # changed-code swap-in (text_hashed_classifier, r6-latest too);
-    # scale_dynamic_partition_pruning, scale_epoch_compaction,
-    # stream_ads_hourly_from_sink,
-    # dwd_props_variant_stats, dws_keyword_stats_udtf,
-    # stream_intra_doc_chunks, stream_pq_encode, stream_pq_index_serve,
-    # dedup_lsh_recall_report, dedup_cluster_representatives,
-    # dedup_intra_doc_chunks and dedup_incremental_minhash defer to the
-    # r12 head (displaced by the late retrieval additions)
-    "tpch_q14", "tpch_q15", "ads_user_activity_similarity",
-    "ads_copurchase_pairs", "ads_cohort_retention",
-    "ads_event_transitions", "ads_rfm_segments",
-    "ads_rfm_segments_approx", "ads_association_rules",
-    "ads_timed_funnel", "ads_part_pagerank", "ads_part_pagerank_deep",
-    "scale_partition_pruned_read", "scale_runtime_bloom_join",
-    "text_hashed_classifier",
+    # 1 — never driver-verified round-12 additions (folded in as they
+    # land, per the invariant)
+    # 2 — the 26 r6-latest entries displaced at the round-11 rotation
+    # (registration order)
+    "scale_dynamic_partition_pruning", "scale_epoch_compaction",
+    "stream_ads_hourly_from_sink", "dwd_props_variant_stats",
+    "dws_keyword_stats_udtf", "stream_intra_doc_chunks",
+    "stream_pq_encode", "stream_pq_index_serve",
+    "dedup_lsh_recall_report", "dedup_cluster_representatives",
+    "dedup_intra_doc_chunks", "dedup_incremental_minhash",
+    "curation_bpe_train", "curation_adaptive_quality_filter",
+    "curation_collocations_lift", "curation_bpe_encode",
+    "curation_multimodal_dedup_pipeline", "curation_bpe_token_budget",
+    "curation_train_val_test_split", "sim_semantic_dedup_trained",
+    "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
+    "sim_ann_recall_report", "text_hll_union_rollup",
+    "text_lang_id_confusion",
+    # 3 — r7-latest cohort in registration order (first 24 of 50; the
+    # rest — stream twins from multimodal_binary_features onward —
+    # head the r13 roster)
+    "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
+    "curation_sample_stratified", "curation_decontaminate",
+    "curation_tfidf_top_terms", "curation_bigram_counts",
+    "dedup_keep_best", "dedup_bag_of_words", "text_fingerprints",
+    "text_pii_scrub", "text_repetition", "text_rare_token_ratio",
+    "multimodal_binary_features", "multimodal_frame_sample",
+    "multimodal_resize", "ads_top_sku_per_brand",
+    "ads_customer_retention", "ads_region_nation_rollup",
+    "ads_customers_no_orders", "ads_yoy_spend_full_outer",
+    "ads_part_triangles", "ads_part_bfs_distances",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
@@ -479,30 +469,24 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-11 rotation APPLIED above (2026-08-15, amended for the late
-# stream_dsir_weights addition and the eleven retrieval entries): 22
-# round-11 additions + 4 r5 deferrals + 9 TPC-H fills + 15 r6-latest
-# (14 in registration order + the text_hashed_classifier changed-code
-# swap-in). With every contract ever-green since round 10, the
-# operative invariant is now FRESHNESS: after this window greens, the
-# oldest driver row in the registry is r6-latest, and the r12 roster
-# continues the cohort.
+# Round-12 rotation APPLIED above (2026-08-15): the 26 r6-latest
+# entries displaced at the round-11 rotation + the first 24 of the
+# r7-latest cohort, both in registration order. Round-12 additions are
+# folded into the head as they land, displacing the r7 tail.
 #
-# Round-12 window staging: lead with any round-12 additions
-# (never-driver-verified), then the remaining r6-latest cohort in
-# registration order starting from the displaced entries:
-# scale_dynamic_partition_pruning,
-# scale_epoch_compaction, stream_ads_hourly_from_sink,
-# dwd_props_variant_stats,
-# dws_keyword_stats_udtf, stream_intra_doc_chunks, stream_pq_encode,
-# stream_pq_index_serve, dedup_lsh_recall_report,
-# dedup_cluster_representatives, dedup_intra_doc_chunks,
-# dedup_incremental_minhash, curation_bpe_train,
-# curation_adaptive_quality_filter,
-# curation_collocations_lift, curation_bpe_encode,
-# curation_multimodal_dedup_pipeline, curation_bpe_token_budget,
-# curation_train_val_test_split, sim_semantic_dedup_trained,
-# sim_pq_encode, sim_pq_adc_topk, sim_ivfpq_topk, sim_ann_recall_report,
-# text_hll_union_rollup, text_lang_id_confusion, then the r7-latest
-# cohort in registration order up to 50 — see ROADMAP.md "Round-12 sample
-# rotation" for the roster.
+# Round-13 window staging: lead with any round-13 additions
+# (never-driver-verified), then the remaining r7-latest cohort in
+# registration order (the 26 not covered here: ads_pit_features,
+# ads_last_touch_attribution, ads_negative_samples,
+# ads_top_event_paths, ads_session_transitions,
+# curation_weighted_sample, scale_data_quality_report,
+# stream_full_outer_join, stream_sliding_windows,
+# stream_pyds_cdc_upsert, stream_j1_order_detail_wide,
+# stream_t1_visit_flag, stream_t2_daily_uv, stream_t3_jump_out,
+# stream_session_windows, stream_keyword_stats,
+# stream_windowed_append, stream_left_outer_join,
+# stream_event_transitions, stream_last_touch_attribution,
+# stream_pit_features, stream_session_transitions,
+# stream_cohort_retention, stream_timed_funnel,
+# curation_boilerplate_lines, text_sparse_topk_pairs — plus whatever
+# round-12 additions displace), then the r8-latest cohort up to 50.
