@@ -414,7 +414,14 @@ _register("stream_retrieval_triplets", stream_jobs.stream_retrieval_triplets, re
 # r7 tail as they land (the displaced names head the r13 roster).
 _SAMPLE_PRIORITY = [
     # 1 — never driver-verified round-12 additions (folded in as they
-    # land, per the invariant)
+    # land, per the invariant), then changed-code entries without a
+    # fresh row: the triplet pair's negative-pool selection moved to the
+    # two-phase salted top-k and the PRF serve twin collapsed to one
+    # source pass this round (each subset-simmed MATCH at sf0.01 AND
+    # sf0.1 pre-commit) — same-round re-verification discipline, the
+    # text_hashed_classifier precedent
+    "curation_retrieval_triplets", "stream_retrieval_triplets",
+    "stream_query_expansion_prf",
     # 2 — the 26 r6-latest entries displaced at the round-11 rotation
     # (registration order)
     "scale_dynamic_partition_pruning", "scale_epoch_compaction",
@@ -430,9 +437,8 @@ _SAMPLE_PRIORITY = [
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
     "sim_ann_recall_report", "text_hll_union_rollup",
     "text_lang_id_confusion",
-    # 3 — r7-latest cohort in registration order (first 24 of 50; the
-    # rest — stream twins from multimodal_binary_features onward —
-    # head the r13 roster)
+    # 3 — r7-latest cohort in registration order (first 21 of 50; the
+    # rest — ads_yoy_spend_full_outer onward — head the r13 roster)
     "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
     "curation_sample_stratified", "curation_decontaminate",
     "curation_tfidf_top_terms", "curation_bigram_counts",
@@ -441,8 +447,7 @@ _SAMPLE_PRIORITY = [
     "multimodal_binary_features", "multimodal_frame_sample",
     "multimodal_resize", "ads_top_sku_per_brand",
     "ads_customer_retention", "ads_region_nation_rollup",
-    "ads_customers_no_orders", "ads_yoy_spend_full_outer",
-    "ads_part_triangles", "ads_part_bfs_distances",
+    "ads_customers_no_orders",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

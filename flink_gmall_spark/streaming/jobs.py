@@ -2110,22 +2110,26 @@ def stream_hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_query_expansion_prf as a SERVING job — expansion terms mined
-    for queries ARRIVING ON A STREAM against the static corpus. Two
-    stateless append-mode passes over the query stream: (1) the
-    stream_bm25_serve match (tokenize+explode at ingest, stream-static
-    join against the scored postings — shared bm25_match, broadcast=False)
-    whose drained table feeds the shared bm25_finish ranking, and (2) the
-    raw query occurrences, drained for the vocabulary anti-join (a
-    deployed endpoint only sees query text on the stream — the exclusion
-    set cannot come from a batch table). The feedback pool, anti-join,
-    and df-normalized rank apply batch-side via retrieval.prf_finish
-    (shared VERBATIM — rank windows cannot follow an append stream).
-    Shares ORACLE_QUERY_EXPANSION_PRF, so the served expansions are
-    hash-identical to the batch mine by contract."""
+    for queries ARRIVING ON A STREAM against the static corpus. ONE
+    stateless append-mode pass over the query stream (review r11: the
+    earlier shape opened a second source read solely for the vocabulary
+    anti-join, doubling ingest + checkpoint work): the stream-static
+    match join carries the raw occurrence through as a LEFT OUTER join
+    on tok, so the single drained table serves BOTH consumers — the
+    match rows (doc_id non-null, self excluded: exactly bm25_match's
+    inner-join-plus-filter semantics) feed the shared bm25_finish
+    ranking, and the query vocabulary is the DISTINCT (query_id, tok)
+    of the same rows (the left join keeps every occurrence at least
+    once, including tokens the MAX_POSTING_DF cap excludes from the
+    index — which is why qvocab cannot be derived from the match rows
+    alone). The feedback pool, anti-join, and df-normalized rank apply
+    batch-side via retrieval.prf_finish (shared VERBATIM — rank windows
+    cannot follow an append stream). Shares ORACLE_QUERY_EXPANSION_PRF,
+    so the served expansions are hash-identical to the batch mine by
+    contract."""
     from flink_gmall_spark.operators.retrieval import (
         _postings,
         bm25_finish,
-        bm25_match,
         prf_finish,
         query_occurrences,
         scored_postings,
@@ -2135,16 +2139,21 @@ def stream_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs_static = load(spark, sf_dir, "documents")
     sp = scored_postings(docs_static)
-    served = bm25_match(
-        query_occurrences(read_stream(spark, sf_dir, "documents")),
-        sp,
-        broadcast=False,
+    occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
+    served = occ.join(sp, "tok", "left_outer").select(
+        "query_id", "tok", "doc_id", "score_i"
+    )
+    drained = run_to_memory(served, "append")
+    matched = drained.filter(
+        F.col("doc_id").isNotNull() & (F.col("doc_id") != F.col("query_id"))
     ).select("query_id", "doc_id", "score_i")
-    lex = bm25_finish(run_to_memory(served, "append"))
-    qvocab = run_to_memory(
-        query_occurrences(read_stream(spark, sf_dir, "documents")), "append"
-    ).distinct()
-    return prf_finish(lex, _postings(docs_static), qvocab)
+    # prf_finish anti-joins qvocab against the match lineage — both
+    # branches of ONE MemoryPlan leaf, which is not multi-instance, so
+    # Spark cannot deduplicate the self-join. The vocabulary is bounded
+    # by the query stream's token set (it broadcasts inside prf_finish
+    # anyway): a localCheckpoint gives it a fresh leaf for pennies.
+    qvocab = drained.select("query_id", "tok").distinct().localCheckpoint()
+    return prf_finish(bm25_finish(matched), _postings(docs_static), qvocab)
 
 
 def stream_retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
