@@ -94,19 +94,31 @@ BM25_SWEEP = [
 _DEFAULT_CFG = BM25_SWEEP[0][2]
 
 
+def tf_sat_sql(k1: str, k1p1: str, b: str, omb: str) -> str:
+    """The tf-saturation / length-normalization factor of the BM25 term
+    score, extracted so the unlogged and logged idf variants share ONE
+    definition of it (the same drift-proofing as bm25_score_sql itself:
+    identical literal text in both engines)."""
+    return (
+        f"((CAST(tf AS DOUBLE) * CAST({k1p1} AS DOUBLE))"
+        f" / (CAST(tf AS DOUBLE) + CAST({k1} AS DOUBLE)"
+        f" * (CAST({omb} AS DOUBLE) + (CAST({b} AS DOUBLE) * CAST(dl AS DOUBLE))"
+        " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    )
+
+
 def bm25_score_sql(k1: str, k1p1: str, b: str, omb: str) -> str:
     """The per-posting BM25 term score as ONE SQL expression string,
     valid verbatim in BOTH Spark SQL and DuckDB over the bare feature
     columns (tf, df, dl, n_docs, total_len) — a single definition so the
     engines cannot drift (every literal spelled identically, every op in
-    the same written order; see the module parity contract)."""
+    the same written order; see the module parity contract). Composes
+    tf_sat_sql byte-identically to the pre-extraction text
+    (tests/test_retrieval.py pins the frozen default-config string)."""
     return (
         "CAST(floor(((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
-        f" * ((CAST(tf AS DOUBLE) * CAST({k1p1} AS DOUBLE))"
-        f" / (CAST(tf AS DOUBLE) + CAST({k1} AS DOUBLE)"
-        f" * (CAST({omb} AS DOUBLE) + (CAST({b} AS DOUBLE) * CAST(dl AS DOUBLE))"
-        " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        f" * {tf_sat_sql(k1, k1p1, b, omb)}"
         f" * CAST({BM25_SCALE} AS DOUBLE)) AS BIGINT)"
     )
 
@@ -333,7 +345,7 @@ def rrf_finish(lex: DataFrame, sem: DataFrame) -> DataFrame:
     )
 
 
-def _oracle_hybrid_ctes() -> str:
+def _oracle_lex_sem_ctes() -> str:
     # The semantic leg composes ann.DUCK_ANN_RANKED_CTES — the SAME CTE
     # chain ORACLE_ANN_TOPK is built from — and truncates at ann.TOPK /
     # ann.N_QUERIES, because the Spark side calls the real ann_topk. The
@@ -357,7 +369,11 @@ lex AS (
 sem AS (
     SELECT query_id, neighbor_id AS doc_id, rank
     FROM ann_ranked WHERE rank <= {TOPK}
-),
+)"""
+
+
+def _oracle_hybrid_ctes() -> str:
+    return f"""{_oracle_lex_sem_ctes()},
 fused AS (
     SELECT COALESCE(l.query_id, s.query_id) AS query_id,
            COALESCE(l.doc_id, s.doc_id) AS doc_id,
@@ -401,6 +417,157 @@ SELECT query_id,
 FROM fused_topk
 GROUP BY query_id
 """
+
+
+# RRF_K calibration grid (VERDICT r11 ask #5): default first — the
+# overlap ledger prices every K against it, and the default row pins
+# overlap == ranked_ct as a self-check (the BM25_SWEEP discipline).
+RRF_K_SWEEP = [60, 10, 120, 480]
+
+
+def rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF_K CALIBRATION SWEEP — the bm25_param_sweep discipline applied
+    to the fusion knob: every K in RRF_K_SWEEP fused through ONE shared
+    pass over the two rank lists, priced by top-k agreement with the
+    default K and by the lex-only / sem-only / both provenance counts
+    (the fusion_gain_report ledger), so the fusion constant is tuned on
+    numbers like every other calibration entry.
+
+    Plan shape: both retrievers run ONCE (their rank lists are
+    query-bounded — N_RETR_QUERIES × top-k rows); all four per-K RRF
+    scores are columns of the same fused row (pure expression math),
+    unpivoted through a driver-free stack(), ranked per (K, query), and
+    the default-K membership flag is a windowed max over the SAME
+    stacked rows — no self-join, no second retriever pass (plan-gated:
+    exactly one stack, scan count equal to hybrid_rrf's own plan).
+
+    Parity: each 1/(K+rank) is one correctly-rounded division with the
+    NULL-propagation idiom of rrf_finish (absent rank → NULL → COALESCE
+    0.0), the two terms add in fixed written order, and only integer
+    counts reach the output."""
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    tune(spark)
+    lex = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fb = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("sem_rank"), F.lit(0)).cast("long").alias("sem_rank"),
+        *[
+            (
+                F.coalesce(
+                    F.lit(1.0)
+                    / (F.lit(float(k)) + F.col("lex_rank").cast("double")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0)
+                    / (F.lit(float(k)) + F.col("sem_rank").cast("double")),
+                    F.lit(0.0),
+                )
+            ).alias(f"s{i}")
+            for i, k in enumerate(RRF_K_SWEEP)
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), s{i}" for i, k in enumerate(RRF_K_SWEEP)
+    )
+    stacked = fb.selectExpr(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        f"stack({len(RRF_K_SWEEP)}, {stack_args}) AS (rrf_k, rrf)",
+    )
+    w = Window.partitionBy("rrf_k", "query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    ranked = stacked.withColumn("rank", F.row_number().over(w))
+    in_dflt = F.max(
+        F.when(
+            (F.col("rrf_k") == RRF_K_SWEEP[0]) & (F.col("rank") <= RETR_TOPK),
+            1,
+        ).otherwise(0)
+    ).over(Window.partitionBy("query_id", "doc_id"))
+    return (
+        ranked.withColumn("in_dflt", in_dflt)
+        .filter(F.col("rank") <= RETR_TOPK)
+        .groupBy("rrf_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ranked_ct"),
+            F.sum("in_dflt").cast("long").alias("overlap_default_ct"),
+            F.sum((F.col("sem_rank") == 0).cast("int"))
+            .cast("long")
+            .alias("n_lex_only"),
+            F.sum((F.col("lex_rank") == 0).cast("int"))
+            .cast("long")
+            .alias("n_sem_only"),
+            F.sum(
+                ((F.col("lex_rank") > 0) & (F.col("sem_rank") > 0)).cast("int")
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+
+
+def _oracle_rrf_k_sweep() -> str:
+    per_k = "\nUNION ALL\n".join(
+        f"""    SELECT query_id, doc_id, lex_rank, sem_rank,
+           CAST({k} AS BIGINT) AS rrf_k,
+           COALESCE(CAST(1.0 AS DOUBLE) / (CAST({k} AS DOUBLE) + CAST(lrank_raw AS DOUBLE)),
+                    CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / (CAST({k} AS DOUBLE) + CAST(srank_raw AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE)) AS rrf
+    FROM fb"""
+        for k in RRF_K_SWEEP
+    )
+    return f"""
+WITH {_oracle_lex_sem_ctes()},
+fb AS (
+    SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(l.rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(s.rank, 0) AS BIGINT) AS sem_rank,
+           l.rank AS lrank_raw, s.rank AS srank_raw
+    FROM lex l FULL OUTER JOIN sem s
+      ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+stacked AS (
+{per_k}
+),
+swranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY rrf_k, query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+    FROM stacked
+),
+swflag AS (
+    SELECT *,
+           max(CASE WHEN rrf_k = {RRF_K_SWEEP[0]}
+                     AND rank <= {RETR_TOPK} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY query_id, doc_id) AS in_dflt
+    FROM swranked
+)
+SELECT rrf_k,
+       CAST(count(*) AS BIGINT) AS ranked_ct,
+       CAST(sum(in_dflt) AS BIGINT) AS overlap_default_ct,
+       CAST(sum(CASE WHEN sem_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lex_only,
+       CAST(sum(CASE WHEN lex_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_only,
+       CAST(sum(CASE WHEN lex_rank > 0 AND sem_rank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM swflag WHERE rank <= {RETR_TOPK}
+GROUP BY 1
+"""
+
+
+ORACLE_RRF_K_SWEEP = _oracle_rrf_k_sweep()
 
 
 def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,6 +924,145 @@ def triplets_finish(topk: DataFrame, docs: DataFrame) -> DataFrame:
     return pos.join(negs, "query_id").select(
         "query_id", "pos_doc_id", "pos_rank", "neg_doc_id", "neg_rank"
     )
+
+
+# --- logged-idf BM25 (VERDICT r11 ask #3) ------------------------------------
+# The default BM25 here drops the log from the Robertson idf to stay
+# transcendental-free (module parity contract); the documented cost is an
+# over-boosted rare-term idf whose multi-term SUMS can order differently
+# from textbook BM25. This variant closes that gap WITHOUT losing
+# cross-engine bit-exactness: ln is evaluated as a shared SQL template of
+# nothing but integer ops, one generated power-of-two CASE ladder, and
+# correctly-rounded IEEE-double (+,-,*,/) in a fixed written order —
+# identical text in both engines, so the doubles are bit-identical by the
+# same argument as bm25_score_sql. Derivation: the idf ratio
+# (N - df + 0.5)/(df + 0.5) equals p/q for the exact odd integers
+# p = 2*(N - df) + 1, q = 2*df + 1, so ln(idf) = ln(p) - ln(q); for a
+# positive BIGINT n, ln(n) = e*ln(2) + ln(m) with e = length(bin(n)) - 1
+# (both engines' bin() renders minimal binary) and m = n / 2^e ∈ [1, 2);
+# ln(m) is the atanh series 2z(1 + z²/3 + z⁴/5 + z⁶/7 + z⁸/9 + z¹⁰/11)
+# at z = (m-1)/(m+1) ∈ [0, 1/3) — truncation error ≤ 2·(1/3)¹³/13 ≈ 1e-7
+# absolute (measured 1.1e-7 max vs math.log over 1..2^62), far below any
+# ranking tie the fixtures or a real corpus produce, and IDENTICAL in
+# both engines so parity is unconditional. The chain is a list of
+# (column, expression) stages — Spark applies them as withColumn steps,
+# the oracle as stacked CTEs — because inlining the CASE ladder into one
+# expression would duplicate it at every z² reuse.
+
+_LN2_LIT = "0.6931471805599453"  # repr(math.log(2)): round-trips to the double
+
+
+def _pow2_case_sql(e: str) -> str:
+    whens = " ".join(f"WHEN {j} THEN CAST({1 << j} AS DOUBLE)" for j in range(63))
+    return f"(CASE {e} {whens} ELSE CAST(0 AS DOUBLE) END)"
+
+
+def _ln_stages(v: str, s: str) -> list[list[tuple[str, str]]]:
+    """Staged ln(v) for a positive BIGINT column v, suffix s — each inner
+    list is one projection level (columns may reference earlier levels
+    only, so Spark withColumn and DuckDB CTE chains apply it alike)."""
+    return [
+        [(f"e_{s}", f"CAST(length(bin({v})) - 1 AS INT)")],
+        [(f"p2_{s}", _pow2_case_sql(f"e_{s}"))],
+        [(f"m_{s}", f"CAST({v} AS DOUBLE) / p2_{s}")],
+        [(f"z_{s}", f"(m_{s} - CAST(1.0 AS DOUBLE)) / (m_{s} + CAST(1.0 AS DOUBLE))")],
+        [(f"z2_{s}", f"z_{s} * z_{s}")],
+        [(
+            f"ln_{s}",
+            f"CAST(e_{s} AS DOUBLE) * CAST({_LN2_LIT} AS DOUBLE)"
+            f" + CAST(2.0 AS DOUBLE) * z_{s} * (CAST(1.0 AS DOUBLE)"
+            f" + z2_{s} * (CAST(1.0 AS DOUBLE)/CAST(3.0 AS DOUBLE)"
+            f" + z2_{s} * (CAST(1.0 AS DOUBLE)/CAST(5.0 AS DOUBLE)"
+            f" + z2_{s} * (CAST(1.0 AS DOUBLE)/CAST(7.0 AS DOUBLE)"
+            f" + z2_{s} * (CAST(1.0 AS DOUBLE)/CAST(9.0 AS DOUBLE)"
+            f" + z2_{s} * (CAST(1.0 AS DOUBLE)/CAST(11.0 AS DOUBLE)))))))",
+        )],
+    ]
+
+
+def _logidf_stages() -> list[list[tuple[str, str]]]:
+    """(df, n_docs) → idf_ln, as parallel p/q ln chains merged level-wise."""
+    head = [[
+        ("p_i", "CAST(2 * (n_docs - df) + 1 AS BIGINT)"),
+        ("q_i", "CAST(2 * df + 1 AS BIGINT)"),
+    ]]
+    lp, lq = _ln_stages("p_i", "p"), _ln_stages("q_i", "q")
+    return head + [a + b for a, b in zip(lp, lq)] + [[("idf_ln", "ln_p - ln_q")]]
+
+
+LOGIDF_STAGES = _logidf_stages()
+
+
+def bm25_logidf_score_sql(k1: str, k1p1: str, b: str, omb: str) -> str:
+    """Per-posting term score with the LOGGED idf (column idf_ln from
+    LOGIDF_STAGES) and the SAME tf_sat_sql factor as the unlogged
+    variant — one definition of the saturation math for both."""
+    return (
+        f"CAST(floor(idf_ln * {tf_sat_sql(k1, k1p1, b, omb)}"
+        f" * CAST({BM25_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def logidf_scored_postings(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, score_i) with the logged idf. The ln chain runs
+    per POSTING row (pure map-side whole-stage-codegen expression math —
+    no extra join, unlike a per-term idf table that would shuffle tok
+    twice), exactly where scored_postings computes its ratio."""
+    feat = posting_features(docs)
+    for stage in LOGIDF_STAGES:
+        for c, e in stage:
+            feat = feat.withColumn(c, F.expr(e))
+    return feat.select(
+        "tok",
+        "doc_id",
+        F.expr(bm25_logidf_score_sql(*_DEFAULT_CFG)).alias("score_i"),
+    )
+
+
+def bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k with the textbook LOGGED idf (ask r11 #3): same plan
+    shape as bm25_topk (three keyed corpus aggregations, 1-row stats
+    broadcast, broadcast match join, bounded agg, per-query window) —
+    only the per-posting score expression differs. Registered alongside
+    the unlogged entry precisely because their rankings CAN diverge
+    (rare-term over-boost in the unlogged ratio);
+    tests/test_retrieval.py::test_logidf_vs_unlogged_rank_divergence
+    constructs the divergence — that divergence is the point."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return bm25_finish(
+        bm25_match(query_occurrences(docs), logidf_scored_postings(docs))
+    )
+
+
+def _oracle_bm25_topk_logidf() -> str:
+    ctes, prev = [], "matched"
+    for i, stage in enumerate(LOGIDF_STAGES):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage)
+        ctes.append(f"lg{i} AS (\n    SELECT *, {cols} FROM {prev}\n)")
+        prev = f"lg{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {_DUCK_FEAT_BASE},
+{chain},
+lg_agg AS (
+    SELECT query_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum({bm25_logidf_score_sql(*_DEFAULT_CFG)}) AS BIGINT) AS score
+    FROM {prev}
+    GROUP BY 1, 2
+),
+lg_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM lg_agg
+)
+SELECT query_id, doc_id, n_hits, score, CAST(rank AS BIGINT) AS rank
+FROM lg_ranked WHERE rank <= {RETR_TOPK}
+"""
+
+
+ORACLE_BM25_TOPK_LOGIDF = _oracle_bm25_topk_logidf()
 
 
 ORACLE_RETRIEVAL_TRIPLETS = f"""

@@ -863,23 +863,20 @@ FROM agg
 """
 
 
-def bucketed_postings_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The BM25 match join at BULK query volume — the co-location
-    strategy for when the query batch outgrows the broadcast that
-    retrieval.bm25_topk uses (8 queries broadcast fine; a corpus-sized
-    re-embedding or nightly eval batch does not). Both sides of the
-    match join — the scored postings index AND the query occurrences —
-    are materialized bucketed+sorted on ``tok`` (the _bucketed_table
-    discipline), so the tok equi-join SortMergeJoins with ZERO Exchange
-    below it: the posting index layout is paid once at index-build time
-    and every subsequent query batch co-locates for free. The merge
-    hints keep AQE from broadcasting the small fixture tables, which
-    would hide exactly the property this operator demonstrates
-    (bucketed_orders_join precedent).
-
-    Output and oracle are bm25_topk's own (shared ORACLE_BM25_TOPK):
-    bucketing must never change results, only the shuffle bill.
-    """
+def _bucketed_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 rank list served from the BUCKETED index — the ONE
+    definition of the bulk-query lexical serve path, consumed by
+    bucketed_postings_serve and the bucketed PRF / triplet entries
+    (VERDICT r11 ask #4: the downstream miners take a rank list as
+    input, so threading the bucketed serve through them is wiring).
+    Both sides of the match join — the scored postings index AND the
+    query occurrences — are materialized bucketed+sorted on ``tok``
+    (the _bucketed_table discipline), so the tok equi-join
+    SortMergeJoins with ZERO Exchange below it: the posting index
+    layout is paid once at index-build time and every subsequent query
+    batch co-locates for free. The merge hints keep AQE from
+    broadcasting the small fixture tables, which would hide exactly the
+    property this path demonstrates (bucketed_orders_join precedent)."""
     from flink_gmall_spark.operators.retrieval import (
         bm25_finish,
         query_occurrences,
@@ -906,3 +903,71 @@ def bucketed_postings_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("query_id"))
     )
     return bm25_finish(matched.select("query_id", "doc_id", "score_i"))
+
+
+def bucketed_postings_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 match join at BULK query volume — the co-location
+    strategy for when the query batch outgrows the broadcast that
+    retrieval.bm25_topk uses (8 queries broadcast fine; a corpus-sized
+    re-embedding or nightly eval batch does not). The serve path is
+    _bucketed_bm25_topk (one definition, shared with the bucketed PRF /
+    triplet miners).
+
+    Output and oracle are bm25_topk's own (shared ORACLE_BM25_TOPK):
+    bucketing must never change results, only the shuffle bill.
+    """
+    return _bucketed_bm25_topk(spark, sf_dir)
+
+
+def bucketed_prf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF query expansion at BULK query volume (VERDICT r11 ask #4):
+    the feedback rank list comes from the bucketed zero-Exchange match
+    join (_bucketed_bm25_topk) instead of the 8-query broadcast regime,
+    and everything downstream — feedback pool, vocabulary anti-join,
+    df-normalized rank — applies via retrieval.prf_finish (shared
+    VERBATIM with the batch and streaming entries). Shares
+    ORACLE_QUERY_EXPANSION_PRF: the index layout must never change the
+    mined expansions, only the shuffle bill of the match join.
+
+    Scale shape: the raw tf postings prf_finish pools from are ALSO
+    served from a tok-bucketed materialization — its df aggregation
+    (groupBy tok) takes the grouping from the file layout, so the whole
+    serve path repartitions tok exactly ZERO times (plan-gated).
+    prf_finish's other joins stay bounded — the feedback set
+    (queries × FEEDBACK_K) broadcasts into the doc-keyed postings join,
+    and at a query volume where THAT broadcast breaks, the same
+    bucketing discipline applies to the doc_id key (one more
+    _bucketed_df_table call)."""
+    from flink_gmall_spark.operators.retrieval import (
+        _postings,
+        prf_finish,
+        query_occurrences,
+    )
+    from flink_gmall_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    tf = spark.table(
+        _bucketed_df_table(spark, sf_dir, "bm25_tf", _postings(docs), "tok")
+    )
+    return prf_finish(
+        _bucketed_bm25_topk(spark, sf_dir),
+        tf,
+        query_occurrences(docs).distinct(),
+    )
+
+
+def bucketed_triplets_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining at BULK query volume (VERDICT r11 ask #4): the
+    positive/exclusion rank list comes from the bucketed zero-Exchange
+    match join (_bucketed_bm25_topk); the positives slice, the
+    md5-threshold negative pool, and the salted two-phase top-k apply
+    via retrieval.triplets_finish (shared VERBATIM). Shares
+    ORACLE_RETRIEVAL_TRIPLETS: same mined triplets, different index
+    transport."""
+    from flink_gmall_spark.operators.retrieval import triplets_finish
+    from flink_gmall_spark.sources import load
+
+    return triplets_finish(
+        _bucketed_bm25_topk(spark, sf_dir),
+        load(spark, sf_dir, "documents"),
+    )

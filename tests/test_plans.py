@@ -1072,3 +1072,20 @@ def test_preference_pairs_no_global_sort_broadcast_rank(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_prf_and_triplets_serve_share_zero_tok_shuffle(spark, sf_dir):
+    """VERDICT r11 ask #4: the bulk-query PRF / triplet miners thread
+    the SAME bucketed zero-Exchange match join (_bucketed_bm25_topk) —
+    no exchange repartitions tok anywhere in either plan, and the
+    bucket-pruned scans are visible."""
+    from flink_gmall_spark.operators import scale
+
+    for build in (scale.bucketed_prf_serve, scale.bucketed_triplets_serve):
+        plan = plan_of(build(spark, sf_dir))
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning(tok" not in plan, plan
+        assert (
+            f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}"
+            in plan
+        ), plan

@@ -464,3 +464,219 @@ def test_retrieval_triplets_two_phase_equals_single_window(spark, tiny_dir):
         for rank, (_h, d) in enumerate(pool[: R.NEG_K], start=1):
             want[(q, d)] = rank
     assert got == want
+
+
+# --- round-12: logged-idf BM25 + RRF_K sweep --------------------------------
+
+def test_bm25_score_sql_frozen_after_tf_sat_extraction():
+    """The tf_sat_sql extraction must recompose bm25_score_sql
+    BYTE-IDENTICALLY to the round-11 frozen template — the r11-verified
+    entries' oracles hang off this exact text."""
+    frozen = (
+        "CAST(floor(((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        " * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+        " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+        " * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE))"
+        " / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        f" * CAST({R.BM25_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+    assert R.bm25_score_sql(*R.BM25_SWEEP[0][2]) == frozen
+
+
+def _py_ln(n: int) -> float:
+    """Pure-python mirror of the _ln_stages template: same IEEE-double
+    ops in the same written order (e*ln2 + atanh series at z)."""
+    e = n.bit_length() - 1
+    m = float(n) / float(1 << e)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    return e * 0.6931471805599453 + 2.0 * z * (
+        1.0 + z2 * (1.0 / 3.0 + z2 * (1.0 / 5.0 + z2 * (1.0 / 7.0
+        + z2 * (1.0 / 9.0 + z2 * (1.0 / 11.0)))))
+    )
+
+
+def test_ln_template_accuracy_vs_math_log():
+    """The staged ln approximation is within 2.5e-7 of math.log across
+    the BIGINT magnitudes the idf can see (the docstring bound)."""
+    vals = [1, 2, 3, 5, 17, 999, 10**6 + 3, 2**31 - 1, 2**45 + 99, 2**62 - 1]
+    for n in vals:
+        assert abs(_py_ln(n) - math.log(n)) < 2.5e-7, n
+
+
+def _py_bm25_logidf(corpus, n_queries):
+    """_py_bm25 with the LOGGED idf: ln(p) - ln(q) over the exact odd
+    integers p = 2(N-df)+1, q = 2df+1, same tf saturation and
+    floor-scale — mirrors bm25_logidf_score_sql op for op."""
+    tf, dl, df = {}, {}, {}
+    for doc_id, text in corpus:
+        for t in _toks(text):
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    for (d, _), c in tf.items():
+        dl[d] = dl.get(d, 0) + c
+    for (_, t), _c in tf.items():
+        df[t] = df.get(t, 0) + 1
+    n_docs, total_len = len(dl), sum(dl.values())
+    avgdl = float(total_len) / float(n_docs)
+
+    def term_score(t, d):
+        idf = _py_ln(2 * (n_docs - df[t]) + 1) - _py_ln(2 * df[t] + 1)
+        sat = (float(tf[(d, t)]) * 2.2) / (
+            float(tf[(d, t)]) + 1.2 * (0.25 + (0.75 * float(dl[d])) / avgdl)
+        )
+        return int(math.floor((idf * sat) * float(R.BM25_SCALE)))
+
+    out = {}
+    for q_id, text in corpus:
+        if q_id >= n_queries:
+            continue
+        for t in _toks(text):
+            for d in dl:
+                if d != q_id and (d, t) in tf:
+                    hits, score = out.get((q_id, d), (0, 0))
+                    out[(q_id, d)] = (hits + 1, score + term_score(t, d))
+    return out
+
+
+def test_bm25_logidf_matches_python_mirror(spark, tiny_dir):
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.score)
+        for r in R.bm25_topk_logidf(spark, tiny_dir).collect()
+    }
+    want = _py_bm25_logidf(TINY, R.N_RETR_QUERIES)
+    assert got == want
+
+
+# One rare term (df=2) vs three mid-frequency terms (df=8) in a 30-doc
+# corpus: the unlogged ratio over-boosts the rare match (11.4 vs 3x2.65)
+# while the logged idf prefers the three-term match (2.43 vs 3x0.97) —
+# the exact semantic gap the logidf entry exists to close.
+DIVERGE = (
+    [(0, "rare c1 c2 c3"), (1, "rare x1 x2 x3"), (2, "c1 c2 c3 y1")]
+    + [(i, f"c1 c2 c3 z{i}") for i in range(3, 9)]
+    + [(i, f"f{i}a f{i}b f{i}c f{i}d") for i in range(9, 30)]
+)
+
+
+@pytest.fixture(scope="module")
+def diverge_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("retr_diverge"))
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in DIVERGE],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_logidf_vs_unlogged_rank_divergence(spark, diverge_dir):
+    """THE POINT OF THE ENTRY (VERDICT r11 ask #3): the unlogged and
+    logged rankings disagree on this corpus — rank 1 for query 0 is the
+    rare-term doc under the raw ratio and the three-common-term doc
+    under the logged idf. Both engines' mirrors agree with their Spark
+    twin exactly (the mirror tests); here we pin the flip itself."""
+    top_u = {r.rank: r.doc_id
+             for r in R.bm25_topk(spark, diverge_dir).collect()
+             if r.query_id == 0}
+    top_l = {r.rank: r.doc_id
+             for r in R.bm25_topk_logidf(spark, diverge_dir).collect()
+             if r.query_id == 0}
+    assert top_u[1] == 1, top_u  # rare-term doc wins unlogged
+    assert top_l[1] == 2, top_l  # three mid-frequency terms win logged
+    # and the python mirrors say the same (self-consistency of the test)
+    u = _py_bm25(DIVERGE, 1)
+    l = _py_bm25_logidf(DIVERGE, 1)
+    assert max(u, key=lambda k: (u[k][1], -k[1]))[1] == 1
+    assert max(l, key=lambda k: (l[k][1], -k[1]))[1] == 2
+
+
+def test_logidf_plan_shape_matches_unlogged(spark, sf_dir):
+    """Same plan contract as bm25_topk: broadcast match join, no
+    corpus-by-corpus cartesian — the ln chain is map-side expression
+    math and must not add joins or shuffles."""
+    plan = (
+        R.bm25_topk_logidf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_k_sweep_matches_python(spark, sf_dir):
+    """Recompute the whole sweep ledger from the two rank lists in
+    python (same NULL→0.0 coalesce semantics, same tie-break) and
+    compare; the default-K row must pin overlap == ranked_ct."""
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in R.bm25_topk(spark, sf_dir).collect()
+    }
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    sem = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in ann_topk(spark, sf_dir).collect()
+    }
+    pairs = set(lex) | set(sem)
+    per_k_topk = {}
+    for k in R.RRF_K_SWEEP:
+        by_q = {}
+        for (q, d) in pairs:
+            lr, sr = lex.get((q, d)), sem.get((q, d))
+            rrf = (1.0 / (float(k) + lr) if lr else 0.0) + (
+                1.0 / (float(k) + sr) if sr else 0.0
+            )
+            by_q.setdefault(q, []).append((-rrf, d))
+        for q, lst in by_q.items():
+            lst.sort()
+            per_k_topk[(k, q)] = [d for _, d in lst[: R.RETR_TOPK]]
+    dflt = {
+        (q, d)
+        for (k, q), docs in per_k_topk.items()
+        if k == R.RRF_K_SWEEP[0]
+        for d in docs
+    }
+    want = {}
+    for k in R.RRF_K_SWEEP:
+        rc = oc = nl = ns = nb = 0
+        for q in {q for (_k, q) in per_k_topk if _k == k}:
+            for d in per_k_topk[(k, q)]:
+                rc += 1
+                oc += (q, d) in dflt
+                has_l, has_s = (q, d) in lex, (q, d) in sem
+                nl += has_l and not has_s
+                ns += has_s and not has_l
+                nb += has_l and has_s
+        want[k] = (rc, oc, nl, ns, nb)
+    got = {
+        r.rrf_k: (r.ranked_ct, r.overlap_default_ct, r.n_lex_only,
+                  r.n_sem_only, r.n_both)
+        for r in R.rrf_k_sweep(spark, sf_dir).collect()
+    }
+    assert got == want
+    rc, oc, *_ = got[R.RRF_K_SWEEP[0]]
+    assert rc == oc  # the default config overlaps itself fully
+
+
+def test_rrf_k_sweep_plan_single_stack(spark, sf_dir):
+    """Shared-pass gate (VERDICT r11 ask #5): all K configs ride ONE
+    fused pass — exactly one stack(), and the retrievers are not
+    duplicated (the sweep plan scans no more files than hybrid_rrf)."""
+    sweep = (
+        R.rrf_k_sweep(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hybrid = (
+        R.hybrid_rrf(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert sweep.count("stack(") == 1, sweep
+    assert sweep.count("FileScan") == hybrid.count("FileScan"), (
+        sweep.count("FileScan"),
+        hybrid.count("FileScan"),
+    )

@@ -243,3 +243,29 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir, tmp_path):
     # sort would shrink one span and leave the other at baseline).
     assert z["user_id"] < 0.85 * base["user_id"], (z, base)
     assert z["day"] < 0.85 * base["day"], (z, base)
+
+
+def test_bucketed_prf_serve_equals_broadcast_path(spark, sf_dir):
+    """Bucketing must never change the mined expansions — only the
+    shuffle bill (shared ORACLE_QUERY_EXPANSION_PRF)."""
+    from flink_gmall_spark.operators import retrieval, scale
+
+    bucketed = sorted(
+        map(tuple, scale.bucketed_prf_serve(spark, sf_dir).collect())
+    )
+    broadcast = sorted(
+        map(tuple, retrieval.query_expansion_prf(spark, sf_dir).collect())
+    )
+    assert bucketed == broadcast
+
+
+def test_bucketed_triplets_serve_equals_broadcast_path(spark, sf_dir):
+    from flink_gmall_spark.operators import retrieval, scale
+
+    bucketed = sorted(
+        map(tuple, scale.bucketed_triplets_serve(spark, sf_dir).collect())
+    )
+    broadcast = sorted(
+        map(tuple, retrieval.retrieval_triplets(spark, sf_dir).collect())
+    )
+    assert bucketed == broadcast
