@@ -456,6 +456,15 @@ def rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("sem_rank"),
     )
+    return rrf_k_sweep_finish(lex, sem)
+
+
+def rrf_k_sweep_finish(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """The sweep proper — per-K score columns, stack, per-(K, query)
+    rank, default-K overlap flag, ledger aggregation. Shared VERBATIM by
+    the batch entry and the streaming serve twin (same signature as
+    rrf_finish: lex (query_id, doc_id, lex_rank), sem (query_id, doc_id,
+    sem_rank))."""
     fb = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",

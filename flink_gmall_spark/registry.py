@@ -405,6 +405,8 @@ _register("text_bm25_topk_logidf", retrieval.bm25_topk_logidf, retrieval.ORACLE_
 _register("sim_rrf_k_sweep", retrieval.rrf_k_sweep, retrieval.ORACLE_RRF_K_SWEEP, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "calibration", "self-measurement", "single-pass"))
 _register("scale_bucketed_prf_serve", scale.bucketed_prf_serve, retrieval.ORACLE_QUERY_EXPANSION_PRF, tags=("scale", "retrieval", "query-expansion", "bucketing", "zero-shuffle-join", "serving"))
 _register("scale_bucketed_triplets_serve", scale.bucketed_triplets_serve, retrieval.ORACLE_RETRIEVAL_TRIPLETS, tags=("scale", "retrieval", "triplet-mining", "bucketing", "zero-shuffle-join", "serving"))
+_register("stream_bm25_logidf_serve", stream_jobs.stream_bm25_logidf_serve, retrieval.ORACLE_BM25_TOPK_LOGIDF, tags=("streaming", "retrieval", "lexical", "bm25", "logged-idf", "serving", "append-mode"))
+_register("stream_rrf_k_sweep", stream_jobs.stream_rrf_k_sweep, retrieval.ORACLE_RRF_K_SWEEP, tags=("streaming", "retrieval", "hybrid", "rank-fusion", "calibration", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -428,6 +430,7 @@ _SAMPLE_PRIORITY = [
     # text_hashed_classifier precedent
     "text_bm25_topk_logidf", "sim_rrf_k_sweep",
     "scale_bucketed_prf_serve", "scale_bucketed_triplets_serve",
+    "stream_bm25_logidf_serve", "stream_rrf_k_sweep",
     "curation_retrieval_triplets", "stream_retrieval_triplets",
     "stream_query_expansion_prf",
     # 2 — the 26 r6-latest entries displaced at the round-11 rotation
@@ -445,15 +448,14 @@ _SAMPLE_PRIORITY = [
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
     "sim_ann_recall_report", "text_hll_union_rollup",
     "text_lang_id_confusion",
-    # 3 — r7-latest cohort in registration order (first 17 of 50; the
-    # rest — ads_top_sku_per_brand onward — head the r13 roster)
+    # 3 — r7-latest cohort in registration order (first 15 of 50; the
+    # rest — multimodal_binary_features onward — head the r13 roster)
     "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
     "curation_sample_stratified", "curation_decontaminate",
     "curation_tfidf_top_terms", "curation_bigram_counts",
     "dedup_keep_best", "dedup_bag_of_words", "text_fingerprints",
     "text_pii_scrub", "text_repetition", "text_rare_token_ratio",
-    "multimodal_binary_features", "multimodal_frame_sample",
-    "multimodal_resize",
+    "multimodal_binary_features",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

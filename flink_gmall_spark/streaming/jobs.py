@@ -2061,16 +2061,25 @@ def stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval.bm25_finish (shared VERBATIM — rank windows cannot follow
     an append stream); shares ORACLE_BM25_TOPK, so the served ranking is
     hash-identical to the batch index by contract."""
+    return _bm25_serve(spark, sf_dir)
+
+
+def _bm25_serve(spark: SparkSession, sf_dir: str, logidf: bool = False) -> DataFrame:
+    """The one definition of the lexical serve shape — the unlogged and
+    logged-idf twins differ ONLY in which static score table the query
+    stream joins (scored_postings vs logidf_scored_postings)."""
     from flink_gmall_spark.operators.retrieval import (
         bm25_finish,
         bm25_match,
+        logidf_scored_postings,
         query_occurrences,
         scored_postings,
     )
     from flink_gmall_spark.sources import load
 
     tune(spark)
-    sp = scored_postings(load(spark, sf_dir, "documents"))
+    score_table = logidf_scored_postings if logidf else scored_postings
+    sp = score_table(load(spark, sf_dir, "documents"))
     occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
     # shared match semantics (review r11): only the broadcast hint is
     # batch-specific — a streaming side cannot take it
@@ -2078,6 +2087,39 @@ def stream_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "score_i"
     )
     return bm25_finish(run_to_memory(served, "append"))
+
+
+def stream_bm25_logidf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bm25_topk_logidf as a SERVING job — the logged-idf score
+    table is entirely static (the ln chain is index-build work), so the
+    serve path is stream_bm25_serve's shape verbatim with the logidf
+    postings swapped in (_bm25_serve, one definition). Shares
+    ORACLE_BM25_TOPK_LOGIDF: served and batch rankings are
+    hash-identical by contract."""
+    return _bm25_serve(spark, sf_dir, logidf=True)
+
+
+def stream_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_rrf_k_sweep with the LEXICAL leg served from the live query
+    stream (stream_bm25_serve — one definition of the serve-side
+    streaming query) and the semantic leg from the static index; the
+    whole sweep ledger applies batch-side via retrieval.rrf_k_sweep_finish
+    (shared VERBATIM — rank windows cannot follow an append stream).
+    Shares ORACLE_RRF_K_SWEEP: tuning the fusion knob on the serving
+    path must price identically to the batch calibration."""
+    from flink_gmall_spark.operators.ann import ann_topk
+    from flink_gmall_spark.operators.retrieval import rrf_k_sweep_finish
+
+    tune(spark)
+    lex = stream_bm25_serve(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    return rrf_k_sweep_finish(lex, sem)
 
 
 def stream_hybrid_rrf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:

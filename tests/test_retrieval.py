@@ -680,3 +680,21 @@ def test_rrf_k_sweep_plan_single_stack(spark, sf_dir):
         sweep.count("FileScan"),
         hybrid.count("FileScan"),
     )
+
+
+def test_stream_bm25_logidf_serve_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_bm25_logidf_serve
+
+    batch = sorted(map(tuple, R.bm25_topk_logidf(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_bm25_logidf_serve(spark, sf_dir).collect())
+    )
+    assert batch == served
+
+
+def test_stream_rrf_k_sweep_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_rrf_k_sweep
+
+    batch = sorted(map(tuple, R.rrf_k_sweep(spark, sf_dir).collect()))
+    served = sorted(map(tuple, stream_rrf_k_sweep(spark, sf_dir).collect()))
+    assert batch == served
