@@ -809,132 +809,6 @@ FROM prf_ranked WHERE rank <= {EXPANSION_M}
 """
 
 
-POS_K = 3  # positives per query: the top-POS_K BM25 docs
-NEG_K = 4  # negatives per query, deterministically hash-sampled
-# md5-threshold pre-sample for the negative pool: only (query, doc) pairs
-# whose hash sorts below this hex prefix are candidates (~1/4 of the
-# corpus per query) — the knob that bounds the negative-pool scan at
-# 100 TB exactly like ann's exact_sample_hex audit discipline.
-NEG_SAMPLE_HEX = "40"
-# Two-phase top-k fan-out for the negative-pool ranking (VERDICT r11
-# weak): phase 1 ranks per (query_id, salt) — NEG_SALTS × N_RETR_QUERIES
-# reducer keys, each sorting ~pool/(queries×NEG_SALTS) rows — phase 2
-# merges the ≤ NEG_SALTS × NEG_K survivors per query. Raise with cluster
-# size; the salt is the TAIL of the md5 hex (independent of the rank
-# order, which the PREFIX determines), so buckets stay balanced.
-NEG_SALTS = 32
-
-
-def retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRIPLET MINING for embedding-model training — the standard
-    (query, positive, negative) data builder over the lexical index:
-    positives are each query's top-POS_K BM25 documents (lexical
-    relevance as the weak label, the classic BM25-negatives setup from
-    the DPR line of work, Karpukhin et al. 2020 — here inverted: BM25
-    gives the positives and the negatives are random), negatives are
-    NEG_K documents deterministically sampled per query by md5 order
-    from outside the query's ENTIRE top-RETR_TOPK list (not just the
-    positives — a rank-4 doc is too relevant to be a safe negative).
-
-    Determinism/parity: the negative sample is the md5 hex order of
-    (query_id '-' doc_id) under a threshold pre-filter (NEG_SAMPLE_HEX),
-    so both engines pick the identical docs with no RNG; every output
-    column is BIGINT/STRING. Plan shape: the negative pool is the ONLY
-    corpus-scale piece — a doc_id-projected scan crossed with the ≤
-    N_RETR_QUERIES broadcast query list, hash-filtered to ~1/4 BEFORE
-    the anti-join and window (pushdown-visible), then ranked per query;
-    positives and the final pos × neg pairing are query-bounded.
-    """
-    tune(spark)
-    docs = load(spark, sf_dir, "documents")
-    return triplets_finish(bm25_topk(spark, sf_dir), docs)
-
-
-def triplets_finish(topk: DataFrame, docs: DataFrame) -> DataFrame:
-    """Everything downstream of the BM25 rank list — positives slice,
-    hash-sampled negative pool, pairing. Shared VERBATIM by the batch
-    entry and the streaming serve twin (topk: bm25_finish output; docs:
-    the STATIC corpus — the negative pool is corpus-side either way).
-
-    Scale shape (VERDICT r11 weak, fixed): the per-query top-NEG_K over
-    the ~pool/4 candidate rows is a TWO-PHASE top-k — phase 1 is a
-    row_number window keyed by (query_id, neg_salt) where neg_salt is
-    derived from the TAIL of the same md5 hex (NEG_SALTS buckets,
-    deterministic — no spark_partition_id, so retries/AQE cannot change
-    the result), phase 2 re-ranks the ≤ NEG_SALTS × NEG_K survivors per
-    query. The global top-NEG_K by (h, doc_id) is contained in the union
-    of the per-salt top-NEG_K (each bucket keeps its own best NEG_K), so
-    the selection — and ORACLE_RETRIEVAL_TRIPLETS, which keeps the plain
-    single window — is unchanged. No reducer ever sorts more than
-    ~pool/(N_RETR_QUERIES × NEG_SALTS) rows, vs pool/N_RETR_QUERIES
-    before (8 reducers each sorting a quarter of the corpus at 100 TB).
-
-    UNDER-FILL (review r11): a query whose md5-threshold pool yields
-    fewer than NEG_K eligible negatives emits fewer (or zero) triplets
-    for that query — consistently in both engines, since the inner
-    pos⋈negs join drops what the pool cannot supply. A small corpus plus
-    a tight NEG_SAMPLE_HEX is the trigger; widen NEG_SAMPLE_HEX (the
-    pool fraction knob) if whole queries vanish from the training set.
-    ``tests/test_retrieval.py::test_retrieval_triplets_no_underfill``
-    pins the shipped fixtures to the fully-filled regime so a silent
-    fixture regression surfaces as a named failure, not a smaller
-    training set."""
-    pos = topk.filter(F.col("rank") <= POS_K).select(
-        "query_id",
-        F.col("doc_id").alias("pos_doc_id"),
-        F.col("rank").alias("pos_rank"),
-    )
-    qids = (
-        docs.filter(F.col("doc_id") < N_RETR_QUERIES)
-        .select(F.col("doc_id").alias("query_id"))
-        .distinct()
-    )
-    pool = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(qids))
-        .withColumn(
-            "h",
-            F.md5(
-                F.concat(
-                    F.col("query_id").cast("string"),
-                    F.lit("-"),
-                    F.col("doc_id").cast("string"),
-                )
-            ),
-        )
-        .filter(F.col("h") < NEG_SAMPLE_HEX)
-        .filter(F.col("doc_id") != F.col("query_id"))
-    )
-    eligible = pool.join(
-        F.broadcast(topk.select("query_id", "doc_id")),
-        ["query_id", "doc_id"],
-        "left_anti",
-    )
-    # phase 1: per-(query, salt) local top-NEG_K — the salt comes from
-    # the md5 TAIL (chars 29-32; the ORDER key is the prefix), so bucket
-    # membership is deterministic and order-independent
-    salted = eligible.withColumn(
-        "neg_salt",
-        (F.conv(F.substring("h", 29, 4), 16, 10).cast("long") % NEG_SALTS),
-    )
-    w_local = Window.partitionBy("query_id", "neg_salt").orderBy(
-        F.asc("h"), F.asc("doc_id")
-    )
-    survivors = salted.withColumn(
-        "local_rank", F.row_number().over(w_local)
-    ).filter(F.col("local_rank") <= NEG_K)
-    # phase 2: global merge over ≤ NEG_SALTS × NEG_K rows per query
-    w = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("doc_id"))
-    negs = (
-        survivors.withColumn("neg_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("neg_rank") <= NEG_K)
-        .select("query_id", F.col("doc_id").alias("neg_doc_id"), "neg_rank")
-    )
-    return pos.join(negs, "query_id").select(
-        "query_id", "pos_doc_id", "pos_rank", "neg_doc_id", "neg_rank"
-    )
-
-
 # --- logged-idf BM25 (VERDICT r11 ask #3) ------------------------------------
 # The default BM25 here drops the log from the Robertson idf to stay
 # transcendental-free (module parity contract); the documented cost is an
@@ -1072,6 +946,297 @@ FROM lg_ranked WHERE rank <= {RETR_TOPK}
 
 
 ORACLE_BM25_TOPK_LOGIDF = _oracle_bm25_topk_logidf()
+
+
+# --- retrieval evaluation ledger (MRR / nDCG) --------------------------------
+EVAL_MRR_SCALE = 1_000_000  # mrr = SCALE DIV first-relevant-rank (exact)
+EVAL_DCG_SCALE = 10_000_000_000  # per-rank discount floor-scale
+# (1e10, not 1e12: max DCG is RETR_TOPK * SCALE = 1e11, and the ndcg
+# ratio multiplies by 1e6 before the integer divide — 1e11 * 1e6 = 1e17
+# stays far inside BIGINT; at 1e12 the product would overflow)
+
+
+def retrieval_eval_finish(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RETRIEVAL EVALUATION LEDGER — MRR and nDCG of the lexical list
+    AND the RRF-fused list, judged against the exact brute-force cosine
+    top-k as binary pseudo-qrels (the repo's exactness baseline as the
+    relevance truth: "how much semantic recall does each retriever
+    capture, and how well does it order it"). Shared VERBATIM by the
+    batch entry and the streaming serve twin (lex / sem: (query_id,
+    doc_id, rank) lists).
+
+    Metric arithmetic is integer-exact end to end: MRR is
+    EVAL_MRR_SCALE DIV first-relevant-rank; each DCG discount
+    1/log2(r+1) = ln(2)/ln(r+1) evaluates the shared _ln_stages chain
+    on the BIGINT r+1 (r ≤ RETR_TOPK, so the chain runs on a bounded
+    rank column, not the corpus), floor-scales to EVAL_DCG_SCALE, and
+    sums order-free. nDCG here is the LOCAL-ideal form — IDCG re-ranks
+    the RETRIEVED relevant rows to the top — because the pseudo-qrels
+    are a constant-depth binary set (TOPK per query), which makes the
+    textbook global IDCG@k a per-query constant; the local form prices
+    ordering quality, the n_rel column prices recall, and together they
+    reconstruct the global form if wanted.
+
+    Plan shape: every input is a query-bounded rank list (≤ queries ×
+    top-k rows); the fusion reuses rrf_finish verbatim; all corpus-scale
+    work happened inside the upstream retrievers."""
+    fused = rrf_finish(
+        lex.select("query_id", "doc_id", F.col("rank").alias("lex_rank")),
+        sem.select("query_id", "doc_id", F.col("rank").alias("sem_rank")),
+    ).select("query_id", "doc_id", "rank")
+    stacked = (
+        lex.select(F.lit("lex").alias("eval_set"), "query_id", "doc_id", "rank")
+        .unionByName(
+            fused.select(
+                F.lit("rrf").alias("eval_set"), "query_id", "doc_id", "rank"
+            )
+        )
+    )
+    qrels = sem.select("query_id", "doc_id")
+    universe = stacked.select("eval_set", "query_id").distinct()
+    rel = stacked.join(qrels, ["query_id", "doc_id"]).withColumn(
+        "ideal_rank",
+        F.row_number().over(
+            Window.partitionBy("eval_set", "query_id").orderBy(F.asc("rank"))
+        ),
+    )
+    rel = rel.withColumn("a_i", F.expr("CAST(rank + 1 AS BIGINT)")).withColumn(
+        "b_i", F.expr("CAST(ideal_rank + 1 AS BIGINT)")
+    )
+    for stage in _ln_stages("a_i", "a") + _ln_stages("b_i", "b"):
+        for c, e in stage:
+            rel = rel.withColumn(c, F.expr(e))
+    term = (
+        f"CAST(floor(CAST({_LN2_LIT} AS DOUBLE) / ln_{{s}}"
+        f" * CAST({EVAL_DCG_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+    per_q = (
+        rel.withColumn("dcg_t", F.expr(term.format(s="a")))
+        .withColumn("idcg_t", F.expr(term.format(s="b")))
+        .groupBy("eval_set", "query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.min("rank").alias("first_rel"),
+            F.sum("dcg_t").cast("long").alias("dcg_x1e10"),
+            F.sum("idcg_t").cast("long").alias("idcg_x1e10"),
+        )
+    )
+    return universe.join(per_q, ["eval_set", "query_id"], "left").select(
+        "eval_set",
+        "query_id",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        F.coalesce(
+            F.expr(f"{EVAL_MRR_SCALE} DIV first_rel"), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_x1e6"),
+        F.coalesce(F.col("dcg_x1e10"), F.lit(0)).cast("long").alias("dcg_x1e10"),
+        F.coalesce(F.col("idcg_x1e10"), F.lit(0))
+        .cast("long")
+        .alias("idcg_x1e10"),
+        F.coalesce(
+            F.expr("CASE WHEN idcg_x1e10 > 0"
+                   " THEN dcg_x1e10 * 1000000 DIV idcg_x1e10 END"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ndcg_local_x1e6"),
+    )
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation ledger over the shipped retrievers: BM25 lexical
+    list and its RRF fusion, judged by the exact cosine top-k."""
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    tune(spark)
+    lex = bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval_eval_finish(lex, sem)
+
+
+def _oracle_retrieval_eval() -> str:
+    ctes, prev = [], "ev_rel"
+    for i, stage in enumerate(_ln_stages("a_i", "a") + _ln_stages("b_i", "b")):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage)
+        ctes.append(f"ev{i} AS (\n    SELECT *, {cols} FROM {prev}\n)")
+        prev = f"ev{i}"
+    chain = ",\n".join(ctes)
+    term = (
+        f"CAST(floor(CAST({_LN2_LIT} AS DOUBLE) / ln_{{s}}"
+        f" * CAST({EVAL_DCG_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH {_oracle_hybrid_ctes()},
+ev_stacked AS (
+    SELECT 'lex' AS eval_set, query_id, doc_id, rank FROM lex
+    UNION ALL
+    SELECT 'rrf' AS eval_set, query_id, doc_id, rank FROM fused_topk
+),
+ev_universe AS (
+    SELECT DISTINCT eval_set, query_id FROM ev_stacked
+),
+ev_rel AS (
+    SELECT s.*,
+           CAST(s.rank + 1 AS BIGINT) AS a_i,
+           CAST(row_number() OVER (
+               PARTITION BY s.eval_set, s.query_id ORDER BY s.rank ASC)
+               + 1 AS BIGINT) AS b_i
+    FROM ev_stacked s JOIN sem r
+      ON r.query_id = s.query_id AND r.doc_id = s.doc_id
+),
+{chain},
+ev_per_q AS (
+    SELECT eval_set, query_id,
+           CAST(count(*) AS BIGINT) AS n_rel,
+           min(rank) AS first_rel,
+           CAST(sum({term.format(s="a")}) AS BIGINT) AS dcg_x1e10,
+           CAST(sum({term.format(s="b")}) AS BIGINT) AS idcg_x1e10
+    FROM {prev}
+    GROUP BY 1, 2
+)
+SELECT u.eval_set, u.query_id,
+       CAST(COALESCE(p.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(COALESCE({EVAL_MRR_SCALE} // p.first_rel, 0) AS BIGINT) AS mrr_x1e6,
+       CAST(COALESCE(p.dcg_x1e10, 0) AS BIGINT) AS dcg_x1e10,
+       CAST(COALESCE(p.idcg_x1e10, 0) AS BIGINT) AS idcg_x1e10,
+       CAST(COALESCE(CASE WHEN p.idcg_x1e10 > 0
+                THEN p.dcg_x1e10 * 1000000 // p.idcg_x1e10 END, 0) AS BIGINT)
+           AS ndcg_local_x1e6
+FROM ev_universe u LEFT JOIN ev_per_q p
+  ON p.eval_set = u.eval_set AND p.query_id = u.query_id
+"""
+
+
+ORACLE_RETRIEVAL_EVAL = _oracle_retrieval_eval()
+
+
+POS_K = 3  # positives per query: the top-POS_K BM25 docs
+NEG_K = 4  # negatives per query, deterministically hash-sampled
+# md5-threshold pre-sample for the negative pool: only (query, doc) pairs
+# whose hash sorts below this hex prefix are candidates (~1/4 of the
+# corpus per query) — the knob that bounds the negative-pool scan at
+# 100 TB exactly like ann's exact_sample_hex audit discipline.
+NEG_SAMPLE_HEX = "40"
+# Two-phase top-k fan-out for the negative-pool ranking (VERDICT r11
+# weak): phase 1 ranks per (query_id, salt) — NEG_SALTS × N_RETR_QUERIES
+# reducer keys, each sorting ~pool/(queries×NEG_SALTS) rows — phase 2
+# merges the ≤ NEG_SALTS × NEG_K survivors per query. Raise with cluster
+# size; the salt is the TAIL of the md5 hex (independent of the rank
+# order, which the PREFIX determines), so buckets stay balanced.
+NEG_SALTS = 32
+
+
+def retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET MINING for embedding-model training — the standard
+    (query, positive, negative) data builder over the lexical index:
+    positives are each query's top-POS_K BM25 documents (lexical
+    relevance as the weak label, the classic BM25-negatives setup from
+    the DPR line of work, Karpukhin et al. 2020 — here inverted: BM25
+    gives the positives and the negatives are random), negatives are
+    NEG_K documents deterministically sampled per query by md5 order
+    from outside the query's ENTIRE top-RETR_TOPK list (not just the
+    positives — a rank-4 doc is too relevant to be a safe negative).
+
+    Determinism/parity: the negative sample is the md5 hex order of
+    (query_id '-' doc_id) under a threshold pre-filter (NEG_SAMPLE_HEX),
+    so both engines pick the identical docs with no RNG; every output
+    column is BIGINT/STRING. Plan shape: the negative pool is the ONLY
+    corpus-scale piece — a doc_id-projected scan crossed with the ≤
+    N_RETR_QUERIES broadcast query list, hash-filtered to ~1/4 BEFORE
+    the anti-join and window (pushdown-visible), then ranked per query;
+    positives and the final pos × neg pairing are query-bounded.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return triplets_finish(bm25_topk(spark, sf_dir), docs)
+
+
+def triplets_finish(topk: DataFrame, docs: DataFrame) -> DataFrame:
+    """Everything downstream of the BM25 rank list — positives slice,
+    hash-sampled negative pool, pairing. Shared VERBATIM by the batch
+    entry and the streaming serve twin (topk: bm25_finish output; docs:
+    the STATIC corpus — the negative pool is corpus-side either way).
+
+    Scale shape (VERDICT r11 weak, fixed): the per-query top-NEG_K over
+    the ~pool/4 candidate rows is a TWO-PHASE top-k — phase 1 is a
+    row_number window keyed by (query_id, neg_salt) where neg_salt is
+    derived from the TAIL of the same md5 hex (NEG_SALTS buckets,
+    deterministic — no spark_partition_id, so retries/AQE cannot change
+    the result), phase 2 re-ranks the ≤ NEG_SALTS × NEG_K survivors per
+    query. The global top-NEG_K by (h, doc_id) is contained in the union
+    of the per-salt top-NEG_K (each bucket keeps its own best NEG_K), so
+    the selection — and ORACLE_RETRIEVAL_TRIPLETS, which keeps the plain
+    single window — is unchanged. No reducer ever sorts more than
+    ~pool/(N_RETR_QUERIES × NEG_SALTS) rows, vs pool/N_RETR_QUERIES
+    before (8 reducers each sorting a quarter of the corpus at 100 TB).
+
+    UNDER-FILL (review r11): a query whose md5-threshold pool yields
+    fewer than NEG_K eligible negatives emits fewer (or zero) triplets
+    for that query — consistently in both engines, since the inner
+    pos⋈negs join drops what the pool cannot supply. A small corpus plus
+    a tight NEG_SAMPLE_HEX is the trigger; widen NEG_SAMPLE_HEX (the
+    pool fraction knob) if whole queries vanish from the training set.
+    ``tests/test_retrieval.py::test_retrieval_triplets_no_underfill``
+    pins the shipped fixtures to the fully-filled regime so a silent
+    fixture regression surfaces as a named failure, not a smaller
+    training set."""
+    pos = topk.filter(F.col("rank") <= POS_K).select(
+        "query_id",
+        F.col("doc_id").alias("pos_doc_id"),
+        F.col("rank").alias("pos_rank"),
+    )
+    qids = (
+        docs.filter(F.col("doc_id") < N_RETR_QUERIES)
+        .select(F.col("doc_id").alias("query_id"))
+        .distinct()
+    )
+    pool = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(qids))
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.col("query_id").cast("string"),
+                    F.lit("-"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .filter(F.col("h") < NEG_SAMPLE_HEX)
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    eligible = pool.join(
+        F.broadcast(topk.select("query_id", "doc_id")),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    # phase 1: per-(query, salt) local top-NEG_K — the salt comes from
+    # the md5 TAIL (chars 29-32; the ORDER key is the prefix), so bucket
+    # membership is deterministic and order-independent
+    salted = eligible.withColumn(
+        "neg_salt",
+        (F.conv(F.substring("h", 29, 4), 16, 10).cast("long") % NEG_SALTS),
+    )
+    w_local = Window.partitionBy("query_id", "neg_salt").orderBy(
+        F.asc("h"), F.asc("doc_id")
+    )
+    survivors = salted.withColumn(
+        "local_rank", F.row_number().over(w_local)
+    ).filter(F.col("local_rank") <= NEG_K)
+    # phase 2: global merge over ≤ NEG_SALTS × NEG_K rows per query
+    w = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("doc_id"))
+    negs = (
+        survivors.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select("query_id", F.col("doc_id").alias("neg_doc_id"), "neg_rank")
+    )
+    return pos.join(negs, "query_id").select(
+        "query_id", "pos_doc_id", "pos_rank", "neg_doc_id", "neg_rank"
+    )
 
 
 ORACLE_RETRIEVAL_TRIPLETS = f"""

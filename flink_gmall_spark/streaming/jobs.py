@@ -2099,6 +2099,32 @@ def stream_bm25_logidf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_serve(spark, sf_dir, logidf=True)
 
 
+def stream_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_retrieval_eval with the LEXICAL leg served from the live
+    query stream (stream_bm25_serve) and the exact-cosine pseudo-qrels
+    from the static index; MRR/nDCG ledger applies batch-side via
+    retrieval.retrieval_eval_finish (shared VERBATIM). Shares
+    ORACLE_RETRIEVAL_EVAL: the serving path must grade identically to
+    the batch eval harness."""
+    from flink_gmall_spark.operators.ann import ann_topk
+    from flink_gmall_spark.operators.retrieval import retrieval_eval_finish
+
+    tune(spark)
+    # the finisher joins the lex list against itself (directly in the
+    # stacked union AND through the fused branch) — a MemoryPlan leaf is
+    # not multi-instance, so give the drained, query-bounded rank list a
+    # fresh leaf (the stream_query_expansion_prf qvocab precedent)
+    lex = (
+        stream_bm25_serve(spark, sf_dir)
+        .select("query_id", "doc_id", "rank")
+        .localCheckpoint()
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval_eval_finish(lex, sem)
+
+
 def stream_rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_rrf_k_sweep with the LEXICAL leg served from the live query
     stream (stream_bm25_serve — one definition of the serve-side

@@ -698,3 +698,62 @@ def test_stream_rrf_k_sweep_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, R.rrf_k_sweep(spark, sf_dir).collect()))
     served = sorted(map(tuple, stream_rrf_k_sweep(spark, sf_dir).collect()))
     assert batch == served
+
+
+def test_retrieval_eval_matches_python(spark, sf_dir):
+    """Recompute the full MRR/nDCG ledger in python from the same three
+    rank lists (binary pseudo-qrels = exact cosine top-k; _py_ln mirror
+    for the discounts) and compare integer-for-integer."""
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    lex = [(r.query_id, r.doc_id, r.rank)
+           for r in R.bm25_topk(spark, sf_dir).collect()]
+    sem = [(r.query_id, r.neighbor_id, r.rank)
+           for r in ann_topk(spark, sf_dir).collect()]
+    fused = [(r.query_id, r.doc_id, r.rank)
+             for r in R.hybrid_rrf(spark, sf_dir).collect()]
+    qrels = {(q, d) for q, d, _ in sem}
+
+    def ledger(rows, eval_set):
+        by_q = {}
+        for q, d, rk in rows:
+            by_q.setdefault(q, []).append((rk, (q, d) in qrels))
+        out = {}
+        for q, lst in by_q.items():
+            rel = sorted(rk for rk, is_rel in lst if is_rel)
+            n_rel = len(rel)
+            mrr = R.EVAL_MRR_SCALE // rel[0] if rel else 0
+            dcg = sum(
+                int(math.floor(0.6931471805599453 / _py_ln(rk + 1)
+                               * float(R.EVAL_DCG_SCALE)))
+                for rk in rel
+            )
+            idcg = sum(
+                int(math.floor(0.6931471805599453 / _py_ln(i + 2)
+                               * float(R.EVAL_DCG_SCALE)))
+                for i in range(n_rel)
+            )
+            ndcg = dcg * 1000000 // idcg if idcg > 0 else 0
+            out[(eval_set, q)] = (n_rel, mrr, dcg, idcg, ndcg)
+        return out
+
+    want = ledger(lex, "lex") | ledger(fused, "rrf")
+    got = {
+        (r.eval_set, r.query_id): (r.n_rel, r.mrr_x1e6, r.dcg_x1e10,
+                                   r.idcg_x1e10, r.ndcg_local_x1e6)
+        for r in R.retrieval_eval(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the fused list should never lose semantic recall vs lexical-only
+    for q in {q for (_s, q) in got}:
+        assert got[("rrf", q)][0] >= got[("lex", q)][0]
+
+
+def test_stream_retrieval_eval_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_retrieval_eval
+
+    batch = sorted(map(tuple, R.retrieval_eval(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_retrieval_eval(spark, sf_dir).collect())
+    )
+    assert batch == served
