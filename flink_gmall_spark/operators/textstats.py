@@ -1035,3 +1035,169 @@ SELECT doc_id, n_tokens, n_types,
                   * {DIVERSITY_SCALE}) // n_tokens END AS BIGINT) AS simpson_x1m
 FROM base
 """
+
+
+# --- Zipf slope (round 12) ----------------------------------------------------
+ZIPF_N = 64  # fit over the top-N terms by collection frequency
+ZIPF_LN_SCALE = 1_000_000  # ln values floor-scaled before the integer sums
+
+
+def corpus_cf(docs: DataFrame) -> DataFrame:
+    """(tok, cf): collection frequency — ONE keyed corpus aggregation.
+    Shared by the batch entry and the streaming complete-mode fold."""
+    return (
+        docs.select(F.explode(tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+
+
+def zipf_finish(cf: DataFrame) -> DataFrame:
+    """ZIPF SLOPE of the corpus frequency distribution — the classic
+    corpus-quality diagnostic (natural text fits ln(cf) ≈ a + s·ln(rank)
+    with s ≈ -1; template-spam or truncation bends the tail). Least
+    squares over the top-ZIPF_N terms, integer-exact end to end:
+
+    - top-N selection is the salted TWO-PHASE top-k (the
+      triplets_finish discipline): phase 1 ranks per md5-first-hex-char
+      bucket (16 deterministic buckets, the hex char itself is the
+      partition key — no conv(), which DuckDB lacks), phase 2 ranks the
+      ≤ 16·ZIPF_N survivors globally. No reducer ever sorts the whole
+      vocabulary.
+    - x = ln(rank), y = ln(cf) through the shared retrieval._ln_stages
+      template (bit-identical doubles in both engines), floor-scaled by
+      ZIPF_LN_SCALE to BIGINT, so every regression sum is an order-free
+      integer. Bounds at N=64: X ≤ ln(64)·1e6 ≈ 4.2e6, Y ≤ ln(2^62)·1e6
+      ≈ 4.3e7, so n·ΣXY ≤ 64·64·1.8e14 ≈ 7.4e17 < 2^63 — no overflow.
+    - slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) emitted as slope_x1e6 via
+      magnitude-only integer division (abs then re-sign: Spark DIV
+      truncates toward zero, DuckDB // floors — identical only on
+      non-negative operands) against the 1e6-predivided denominator;
+      the predivide costs ≤ 1e-6 relative accuracy and keeps the
+      numerator inside BIGINT. Denominator-zero (degenerate < 2-point
+      fit) emits the 0 sentinel.
+
+    Shared VERBATIM by the batch entry and the streaming twin."""
+    from flink_gmall_spark.operators.retrieval import _ln_stages
+    from pyspark.sql import Window
+
+    salted = cf.withColumn("s1", F.substring(F.md5(F.col("tok")), 1, 1))
+    wl = Window.partitionBy("s1").orderBy(F.desc("cf"), F.asc("tok"))
+    local = salted.withColumn("lr", F.row_number().over(wl)).filter(
+        F.col("lr") <= ZIPF_N
+    )
+    wg = Window.orderBy(F.desc("cf"), F.asc("tok"))
+    ranked = (
+        local.withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= ZIPF_N)
+        .withColumn("a_i", F.expr("CAST(rank AS BIGINT)"))
+        .withColumn("b_i", F.expr("CAST(cf AS BIGINT)"))
+    )
+    for stage in _ln_stages("a_i", "a") + _ln_stages("b_i", "b"):
+        for c, e in stage:
+            ranked = ranked.withColumn(c, F.expr(e))
+    xy = ranked.select(
+        F.expr(
+            f"CAST(floor(ln_a * CAST({ZIPF_LN_SCALE} AS DOUBLE)) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(floor(ln_b * CAST({ZIPF_LN_SCALE} AS DOUBLE)) AS BIGINT)"
+        ).alias("y"),
+        "cf",
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.max("cf").cast("long").alias("top_cf"),
+    )
+    return fit.selectExpr(
+        "n_terms",
+        f"""CASE WHEN (n_terms * sxx - sx * sx) DIV {ZIPF_LN_SCALE} > 0
+             THEN CASE WHEN n_terms * sxy - sx * sy < 0
+                  THEN -(abs(n_terms * sxy - sx * sy)
+                         DIV ((n_terms * sxx - sx * sx) DIV {ZIPF_LN_SCALE}))
+                  ELSE (n_terms * sxy - sx * sy)
+                       DIV ((n_terms * sxx - sx * sx) DIV {ZIPF_LN_SCALE})
+                  END
+             ELSE 0 END AS slope_x1e6""",
+        "top_cf",
+    )
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-slope ledger over the documents corpus: one keyed corpus
+    aggregation (cf), a two-phase bounded top-N, and a single-row
+    integer least-squares fit."""
+    tune(spark)
+    return zipf_finish(corpus_cf(load(spark, sf_dir, "documents")))
+
+
+def _oracle_zipf_slope() -> str:
+    from flink_gmall_spark.operators.retrieval import _ln_stages
+
+    ctes, prev = [], "zb"
+    for i, stage in enumerate(_ln_stages("a_i", "a") + _ln_stages("b_i", "b")):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage)
+        ctes.append(f"zl{i} AS (\n    SELECT *, {cols} FROM {prev}\n)")
+        prev = f"zl{i}"
+    chain = ",\n".join(ctes)
+    num = "(n_terms * sxy - sx * sy)"
+    den6 = f"((n_terms * sxx - sx * sx) // {ZIPF_LN_SCALE})"
+    return f"""
+WITH tokz AS (
+    SELECT unnest({_DUCK_T}) AS tok FROM documents
+),
+cf AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cf FROM tokz GROUP BY 1
+),
+zsalt AS (
+    SELECT *, substring(md5(tok), 1, 1) AS s1 FROM cf
+),
+zloc AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY s1 ORDER BY cf DESC, tok ASC) AS lr
+        FROM zsalt
+    ) WHERE lr <= {ZIPF_N}
+),
+zrank AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY cf DESC, tok ASC) AS rank
+        FROM zloc
+    ) WHERE rank <= {ZIPF_N}
+),
+zb AS (
+    SELECT tok, cf, CAST(rank AS BIGINT) AS a_i, cf AS b_i FROM zrank
+),
+{chain},
+zxy AS (
+    SELECT CAST(floor(ln_a * CAST({ZIPF_LN_SCALE} AS DOUBLE)) AS BIGINT) AS x,
+           CAST(floor(ln_b * CAST({ZIPF_LN_SCALE} AS DOUBLE)) AS BIGINT) AS y,
+           cf
+    FROM {prev}
+),
+zfit AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(max(cf) AS BIGINT) AS top_cf
+    FROM zxy
+)
+SELECT n_terms,
+       CAST(CASE WHEN {den6} > 0
+            THEN CASE WHEN {num} < 0
+                 THEN -(abs({num}) // {den6})
+                 ELSE {num} // {den6}
+                 END
+            ELSE 0 END AS BIGINT) AS slope_x1e6,
+       top_cf
+FROM zfit
+"""
+
+
+ORACLE_ZIPF_SLOPE = _oracle_zipf_slope()

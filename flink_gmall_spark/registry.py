@@ -409,6 +409,8 @@ _register("stream_bm25_logidf_serve", stream_jobs.stream_bm25_logidf_serve, retr
 _register("stream_rrf_k_sweep", stream_jobs.stream_rrf_k_sweep, retrieval.ORACLE_RRF_K_SWEEP, tags=("streaming", "retrieval", "hybrid", "rank-fusion", "calibration", "serving", "append-mode"))
 _register("sim_retrieval_eval", retrieval.retrieval_eval, retrieval.ORACLE_RETRIEVAL_EVAL, tags=("similarity", "retrieval", "evaluation", "mrr", "ndcg", "self-measurement"))
 _register("stream_retrieval_eval", stream_jobs.stream_retrieval_eval, retrieval.ORACLE_RETRIEVAL_EVAL, tags=("streaming", "retrieval", "evaluation", "mrr", "ndcg", "serving", "append-mode"))
+_register("text_zipf_slope", textstats.zipf_slope, textstats.ORACLE_ZIPF_SLOPE, tags=("text", "quality", "corpus-stats", "zipf", "observability", "self-measurement"))
+_register("stream_zipf_slope", stream_jobs.stream_zipf_slope, textstats.ORACLE_ZIPF_SLOPE, tags=("streaming", "text", "quality", "corpus-stats", "zipf", "complete-mode"))
 
 
 # =============================================================================
@@ -434,6 +436,7 @@ _SAMPLE_PRIORITY = [
     "scale_bucketed_prf_serve", "scale_bucketed_triplets_serve",
     "stream_bm25_logidf_serve", "stream_rrf_k_sweep",
     "sim_retrieval_eval", "stream_retrieval_eval",
+    "text_zipf_slope", "stream_zipf_slope",
     "curation_retrieval_triplets", "stream_retrieval_triplets",
     "stream_query_expansion_prf",
     # 2 — the 26 r6-latest entries displaced at the round-11 rotation
@@ -451,13 +454,12 @@ _SAMPLE_PRIORITY = [
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
     "sim_ann_recall_report", "text_hll_union_rollup",
     "text_lang_id_confusion",
-    # 3 — r7-latest cohort in registration order (first 13 of 50; the
-    # rest — text_repetition onward — head the r13 roster)
+    # 3 — r7-latest cohort in registration order (first 11 of 50; the
+    # rest — text_pii_scrub onward — head the r13 roster)
     "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
     "curation_sample_stratified", "curation_decontaminate",
     "curation_tfidf_top_terms", "curation_bigram_counts",
     "dedup_keep_best", "dedup_bag_of_words", "text_fingerprints",
-    "text_pii_scrub", "text_repetition",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -1862,6 +1862,22 @@ def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(token_diversity_transform(docs), "append")
 
 
+def stream_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text_zipf_slope — the corpus-frequency fold
+    (textstats.corpus_cf, shared VERBATIM) runs as a complete-mode
+    streaming aggregation (|vocab| keys × one counter of state); the
+    bounded top-N selection and the integer least-squares fit apply
+    batch-side on the drained cf table via textstats.zipf_finish (also
+    shared — rank windows cannot follow a streaming agg). Shares
+    ORACLE_ZIPF_SLOPE: the live diagnostic equals the backfill's by
+    contract."""
+    from flink_gmall_spark.operators.textstats import corpus_cf, zipf_finish
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return zipf_finish(run_to_memory(corpus_cf(docs), "complete"))
+
+
 def stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of curation_dsir_weights — the importance
     estimator maintained LIVE as the backfill streams in: the 256-key

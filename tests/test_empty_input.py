@@ -81,6 +81,9 @@ DOC_OPS = [
     ("bm25_param_sweep", "retrieval"),
     ("query_expansion_prf", "retrieval"),
     ("retrieval_triplets", "retrieval"),
+    # round-12 additions
+    ("bm25_topk_logidf", "retrieval"),
+    ("zipf_slope", "textstats"),
 ]
 
 EMB_OPS = [
@@ -99,6 +102,9 @@ EMB_OPS = [
     # round-11 additions
     ("ivf_range_search_sampled", "ann"),
     ("hybrid_rrf", "retrieval"),
+    # round-12 additions
+    ("rrf_k_sweep", "retrieval"),
+    ("retrieval_eval", "retrieval"),
 ]
 
 
@@ -143,6 +149,13 @@ def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
         assert len(got) == 256
         assert (got["raw_ct"] == 0).all() and (got["tgt_ct"] == 0).all()
         assert (got["w_x1000"] == 1000).all()
+    elif fn_name == "zipf_slope":
+        # global fit ledger: ONE row with the 0-slope sentinel (NULL
+        # den6 falls to the CASE ELSE in both engines), NULL top_cf
+        assert len(got) == 1
+        assert got.iloc[0]["n_terms"] == 0
+        assert got.iloc[0]["slope_x1e6"] == 0
+        assert pd.isna(got.iloc[0]["top_cf"])
     else:
         assert got.empty, got.head()
 

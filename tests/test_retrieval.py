@@ -757,3 +757,57 @@ def test_stream_retrieval_eval_equals_batch(spark, sf_dir):
         map(tuple, stream_retrieval_eval(spark, sf_dir).collect())
     )
     assert batch == served
+
+
+def test_zipf_slope_matches_python(spark, sf_dir):
+    """Recompute the integer least-squares fit in python (same two-phase
+    selection, same _py_ln + floor-scale, same magnitude-division) and
+    compare; natural-ish corpus text should fit a negative slope."""
+    from flink_gmall_spark.operators import textstats as T
+    from flink_gmall_spark.sources import load
+
+    cf = {}
+    for row in load(spark, sf_dir, "documents").select("text").collect():
+        for t in _toks(row.text or ""):
+            cf[t] = cf.get(t, 0) + 1
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[: T.ZIPF_N]
+    xs = [int(math.floor(_py_ln(r + 1) * float(T.ZIPF_LN_SCALE)))
+          for r in range(len(top))]
+    ys = [int(math.floor(_py_ln(c) * float(T.ZIPF_LN_SCALE)))
+          for _t, c in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num, den6 = n * sxy - sx * sy, (n * sxx - sx * sx) // T.ZIPF_LN_SCALE
+    slope = 0 if den6 <= 0 else (
+        -(abs(num) // den6) if num < 0 else num // den6
+    )
+    got = T.zipf_slope(spark, sf_dir).collect()[0]
+    assert (got.n_terms, got.slope_x1e6, got.top_cf) == (
+        n, slope, top[0][1]
+    )
+    assert got.slope_x1e6 < 0  # Zipf: frequency falls with rank
+
+
+def test_zipf_two_phase_top_n_plan(spark, sf_dir):
+    """The vocabulary is never globally sorted whole: the salted
+    16-bucket window ranks below the bounded global window."""
+    from flink_gmall_spark.operators import textstats as T
+
+    plan = (
+        T.zipf_slope(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"windowspecdefinition\(s1#\d+", plan), plan
+
+
+def test_stream_zipf_slope_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.operators import textstats as T
+    from flink_gmall_spark.streaming.jobs import stream_zipf_slope
+
+    batch = sorted(map(tuple, T.zipf_slope(spark, sf_dir).collect()))
+    served = sorted(map(tuple, stream_zipf_slope(spark, sf_dir).collect()))
+    assert batch == served
