@@ -801,6 +801,176 @@ GROUP BY g.doc_id
 """
 
 
+# --- log-probability LM scoring (round 12) ------------------------------------
+LM_LOG_SCALE = 1_000_000  # per-bigram log-prob floor-scale before the doc sum
+
+
+def _lm_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, w1, bigram) per document bigram occurrence — a
+    stateless explode, so it runs unchanged on a stream."""
+    toks = docs.select("doc_id", "lang", tokens_col("text").alias("t"))
+    return toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, concat(t[i], ' ', t[i+1]) AS bigram))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "bg.w1", "bg.bigram")
+
+
+def _lm_count_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The corpus LM: (bigram, c12) and (w1, c1v = c1 + V) — three keyed
+    partial-agg passes over the TRAINING corpus. V folds into the
+    history table BEFORE any join (a (w1, c1v) column, not a per-row
+    cross join — the property the streaming twin needs: its ingest is
+    then two stream-static equi-joins and nothing else)."""
+    g = _lm_bigrams(docs)
+    c12 = g.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    c1v = (
+        g.groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("w1", F.expr("CAST(c1 + v AS BIGINT)").alias("c1v"))
+    )
+    return c12, c1v
+
+
+def lm_attach_counts(
+    g: DataFrame, c12: DataFrame, c1v: DataFrame
+) -> DataFrame:
+    """(doc_id, lang, a_i, b_i): attach the smoothed-probability
+    operands — a_i = c(w1 w2) + 1, b_i = c(w1 ·) + V, so p(w2|w1) =
+    a_i / b_i and ln p = ln(a_i) - ln(b_i). Two equi-joins, shared
+    VERBATIM by the batch entry and the stream twin's ingest."""
+    return (
+        g.join(c12, "bigram")
+        .join(c1v, "w1")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(c12 + 1 AS BIGINT)").alias("a_i"),
+            F.col("c1v").alias("b_i"),
+        )
+    )
+
+
+def lm_log_tables(docs: DataFrame) -> DataFrame:
+    """Batch composition: LM trained on and scored over the same corpus."""
+    return lm_attach_counts(_lm_bigrams(docs), *_lm_count_tables(docs))
+
+
+def lm_logprob_finish(terms: DataFrame) -> DataFrame:
+    """Per-document fold of the smoothed bigram log-probabilities —
+    the REAL perplexity-filter arithmetic lm_commonness_score's
+    docstring defers to, integer-exact: ln(a_i) and ln(b_i) run the
+    shared retrieval._ln_stages template (bit-identical doubles in both
+    engines), each per-bigram ln p = ln_a - ln_b floor-scales by
+    LM_LOG_SCALE to BIGINT (always ≤ 0: c12 + 1 ≤ c1 + V since every
+    bigram occurrence is also a history occurrence and w2 is in the
+    vocabulary), and the per-doc sum is an order-free integer. The mean
+    divides magnitude-only (Spark DIV truncates toward zero, DuckDB //
+    floors — identical only on non-negative operands). PPL of the doc
+    is exp(-avg/1e6) if a consumer wants the exponentiated form.
+    Shared VERBATIM by the batch entry and the streaming twin."""
+    from flink_gmall_spark.operators.retrieval import _ln_stages
+
+    for stage in _ln_stages("a_i", "a") + _ln_stages("b_i", "b"):
+        for c, e in stage:
+            terms = terms.withColumn(c, F.expr(e))
+    scored = terms.withColumn(
+        "lp_i",
+        F.expr(
+            f"CAST(floor((ln_a - ln_b) * CAST({LM_LOG_SCALE} AS DOUBLE))"
+            " AS BIGINT)"
+        ),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("lp_i").cast("long").alias("sum_logp_x1e6"),
+        F.expr("-(abs(sum(lp_i)) DIV count(1))")
+        .cast("long")
+        .alias("avg_logp_x1e6"),
+    )
+
+
+def lm_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram log-probability per document — the CCNet
+    perplexity-filter shape with actual log-probabilities (corpus LM
+    table ⋈ document n-grams → per-doc reduce), hash-exact end to end."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return lm_logprob_finish(lm_log_tables(docs))
+
+
+def _oracle_lm_logprob() -> str:
+    from flink_gmall_spark.operators.retrieval import _ln_stages
+
+    ctes, prev = [], "lmterms"
+    for i, stage in enumerate(_ln_stages("a_i", "a") + _ln_stages("b_i", "b")):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage)
+        ctes.append(f"lml{i} AS (\n    SELECT *, {cols} FROM {prev}\n)")
+        prev = f"lml{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH lmtoks AS (
+    SELECT doc_id, lang, {_DUCK_T} AS t FROM documents
+),
+lmg AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> concat(t[i], ' ', t[i+1]))) AS bigram
+    FROM lmtoks WHERE len(t) >= 2
+),
+lmc12 AS (
+    SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM lmg GROUP BY 1
+),
+lmv AS (
+    SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT unnest({_DUCK_T}) AS w FROM documents
+    )
+),
+lmc1v AS (
+    SELECT w1, CAST(c1 + v AS BIGINT) AS c1v FROM (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM lmg GROUP BY 1
+    ) CROSS JOIN lmv
+),
+lmterms AS (
+    SELECT g.doc_id, g.lang,
+           CAST(c.c12 + 1 AS BIGINT) AS a_i,
+           h.c1v AS b_i
+    FROM lmg g
+    JOIN lmc12 c ON c.bigram = g.bigram
+    JOIN lmc1v h ON h.w1 = g.w1
+),
+{chain},
+lmscored AS (
+    SELECT doc_id, lang,
+           CAST(floor((ln_a - ln_b) * CAST({LM_LOG_SCALE} AS DOUBLE))
+                AS BIGINT) AS lp_i
+    FROM {prev}
+)
+SELECT doc_id,
+       any_value(lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(lp_i) AS BIGINT) AS sum_logp_x1e6,
+       CAST(-(abs(sum(lp_i)) // count(*)) AS BIGINT) AS avg_logp_x1e6
+FROM lmscored
+GROUP BY doc_id
+"""
+
+
+ORACLE_LM_LOGPROB = _oracle_lm_logprob()
+
+
 BPE_TRAIN_MERGES = 5
 
 

@@ -411,6 +411,8 @@ _register("sim_retrieval_eval", retrieval.retrieval_eval, retrieval.ORACLE_RETRI
 _register("stream_retrieval_eval", stream_jobs.stream_retrieval_eval, retrieval.ORACLE_RETRIEVAL_EVAL, tags=("streaming", "retrieval", "evaluation", "mrr", "ndcg", "serving", "append-mode"))
 _register("text_zipf_slope", textstats.zipf_slope, textstats.ORACLE_ZIPF_SLOPE, tags=("text", "quality", "corpus-stats", "zipf", "observability", "self-measurement"))
 _register("stream_zipf_slope", stream_jobs.stream_zipf_slope, textstats.ORACLE_ZIPF_SLOPE, tags=("streaming", "text", "quality", "corpus-stats", "zipf", "complete-mode"))
+_register("curation_lm_logprob", curation.lm_logprob_score, curation.ORACLE_LM_LOGPROB, bench=True, tags=("curation", "text", "quality", "perplexity-filter", "lm-scoring", "log-prob"))
+_register("stream_lm_logprob", stream_jobs.stream_lm_logprob, curation.ORACLE_LM_LOGPROB, tags=("streaming", "curation", "text", "quality", "perplexity-filter", "lm-scoring", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -437,6 +439,7 @@ _SAMPLE_PRIORITY = [
     "stream_bm25_logidf_serve", "stream_rrf_k_sweep",
     "sim_retrieval_eval", "stream_retrieval_eval",
     "text_zipf_slope", "stream_zipf_slope",
+    "curation_lm_logprob", "stream_lm_logprob",
     "curation_retrieval_triplets", "stream_retrieval_triplets",
     "stream_query_expansion_prf",
     # 2 — the 26 r6-latest entries displaced at the round-11 rotation
@@ -454,12 +457,12 @@ _SAMPLE_PRIORITY = [
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
     "sim_ann_recall_report", "text_hll_union_rollup",
     "text_lang_id_confusion",
-    # 3 — r7-latest cohort in registration order (first 11 of 50; the
-    # rest — text_pii_scrub onward — head the r13 roster)
+    # 3 — r7-latest cohort in registration order (first 9 of 50; the
+    # rest — dedup_bag_of_words onward — head the r13 roster)
     "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
     "curation_sample_stratified", "curation_decontaminate",
     "curation_tfidf_top_terms", "curation_bigram_counts",
-    "dedup_keep_best", "dedup_bag_of_words", "text_fingerprints",
+    "dedup_keep_best",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -1862,6 +1862,32 @@ def stream_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(token_diversity_transform(docs), "append")
 
 
+def stream_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of curation_lm_logprob — the perplexity-filter
+    deployment shape (the stream_importance_resample precedent): the
+    bigram LM is trained OFFLINE on the static corpus
+    (curation._lm_count_tables), arriving documents are exploded and
+    scored AT INGEST through two stream-static equi-joins
+    (curation.lm_attach_counts, shared VERBATIM — V is pre-folded into
+    the history table so no cross join touches the stream), and the
+    per-doc ln fold applies batch-side on the drained term table via
+    curation.lm_logprob_finish (also shared). Shares ORACLE_LM_LOGPROB:
+    live scoring equals the backfill by contract."""
+    from flink_gmall_spark.operators.curation import (
+        _lm_bigrams,
+        _lm_count_tables,
+        lm_attach_counts,
+        lm_logprob_finish,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    c12, c1v = _lm_count_tables(load(spark, sf_dir, "documents"))
+    g = _lm_bigrams(read_stream(spark, sf_dir, "documents"))
+    served = lm_attach_counts(g, c12, c1v)
+    return lm_logprob_finish(run_to_memory(served, "append"))
+
+
 def stream_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of text_zipf_slope — the corpus-frequency fold
     (textstats.corpus_cf, shared VERBATIM) runs as a complete-mode

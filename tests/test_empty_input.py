@@ -84,6 +84,7 @@ DOC_OPS = [
     # round-12 additions
     ("bm25_topk_logidf", "retrieval"),
     ("zipf_slope", "textstats"),
+    ("lm_logprob_score", "curation"),
 ]
 
 EMB_OPS = [

@@ -811,3 +811,52 @@ def test_stream_zipf_slope_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, T.zipf_slope(spark, sf_dir).collect()))
     served = sorted(map(tuple, stream_zipf_slope(spark, sf_dir).collect()))
     assert batch == served
+
+
+def test_lm_logprob_matches_python(spark, sf_dir):
+    """Recompute the add-one bigram log-prob ledger in python (same
+    _py_ln, same floor-scale, same magnitude division) and compare
+    integer-for-integer; every per-bigram term must be <= 0."""
+    from flink_gmall_spark.operators import curation as C
+    from flink_gmall_spark.sources import load
+
+    rows = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    c12, c1, vocab = {}, {}, set()
+    per_doc = {}
+    for r in rows:
+        t = _toks(r.text or "")
+        vocab.update(t)
+        bgs = [(t[i], f"{t[i]} {t[i+1]}") for i in range(len(t) - 1)]
+        per_doc[r.doc_id] = (r.lang, bgs)
+        for w1, bg in bgs:
+            c12[bg] = c12.get(bg, 0) + 1
+            c1[w1] = c1.get(w1, 0) + 1
+    v = len(vocab)
+    want = {}
+    for doc_id, (lang, bgs) in per_doc.items():
+        if not bgs:
+            continue
+        terms = [
+            int(math.floor((_py_ln(c12[bg] + 1) - _py_ln(c1[w1] + v))
+                           * float(C.LM_LOG_SCALE)))
+            for w1, bg in bgs
+        ]
+        assert all(x <= 0 for x in terms)
+        s = sum(terms)
+        want[doc_id] = (lang, len(terms), s, -(abs(s) // len(terms)))
+    got = {
+        r.doc_id: (r.lang, r.n_bigrams, r.sum_logp_x1e6, r.avg_logp_x1e6)
+        for r in C.lm_logprob_score(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_lm_logprob_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.operators import curation as C
+    from flink_gmall_spark.streaming.jobs import stream_lm_logprob
+
+    batch = sorted(map(tuple, C.lm_logprob_score(spark, sf_dir).collect()))
+    served = sorted(map(tuple, stream_lm_logprob(spark, sf_dir).collect()))
+    assert batch == served
