@@ -1201,3 +1201,109 @@ FROM zfit
 
 
 ORACLE_ZIPF_SLOPE = _oracle_zipf_slope()
+
+
+# --- Shannon entropy (round 12) ------------------------------------------------
+ENTROPY_SCALE = 1_000_000
+
+
+def entropy_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, c_i) — one row per DISTINCT token of each
+    non-empty document, with the per-doc histogram computed INSIDE the
+    row (the token_diversity_transform shape: zero shuffle, zero join,
+    runs unchanged on a stream). The explode only fans out to the
+    distinct-type count, ln-chain-ready."""
+    hist = (
+        "transform(array_distinct(t),"
+        " x -> CAST(size(filter(t, y -> y = x)) AS BIGINT))"
+    )
+    base = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    return base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.explode(F.expr(hist)).alias("c_i"),
+    )
+
+
+def entropy_finish(terms: DataFrame) -> DataFrame:
+    """Per-doc SHANNON ENTROPY, integer-exact — the log-based member of
+    the diversity family (TTR and Gini-Simpson live in token_diversity;
+    entropy needed ln and therefore waited for the shared staged-ln
+    template): H = ln(n) - (Σ c_i·ln(c_i))/n, emitted as
+    entropy_x1e6 = floor(ln(n)·1e6) - (Σ floor(c_i·ln(c_i)·1e6) DIV n).
+    Every operand is a non-negative BIGINT (c ≥ 1 so c·ln c ≥ 0, and
+    s DIV n ≤ ln(n)·1e6 term-by-term so the result is ≥ 0), which keeps
+    Spark's truncating DIV and DuckDB's flooring // identical. Shared
+    VERBATIM by the batch entry and the streaming twin."""
+    from flink_gmall_spark.operators.retrieval import _ln_stages
+
+    for stage in _ln_stages("c_i", "c") + _ln_stages("n_tokens", "n"):
+        for c, e in stage:
+            terms = terms.withColumn(c, F.expr(e))
+    scored = terms.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"CAST(floor(CAST(c_i AS DOUBLE) * ln_c"
+            f" * CAST({ENTROPY_SCALE} AS DOUBLE)) AS BIGINT)"
+        ).alias("clnc_i"),
+        F.expr(
+            f"CAST(floor(ln_n * CAST({ENTROPY_SCALE} AS DOUBLE)) AS BIGINT)"
+        ).alias("lnn_f"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr("max(lnn_f) - (sum(clnc_i) DIV max(n_tokens))")
+        .cast("long")
+        .alias("entropy_x1e6"),
+    )
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution."""
+    tune(spark)
+    return entropy_finish(entropy_terms(load(spark, sf_dir, "documents")))
+
+
+def _oracle_token_entropy() -> str:
+    from flink_gmall_spark.operators.retrieval import _ln_stages
+
+    ctes, prev = [], "eterms"
+    for i, stage in enumerate(_ln_stages("c_i", "c") + _ln_stages("n_tokens", "n")):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage)
+        ctes.append(f"el{i} AS (\n    SELECT *, {cols} FROM {prev}\n)")
+        prev = f"el{i}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH ebase AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents WHERE len({_DUCK_T}) >= 1
+),
+eterms AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           unnest(list_transform(list_distinct(t),
+               x -> CAST(len(list_filter(t, y -> y = x)) AS BIGINT))) AS c_i
+    FROM ebase
+),
+{chain},
+escored AS (
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(c_i AS DOUBLE) * ln_c
+                * CAST({ENTROPY_SCALE} AS DOUBLE)) AS BIGINT) AS clnc_i,
+           CAST(floor(ln_n * CAST({ENTROPY_SCALE} AS DOUBLE)) AS BIGINT)
+               AS lnn_f
+    FROM {prev}
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(max(lnn_f) - (sum(clnc_i) // max(n_tokens)) AS BIGINT)
+           AS entropy_x1e6
+FROM escored
+GROUP BY doc_id
+"""
+
+
+ORACLE_TOKEN_ENTROPY = _oracle_token_entropy()

@@ -413,6 +413,8 @@ _register("text_zipf_slope", textstats.zipf_slope, textstats.ORACLE_ZIPF_SLOPE, 
 _register("stream_zipf_slope", stream_jobs.stream_zipf_slope, textstats.ORACLE_ZIPF_SLOPE, tags=("streaming", "text", "quality", "corpus-stats", "zipf", "complete-mode"))
 _register("curation_lm_logprob", curation.lm_logprob_score, curation.ORACLE_LM_LOGPROB, bench=True, tags=("curation", "text", "quality", "perplexity-filter", "lm-scoring", "log-prob"))
 _register("stream_lm_logprob", stream_jobs.stream_lm_logprob, curation.ORACLE_LM_LOGPROB, tags=("streaming", "curation", "text", "quality", "perplexity-filter", "lm-scoring", "serving", "append-mode"))
+_register("text_token_entropy", textstats.token_entropy, textstats.ORACLE_TOKEN_ENTROPY, tags=("text", "quality", "diversity", "entropy", "map-only"))
+_register("stream_token_entropy", stream_jobs.stream_token_entropy, textstats.ORACLE_TOKEN_ENTROPY, tags=("streaming", "text", "quality", "diversity", "entropy", "append-mode"))
 
 
 # =============================================================================
@@ -440,6 +442,7 @@ _SAMPLE_PRIORITY = [
     "sim_retrieval_eval", "stream_retrieval_eval",
     "text_zipf_slope", "stream_zipf_slope",
     "curation_lm_logprob", "stream_lm_logprob",
+    "text_token_entropy", "stream_token_entropy",
     "curation_retrieval_triplets", "stream_retrieval_triplets",
     "stream_query_expansion_prf",
     # 2 — the 26 r6-latest entries displaced at the round-11 rotation
@@ -457,12 +460,11 @@ _SAMPLE_PRIORITY = [
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
     "sim_ann_recall_report", "text_hll_union_rollup",
     "text_lang_id_confusion",
-    # 3 — r7-latest cohort in registration order (first 9 of 50; the
-    # rest — dedup_bag_of_words onward — head the r13 roster)
+    # 3 — r7-latest cohort in registration order (first 7 of 50; the
+    # rest — curation_bigram_counts onward — head the r13 roster)
     "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
     "curation_sample_stratified", "curation_decontaminate",
-    "curation_tfidf_top_terms", "curation_bigram_counts",
-    "dedup_keep_best",
+    "curation_tfidf_top_terms",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

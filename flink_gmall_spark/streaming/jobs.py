@@ -2295,3 +2295,20 @@ def stream_retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triplets_finish(
         bm25_finish(run_to_memory(served, "append")), docs_static
     )
+
+
+def stream_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of text_token_entropy — the per-doc histogram and
+    the ln-ready term rows are computed AT INGEST (entropy_terms is
+    row-local: zero join, zero state, append-safe); the per-doc fold
+    applies batch-side on the drained term table via
+    textstats.entropy_finish (shared VERBATIM — the group-by cannot run
+    in append mode). Shares ORACLE_TOKEN_ENTROPY."""
+    from flink_gmall_spark.operators.textstats import (
+        entropy_finish,
+        entropy_terms,
+    )
+
+    tune(spark)
+    docs = read_stream(spark, sf_dir, "documents")
+    return entropy_finish(run_to_memory(entropy_terms(docs), "append"))

@@ -85,6 +85,7 @@ DOC_OPS = [
     ("bm25_topk_logidf", "retrieval"),
     ("zipf_slope", "textstats"),
     ("lm_logprob_score", "curation"),
+    ("token_entropy", "textstats"),
 ]
 
 EMB_OPS = [

@@ -860,3 +860,46 @@ def test_stream_lm_logprob_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, C.lm_logprob_score(spark, sf_dir).collect()))
     served = sorted(map(tuple, stream_lm_logprob(spark, sf_dir).collect()))
     assert batch == served
+
+
+def test_token_entropy_matches_python(spark, sf_dir):
+    """Recompute per-doc entropy in python (same histogram, same _py_ln,
+    same floor/DIV order); uniform docs must hit ln(n) exactly and every
+    value must be non-negative."""
+    from collections import Counter
+
+    from flink_gmall_spark.operators import textstats as T
+    from flink_gmall_spark.sources import load
+
+    want = {}
+    for r in load(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        t = _toks(r.text or "")
+        if not t:
+            continue
+        n = len(t)
+        cnt = Counter(t)
+        s = sum(
+            int(math.floor(float(c) * _py_ln(c) * float(T.ENTROPY_SCALE)))
+            for c in cnt.values()
+        )
+        lnn = int(math.floor(_py_ln(n) * float(T.ENTROPY_SCALE)))
+        want[r.doc_id] = (n, len(cnt), lnn - s // n)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.entropy_x1e6)
+        for r in T.token_entropy(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(h >= 0 for _n, _t, h in got.values())
+
+
+def test_stream_token_entropy_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.operators import textstats as T
+    from flink_gmall_spark.streaming.jobs import stream_token_entropy
+
+    batch = sorted(map(tuple, T.token_entropy(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_token_entropy(spark, sf_dir).collect())
+    )
+    assert batch == served
