@@ -498,7 +498,16 @@ def bench_queries() -> dict[str, QueryFn]:
 #
 # Round-13 window staging: lead with any round-13 additions
 # (never-driver-verified), then the remaining r7-latest cohort in
-# registration order (the 26 not covered here: ads_pit_features,
+# registration order — the 14 round-12 additions displaced the cohort
+# tail, so the r13 remainder is the 43 r7-latest names from
+# curation_bigram_counts onward: curation_bigram_counts,
+# dedup_keep_best, dedup_bag_of_words, text_fingerprints,
+# text_pii_scrub, text_repetition, text_rare_token_ratio,
+# multimodal_binary_features, multimodal_frame_sample,
+# multimodal_resize, ads_top_sku_per_brand, ads_customer_retention,
+# ads_region_nation_rollup, ads_customers_no_orders,
+# ads_yoy_spend_full_outer, ads_part_triangles,
+# ads_part_bfs_distances, ads_pit_features,
 # ads_last_touch_attribution, ads_negative_samples,
 # ads_top_event_paths, ads_session_transitions,
 # curation_weighted_sample, scale_data_quality_report,
@@ -510,5 +519,8 @@ def bench_queries() -> dict[str, QueryFn]:
 # stream_event_transitions, stream_last_touch_attribution,
 # stream_pit_features, stream_session_transitions,
 # stream_cohort_retention, stream_timed_funnel,
-# curation_boilerplate_lines, text_sparse_topk_pairs — plus whatever
-# round-12 additions displace), then the r8-latest cohort up to 50.
+# curation_boilerplate_lines, text_sparse_topk_pairs — then the
+# r8-latest cohort up to 50. (Note tpch_q17/q18/q19,
+# curation_length_buckets, curation_sample_stratified,
+# curation_decontaminate and curation_tfidf_top_terms keep r12 rows
+# from this window.)
