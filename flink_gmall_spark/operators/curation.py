@@ -821,12 +821,14 @@ def _lm_bigrams(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "lang", "bg.w1", "bg.bigram")
 
 
-def _lm_count_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """The corpus LM: (bigram, c12) and (w1, c1v = c1 + V) — three keyed
-    partial-agg passes over the TRAINING corpus. V folds into the
-    history table BEFORE any join (a (w1, c1v) column, not a per-row
-    cross join — the property the streaming twin needs: its ingest is
-    then two stream-static equi-joins and nothing else)."""
+def _lm_count_tables(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The corpus LM: (bigram, c12), (w1, c1v = c1 + V), and the 1-row
+    vocabulary size — three keyed partial-agg passes over the TRAINING
+    corpus. V folds into the history table BEFORE any join AND rides
+    along as the 1-row table, because scoring must keep a fallback for
+    histories the LM never saw."""
     g = _lm_bigrams(docs)
     c12 = g.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     vocab = (
@@ -839,30 +841,40 @@ def _lm_count_tables(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .crossJoin(F.broadcast(vocab))
         .select("w1", F.expr("CAST(c1 + v AS BIGINT)").alias("c1v"))
     )
-    return c12, c1v
+    return c12, c1v, vocab
 
 
 def lm_attach_counts(
-    g: DataFrame, c12: DataFrame, c1v: DataFrame
+    g: DataFrame, c12: DataFrame, c1v: DataFrame, vocab: DataFrame
 ) -> DataFrame:
     """(doc_id, lang, a_i, b_i): attach the smoothed-probability
     operands — a_i = c(w1 w2) + 1, b_i = c(w1 ·) + V, so p(w2|w1) =
-    a_i / b_i and ln p = ln(a_i) - ln(b_i). Two equi-joins, shared
-    VERBATIM by the batch entry and the stream twin's ingest."""
+    a_i / b_i and ln p = ln(a_i) - ln(b_i). LEFT joins (review r12): an
+    UNSEEN bigram scores the add-one floor a_i = 1 and an unseen
+    history falls back to b_i = V — inner joins would silently DROP the
+    very rows a perplexity filter must penalize (invisible on the
+    shipped fixtures, where the scored stream replays the training
+    corpus and every bigram matches by construction). The vocabulary
+    rides a constant-key broadcast equi-join (the DSIR weight-array
+    idiom — streaming-legal where a cross join on the stream is not).
+    Shared VERBATIM by the batch entry and the stream twin's ingest."""
     return (
-        g.join(c12, "bigram")
-        .join(c1v, "w1")
+        g.join(c12, "bigram", "left")
+        .join(c1v, "w1", "left")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(vocab.withColumn("one", F.lit(1))), "one")
         .select(
             "doc_id",
             "lang",
-            F.expr("CAST(c12 + 1 AS BIGINT)").alias("a_i"),
-            F.col("c1v").alias("b_i"),
+            F.expr("CAST(COALESCE(c12, 0) + 1 AS BIGINT)").alias("a_i"),
+            F.expr("CAST(COALESCE(c1v, v) AS BIGINT)").alias("b_i"),
         )
     )
 
 
 def lm_log_tables(docs: DataFrame) -> DataFrame:
-    """Batch composition: LM trained on and scored over the same corpus."""
+    """Batch composition: LM trained on and scored over the same corpus
+    (where the left joins never miss — batch results are unchanged)."""
     return lm_attach_counts(_lm_bigrams(docs), *_lm_count_tables(docs))
 
 
@@ -945,11 +957,12 @@ lmc1v AS (
 ),
 lmterms AS (
     SELECT g.doc_id, g.lang,
-           CAST(c.c12 + 1 AS BIGINT) AS a_i,
-           h.c1v AS b_i
+           CAST(COALESCE(c.c12, 0) + 1 AS BIGINT) AS a_i,
+           CAST(COALESCE(h.c1v, lmv.v) AS BIGINT) AS b_i
     FROM lmg g
-    JOIN lmc12 c ON c.bigram = g.bigram
-    JOIN lmc1v h ON h.w1 = g.w1
+    LEFT JOIN lmc12 c ON c.bigram = g.bigram
+    LEFT JOIN lmc1v h ON h.w1 = g.w1
+    CROSS JOIN lmv
 ),
 {chain},
 lmscored AS (

@@ -419,10 +419,14 @@ GROUP BY query_id
 """
 
 
-# RRF_K calibration grid (VERDICT r11 ask #5): default first — the
-# overlap ledger prices every K against it, and the default row pins
+# RRF_K calibration grid (VERDICT r11 ask #5): the PRODUCTION constant
+# first (referenced, not re-spelled — review r12: a hardcoded 60 would
+# silently drift if RRF_K is ever retuned, leaving the overlap ledger
+# priced against a rank list no entry serves) — the overlap ledger
+# prices every K against it, and the default row pins
 # overlap == ranked_ct as a self-check (the BM25_SWEEP discipline).
-RRF_K_SWEEP = [60, 10, 120, 480]
+RRF_K_SWEEP = [RRF_K, 10, 120, 480]
+assert RRF_K_SWEEP[0] == RRF_K
 
 
 def rrf_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

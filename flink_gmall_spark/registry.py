@@ -423,11 +423,11 @@ _register("stream_token_entropy", stream_jobs.stream_token_entropy, textstats.OR
 # samples the FIRST 50 registrations, so ordering is evidence strategy.
 # CORRECTNESS_r11 greened the entire round-11 window (50/50) and the
 # ever-green union now covers all 276 contracts, so FRESHNESS is the
-# operative invariant (oldest driver row ≤5 rounds): any round-12
-# additions lead (never driver-verified), then the 26 displaced
-# r6-latest entries in registration order, then the r7-latest cohort in
-# registration order up to the 50 cap. Round-12 additions displace the
-# r7 tail as they land (the displaced names head the r13 roster).
+# operative invariant (oldest driver row ≤5 rounds): round-12 additions
+# lead (never driver-verified; 14 landed) plus 3 changed-code
+# re-verifications — a 17-entry head — then the 26 displaced r6-latest
+# entries in registration order, then the first 7 of the r7-latest
+# cohort up to the 50 cap. The displaced r7 names head the r13 roster.
 _SAMPLE_PRIORITY = [
     # 1 — never driver-verified round-12 additions (folded in as they
     # land, per the invariant), then changed-code entries without a
@@ -491,14 +491,15 @@ def oracle_sql() -> dict[str, str]:
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
 
-# Round-12 rotation APPLIED above (2026-08-15): the 26 r6-latest
-# entries displaced at the round-11 rotation + the first 24 of the
-# r7-latest cohort, both in registration order. Round-12 additions are
-# folded into the head as they land, displacing the r7 tail.
+# Round-12 rotation APPLIED above (2026-08-15, amended as additions
+# landed): 17-entry head (14 round-12 additions + 3 changed-code
+# re-verifications) + the 26 r6-latest entries displaced at the
+# round-11 rotation + the first 7 of the r7-latest cohort, both
+# cohorts in registration order (17 + 26 + 7 = 50).
 #
 # Round-13 window staging: lead with any round-13 additions
 # (never-driver-verified), then the remaining r7-latest cohort in
-# registration order — the 14 round-12 additions displaced the cohort
+# registration order — the 17-entry round-12 head displaced the cohort
 # tail, so the r13 remainder is the 43 r7-latest names from
 # curation_bigram_counts onward: curation_bigram_counts,
 # dedup_keep_best, dedup_bag_of_words, text_fingerprints,

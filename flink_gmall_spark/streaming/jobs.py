@@ -1867,12 +1867,13 @@ def stream_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment shape (the stream_importance_resample precedent): the
     bigram LM is trained OFFLINE on the static corpus
     (curation._lm_count_tables), arriving documents are exploded and
-    scored AT INGEST through two stream-static equi-joins
-    (curation.lm_attach_counts, shared VERBATIM — V is pre-folded into
-    the history table so no cross join touches the stream), and the
-    per-doc ln fold applies batch-side on the drained term table via
-    curation.lm_logprob_finish (also shared). Shares ORACLE_LM_LOGPROB:
-    live scoring equals the backfill by contract."""
+    scored AT INGEST through stream-static LEFT joins plus the
+    constant-key vocabulary broadcast (curation.lm_attach_counts,
+    shared VERBATIM — unseen bigrams score the add-one floor instead of
+    being dropped, review r12), and the per-doc ln fold applies
+    batch-side on the drained term table via curation.lm_logprob_finish
+    (also shared). Shares ORACLE_LM_LOGPROB: live scoring equals the
+    backfill by contract."""
     from flink_gmall_spark.operators.curation import (
         _lm_bigrams,
         _lm_count_tables,
@@ -1882,9 +1883,9 @@ def stream_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_gmall_spark.sources import load
 
     tune(spark)
-    c12, c1v = _lm_count_tables(load(spark, sf_dir, "documents"))
+    c12, c1v, vocab = _lm_count_tables(load(spark, sf_dir, "documents"))
     g = _lm_bigrams(read_stream(spark, sf_dir, "documents"))
-    served = lm_attach_counts(g, c12, c1v)
+    served = lm_attach_counts(g, c12, c1v, vocab)
     return lm_logprob_finish(run_to_memory(served, "append"))
 
 

@@ -903,3 +903,46 @@ def test_stream_token_entropy_equals_batch(spark, sf_dir):
         map(tuple, stream_token_entropy(spark, sf_dir).collect())
     )
     assert batch == served
+
+
+def test_lm_logprob_scores_unseen_bigrams(spark):
+    """Serve-time contract (review r12): a document whose bigrams the
+    trained LM never saw must still be scored — at the add-one floor
+    ln(1) - ln(c1+V) (seen history) or ln(1) - ln(V) (unseen history) —
+    not silently dropped by an inner join. Train on one corpus, score a
+    junk doc; mirror the arithmetic in python."""
+    from flink_gmall_spark.operators import curation as C
+
+    train = spark.createDataFrame(
+        [(0, "the cat sat", "en", "s", 11), (1, "the cat ran", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arriving = spark.createDataFrame(
+        [(7, "qwerty asdf zxcv", "en", "s", 16),  # fully unseen
+         (8, "the dog sat", "en", "s", 11)],      # seen history, unseen bigram
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_logp_x1e6)
+        for r in C.lm_logprob_finish(
+            C.lm_attach_counts(
+                C._lm_bigrams(arriving), *C._lm_count_tables(train)
+            )
+        ).collect()
+    }
+    # training vocab: the, cat, sat, ran → V=4; histories: the:2, cat:2
+    v = 4
+
+    def term(c12, c1):
+        return int(math.floor(
+            (_py_ln(c12 + 1) - _py_ln(c1 + v)) * float(C.LM_LOG_SCALE)
+        ))
+
+    # doc 7: (qwerty asdf), (asdf zxcv) — unseen history → b = V
+    want7 = term(0, 0) * 2
+    # doc 8: (the dog): history 'the' c1=2, bigram unseen; (dog sat):
+    # history 'dog' unseen
+    want8 = term(0, 2) + term(0, 0)
+    assert got[7] == (2, want7), got
+    assert got[8] == (2, want8), got
+    assert want7 < 0 and want8 < 0  # junk is penalized, not hidden
