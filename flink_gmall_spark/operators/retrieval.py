@@ -607,7 +607,18 @@ def bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
-    matched = bm25_match(query_occurrences(docs), posting_features(docs))
+    return param_sweep_finish(
+        bm25_match(query_occurrences(docs), posting_features(docs))
+    )
+
+
+def param_sweep_finish(matched: DataFrame) -> DataFrame:
+    """The sweep proper — per-config score sums, stack, per-config rank,
+    default-config overlap flag, ledger aggregation. Extracted from
+    bm25_param_sweep (same expressions verbatim) so the streaming serve
+    twin shares it: its query stream drains the SAME matched feature
+    rows, so served and batch calibration cannot drift by construction
+    (the bm25_finish / rrf_finish precedent)."""
     agg = matched.groupBy("query_id", "doc_id").agg(
         *[
             F.sum(F.expr(bm25_score_sql(*cfg))).alias(f"s{i}")
@@ -922,16 +933,18 @@ def bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25_topk_logidf() -> str:
+def _logidf_ranked_ctes() -> str:
+    """The lg0..lgN staged-ln chain + lg_agg + lg_ranked CTE text,
+    starting FROM the ``matched`` CTE of _DUCK_FEAT_BASE — extracted
+    (byte-identical) from the single-entry oracle so the weighted-fusion
+    oracle composes the SAME logged-idf rank list."""
     ctes, prev = [], "matched"
     for i, stage in enumerate(LOGIDF_STAGES):
         cols = ", ".join(f"{e} AS {c}" for c, e in stage)
         ctes.append(f"lg{i} AS (\n    SELECT *, {cols} FROM {prev}\n)")
         prev = f"lg{i}"
     chain = ",\n".join(ctes)
-    return f"""
-WITH {_DUCK_FEAT_BASE},
-{chain},
+    return f"""{chain},
 lg_agg AS (
     SELECT query_id, doc_id,
            CAST(count(*) AS BIGINT) AS n_hits,
@@ -943,7 +956,13 @@ lg_ranked AS (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
     FROM lg_agg
-)
+)"""
+
+
+def _oracle_bm25_topk_logidf() -> str:
+    return f"""
+WITH {_DUCK_FEAT_BASE},
+{_logidf_ranked_ctes()}
 SELECT query_id, doc_id, n_hits, score, CAST(rank AS BIGINT) AS rank
 FROM lg_ranked WHERE rank <= {RETR_TOPK}
 """
@@ -1277,4 +1296,433 @@ negs AS (
 )
 SELECT pos.query_id, pos.pos_doc_id, pos.pos_rank, negs.neg_doc_id, negs.neg_rank
 FROM pos JOIN negs ON negs.query_id = pos.query_id
+"""
+
+# --- weighted 3-system RRF (ROADMAP r11 item 6) -------------------------------
+# Cormack/Clarke/Buettcher's RRF generalizes to per-system weights
+# (score = Σ w_s / (K + rank_s) — the shape production fusion layers
+# expose as a tuning surface, e.g. OpenSearch/Vespa weighted fusion).
+# Three systems here: the unlogged BM25 list, the brute-force cosine
+# list, and the logged-idf BM25 list at HALF weight — the two lexical
+# lists are highly correlated, so full weight would double-count
+# lexical evidence; 0.5 prices the logged list as a tie-breaking
+# refinement. All weights are exactly-representable double literals
+# spelled ONCE (shared template), so both engines fold the identical
+# doubles.
+WRRF_WEIGHTS = ("1.0", "1.0", "0.5")  # (lex, sem, logidf)
+
+
+def rrf_term_sql(w: str, rank_col: str) -> str:
+    """One weighted RRF term — w / (RRF_K + rank), NULL rank → 0.0 via
+    the same NULL-propagation idiom as rrf_finish. Identical text in
+    both engines (the bm25_score_sql discipline)."""
+    return (
+        f"COALESCE(CAST({w} AS DOUBLE) / (CAST({RRF_K} AS DOUBLE)"
+        f" + CAST({rank_col} AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+    )
+
+
+# The full weighted score: three terms added in FIXED written order
+# (left-associated +), one definition compiled by Spark and DuckDB alike.
+WRRF_SCORE_SQL = (
+    rrf_term_sql(WRRF_WEIGHTS[0], "lex_rank")
+    + " + " + rrf_term_sql(WRRF_WEIGHTS[1], "sem_rank")
+    + " + " + rrf_term_sql(WRRF_WEIGHTS[2], "lgx_rank")
+)
+
+
+def rrf_weighted_finish(
+    lex: DataFrame, sem: DataFrame, lgx: DataFrame
+) -> DataFrame:
+    """The 3-way weighted fusion — two chained full-outer joins of the
+    query-bounded rank lists (N_RETR_QUERIES × top-k rows each), the
+    fixed-order 3-term weighted sum, and the final per-query window.
+    Shared VERBATIM by the batch entry and the streaming serve twin
+    (inputs carry nullable lex_rank / sem_rank / lgx_rank)."""
+    f3 = lex.join(sem, ["query_id", "doc_id"], "full_outer").join(
+        lgx, ["query_id", "doc_id"], "full_outer"
+    )
+    scored = f3.withColumn("wrrf", F.expr(WRRF_SCORE_SQL))
+    w = Window.partitionBy("query_id").orderBy(F.desc("wrrf"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+            F.coalesce("lgx_rank", F.lit(0)).cast("long").alias("lgx_rank"),
+            "wrrf",
+            "rank",
+        )
+    )
+
+
+def rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED 3-SYSTEM RRF — hybrid_rrf extended with the logged-idf
+    lexical list as a half-weight third voter. Plan: all three rank
+    lists are query-bounded, so the fusion is two broadcast-able
+    full-outer joins over tiny inputs; the corpus-scale work (postings
+    build, ln chain, cosine scan) lives in the upstream retrievers and
+    the first two share their postings-feature subtree. Same fixture
+    contract as hybrid_rrf (doc_id ≡ vec_id, pinned by
+    test_fixture_vec_id_doc_id_alignment)."""
+    from flink_gmall_spark.operators.ann import ann_topk
+
+    tune(spark)
+    lex = bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    lgx = bm25_topk_logidf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lgx_rank")
+    )
+    return rrf_weighted_finish(lex, sem, lgx)
+
+
+def _oracle_rrf_weighted() -> str:
+    return f"""
+WITH {_oracle_lex_sem_ctes()},
+{_logidf_ranked_ctes()},
+glex AS (
+    SELECT query_id, doc_id, rank FROM lg_ranked WHERE rank <= {RETR_TOPK}
+),
+wf2 AS (
+    SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.rank AS lex_rank, s.rank AS sem_rank
+    FROM lex l FULL OUTER JOIN sem s
+      ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+wf3 AS (
+    SELECT COALESCE(f.query_id, g.query_id) AS query_id,
+           COALESCE(f.doc_id, g.doc_id) AS doc_id,
+           f.lex_rank, f.sem_rank, g.rank AS lgx_rank
+    FROM wf2 f FULL OUTER JOIN glex g
+      ON f.query_id = g.query_id AND f.doc_id = g.doc_id
+),
+wscored AS (
+    SELECT query_id, doc_id, lex_rank, sem_rank, lgx_rank,
+           {WRRF_SCORE_SQL} AS wrrf
+    FROM wf3
+),
+wranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY wrrf DESC, doc_id ASC) AS rank
+    FROM wscored
+)
+SELECT query_id, doc_id,
+       CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+       CAST(COALESCE(lgx_rank, 0) AS BIGINT) AS lgx_rank,
+       wrrf, CAST(rank AS BIGINT) AS rank
+FROM wranked WHERE rank <= {RETR_TOPK}
+"""
+
+
+ORACLE_RRF_WEIGHTED = _oracle_rrf_weighted()
+
+
+# --- BM25-mined hard negatives + recall ledger (ROADMAP r11 item 6) -----------
+def bm25_negatives_finish(
+    topk: DataFrame, emb_normed: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """LEXICAL HARD-NEGATIVE MINING, PRICED — the 100 TB question this
+    entry answers with numbers: can the cheap lexical index mine the
+    hard negatives the expensive dense scan would (ann.hard_negatives),
+    or does lexical-only mining miss them? Per query:
+
+    - n_lex: BM25 top-k candidates that have an embedding (inner join —
+      the doc_id ≡ vec_id fixture contract of hybrid_rrf applies),
+    - n_excluded: candidates rejected by the near-dup ceiling
+      (cos >= ann.COSINE_THRESHOLD — secretly positives, the same
+      exclusion hard_negatives applies to ITS candidates),
+    - n_negs: the mined lexical negatives (n_lex - n_excluded),
+    - n_hits: how many mined negatives appear in the exact
+      embedding-space hard-negative top-k — the recall numerator (the
+      ann_recall_report discipline applied to negative mining).
+
+    Shared VERBATIM by the batch entry and the streaming serve twin
+    (topk: bm25_finish output; emb_normed: ann._with_norm(embeddings);
+    exact: hard_negatives' (query_id, doc_id) pairs). Cosines are the
+    module-shared _DOT/_with_norm folds, so the threshold compares the
+    identical doubles in both engines; only integer counts reach the
+    output. Plan: everything is query-bounded (≤ N_RETR_QUERIES × top-k
+    rows broadcast into one embeddings lookup); the exact list is the
+    brute-force audit twin — at a real query volume it swaps to the IVF
+    probe plan (hard_negatives_ivf) unchanged."""
+    from flink_gmall_spark.operators.ann import _DOT, COSINE_THRESHOLD
+
+    q = emb_normed.filter(F.col("vec_id") < N_RETR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = F.broadcast(topk.select("query_id", "doc_id")).join(
+        emb_normed.select(F.col("vec_id").alias("doc_id"), "v", "nrm"),
+        "doc_id",
+    )
+    scored = cand.join(F.broadcast(q), "query_id").withColumn(
+        "cos",
+        F.expr(_DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("nrm")),
+    )
+    negs = scored.filter(F.col("cos") < COSINE_THRESHOLD).select(
+        "query_id", "doc_id"
+    )
+    hits = (
+        negs.join(exact, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    ledger = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lex"),
+        F.sum((F.col("cos") >= COSINE_THRESHOLD).cast("int"))
+        .cast("long")
+        .alias("n_excluded"),
+        F.sum((F.col("cos") < COSINE_THRESHOLD).cast("int"))
+        .cast("long")
+        .alias("n_negs"),
+    )
+    return ledger.join(F.broadcast(hits), "query_id", "left").select(
+        "query_id",
+        "n_lex",
+        "n_excluded",
+        "n_negs",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
+def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch composition: BM25 candidates from the lexical index,
+    exact hard negatives from ann.hard_negatives as the recall
+    denominator."""
+    from flink_gmall_spark.operators.ann import _with_norm, hard_negatives
+
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    exact = hard_negatives(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    return bm25_negatives_finish(bm25_topk(spark, sf_dir), emb, exact)
+
+
+def _oracle_bm25_hard_negatives() -> str:
+    from flink_gmall_spark.operators.ann import (
+        _DUCK_DOT,
+        _DUCK_NORM,
+        COSINE_THRESHOLD,
+        ORACLE_HARD_NEGATIVES,
+    )
+
+    return f"""
+WITH {_DUCK_BM25_BASE},
+lexl AS (
+    SELECT query_id, doc_id FROM bm25_ranked WHERE rank <= {RETR_TOPK}
+),
+we AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_DUCK_NORM.format(v='embedding::DOUBLE[]')} AS nrm
+    FROM embeddings
+),
+lsc AS (
+    SELECT l.query_id, l.doc_id,
+           {_DUCK_DOT.format(a='q.v', b='d.v')} / (q.nrm * d.nrm) AS cos
+    FROM lexl l
+    JOIN we d ON d.vec_id = l.doc_id
+    JOIN we q ON q.vec_id = l.query_id
+),
+lneg AS (
+    SELECT query_id, doc_id FROM lsc WHERE cos < {COSINE_THRESHOLD}
+),
+hnx AS (
+    SELECT query_id, neighbor_id AS doc_id FROM ({ORACLE_HARD_NEGATIVES}) t
+),
+nhits AS (
+    SELECT n.query_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM lneg n JOIN hnx ON hnx.query_id = n.query_id AND hnx.doc_id = n.doc_id
+    GROUP BY 1
+),
+nledger AS (
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_lex,
+           CAST(sum(CASE WHEN cos >= {COSINE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+           CAST(sum(CASE WHEN cos < {COSINE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_negs
+    FROM lsc GROUP BY 1
+)
+SELECT g.query_id, g.n_lex, g.n_excluded, g.n_negs,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM nledger g LEFT JOIN nhits h ON h.query_id = g.query_id
+"""
+
+
+ORACLE_BM25_HARD_NEGATIVES = _oracle_bm25_hard_negatives()
+
+
+# --- positional phrase search (ROADMAP r11 item 6) ----------------------------
+# Phrase retrieval: rank corpus documents by how many of a query's
+# ADJACENT TOKEN PAIRS they contain at adjacent positions — the
+# positional-index workload every Lucene-class engine serves, and the
+# deliberate PLAN VARIANT of shingle equality: the ANSWERS are exactly
+# what a bigram-shingle equi-join would produce (the oracle below IS
+# that shingle plan), but the Spark side matches through a positional
+# postings index (tok, doc_id, pos) with a two-leg join — at 100 TB the
+# positional index never materializes corpus bigrams (vocabulary² blow-up
+# for the shingle table's key space); only terms a live query contains
+# are ever joined.
+
+
+def pos_index(docs: DataFrame) -> DataFrame:
+    """(tok, doc_id, pos) positional postings, df-capped — the static
+    INDEX both the batch entry and the serve twin probe. The df cap is
+    the same MAX_POSTING_DF guard as BM25's match join (a stopword-grade
+    term's posting list dominates the positional join at scale) applied
+    as a broadcast ANTI-join: the over-cap term list is tiny by
+    construction (only stopword-grade terms exceed the cap), so the cap
+    is map-side over the posexplode scan — the index build shuffles
+    nothing beyond the df aggregation it needs anyway."""
+    pp = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    )
+    dfreq = _postings(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return pp.join(
+        F.broadcast(dfreq.filter(F.col("df") > MAX_POSTING_DF).select("tok")),
+        "tok",
+        "left_anti",
+    )
+
+
+def query_bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """(query_id, w1, w2) — one row per ADJACENT-PAIR OCCURRENCE of the
+    query documents (repetition kept, the query_occurrences discipline:
+    a pure map-side transform, stateless on a stream)."""
+    t = (
+        docs.filter(F.col("doc_id") < N_RETR_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), tokens_col("text").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    return t.select(
+        "query_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("query_id", "bg.w1", "bg.w2")
+
+
+def phrase_adjacent_matches(
+    qbg: DataFrame, idx: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """Both positional legs — one (query_id, doc_id) row per adjacency
+    match (a query pair occurrence landing on a corpus position pair).
+    The ONE definition shared by the batch entry and the serve twin
+    (broadcast=False: a streaming side cannot take the hint, and the
+    w2 vocabulary prune below would make the static leg depend on the
+    stream — the serve twin's adjacency leg joins the full index per
+    micro-batch instead, which is exactly what a deployed endpoint's
+    resident index does). Draining happens AFTER leg 2 in the serve
+    twin: adjacency matches are output-bounded (they aggregate to the
+    top-k table), while leg-1 rows are posting-list-sized — an
+    order-of-magnitude checkpoint/sink difference."""
+    left = F.broadcast(qbg) if broadcast else qbg
+    p1 = idx.select(F.col("tok").alias("w1"), "doc_id", "pos")
+    m1 = (
+        left.join(p1, "w1")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "w2", "doc_id", "pos")
+    )
+    p2 = idx.select(
+        F.col("tok").alias("w2"), "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    if broadcast:
+        # batch: prune the adjacency leg to the query vocabulary (a
+        # broadcast semi-join — the shuffle on (doc_id, pos) then only
+        # ever moves query-term postings, never the full index)
+        p2 = p2.join(
+            F.broadcast(qbg.select(F.col("w2").alias("tok")).distinct()),
+            F.col("w2") == F.col("tok"),
+            "left_semi",
+        )
+    return m1.join(p2, ["doc_id", "pos", "w2"]).select("query_id", "doc_id")
+
+
+def phrase_finish(matches: DataFrame) -> DataFrame:
+    """Aggregation + ranking over the adjacency matches, shared VERBATIM
+    by batch and serve twin. n_hits counts (query pair occurrence ×
+    positional occurrence) — exactly the shingle-equality multiplicity."""
+    agg = matches.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_TOPK)
+        .select("query_id", "doc_id", "n_hits", "rank")
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE SEARCH over the positional index: query docs
+    (doc_id < N_RETR_QUERIES) against the rest of the corpus, ranked by
+    adjacent-pair hits. Plan: one posexplode scan builds the index, the
+    query side broadcasts into leg 1 (map-side), leg 2 shuffles only the
+    w2-filtered slice on (doc_id, pos), one bounded agg, one per-query
+    window. The oracle is the bigram-shingle plan — same answers, the
+    equivalence IS the test."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return phrase_finish(
+        phrase_adjacent_matches(query_bigram_occurrences(docs), pos_index(docs))
+    )
+
+
+ORACLE_PHRASE_SEARCH = f"""
+WITH pt AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+ptok AS (
+    SELECT doc_id, unnest(t) AS tok FROM pt
+),
+pdf AS (
+    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM ptok GROUP BY 1
+),
+pcap AS (
+    SELECT tok FROM pdf WHERE df <= {MAX_POSTING_DF}
+),
+pbg AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM pt, UNNEST(range(1, len(t))) AS u(i)
+    WHERE len(t) >= 2
+),
+cbg AS (
+    SELECT doc_id, w1, w2 FROM pbg
+    WHERE w1 IN (SELECT tok FROM pcap) AND w2 IN (SELECT tok FROM pcap)
+),
+qbg AS (
+    SELECT doc_id AS query_id, w1, w2 FROM pbg
+    WHERE doc_id < {N_RETR_QUERIES}
+),
+pm AS (
+    SELECT q.query_id, c.doc_id
+    FROM qbg q JOIN cbg c
+      ON c.w1 = q.w1 AND c.w2 = q.w2 AND c.doc_id <> q.query_id
+),
+pagg AS (
+    SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM pm GROUP BY 1, 2
+),
+pranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY n_hits DESC, doc_id ASC) AS rank
+    FROM pagg
+)
+SELECT query_id, doc_id, n_hits, CAST(rank AS BIGINT) AS rank
+FROM pranked WHERE rank <= {RETR_TOPK}
 """

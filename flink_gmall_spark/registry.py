@@ -415,6 +415,13 @@ _register("curation_lm_logprob", curation.lm_logprob_score, curation.ORACLE_LM_L
 _register("stream_lm_logprob", stream_jobs.stream_lm_logprob, curation.ORACLE_LM_LOGPROB, tags=("streaming", "curation", "text", "quality", "perplexity-filter", "lm-scoring", "serving", "append-mode"))
 _register("text_token_entropy", textstats.token_entropy, textstats.ORACLE_TOKEN_ENTROPY, tags=("text", "quality", "diversity", "entropy", "map-only"))
 _register("stream_token_entropy", stream_jobs.stream_token_entropy, textstats.ORACLE_TOKEN_ENTROPY, tags=("streaming", "text", "quality", "diversity", "entropy", "append-mode"))
+_register("text_phrase_search", retrieval.phrase_search, retrieval.ORACLE_PHRASE_SEARCH, bench=True, tags=("text-analysis", "retrieval", "lexical", "phrase", "positional-index", "plan-variant", "top-n"))
+_register("stream_phrase_serve", stream_jobs.stream_phrase_serve, retrieval.ORACLE_PHRASE_SEARCH, tags=("streaming", "retrieval", "lexical", "phrase", "positional-index", "serving", "append-mode"))
+_register("sim_rrf_weighted", retrieval.rrf_weighted, retrieval.ORACLE_RRF_WEIGHTED, tags=("similarity", "retrieval", "hybrid", "rank-fusion", "weighted", "three-system"))
+_register("stream_rrf_weighted_serve", stream_jobs.stream_rrf_weighted_serve, retrieval.ORACLE_RRF_WEIGHTED, tags=("streaming", "retrieval", "hybrid", "rank-fusion", "weighted", "serving", "append-mode"))
+_register("sim_bm25_hard_negatives", retrieval.bm25_hard_negatives, retrieval.ORACLE_BM25_HARD_NEGATIVES, tags=("similarity", "retrieval", "ml-training", "hard-negatives", "recall-report", "self-measurement"))
+_register("stream_bm25_hard_negatives", stream_jobs.stream_bm25_hard_negatives, retrieval.ORACLE_BM25_HARD_NEGATIVES, tags=("streaming", "retrieval", "ml-training", "hard-negatives", "serving", "append-mode"))
+_register("stream_bm25_param_sweep", stream_jobs.stream_bm25_param_sweep, retrieval.ORACLE_BM25_PARAM_SWEEP, tags=("streaming", "retrieval", "lexical", "bm25", "calibration", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -424,10 +431,10 @@ _register("stream_token_entropy", stream_jobs.stream_token_entropy, textstats.OR
 # CORRECTNESS_r11 greened the entire round-11 window (50/50) and the
 # ever-green union now covers all 276 contracts, so FRESHNESS is the
 # operative invariant (oldest driver row ≤5 rounds): round-12 additions
-# lead (never driver-verified; 14 landed) plus 3 changed-code
-# re-verifications — a 17-entry head — then the 26 displaced r6-latest
-# entries in registration order, then the first 7 of the r7-latest
-# cohort up to the 50 cap. The displaced r7 names head the r13 roster.
+# lead (never driver-verified; 21 landed across two sessions) plus 4
+# changed-code re-verifications — a 25-entry head — then 25 of the 26
+# displaced r6-latest entries in registration order up to the 50 cap.
+# text_lang_id_confusion + the r7-latest cohort head the r13 roster.
 _SAMPLE_PRIORITY = [
     # 1 — never driver-verified round-12 additions (folded in as they
     # land, per the invariant), then changed-code entries without a
@@ -443,8 +450,17 @@ _SAMPLE_PRIORITY = [
     "text_zipf_slope", "stream_zipf_slope",
     "curation_lm_logprob", "stream_lm_logprob",
     "text_token_entropy", "stream_token_entropy",
+    "text_phrase_search", "stream_phrase_serve",
+    "sim_rrf_weighted", "stream_rrf_weighted_serve",
+    "sim_bm25_hard_negatives", "stream_bm25_hard_negatives",
+    "stream_bm25_param_sweep",
     "curation_retrieval_triplets", "stream_retrieval_triplets",
     "stream_query_expansion_prf",
+    # text_bm25_param_sweep re-enters for same-round re-verification:
+    # its sweep body moved into the shared param_sweep_finish this
+    # session (expressions verbatim, but the refresh discipline applies
+    # — the text_hashed_classifier precedent)
+    "text_bm25_param_sweep",
     # 2 — the 26 r6-latest entries displaced at the round-11 rotation
     # (registration order)
     "scale_dynamic_partition_pruning", "scale_epoch_compaction",
@@ -459,12 +475,9 @@ _SAMPLE_PRIORITY = [
     "curation_train_val_test_split", "sim_semantic_dedup_trained",
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
     "sim_ann_recall_report", "text_hll_union_rollup",
-    "text_lang_id_confusion",
-    # 3 — r7-latest cohort in registration order (first 7 of 50; the
-    # rest — curation_bigram_counts onward — head the r13 roster)
-    "tpch_q17", "tpch_q18", "tpch_q19", "curation_length_buckets",
-    "curation_sample_stratified", "curation_decontaminate",
-    "curation_tfidf_top_terms",
+    # (text_lang_id_confusion and the r7-latest cohort — tpch_q17
+    # onward — were displaced when the session-2 additions grew the
+    # head to 25; they lead the r13 roster instead)
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -2313,3 +2313,115 @@ def stream_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = read_stream(spark, sf_dir, "documents")
     return entropy_finish(run_to_memory(entropy_terms(docs), "append"))
+
+
+def stream_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bm25_param_sweep as a SERVING job — the (k1, b) calibration
+    computed over queries ARRIVING ON A STREAM: the query stream's
+    stateless tokenize+explode joins the static posting-FEATURE table
+    (tf/df/dl/stats — the sweep needs the raw features, not one baked
+    score, so every config prices from the same matched row), and the
+    whole sweep ledger (per-config score sums, stack, windowed
+    default-overlap flag) applies batch-side on the drained match table
+    via retrieval.param_sweep_finish (shared VERBATIM — rank windows
+    cannot follow an append stream). Shares ORACLE_BM25_PARAM_SWEEP:
+    calibrating on the serving path prices identically to the batch
+    calibration by contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        bm25_match,
+        param_sweep_finish,
+        posting_features,
+        query_occurrences,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    feat = posting_features(load(spark, sf_dir, "documents"))
+    occ = query_occurrences(read_stream(spark, sf_dir, "documents"))
+    matched = bm25_match(occ, feat, broadcast=False).select(
+        "query_id", "doc_id", "tf", "df", "dl", "n_docs", "total_len"
+    )
+    return param_sweep_finish(run_to_memory(matched, "append"))
+
+
+def stream_rrf_weighted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_rrf_weighted as a SERVING job — the unlogged lexical leg is
+    the live query stream (stream_bm25_serve, one definition), the
+    semantic and logged-idf legs are static indexes, and the 3-way
+    weighted fusion applies batch-side via retrieval.rrf_weighted_finish
+    (shared VERBATIM). Shares ORACLE_RRF_WEIGHTED: the served weighted
+    fusion is hash-identical to the batch one by contract."""
+    from flink_gmall_spark.operators.ann import ann_topk
+    from flink_gmall_spark.operators.retrieval import (
+        bm25_topk_logidf,
+        rrf_weighted_finish,
+    )
+
+    tune(spark)
+    lex = stream_bm25_serve(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ann_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    lgx = bm25_topk_logidf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lgx_rank")
+    )
+    return rrf_weighted_finish(lex, sem, lgx)
+
+
+def stream_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_bm25_hard_negatives as a SERVING job — lexical negative
+    mining for queries ARRIVING ON A STREAM (the online
+    negative-refresh shape): the BM25 candidates come from
+    stream_bm25_serve's drained rank list, the near-dup exclusion and
+    the exact-denominator recall ledger apply batch-side via
+    retrieval.bm25_negatives_finish (shared VERBATIM). Shares
+    ORACLE_BM25_HARD_NEGATIVES: the served mining ledger is
+    hash-identical to the batch one by contract."""
+    from flink_gmall_spark.operators.ann import _with_norm, hard_negatives
+    from flink_gmall_spark.operators.retrieval import bm25_negatives_finish
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    emb = _with_norm(load(spark, sf_dir, "embeddings"))
+    exact = hard_negatives(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    # the finisher consumes the rank list through two branches (the
+    # ledger aggregate AND the hits join) — a MemoryPlan leaf is not
+    # multi-instance, so give the drained, query-bounded list a fresh
+    # leaf (the stream_retrieval_eval precedent)
+    lex = stream_bm25_serve(spark, sf_dir).localCheckpoint()
+    return bm25_negatives_finish(lex, emb, exact)
+
+
+def stream_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_phrase_search as a SERVING job — phrase queries ARRIVING ON
+    A STREAM probe the static positional index: the per-arriving-doc
+    work is a stateless adjacent-pair transform+explode
+    (query_bigram_occurrences, map-only) plus BOTH positional legs as
+    chained stream-static equi-joins (phrase_adjacent_matches, broadcast
+    hint off — the adjacency leg joins the resident index per
+    micro-batch, which is what a deployed endpoint does); only the
+    output-bounded adjacency MATCHES drain to the sink (leg-1 rows are
+    posting-list-sized — draining them would checkpoint the posting
+    lists themselves), and the ranking applies batch-side via
+    retrieval.phrase_finish (shared VERBATIM). Shares
+    ORACLE_PHRASE_SEARCH, so the served phrase ranking is
+    hash-identical to the batch index probe by contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        phrase_adjacent_matches,
+        phrase_finish,
+        pos_index,
+        query_bigram_occurrences,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    idx = pos_index(load(spark, sf_dir, "documents"))
+    qbg = query_bigram_occurrences(read_stream(spark, sf_dir, "documents"))
+    matches = phrase_adjacent_matches(qbg, idx, broadcast=False)
+    return phrase_finish(run_to_memory(matches, "append"))
