@@ -1589,6 +1589,15 @@ def pos_index(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
     )
     dfreq = _postings(docs).groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # NOT materialized (measured and declined, the minhash-signature /
+    # tf-postings precedent): both join legs reference this subtree, so
+    # the static plan recomputes the posexplode + df-cap per leg — but
+    # the recompute is a whole-stage-codegen pipeline over page-cached
+    # parquet, measured 3.7-4.3 s warm at sf0.1 vs 13-16 s with an
+    # eager localCheckpoint of the full positional index (the write
+    # dominates). A deployment with real query volume amortizes an index
+    # build by bucket-materializing to parquet (the
+    # scale_bucketed_postings_serve pattern), not by caching in-job.
     return pp.join(
         F.broadcast(dfreq.filter(F.col("df") > MAX_POSTING_DF).select("tok")),
         "tok",
