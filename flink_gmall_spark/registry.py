@@ -511,9 +511,13 @@ def bench_queries() -> dict[str, QueryFn]:
 # cohorts in registration order (17 + 26 + 7 = 50).
 #
 # Round-13 window staging: lead with any round-13 additions
-# (never-driver-verified), then the remaining r7-latest cohort in
-# registration order — the 17-entry round-12 head displaced the cohort
-# tail, so the r13 remainder is the 43 r7-latest names from
+# (never-driver-verified), then the 8 names the session-2 additions
+# displaced from the r12 window — text_lang_id_confusion, tpch_q17,
+# tpch_q18, tpch_q19, curation_length_buckets,
+# curation_sample_stratified, curation_decontaminate,
+# curation_tfidf_top_terms (their last driver rows are r6/r7-era, the
+# oldest freshness debt) — then the remaining r7-latest cohort in
+# registration order, the 43 names from
 # curation_bigram_counts onward: curation_bigram_counts,
 # dedup_keep_best, dedup_bag_of_words, text_fingerprints,
 # text_pii_scrub, text_repetition, text_rare_token_ratio,
@@ -534,7 +538,4 @@ def bench_queries() -> dict[str, QueryFn]:
 # stream_pit_features, stream_session_transitions,
 # stream_cohort_retention, stream_timed_funnel,
 # curation_boilerplate_lines, text_sparse_topk_pairs — then the
-# r8-latest cohort up to 50. (Note tpch_q17/q18/q19,
-# curation_length_buckets, curation_sample_stratified,
-# curation_decontaminate and curation_tfidf_top_terms keep r12 rows
-# from this window.)
+# r8-latest cohort up to 50.
