@@ -86,6 +86,8 @@ DOC_OPS = [
     ("zipf_slope", "textstats"),
     ("lm_logprob_score", "curation"),
     ("token_entropy", "textstats"),
+    # round-12 session 2
+    ("phrase_search", "retrieval"),
 ]
 
 EMB_OPS = [
@@ -107,6 +109,9 @@ EMB_OPS = [
     # round-12 additions
     ("rrf_k_sweep", "retrieval"),
     ("retrieval_eval", "retrieval"),
+    # round-12 session 2 (fuse documents AND embeddings)
+    ("rrf_weighted", "retrieval"),
+    ("bm25_hard_negatives", "retrieval"),
 ]
 
 

@@ -1168,3 +1168,57 @@ def test_stream_bm25_param_sweep_equals_batch(spark, sf_dir):
         map(tuple, stream_bm25_param_sweep(spark, sf_dir).collect())
     )
     assert batch == served
+
+
+def test_phrase_positional_plan_edge_cases(spark):
+    """The positional two-leg plan vs a pure-python bigram mirror over a
+    crafted adversarial corpus: empty text, single-token docs (no
+    bigram), an all-same-token doc (overlapping self-adjacency — 'a a a
+    a' contains the ('a','a') bigram 3 times), repeated query bigrams
+    (occurrence multiplicity must MULTIPLY), punctuation-only text, and
+    a doc identical to a query (self excluded, its twin not)."""
+    corpus = [
+        (0, "a a a a"),               # query: bigram (a,a) x3
+        (1, "x y x y x"),             # query: (x,y) x2, (y,x) x2
+        (2, ""),                      # query: empty — emits nothing
+        (3, "solo"),                  # query: 1 token — no bigram
+        (4, "... !!! ???"),           # punctuation-only — tokenizes empty
+        (5, "b c"),                   # query with one bigram
+        (8, "a a"),                   # corpus: (a,a) x1
+        (9, "a a a"),                 # corpus: (a,a) x2
+        (10, "x y x"),                # corpus: (x,y) x1, (y,x) x1
+        (11, "b c b c"),              # corpus: (b,c) x2, (c,b) x1
+        (12, "a a a a"),              # identical to query 0
+        (13, "q r s"),                # matches nothing
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    toks = {d: _toks(t) for d, t in corpus}
+    bgs = {d: list(zip(ts, ts[1:])) for d, ts in toks.items()}
+    want = {}
+    for q, qb in bgs.items():
+        if q >= R.N_RETR_QUERIES or not qb:
+            continue
+        counts: dict[int, int] = {}
+        for d, db in bgs.items():
+            if d == q:
+                continue
+            c = sum(1 for p1 in qb for p2 in db if p1 == p2)
+            if c:
+                counts[d] = c
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, c) in enumerate(ranked[: R.RETR_TOPK], 1):
+            want[(q, d)] = (c, rank)
+
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.rank)
+        for r in R.phrase_finish(
+            R.phrase_adjacent_matches(
+                R.query_bigram_occurrences(docs), R.pos_index(docs)
+            )
+        ).collect()
+    }
+    assert got == want
+    # the crafted multiplicities actually exercise the multiply path
+    assert want[(0, 12)] == (9, 1)  # 3 x 3 on the identical twin
+    assert want[(0, 9)] == (6, 2)  # 3 query pairs x 2 positions
