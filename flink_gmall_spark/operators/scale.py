@@ -971,3 +971,64 @@ def bucketed_triplets_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucketed_bm25_topk(spark, sf_dir),
         load(spark, sf_dir, "documents"),
     )
+
+
+
+def bucketed_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search at BULK query volume — the co-location strategy for
+    the positional index's FAN-OUT leg: both the positional postings
+    (tok, doc_id, pos) and the query adjacent-pair occurrences are
+    materialized bucketed+sorted on the first-word join key, so leg 1 —
+    the leg whose row count is query occurrences x posting lists, the
+    one that explodes at bulk volume — SortMergeJoins with ZERO Exchange
+    below it (plan-gated). Leg 2 (adjacency) shuffles only the leg-1
+    match rows against the w2 postings on (doc_id, pos, w2) — bounded by
+    the live queries' term postings, and at a volume where even that
+    breaks, the same bucketing discipline applies to doc_id (one more
+    _bucketed_df_table call, the bucketed_prf_serve note's shape). The
+    broadcast w2 vocabulary prune of the 8-query regime is deliberately
+    ABSENT here: a bulk query batch's vocabulary approaches the corpus
+    vocabulary, so the prune buys nothing (the honest bulk plan is the
+    join itself).
+
+    Output and oracle are text_phrase_search's own (shared
+    ORACLE_PHRASE_SEARCH): index layout must never change the phrase
+    ranking, only the shuffle bill."""
+    from flink_gmall_spark.operators.retrieval import (
+        phrase_finish,
+        pos_index,
+        query_bigram_occurrences,
+    )
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    idx = spark.table(
+        _bucketed_df_table(
+            spark, sf_dir, "phrase_posidx", pos_index(docs), "tok"
+        )
+    )
+    qbg = spark.table(
+        _bucketed_df_table(
+            spark,
+            sf_dir,
+            "phrase_queries",
+            query_bigram_occurrences(docs).select(
+                "query_id", F.col("w1").alias("tok"), "w2"
+            ),
+            "tok",
+        )
+    )
+    m1 = (
+        qbg.hint("merge")
+        .join(idx.hint("merge"), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "w2", "doc_id", "pos")
+    )
+    p2 = idx.select(
+        F.col("tok").alias("w2"), "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return phrase_finish(
+        m1.join(p2, ["doc_id", "pos", "w2"]).select("query_id", "doc_id")
+    )

@@ -422,6 +422,7 @@ _register("stream_rrf_weighted_serve", stream_jobs.stream_rrf_weighted_serve, re
 _register("sim_bm25_hard_negatives", retrieval.bm25_hard_negatives, retrieval.ORACLE_BM25_HARD_NEGATIVES, tags=("similarity", "retrieval", "ml-training", "hard-negatives", "recall-report", "self-measurement"))
 _register("stream_bm25_hard_negatives", stream_jobs.stream_bm25_hard_negatives, retrieval.ORACLE_BM25_HARD_NEGATIVES, tags=("streaming", "retrieval", "ml-training", "hard-negatives", "serving", "append-mode"))
 _register("stream_bm25_param_sweep", stream_jobs.stream_bm25_param_sweep, retrieval.ORACLE_BM25_PARAM_SWEEP, tags=("streaming", "retrieval", "lexical", "bm25", "calibration", "serving", "append-mode"))
+_register("scale_bucketed_phrase_serve", scale.bucketed_phrase_serve, retrieval.ORACLE_PHRASE_SEARCH, tags=("scale", "retrieval", "lexical", "phrase", "positional-index", "bucketing", "zero-shuffle-join", "serving"))
 
 
 # =============================================================================
@@ -431,10 +432,11 @@ _register("stream_bm25_param_sweep", stream_jobs.stream_bm25_param_sweep, retrie
 # CORRECTNESS_r11 greened the entire round-11 window (50/50) and the
 # ever-green union now covers all 276 contracts, so FRESHNESS is the
 # operative invariant (oldest driver row ≤5 rounds): round-12 additions
-# lead (never driver-verified; 21 landed across two sessions) plus 4
-# changed-code re-verifications — a 25-entry head — then 25 of the 26
+# lead (never driver-verified; 22 landed across two sessions) plus 4
+# changed-code re-verifications — a 26-entry head — then 24 of the 26
 # displaced r6-latest entries in registration order up to the 50 cap.
-# text_lang_id_confusion + the r7-latest cohort head the r13 roster.
+# text_hll_union_rollup, text_lang_id_confusion + the r7-latest cohort
+# head the r13 roster.
 _SAMPLE_PRIORITY = [
     # 1 — never driver-verified round-12 additions (folded in as they
     # land, per the invariant), then changed-code entries without a
@@ -453,7 +455,7 @@ _SAMPLE_PRIORITY = [
     "text_phrase_search", "stream_phrase_serve",
     "sim_rrf_weighted", "stream_rrf_weighted_serve",
     "sim_bm25_hard_negatives", "stream_bm25_hard_negatives",
-    "stream_bm25_param_sweep",
+    "stream_bm25_param_sweep", "scale_bucketed_phrase_serve",
     "curation_retrieval_triplets", "stream_retrieval_triplets",
     "stream_query_expansion_prf",
     # text_bm25_param_sweep re-enters for same-round re-verification:
@@ -474,10 +476,10 @@ _SAMPLE_PRIORITY = [
     "curation_multimodal_dedup_pipeline", "curation_bpe_token_budget",
     "curation_train_val_test_split", "sim_semantic_dedup_trained",
     "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
-    "sim_ann_recall_report", "text_hll_union_rollup",
-    # (text_lang_id_confusion and the r7-latest cohort — tpch_q17
-    # onward — were displaced when the session-2 additions grew the
-    # head to 25; they lead the r13 roster instead)
+    "sim_ann_recall_report",
+    # (text_hll_union_rollup, text_lang_id_confusion and the r7-latest
+    # cohort — tpch_q17 onward — were displaced when the session-2
+    # additions grew the head to 26; they lead the r13 roster instead)
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

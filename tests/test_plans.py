@@ -122,6 +122,22 @@ def test_bucketed_postings_serve_no_tok_shuffle(spark, sf_dir):
     assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 2, plan
 
 
+def test_bucketed_phrase_serve_leg1_no_tok_shuffle(spark, sf_dir):
+    """The bulk-query phrase serve: positional index and query pair
+    occurrences both bucketed on the first-word key — leg 1 (the
+    fan-out leg) SortMergeJoins from the file layout with NO exchange
+    on tok; the remaining exchanges are leg 2's bounded (doc, pos, w2)
+    match shuffle and the final aggregation/window."""
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.bucketed_phrase_serve(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(tok" not in plan, plan
+    # leg 1's two bucketed scans (the leg-2 index scan reads the same
+    # bucketed table again — 3 bucket-pruned scans total)
+    assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 3, plan
+
+
 def test_dim_join_degrades_to_smj_without_broadcast(spark, sf_dir):
     """When a dim outgrows the broadcast threshold the same declarative
     plan must degrade to a shuffled join, not fail or collect — the
