@@ -1531,3 +1531,45 @@ def test_bm25_score_monotonicity(tf, dfv, dl, n_docs, total_len):
 
     assert score(tf + 1, dfv) >= score(tf, dfv)
     assert score(tf, dfv + 1) <= score(tf, dfv)
+
+
+@given(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=10_000)),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=10_000)),
+        st.one_of(st.none(), st.integers(min_value=1, max_value=10_000)),
+    ).filter(lambda t: any(r is not None for r in t))
+)
+def test_wrrf_template_duckdb_equals_python_mirror(ranks):
+    """The weighted 3-system RRF template, property-tested CROSS-ENGINE:
+    WRRF_SCORE_SQL evaluated by DuckDB over arbitrary (nullable) rank
+    triples equals the pure-python mirror bit-for-bit — three
+    correctly-rounded divisions added in fixed written order, NULL rank
+    contributing exactly 0.0 through the COALESCE idiom. Pins the
+    fusion parity on arbitrary ranks instead of only the fixture
+    lists (test_rrf_weighted_matches_python)."""
+    import duckdb
+
+    from flink_gmall_spark.operators.retrieval import (
+        RRF_K,
+        WRRF_SCORE_SQL,
+        WRRF_WEIGHTS,
+    )
+
+    lex, sem, lgx = ranks
+    cols = ", ".join(
+        f"CAST({'NULL' if r is None else r} AS BIGINT) AS {name}"
+        for r, name in ((lex, "lex_rank"), (sem, "sem_rank"), (lgx, "lgx_rank"))
+    )
+    got = (
+        duckdb.connect()
+        .execute(f"SELECT {WRRF_SCORE_SQL} AS s FROM (SELECT {cols})")
+        .fetchone()[0]
+    )
+    w_lex, w_sem, w_lgx = (float(w) for w in WRRF_WEIGHTS)
+    k = float(RRF_K)
+    t1 = w_lex / (k + float(lex)) if lex is not None else 0.0
+    t2 = w_sem / (k + float(sem)) if sem is not None else 0.0
+    t3 = w_lgx / (k + float(lgx)) if lgx is not None else 0.0
+    want = (t1 + t2) + t3
+    assert got == want, (ranks, got, want)
