@@ -109,11 +109,34 @@ def _host_fingerprint(before: dict, after: dict, wall_sec: float) -> dict:
         dt = ja["total"] - jb["total"]
         fp["idle_frac"] = round((ja["idle"] - jb["idle"]) / dt, 3)
         fp["iowait_frac"] = round((ja["iowait"] - jb["iowait"]) / dt, 3)
-        fp["steal_frac"] = round((ja["steal"] - jb["steal"]) / dt, 3)
+        steal = (ja["steal"] - jb["steal"]) / dt
+        fp["steal_frac"] = round(steal, 3)
+        if steal > STEAL_GATE:
+            # Timings in this file are inflated by hypervisor throttling
+            # (r12: 5.9 % steal ≈ 1.2-3.5× uniform inflation) — compare
+            # rounds on a clean re-run, not on this one.
+            fp["steal_contaminated"] = True
     return fp
 
+STEAL_GATE = 0.01  # steal_frac above this marks the round contaminated
+
+
+def _steal_probe(window_s: float = 3.0) -> float | None:
+    """Steal fraction over a short sampling window. steal is only
+    observable as a jiffy delta, so the probe sleeps ``window_s``
+    between two /proc/stat reads — cheap next to a multi-minute bench."""
+    b = _host_snapshot().get("jiffies")
+    if not b:
+        return None
+    time.sleep(window_s)
+    a = _host_snapshot().get("jiffies")
+    if not a or a["total"] <= b["total"]:
+        return None
+    return (a["steal"] - b["steal"]) / (a["total"] - b["total"])
+
+
 def _wait_for_idle_host(max_wait_s: float, poll_s: float = 15.0) -> dict:
-    """Bounded wait-for-idle gate (VERDICT r9 ask #3).
+    """Bounded wait-for-idle gate (VERDICT r9 ask #3; steal gate r12 #6).
 
     The r9 driver bench started at load1 = 22.67 on a 32-cpu host and
     polluted 3 queries up to 2× — provably host contention (the same
@@ -124,14 +147,26 @@ def _wait_for_idle_host(max_wait_s: float, poll_s: float = 15.0) -> dict:
     a bench that never runs is worse than a flagged-noisy one. The
     returned marker lands in the JSON ``host`` block either way, so a
     hot-host round is self-documenting (waited vs gave_up vs clean).
+
+    The r12 driver bench passed the load gate yet inflated 1.2-3.5×
+    from 5.9 % hypervisor CPU steal (steal is invisible to loadavg), so
+    the gate also probes steal_frac over a 3 s window and keeps waiting
+    while it exceeds STEAL_GATE; the post-run fingerprint independently
+    stamps ``steal_contaminated`` so a steal spike DURING the run is
+    readable from the JSON alone (BASELINE.md §host-contamination).
     """
     ncpu = os.cpu_count() or 16
     threshold = 2.0 * ncpu / 16.0
     t0 = time.monotonic()
     waited = 0.0
     load1 = _host_snapshot().get("load1")
-    gate: dict = {"load1_gate": threshold}
-    while load1 is not None and load1 >= threshold:
+    steal = _steal_probe()
+    gate: dict = {"load1_gate": threshold, "steal_gate": STEAL_GATE}
+    if steal is not None:
+        gate["steal_pre"] = round(steal, 4)
+    while (load1 is not None and load1 >= threshold) or (
+        steal is not None and steal > STEAL_GATE
+    ):
         remaining = max_wait_s - (time.monotonic() - t0)
         if remaining <= 0:
             gate["gate_gave_up"] = True
@@ -139,6 +174,9 @@ def _wait_for_idle_host(max_wait_s: float, poll_s: float = 15.0) -> dict:
         time.sleep(min(poll_s, remaining))
         waited = time.monotonic() - t0
         load1 = _host_snapshot().get("load1")
+        steal = _steal_probe()
+        if steal is not None:
+            gate["steal_pre"] = round(steal, 4)
     if waited:
         gate["gated_wait_s"] = round(waited, 2)
     return gate

@@ -973,7 +973,6 @@ def bucketed_triplets_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def bucketed_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search at BULK query volume — the co-location strategy for
     the positional index's FAN-OUT leg: both the positional postings

@@ -133,9 +133,12 @@ def test_bucketed_phrase_serve_leg1_no_tok_shuffle(spark, sf_dir):
     plan = plan_of(scale.bucketed_phrase_serve(spark, sf_dir))
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(tok" not in plan, plan
-    # leg 1's two bucketed scans (the leg-2 index scan reads the same
-    # bucketed table again — 3 bucket-pruned scans total)
-    assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") == 3, plan
+    # leg 1's two bucketed scans carry pruning metadata; how many times
+    # Catalyst re-scans the index for leg 2 is the planner's business
+    # (exchange/scan reuse would legally collapse it), so assert the
+    # lower bound only — the property under test is zero tok exchanges
+    # above bucket-pruned scans, not the scan count (ADVICE r12).
+    assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") >= 2, plan
 
 
 def test_dim_join_degrades_to_smj_without_broadcast(spark, sf_dir):
