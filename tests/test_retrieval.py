@@ -1301,3 +1301,77 @@ def test_phrase_positional_plan_edge_cases(spark):
     # the crafted multiplicities actually exercise the multiply path
     assert want[(0, 12)] == (9, 1)  # 3 x 3 on the identical twin
     assert want[(0, 9)] == (6, 2)  # 3 query pairs x 2 positions
+
+
+def test_phrase_df_cap_branch(spark, monkeypatch):
+    """The MAX_POSTING_DF cap path of the phrase plan (ADVICE r12): at
+    every shipped fixture scale no token exceeds the cap, so without
+    this test an off-by-one in the cap condition (> vs >=) could pass
+    every suite. Cap forced to 2 over a crafted corpus where
+    - 'p'/'q' (df = 3, ONE over cap) carry would-be matches to two docs
+      — the cap must kill both;
+    - 'u'/'v' (df = 2, EXACTLY at cap) carry one match — the cap must
+      keep them (the > / >= boundary, both directions);
+    verified three ways: Spark plan with patched constant, the python
+    positional mirror, and ORACLE_PHRASE_SEARCH with its pcap constant
+    rewritten to the same cap, run in DuckDB on the same rows."""
+    import duckdb
+    import pandas as pd
+
+    corpus = [
+        (0, "p q u v"),    # query: bigrams (p,q) (q,u) (u,v)
+        (8, "p q z u v"),  # (p,q) capped away; (u,v) survives
+        (9, "p q w"),      # only capped-token bigrams — must vanish
+    ]
+    monkeypatch.setattr(R, "MAX_POSTING_DF", 2)
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.n_hits, r.rank)
+        for r in R.phrase_finish(
+            R.phrase_adjacent_matches(
+                R.query_bigram_occurrences(docs), R.pos_index(docs)
+            )
+        ).collect()
+    }
+
+    # python mirror: df over all docs, both tokens of a pair must be
+    # at-or-under cap, adjacency on ORIGINAL positions (capped tokens
+    # leave holes, never re-compacted adjacency)
+    toks = {d: _toks(t) for d, t in corpus}
+    df = {}
+    for ts in toks.values():
+        for tok in set(ts):
+            df[tok] = df.get(tok, 0) + 1
+    keep = {tok for tok, c in df.items() if c <= 2}
+    bgs = {
+        d: [p for p in zip(ts, ts[1:]) if p[0] in keep and p[1] in keep]
+        for d, ts in toks.items()
+    }
+    want = {}
+    for q, qb in bgs.items():
+        if q >= R.N_RETR_QUERIES or not qb:
+            continue
+        counts: dict[int, int] = {}
+        for d, db in bgs.items():
+            if d != q:
+                c = sum(1 for p1 in qb for p2 in db if p1 == p2)
+                if c:
+                    counts[d] = c
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, c) in enumerate(ranked[: R.RETR_TOPK], 1):
+            want[(q, d)] = (c, rank)
+    assert got == want
+    assert want == {(0, 8): (1, 1)}  # (u,v) kept at df==cap; (p,q) culled
+
+    # oracle with the pcap constant rewritten to the same cap
+    assert R.ORACLE_PHRASE_SEARCH.count(str(100_000)) == 1
+    sql = R.ORACLE_PHRASE_SEARCH.replace(str(100_000), "2")
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(corpus, columns=["doc_id", "text"])
+    )
+    oracle = {
+        (int(q), int(d)): (int(h), int(rk))
+        for q, d, h, rk in con.execute(sql).fetchall()
+    }
+    assert oracle == want
