@@ -1735,3 +1735,158 @@ pranked AS (
 SELECT query_id, doc_id, n_hits, CAST(rank AS BIGINT) AS rank
 FROM pranked WHERE rank <= {RETR_TOPK}
 """
+
+
+# --- proximity-weighted retrieval (round 13) ----------------------------------
+# Phrase search (above) rewards exact adjacency only; the standard next
+# operator a retrieval consumer reaches for is WINDOWED PROXIMITY
+# scoring — Lucene's SpanNear / InQuery-style ordered-window ranking
+# (Metzler & Croft's sequential-dependence model uses exactly this
+# ordered-window feature beside the exact-bigram one). Each adjacent
+# query pair (w1, w2) scores every corpus position pair with
+# 1 <= pos(w2) - pos(w1) <= PROX_WINDOW, weighted linearly by closeness
+# (adjacent = PROX_WINDOW points, widest = 1), plus the min-span
+# diagnostic rank fusion consumers read. Shares pos_index and
+# query_bigram_occurrences with phrase search — ONE definition of the
+# positional machinery; the delta is leg 2 joining on the (doc_id, w2)
+# band with the position difference as a range residual instead of the
+# shifted pure-equi key. At 100 TB the same argument as phrase search
+# holds: only live-query terms are ever joined, never a corpus
+# pair/bigram materialization; the band join's per-key group is one
+# term's positions within one document — bounded by document length,
+# not corpus size.
+
+PROX_WINDOW = 5  # ordered window: 1 <= p2 - p1 <= 5
+
+
+def proximity_matches(
+    qbg: DataFrame, idx: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """One (query_id, doc_id, span) row per ordered within-window
+    position pair — the proximity analogue of phrase_adjacent_matches,
+    shared by the batch entry and the serve twin (broadcast=False for
+    the stream side, same contract as the phrase twin). Leg 1 fans the
+    (broadcast) query pairs onto the w1 postings map-side; leg 2 is an
+    equi-join on (doc_id, w2) with the window inequality as the hash
+    join's range residual — the shuffle moves only w2-postings of docs
+    that matched leg 1 (and under broadcast, only query-vocabulary
+    postings), each (doc_id, w2) group no larger than that term's
+    in-document positions."""
+    left = F.broadcast(qbg) if broadcast else qbg
+    p1 = idx.select(F.col("tok").alias("w1"), "doc_id", F.col("pos").alias("p1"))
+    m1 = (
+        left.join(p1, "w1")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "w2", "doc_id", "p1")
+    )
+    p2 = idx.select(F.col("tok").alias("w2"), "doc_id", F.col("pos").alias("p2"))
+    if broadcast:
+        # batch: prune the band leg to the query vocabulary (broadcast
+        # semi-join) — the (doc_id, w2) shuffle then only ever moves
+        # query-term postings, the phrase-leg-2 discipline
+        p2 = p2.join(
+            F.broadcast(qbg.select(F.col("w2").alias("tok")).distinct()),
+            F.col("w2") == F.col("tok"),
+            "left_semi",
+        )
+    # string-key equi join + residual filter (NOT df["col"] conditions:
+    # both legs share the idx lineage, the classic self-join ambiguity);
+    # Catalyst folds the pushed filter into the join as its range
+    # residual, so the executed plan is the band join described above
+    return (
+        m1.join(p2, ["doc_id", "w2"])
+        .filter(
+            (F.col("p2") > F.col("p1"))
+            & (F.col("p2") <= F.col("p1") + PROX_WINDOW)
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("p2") - F.col("p1")).cast("long").alias("span"),
+        )
+    )
+
+
+def proximity_finish(matches: DataFrame) -> DataFrame:
+    """Aggregation + ranking over the span matches, shared VERBATIM by
+    batch and serve twin: prox_score = Σ (PROX_WINDOW + 1 − span)
+    (adjacency is worth PROX_WINDOW, the widest window hit 1), n_pairs,
+    and min_span; rank by score desc, doc_id asc, top RETR_TOPK."""
+    agg = matches.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.lit(PROX_WINDOW + 1) - F.col("span")).cast("long").alias("prox_score"),
+        F.min("span").cast("long").alias("min_span"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("prox_score"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_TOPK)
+        .select("query_id", "doc_id", "n_pairs", "prox_score", "min_span", "rank")
+    )
+
+
+def proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY-WEIGHTED SEARCH over the positional index: query docs
+    (doc_id < N_RETR_QUERIES) against the rest of the corpus, every
+    adjacent query pair scoring ordered within-PROX_WINDOW corpus
+    position pairs by closeness. Plan: one posexplode scan builds the
+    df-capped index (shared pos_index — phrase search and this entry
+    probe the SAME index, the point of positional postings), leg 1
+    broadcasts the query pairs, leg 2 band-joins w2 postings on
+    (doc_id, w2) with the window inequality as residual, one bounded
+    agg, one per-query window."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return proximity_finish(
+        proximity_matches(query_bigram_occurrences(docs), pos_index(docs))
+    )
+
+
+ORACLE_PROXIMITY_TOPK = f"""
+WITH xt AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+xtok AS (
+    SELECT doc_id, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM xt
+),
+xdf AS (
+    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM xtok GROUP BY 1
+),
+xidx AS (
+    SELECT i.tok, i.doc_id, i.pos FROM xtok i
+    JOIN xdf d ON i.tok = d.tok AND d.df <= {MAX_POSTING_DF}
+),
+xqbg AS (
+    SELECT doc_id AS query_id, t[i] AS w1, t[i+1] AS w2
+    FROM xt, UNNEST(range(1, len(t))) AS u(i)
+    WHERE doc_id < {N_RETR_QUERIES} AND len(t) >= 2
+),
+xm AS (
+    SELECT q.query_id, a.doc_id,
+           CAST(b.pos - a.pos AS BIGINT) AS span
+    FROM xqbg q
+    JOIN xidx a ON a.tok = q.w1 AND a.doc_id <> q.query_id
+    JOIN xidx b ON b.tok = q.w2 AND b.doc_id = a.doc_id
+         AND b.pos > a.pos AND b.pos <= a.pos + {PROX_WINDOW}
+),
+xagg AS (
+    SELECT query_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum({PROX_WINDOW + 1} - span) AS BIGINT) AS prox_score,
+           CAST(min(span) AS BIGINT) AS min_span
+    FROM xm GROUP BY 1, 2
+),
+xranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY prox_score DESC, doc_id ASC) AS rank
+    FROM xagg
+)
+SELECT query_id, doc_id, n_pairs, prox_score, min_span,
+       CAST(rank AS BIGINT) AS rank
+FROM xranked WHERE rank <= {RETR_TOPK}
+"""

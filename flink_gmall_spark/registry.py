@@ -424,6 +424,10 @@ _register("stream_bm25_hard_negatives", stream_jobs.stream_bm25_hard_negatives, 
 _register("stream_bm25_param_sweep", stream_jobs.stream_bm25_param_sweep, retrieval.ORACLE_BM25_PARAM_SWEEP, tags=("streaming", "retrieval", "lexical", "bm25", "calibration", "serving", "append-mode"))
 _register("scale_bucketed_phrase_serve", scale.bucketed_phrase_serve, retrieval.ORACLE_PHRASE_SEARCH, tags=("scale", "retrieval", "lexical", "phrase", "positional-index", "bucketing", "zero-shuffle-join", "serving"))
 
+# --- round 13: proximity retrieval + exact-substring dedup -------------------
+_register("text_proximity_topk", retrieval.proximity_topk, retrieval.ORACLE_PROXIMITY_TOPK, bench=True, tags=("text-analysis", "retrieval", "lexical", "proximity", "positional-index", "band-join", "top-n"))
+_register("stream_proximity_serve", stream_jobs.stream_proximity_serve, retrieval.ORACLE_PROXIMITY_TOPK, tags=("streaming", "retrieval", "lexical", "proximity", "positional-index", "serving", "append-mode"))
+
 
 # =============================================================================
 # Round-12 sample window (VERDICT r11 ask #1 / ROADMAP "Round-12 sample

@@ -2425,3 +2425,29 @@ def stream_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbg = query_bigram_occurrences(read_stream(spark, sf_dir, "documents"))
     matches = phrase_adjacent_matches(qbg, idx, broadcast=False)
     return phrase_finish(run_to_memory(matches, "append"))
+
+
+def stream_proximity_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_proximity_topk as a SERVING job — proximity queries ARRIVING
+    ON A STREAM probe the static positional index (the stream_phrase_serve
+    discipline exactly): stateless adjacent-pair transform at ingest,
+    both positional legs as stream-static joins with the broadcast hint
+    off (leg 2's band join runs against the resident index per
+    micro-batch — a deployed endpoint's shape), only the output-bounded
+    span MATCHES drain to the sink, ranking batch-side via
+    retrieval.proximity_finish (shared VERBATIM). Shares
+    ORACLE_PROXIMITY_TOPK, so the served proximity ranking is
+    hash-identical to the batch index probe by contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        pos_index,
+        proximity_finish,
+        proximity_matches,
+        query_bigram_occurrences,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    idx = pos_index(load(spark, sf_dir, "documents"))
+    qbg = query_bigram_occurrences(read_stream(spark, sf_dir, "documents"))
+    matches = proximity_matches(qbg, idx, broadcast=False)
+    return proximity_finish(run_to_memory(matches, "append"))

@@ -1375,3 +1375,98 @@ def test_phrase_df_cap_branch(spark, monkeypatch):
         for q, d, h, rk in con.execute(sql).fetchall()
     }
     assert oracle == want
+
+
+# --- round-13: proximity-weighted retrieval ----------------------------------
+
+
+def test_proximity_topk_matches_python_mirror(spark):
+    """The band-join proximity plan vs a pure-python positional mirror
+    over a crafted corpus: window boundary (span 5 kept, 6 dropped),
+    ORDERED windows only (w2 before w1 never counts), occurrence
+    multiplicity multiplying on both sides, min_span, self-exclusion,
+    and the adjacency-weights-highest scoring."""
+    corpus = [
+        (0, "a b"),                            # query: one pair (a,b)
+        (1, "c d c d"),                        # query: (c,d) x2, (d,c) x1
+        (8, "a x x x x b"),                    # span exactly 5 — kept
+        (9, "a x x x x x b"),                  # span 6 — dropped
+        (10, "a b"),                           # span 1 — weight 5
+        (11, "b a"),                           # ordered only: no (a,b) hit
+        (12, "a x b y a b"),                   # (a,b): spans 2, 5, 1 (+4 a..b? )
+        (13, "c d"),                           # (c,d) span 1, matches q1 twice
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.n_pairs, r.prox_score, r.min_span, r.rank)
+        for r in R.proximity_finish(
+            R.proximity_matches(
+                R.query_bigram_occurrences(docs), R.pos_index(docs)
+            )
+        ).collect()
+    }
+
+    toks = {d: _toks(t) for d, t in corpus}
+    pos = {
+        d: {w: [i for i, x in enumerate(ts) if x == w] for w in set(ts)}
+        for d, ts in toks.items()
+    }
+    want = {}
+    for q, ts in toks.items():
+        if q >= R.N_RETR_QUERIES or len(ts) < 2:
+            continue
+        per_doc: dict[int, list[int]] = {}
+        for w1, w2 in zip(ts, ts[1:]):  # occurrence-level query pairs
+            for d, dp in pos.items():
+                if d == q:
+                    continue
+                for p1 in dp.get(w1, []):
+                    for p2 in dp.get(w2, []):
+                        if 1 <= p2 - p1 <= R.PROX_WINDOW:
+                            per_doc.setdefault(d, []).append(p2 - p1)
+        ranked = sorted(
+            per_doc.items(),
+            key=lambda kv: (-sum(R.PROX_WINDOW + 1 - s for s in kv[1]), kv[0]),
+        )
+        for rank, (d, spans) in enumerate(ranked[: R.RETR_TOPK], 1):
+            want[(q, d)] = (
+                len(spans),
+                sum(R.PROX_WINDOW + 1 - s for s in spans),
+                min(spans),
+                rank,
+            )
+    assert got == want
+    # the crafted shapes actually bit:
+    assert (0, 8) in want and want[(0, 8)][2] == 5   # boundary span kept
+    assert (0, 9) not in want                        # span 6 dropped
+    assert (0, 11) not in want                       # unordered never counts
+    assert want[(0, 12)][0] == 3                     # multiplicity: 3 pairs
+    assert want[(1, 13)][0] == 2                     # query-side multiplicity
+
+
+def test_proximity_plan_shape(spark, sf_dir):
+    """Plan gate (VERDICT r12 ask #4): the window inequality must ride
+    an EQUI band join as its residual — a range-only join would plan a
+    nested-loop over the corpus; and no corpus bigram/pair table is
+    ever materialized (the positional legs are the only corpus-side
+    expansion: exactly two posexplode scans)."""
+    plan = (
+        R.proximity_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("posexplode") == 2, plan
+
+
+def test_stream_proximity_serve_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import stream_proximity_serve
+
+    batch = sorted(map(tuple, R.proximity_topk(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_proximity_serve(spark, sf_dir).collect())
+    )
+    assert batch == served
