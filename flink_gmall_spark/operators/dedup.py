@@ -1927,3 +1927,361 @@ FROM (
 {_winnow_sweep_selects()}
 ) t
 """
+
+
+# --- exact-substring dedup (round 13) ----------------------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate at EXACT SUBSTRING granularity: any ~50-token
+# run shared verbatim between two documents is a duplicate span, even
+# when the documents as wholes are nowhere near each other — the case
+# winnowing/MinHash (document-level) and dup_ngram_coverage
+# (shingle-level, no contiguity) both miss. The paper builds a corpus
+# suffix array; the shuffle-native equivalent here is positional k-gram
+# postings + diagonal run merging:
+#   (doc, pos, gram) postings  --gram equi-join-->  (d1, d2, p1, p2)
+#   matches; matches on the same DIAGONAL (p2 - p1) at consecutive p1
+#   merge into maximal runs (the islands trick: p1 - row_number is
+#   constant exactly on a consecutive stretch); a run of c consecutive
+#   gram starts covers c + K - 1 tokens.
+# Every stage is a keyed shuffle (gram, then (d1,d2,diag), then doc) —
+# no all-pairs product anywhere. The hot-gram cap bounds the equi-join
+# fan-out: a gram occurring g times corpus-wide contributes O(g²) match
+# rows, so boilerplate-grade grams (the suffix-array method's stopword
+# runs) are dropped at an occurrence cap — the same guard as
+# MAX_SHINGLE_DF / MAX_POSTING_DF, applied as ONE count-over-window on
+# the gram key whose exchange the self-join then reuses
+# (FREQ_FILTER_STRATEGY "window" rationale above). A capped gram can at
+# worst SPLIT a true run in two (both halves still reported if they
+# clear MIN_RUN_TOKENS) — the audit report below measures what that
+# costs against the shingle-level coverage signal.
+
+RUN_K = 8  # gram width: runs are detected at >= RUN_K shared tokens
+MIN_RUN_TOKENS = 16  # report runs of at least this many tokens
+MAX_RUN_GRAM_DF = 50  # occurrence cap per gram (join fan-out guard)
+
+_RUN_GRAM_EXPR = (
+    f"transform(sequence(0, size(t) - {RUN_K}), i -> concat_ws(' ', "
+    + ", ".join(f"t[i+{j}]" for j in range(RUN_K))
+    + "))"
+)
+
+
+def positional_run_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram) positional RUN_K-gram postings — like
+    pos_index (retrieval) but k tokens wide, occurrence-capped. Pure
+    map explode + one count-over-window on gram; the window's exchange
+    is reused by the pair join, which is keyed on gram too."""
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= RUN_K
+    )
+    g = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(_RUN_GRAM_EXPR)).alias("pos", "gram"),
+    )
+    return (
+        g.withColumn("gct", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("gct") <= MAX_RUN_GRAM_DF)
+        .drop("gct")
+    )
+
+
+def substring_runs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, a_start, b_start, run_tokens): maximal shared
+    token runs >= MIN_RUN_TOKENS between ordered doc pairs. One gram
+    equi-join (self-join on the capped postings — the exchange on gram
+    is planned once), one (d1, d2, diag) window + aggregation."""
+    g = positional_run_grams(docs)
+    a = g.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "gram"
+    )
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", (F.col("p2") - F.col("p1")).alias("diag"), "p1")
+    )
+    w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    isl = m.withColumn("isl", F.col("p1") - F.row_number().over(w))
+    return (
+        isl.groupBy("d1", "d2", "diag", "isl")
+        .agg(
+            F.min("p1").cast("long").alias("a_start"),
+            (F.count(F.lit(1)) + F.lit(RUN_K - 1)).cast("long").alias("run_tokens"),
+        )
+        .filter(F.col("run_tokens") >= MIN_RUN_TOKENS)
+        .select(
+            F.col("d1").alias("doc_a"),
+            F.col("d2").alias("doc_b"),
+            "a_start",
+            (F.col("a_start") + F.col("diag")).cast("long").alias("b_start"),
+            "run_tokens",
+        )
+    )
+
+
+def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry: every maximal >= MIN_RUN_TOKENS shared run in the
+    corpus, as (doc_a, doc_b, a_start, b_start, run_tokens)."""
+    tune(spark)
+    return substring_runs(load(spark, sf_dir, "documents"))
+
+
+_DUCK_RUN_T = (
+    f"list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),"
+    " x -> x <> '')"
+)
+
+_DUCK_RUN_GRAM = "concat_ws(' ', " + ", ".join(
+    f"t[i+{j}]" for j in range(RUN_K)
+) + ")"
+
+_DUCK_RUNS_CTE = f"""
+WITH est AS (
+    SELECT doc_id, {_DUCK_RUN_T} AS t FROM documents
+),
+eg AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {_DUCK_RUN_GRAM} AS gram
+    FROM est, UNNEST(range(1, len(t) - {RUN_K - 2})) AS u(i)
+    WHERE len(t) >= {RUN_K}
+),
+ekept AS (
+    SELECT doc_id, pos, gram FROM (
+        SELECT *, count(*) OVER (PARTITION BY gram) AS gct FROM eg
+    ) WHERE gct <= {MAX_RUN_GRAM_DF}
+),
+em AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           b.pos - a.pos AS diag, a.pos AS p1
+    FROM ekept a JOIN ekept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+er AS (
+    SELECT d1, d2, diag, p1,
+           p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1)
+               AS isl
+    FROM em
+),
+eruns AS (
+    SELECT d1 AS doc_a, d2 AS doc_b,
+           CAST(min(p1) AS BIGINT) AS a_start,
+           CAST(min(p1) + diag AS BIGINT) AS b_start,
+           CAST(count(*) + {RUN_K - 1} AS BIGINT) AS run_tokens
+    FROM er GROUP BY d1, d2, diag, isl
+    HAVING count(*) + {RUN_K - 1} >= {MIN_RUN_TOKENS}
+)"""
+
+ORACLE_EXACT_SUBSTRING_RUNS = f"""{_DUCK_RUNS_CTE}
+SELECT doc_a, doc_b, a_start, b_start, run_tokens FROM eruns
+"""
+
+
+def substring_ledger(docs: DataFrame) -> DataFrame:
+    """Per-doc DUPLICATED-SPAN LEDGER: overlapping run spans from all
+    partners merged into disjoint intervals (prefix-max islands: a span
+    starting past the running max end opens a new interval), then
+    n_spans / dup_tokens / coverage per document — the table an
+    exact-substring dedup pass actually cuts from (Lee et al. drop the
+    duplicated spans, not the documents). Shuffles: the runs stages,
+    then one per-doc window + rollup."""
+    runs = substring_runs(docs)
+    # DISTINCT before the island walk, load-bearing for determinism: the
+    # interval union ignores multiplicity anyway, and duplicate
+    # (doc, st, en) rows (the same span found via two partners) are
+    # PEERS under the (st, en) ordering — the new_isl flags are computed
+    # in one window scan and cumulatively summed in a second, so a tie
+    # order that differs between the scans pairs a row with the other
+    # row's flag and splits one island in two (observed: DuckDB
+    # multi-threaded sorts flip a fully-duplicated doc between 78 and
+    # 156 dup_tokens run-to-run). Dedup makes the ordering total.
+    spans = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("a_start").alias("st"),
+        (F.col("a_start") + F.col("run_tokens") - 1).alias("en"),
+    ).unionByName(
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("b_start").alias("st"),
+            (F.col("b_start") + F.col("run_tokens") - 1).alias("en"),
+        )
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("st", "en")
+    prev_max = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("st") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = flagged.groupBy("doc_id", "isl").agg(
+        F.min("st").alias("mst"), F.max("en").alias("men")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("men") - F.col("mst") + 1).cast("long").alias("dup_tokens"),
+    )
+    lens = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    return per_doc.join(lens, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tokens",
+        F.expr("(1000 * dup_tokens) DIV n_tokens")
+        .cast("long")
+        .alias("substr_coverage_x1000"),
+    )
+
+
+def exact_substring_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry over substring_ledger."""
+    tune(spark)
+    return substring_ledger(load(spark, sf_dir, "documents"))
+
+
+_DUCK_LEDGER_CTE = f"""{_DUCK_RUNS_CTE},
+espans AS (
+    -- UNION (not ALL): distinct spans, mirroring the Spark side's
+    -- determinism contract (see substring_ledger) — duplicate spans are
+    -- peers under the (st, en) sort and flip the island walk between
+    -- the two window scans under multi-threaded execution
+    SELECT doc_a AS doc_id, a_start AS st,
+           a_start + run_tokens - 1 AS en FROM eruns
+    UNION
+    SELECT doc_b, b_start, b_start + run_tokens - 1 FROM eruns
+),
+eflag AS (
+    SELECT doc_id, st, en,
+           CASE WHEN max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR st > max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_isl
+    FROM espans
+),
+eisl AS (
+    SELECT doc_id, st, en,
+           sum(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM eflag
+),
+emerged AS (
+    SELECT doc_id, isl, min(st) AS mst, max(en) AS men
+    FROM eisl GROUP BY doc_id, isl
+),
+eper AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(men - mst + 1) AS BIGINT) AS dup_tokens
+    FROM emerged GROUP BY doc_id
+),
+elens AS (
+    SELECT doc_id, CAST(len({_DUCK_RUN_T}) AS BIGINT) AS n_tokens
+    FROM documents
+)"""
+
+ORACLE_EXACT_SUBSTRING_LEDGER = f"""{_DUCK_LEDGER_CTE}
+SELECT p.doc_id, p.n_spans, p.dup_tokens, l.n_tokens,
+       CAST((1000 * p.dup_tokens) // l.n_tokens AS BIGINT)
+           AS substr_coverage_x1000
+FROM eper p JOIN elens l ON p.doc_id = l.doc_id
+"""
+
+
+AUDIT_FLAG_X1000 = 500  # "half the doc is duplicated" flag threshold
+
+
+def substring_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW OVERLAP REPORT between the two duplication signals: the
+    contiguity-blind shingle metric (dup_ngram_coverage) and the
+    exact-run ledger — the audit twin that says what the run detector's
+    gram cap and MIN_RUN floor cost against the softer signal. Columns:
+    docs scored by each, docs flagged (>= 50 % coverage) by each, the
+    overlap, and runs-flagged-but-not-shingle-flagged (a contiguous
+    >= MIN_RUN_TOKENS run implies heavy shingle duplication, so this
+    column near zero is the internal-consistency check; the reverse
+    direction is the expected recall gap — scattered 3-gram duplication
+    with no long contiguous run)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    ng = dup_ngram_coverage(spark, sf_dir).select(
+        "doc_id", "dup_coverage_x1000"
+    )
+    led = substring_ledger(docs).select(
+        "doc_id", "dup_tokens", "substr_coverage_x1000"
+    )
+    j = ng.join(led, "doc_id", "left_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("dup_tokens").cast("long").alias("n_docs_with_runs"),
+        F.count(
+            F.when(F.col("dup_coverage_x1000") >= AUDIT_FLAG_X1000, 1)
+        ).cast("long").alias("n_flagged_ngram"),
+        F.count(
+            F.when(F.col("substr_coverage_x1000") >= AUDIT_FLAG_X1000, 1)
+        ).cast("long").alias("n_flagged_runs"),
+        F.count(
+            F.when(
+                (F.col("dup_coverage_x1000") >= AUDIT_FLAG_X1000)
+                & (F.col("substr_coverage_x1000") >= AUDIT_FLAG_X1000),
+                1,
+            )
+        ).cast("long").alias("n_flagged_both"),
+        F.count(
+            F.when(
+                (F.col("substr_coverage_x1000") >= AUDIT_FLAG_X1000)
+                & (
+                    F.col("dup_coverage_x1000").isNull()
+                    | (F.col("dup_coverage_x1000") < AUDIT_FLAG_X1000)
+                ),
+                1,
+            )
+        ).cast("long").alias("n_runs_not_ngram"),
+        F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("long").alias(
+            "total_dup_tokens"
+        ),
+    )
+
+
+ORACLE_SUBSTRING_COVERAGE_AUDIT = f"""{_DUCK_LEDGER_CTE},
+eledger AS (
+    SELECT p.doc_id, p.dup_tokens,
+           CAST((1000 * p.dup_tokens) // l.n_tokens AS BIGINT)
+               AS substr_coverage_x1000
+    FROM eper p JOIN elens l ON p.doc_id = l.doc_id
+),
+engram AS (
+    SELECT doc_id, dup_coverage_x1000
+    FROM ({ORACLE_DUP_NGRAM_COVERAGE}) t
+),
+ejoined AS (
+    SELECT n.doc_id, n.dup_coverage_x1000,
+           e.dup_tokens, e.substr_coverage_x1000
+    FROM engram n LEFT JOIN eledger e ON n.doc_id = e.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup_tokens) AS BIGINT) AS n_docs_with_runs,
+       CAST(count(CASE WHEN dup_coverage_x1000 >= {AUDIT_FLAG_X1000}
+                  THEN 1 END) AS BIGINT) AS n_flagged_ngram,
+       CAST(count(CASE WHEN substr_coverage_x1000 >= {AUDIT_FLAG_X1000}
+                  THEN 1 END) AS BIGINT) AS n_flagged_runs,
+       CAST(count(CASE WHEN dup_coverage_x1000 >= {AUDIT_FLAG_X1000}
+                   AND substr_coverage_x1000 >= {AUDIT_FLAG_X1000}
+                  THEN 1 END) AS BIGINT) AS n_flagged_both,
+       CAST(count(CASE WHEN substr_coverage_x1000 >= {AUDIT_FLAG_X1000}
+                   AND (dup_coverage_x1000 IS NULL
+                        OR dup_coverage_x1000 < {AUDIT_FLAG_X1000})
+                  THEN 1 END) AS BIGINT) AS n_runs_not_ngram,
+       CAST(coalesce(sum(dup_tokens), 0) AS BIGINT) AS total_dup_tokens
+FROM ejoined
+"""

@@ -427,6 +427,9 @@ _register("scale_bucketed_phrase_serve", scale.bucketed_phrase_serve, retrieval.
 # --- round 13: proximity retrieval + exact-substring dedup -------------------
 _register("text_proximity_topk", retrieval.proximity_topk, retrieval.ORACLE_PROXIMITY_TOPK, bench=True, tags=("text-analysis", "retrieval", "lexical", "proximity", "positional-index", "band-join", "top-n"))
 _register("stream_proximity_serve", stream_jobs.stream_proximity_serve, retrieval.ORACLE_PROXIMITY_TOPK, tags=("streaming", "retrieval", "lexical", "proximity", "positional-index", "serving", "append-mode"))
+_register("dedup_exact_substring_runs", dedup.exact_substring_runs, dedup.ORACLE_EXACT_SUBSTRING_RUNS, bench=True, tags=("dedup", "exact-substring", "positional-index", "islands"))
+_register("dedup_exact_substring_ledger", dedup.exact_substring_ledger, dedup.ORACLE_EXACT_SUBSTRING_LEDGER, tags=("dedup", "exact-substring", "interval-merge", "quality"))
+_register("dedup_substring_coverage_audit", dedup.substring_coverage_audit, dedup.ORACLE_SUBSTRING_COVERAGE_AUDIT, tags=("dedup", "exact-substring", "evaluation", "recall-report", "self-measurement"))
 
 
 # =============================================================================

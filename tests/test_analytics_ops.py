@@ -1369,3 +1369,184 @@ def test_ivf_range_search_whole_query_miss_sentinel(spark, tmp_path):
         assert (
             got["neighbor_id"], got["rank"], got["sim"], got["n_exact"]
         ) == want[q][1:]
+
+
+# --- round-13: exact-substring dedup -----------------------------------------
+
+
+def _substring_mirror(corpus, k, cap, min_run):
+    """Independent python reimplementation of the Lee-et-al-style
+    maximal-run detector: positional k-grams, occurrence cap, diagonal
+    islands, min-run floor — plus the per-doc merged-interval ledger."""
+    import re
+    from collections import Counter
+
+    toks = {
+        d: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        for d, t in corpus
+    }
+    grams = [
+        (d, i, " ".join(ts[i : i + k]))
+        for d, ts in toks.items()
+        for i in range(len(ts) - k + 1)
+    ]
+    gct = Counter(g for _, _, g in grams)
+    bygram: dict = {}
+    for d, p, g in grams:
+        if gct[g] <= cap:
+            bygram.setdefault(g, []).append((d, p))
+    diags: dict = {}
+    for occ in bygram.values():
+        for d1, p1 in occ:
+            for d2, p2 in occ:
+                if d1 < d2:
+                    diags.setdefault((d1, d2, p2 - p1), set()).add(p1)
+    runs = []
+    for (d1, d2, diag), ps in diags.items():
+        sp = sorted(ps)
+        start = prev = sp[0]
+        for p in sp[1:] + [None]:
+            if p is None or p != prev + 1:
+                tokens = (prev - start + 1) + k - 1
+                if tokens >= min_run:
+                    runs.append((d1, d2, start, start + diag, tokens))
+                if p is not None:
+                    start = p
+            prev = p if p is not None else prev
+    spans: dict = {}
+    for d1, d2, a, b, n in runs:
+        spans.setdefault(d1, set()).add((a, a + n - 1))
+        spans.setdefault(d2, set()).add((b, b + n - 1))
+    ledger = {}
+    for d, sp in spans.items():
+        merged = []
+        for st, en in sorted(sp):
+            if merged and st <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        dup = sum(en - st + 1 for st, en in merged)
+        n_tok = len(toks[d])
+        ledger[d] = (len(merged), dup, n_tok, (1000 * dup) // n_tok)
+    return sorted(runs), ledger
+
+
+def _substring_corpus():
+    """Crafted corpus: a 16-token shared run (kept, at the MIN floor), a
+    15-token one (dropped), a 20-token run shared 3 ways, a doc holding
+    two disjoint runs, an overlapping-span doc (two partners covering
+    [0,19] and [10,29] — the ledger must merge to [0,29]), and a
+    triple of fully-identical docs (the duplicate-span determinism
+    case). Filler tokens are globally unique so no accidental grams."""
+    c = [f"c{i}" for i in range(16)]   # 16-token run
+    d = [f"d{i}" for i in range(15)]   # 15-token run (dropped)
+    e = [f"e{i}" for i in range(20)]   # 20-token run, 3 docs
+    u = [f"u{i}" for i in range(30)]   # overlap machinery
+    v = [f"v{i}" for i in range(20)]   # identical triple
+    f = lambda tag, n: [f"{tag}{i}" for i in range(n)]  # noqa: E731
+    return [
+        (0, " ".join(f("fa", 4) + c + f("fb", 4))),
+        (1, " ".join(c)),
+        (2, " ".join(f("fc", 3) + d)),
+        (3, " ".join(d + f("fd", 3))),
+        (4, " ".join(e)),
+        (5, " ".join(f("fe", 5) + e)),
+        (6, " ".join(e + f("ff", 5))),
+        (7, " ".join(c + f("fg", 6) + e)),   # two disjoint runs
+        (8, " ".join(u)),                     # u0..u29
+        (9, " ".join(u[:20])),                # covers [0,19] of doc 8
+        (10, " ".join(f("fh", 7) + u[10:])),  # covers [10,29] of doc 8
+        (11, " ".join(v)),
+        (12, " ".join(v)),
+        (13, " ".join(v)),
+    ]
+
+
+def test_exact_substring_runs_matches_mirror(spark):
+    from flink_gmall_spark.operators import dedup as D
+
+    corpus = _substring_corpus()
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = sorted(
+        map(tuple, D.substring_runs(docs).collect())
+    )
+    want, _ = _substring_mirror(
+        corpus, D.RUN_K, D.MAX_RUN_GRAM_DF, D.MIN_RUN_TOKENS
+    )
+    assert got == want
+    gotset = {(a, b): (s1, s2, n) for a, b, s1, s2, n in got}
+    # the crafted shapes actually bit:
+    assert gotset[(0, 1)] == (4, 0, 16)       # 16-run kept, offsets right
+    assert (2, 3) not in gotset               # 15-run dropped
+    assert all((p) in gotset for p in [(4, 5), (4, 6), (5, 6)])  # 3-way
+    assert gotset[(11, 12)][2] == 20          # identical docs: full run
+    assert {(0, 7), (1, 7)} <= set(gotset)    # doc 7 carries run 1 of 2
+    assert (4, 7) in gotset                   # ...and run 2
+
+
+def test_exact_substring_ledger_matches_mirror(spark):
+    from flink_gmall_spark.operators import dedup as D
+
+    corpus = _substring_corpus()
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.n_tokens, r.substr_coverage_x1000)
+        for r in D.substring_ledger(docs).collect()
+    }
+    _, want = _substring_mirror(
+        corpus, D.RUN_K, D.MAX_RUN_GRAM_DF, D.MIN_RUN_TOKENS
+    )
+    assert got == want
+    # overlap merge: doc 8's [0,19] + [10,29] collapse to ONE span of 30
+    assert got[8] == (1, 30, 30, 1000)
+    # disjoint runs stay two spans
+    assert got[7][0] == 2 and got[7][1] == 36
+    # fully-identical triple: each doc counts its 20 tokens ONCE
+    for d in (11, 12, 13):
+        assert got[d] == (1, 20, 20, 1000)
+    # docs 2/3 (15-run only) never enter the ledger
+    assert 2 not in got and 3 not in got
+
+
+def test_exact_substring_gram_cap_bites(spark, monkeypatch):
+    """Occurrence cap: with the cap forced to 3, a gram occurring 4
+    times corpus-wide is culled and the run it anchored disappears,
+    while sub-cap grams keep matching — Spark vs the mirror with the
+    same cap (the shipped fixture never exceeds the production cap, so
+    this is the only place the branch runs; the phrase df-cap test
+    precedent)."""
+    from flink_gmall_spark.operators import dedup as D
+
+    w = [f"w{i}" for i in range(D.RUN_K + 8)]  # one 16-token run
+    # 4 docs share the SAME 16-token text -> every gram occurs 4x
+    corpus = [(i, " ".join(w)) for i in range(4)]
+    # plus one under-cap pair on different tokens
+    z = [f"z{i}" for i in range(D.RUN_K + 8)]
+    corpus += [(10, " ".join(z)), (11, " ".join(z))]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    monkeypatch.setattr(D, "MAX_RUN_GRAM_DF", 3)
+    got = sorted(map(tuple, D.substring_runs(docs).collect()))
+    want, _ = _substring_mirror(corpus, D.RUN_K, 3, D.MIN_RUN_TOKENS)
+    assert got == want
+    # the w-grams (4 occurrences > 3) are culled: no runs among docs 0-3
+    assert not [r for r in got if r[0] < 10]
+    # the z pair (2 occurrences) still matches end-to-end
+    assert got == [(10, 11, 0, 0, D.RUN_K + 8)]
+
+
+def test_exact_substring_plan_no_allpairs(spark, sf_dir):
+    """Plan gate: candidate generation is the gram equi-join — no
+    cartesian/nested-loop anywhere, and the gram window + join share
+    the gram partitioning (at most one exchange pair on gram, reused)."""
+    from flink_gmall_spark.operators import dedup as D
+
+    plan = (
+        D.exact_substring_runs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange hashpartitioning(gram" in plan, plan

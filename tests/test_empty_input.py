@@ -88,6 +88,11 @@ DOC_OPS = [
     ("token_entropy", "textstats"),
     # round-12 session 2
     ("phrase_search", "retrieval"),
+    # round-13 additions
+    ("proximity_topk", "retrieval"),
+    ("exact_substring_runs", "dedup"),
+    ("exact_substring_ledger", "dedup"),
+    ("substring_coverage_audit", "dedup"),
 ]
 
 EMB_OPS = [
@@ -156,6 +161,15 @@ def test_operator_survives_empty_tables(spark, empty_dir, fn_name, mod):
         assert len(got) == 256
         assert (got["raw_ct"] == 0).all() and (got["tgt_ct"] == 0).all()
         assert (got["w_x1000"] == 1000).all()
+    elif fn_name == "substring_coverage_audit":
+        # ungrouped one-row overlap report, all counters zero (the same
+        # row DuckDB's global agg emits on an empty join)
+        assert len(got) == 1
+        assert (got.iloc[0][[
+            "n_docs", "n_docs_with_runs", "n_flagged_ngram",
+            "n_flagged_runs", "n_flagged_both", "n_runs_not_ngram",
+            "total_dup_tokens",
+        ]] == 0).all()
     elif fn_name == "zipf_slope":
         # global fit ledger: ONE row with the 0-slope sentinel (NULL
         # den6 falls to the CASE ELSE in both engines), NULL top_cf
