@@ -433,60 +433,69 @@ _register("dedup_substring_coverage_audit", dedup.substring_coverage_audit, dedu
 
 
 # =============================================================================
-# Round-12 sample window (VERDICT r11 ask #1 / ROADMAP "Round-12 sample
-# rotation", staged in round 11 and APPLIED 2026-08-15). The driver
-# samples the FIRST 50 registrations, so ordering is evidence strategy.
-# CORRECTNESS_r11 greened the entire round-11 window (50/50) and the
-# ever-green union now covers all 276 contracts, so FRESHNESS is the
-# operative invariant (oldest driver row ≤5 rounds): round-12 additions
-# lead (never driver-verified; 22 landed across two sessions) plus 4
-# changed-code re-verifications — a 26-entry head — then 24 of the 26
-# displaced r6-latest entries in registration order up to the 50 cap.
-# text_hll_union_rollup, text_lang_id_confusion + the r7-latest cohort
-# head the r13 roster.
+# Per-round sample window (the driver samples the FIRST 50 registrations,
+# so ordering is evidence strategy). Ever-green union covers every
+# pre-round-13 entry (CORRECTNESS_r01-r12), so FRESHNESS is the operative
+# invariant. From round 13 the window is MACHINE-DERIVED, not hand-staged
+# (VERDICT r12 ask #5): window = never-driver-verified entries (new
+# additions) + _REVERIFY_HEAD (entries whose expressions changed since
+# their last green row - the same-round re-verification discipline,
+# declared explicitly here) + the STALEST remaining entries by
+# (last-green round, registration order) up to 50.
+# tools/coverage_report.py implements the rule (staged_window) and emits
+# the per-entry last-green ledger into COVERAGE.md;
+# tests/test_freshness.py asserts this list matches the rule against the
+# committed CORRECTNESS_r*.json - restaging each round is forced by CI,
+# not by comment discipline.
+# =============================================================================
+
+# Registration (file) order BEFORE the window reorder below - the
+# tie-break among equally-stale entries, stable across rounds.
+_REGISTRATION_ORDER = tuple(_REGISTRY)
+
+# Entries whose expressions changed this round AFTER their last green
+# driver row (same-round re-verification): round 13 rewrote the per-row
+# token histogram (sorted run-length fold) shared by the diversity and
+# entropy entries and their stream twins.
+_REVERIFY_HEAD = (
+    "text_token_diversity",
+    "stream_token_diversity",
+    "text_token_entropy",
+    "stream_token_entropy",
+)
+
+# Round-13 window, derived by the rule above (5 round-13 additions +
+# 4 re-verifications + the 2 r6-latest entries + the first 39 of the
+# r7-latest cohort in registration order).
 _SAMPLE_PRIORITY = [
-    # 1 — never driver-verified round-12 additions (folded in as they
-    # land, per the invariant), then changed-code entries without a
-    # fresh row: the triplet pair's negative-pool selection moved to the
-    # two-phase salted top-k and the PRF serve twin collapsed to one
-    # source pass this round (each subset-simmed MATCH at sf0.01 AND
-    # sf0.1 pre-commit) — same-round re-verification discipline, the
-    # text_hashed_classifier precedent
-    "text_bm25_topk_logidf", "sim_rrf_k_sweep",
-    "scale_bucketed_prf_serve", "scale_bucketed_triplets_serve",
-    "stream_bm25_logidf_serve", "stream_rrf_k_sweep",
-    "sim_retrieval_eval", "stream_retrieval_eval",
-    "text_zipf_slope", "stream_zipf_slope",
-    "curation_lm_logprob", "stream_lm_logprob",
+    # never driver-verified (round-13 additions)
+    "text_proximity_topk", "stream_proximity_serve",
+    "dedup_exact_substring_runs", "dedup_exact_substring_ledger",
+    "dedup_substring_coverage_audit",
+    # changed-code re-verification (_REVERIFY_HEAD)
+    "text_token_diversity", "stream_token_diversity",
     "text_token_entropy", "stream_token_entropy",
-    "text_phrase_search", "stream_phrase_serve",
-    "sim_rrf_weighted", "stream_rrf_weighted_serve",
-    "sim_bm25_hard_negatives", "stream_bm25_hard_negatives",
-    "stream_bm25_param_sweep", "scale_bucketed_phrase_serve",
-    "curation_retrieval_triplets", "stream_retrieval_triplets",
-    "stream_query_expansion_prf",
-    # text_bm25_param_sweep re-enters for same-round re-verification:
-    # its sweep body moved into the shared param_sweep_finish this
-    # session (expressions verbatim, but the refresh discipline applies
-    # — the text_hashed_classifier precedent)
-    "text_bm25_param_sweep",
-    # 2 — the 26 r6-latest entries displaced at the round-11 rotation
-    # (registration order)
-    "scale_dynamic_partition_pruning", "scale_epoch_compaction",
-    "stream_ads_hourly_from_sink", "dwd_props_variant_stats",
-    "dws_keyword_stats_udtf", "stream_intra_doc_chunks",
-    "stream_pq_encode", "stream_pq_index_serve",
-    "dedup_lsh_recall_report", "dedup_cluster_representatives",
-    "dedup_intra_doc_chunks", "dedup_incremental_minhash",
-    "curation_bpe_train", "curation_adaptive_quality_filter",
-    "curation_collocations_lift", "curation_bpe_encode",
-    "curation_multimodal_dedup_pipeline", "curation_bpe_token_budget",
-    "curation_train_val_test_split", "sim_semantic_dedup_trained",
-    "sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
-    "sim_ann_recall_report",
-    # (text_hll_union_rollup, text_lang_id_confusion and the r7-latest
-    # cohort — tpch_q17 onward — were displaced when the session-2
-    # additions grew the head to 26; they lead the r13 roster instead)
+    # stalest fill: last green r6
+    "text_hll_union_rollup", "text_lang_id_confusion",
+    # stalest fill: last green r7, registration order
+    "tpch_q17", "tpch_q18", "tpch_q19",
+    "curation_length_buckets", "curation_sample_stratified",
+    "curation_decontaminate", "curation_tfidf_top_terms",
+    "curation_bigram_counts", "dedup_keep_best", "dedup_bag_of_words",
+    "text_fingerprints", "text_pii_scrub", "text_repetition",
+    "text_rare_token_ratio", "multimodal_binary_features",
+    "multimodal_frame_sample", "multimodal_resize",
+    "ads_top_sku_per_brand", "ads_customer_retention",
+    "ads_region_nation_rollup", "ads_customers_no_orders",
+    "ads_yoy_spend_full_outer", "ads_part_triangles",
+    "ads_part_bfs_distances", "ads_pit_features",
+    "ads_last_touch_attribution", "ads_negative_samples",
+    "ads_top_event_paths", "ads_session_transitions",
+    "curation_weighted_sample", "scale_data_quality_report",
+    "stream_full_outer_join", "stream_sliding_windows",
+    "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
+    "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
+    "stream_session_windows",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
@@ -512,39 +521,3 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _REGISTRY.items() if q.bench}
-
-# Round-12 rotation APPLIED above (2026-08-15, amended as additions
-# landed): 17-entry head (14 round-12 additions + 3 changed-code
-# re-verifications) + the 26 r6-latest entries displaced at the
-# round-11 rotation + the first 7 of the r7-latest cohort, both
-# cohorts in registration order (17 + 26 + 7 = 50).
-#
-# Round-13 window staging: lead with any round-13 additions
-# (never-driver-verified), then the 8 names the session-2 additions
-# displaced from the r12 window — text_lang_id_confusion, tpch_q17,
-# tpch_q18, tpch_q19, curation_length_buckets,
-# curation_sample_stratified, curation_decontaminate,
-# curation_tfidf_top_terms (their last driver rows are r6/r7-era, the
-# oldest freshness debt) — then the remaining r7-latest cohort in
-# registration order, the 43 names from
-# curation_bigram_counts onward: curation_bigram_counts,
-# dedup_keep_best, dedup_bag_of_words, text_fingerprints,
-# text_pii_scrub, text_repetition, text_rare_token_ratio,
-# multimodal_binary_features, multimodal_frame_sample,
-# multimodal_resize, ads_top_sku_per_brand, ads_customer_retention,
-# ads_region_nation_rollup, ads_customers_no_orders,
-# ads_yoy_spend_full_outer, ads_part_triangles,
-# ads_part_bfs_distances, ads_pit_features,
-# ads_last_touch_attribution, ads_negative_samples,
-# ads_top_event_paths, ads_session_transitions,
-# curation_weighted_sample, scale_data_quality_report,
-# stream_full_outer_join, stream_sliding_windows,
-# stream_pyds_cdc_upsert, stream_j1_order_detail_wide,
-# stream_t1_visit_flag, stream_t2_daily_uv, stream_t3_jump_out,
-# stream_session_windows, stream_keyword_stats,
-# stream_windowed_append, stream_left_outer_join,
-# stream_event_transitions, stream_last_touch_attribution,
-# stream_pit_features, stream_session_transitions,
-# stream_cohort_retention, stream_timed_funnel,
-# curation_boilerplate_lines, text_sparse_topk_pairs — then the
-# r8-latest cohort up to 50.

@@ -9,13 +9,60 @@ Run: python tools/coverage_report.py
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections import defaultdict
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from flink_gmall_spark.registry import registry
+
+WINDOW_SIZE = 50  # entries the driver samples per round
+
+
+def last_green_rounds() -> dict[str, int]:
+    """Per-entry last GREEN driver round, parsed from the committed
+    CORRECTNESS_r*.json files (VERDICT r12 ask #5: the freshness ledger
+    must be machine-readable, not comment discipline). Green = no error,
+    row counts match, and neither schema nor hash recorded a mismatch
+    (rows-only entries omit the hash field - absent is not a failure)."""
+    last: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            rows = json.load(open(f))
+        except Exception:
+            continue
+        for name, v in rows.items():
+            green = (
+                not v.get("err")
+                and v.get("rows_match")
+                and v.get("schema_match") is not False
+                and v.get("hash_match") is not False
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def staged_window(
+    reg_order, last: dict[str, int], reverify, n: int = WINDOW_SIZE
+) -> list[str]:
+    """THE window rule (single definition - registry staging and
+    tests/test_freshness.py both check against this): never-green
+    entries first (new additions), then the declared changed-code
+    re-verifications, then the stalest remainder by (last-green round,
+    registration order) up to n."""
+    new = [e for e in reg_order if e not in last]
+    head = new + [e for e in reverify if e not in new]
+    idx = {e: i for i, e in enumerate(reg_order)}
+    rest = [e for e in reg_order if e in last and e not in head]
+    fill = sorted(rest, key=lambda e: (last[e], idx[e]))[: n - len(head)]
+    return head + fill
 
 # SURVEY §2 inventory IDs in order, with one-line glosses.
 SURVEY_IDS = [
@@ -106,6 +153,34 @@ def main() -> None:
     for tag, gloss in FAMILIES:
         entries = sorted(by_tag.get(tag, []))
         lines.append(f"| {gloss} | {len(entries)}: " + ", ".join(f"`{e}`" for e in entries) + " |")
+
+    # Freshness ledger (generated; tests/test_freshness.py enforces the
+    # staged-window rule against the same data)
+    last = last_green_rounds()
+    max_round = max(last.values(), default=0)
+    by_round: dict[int, list[str]] = defaultdict(list)
+    for name in reg:
+        by_round[last.get(name, 0)].append(name)
+    lines += [
+        "",
+        "## Freshness ledger (last green driver round per entry)",
+        "",
+        f"Parsed from CORRECTNESS_r01..r{max_round:02d}. Round 0 = never",
+        "driver-verified (new additions, staged to lead the next window).",
+        "The driver samples the first 50 registrations each round; the",
+        "window is machine-derived (tools/coverage_report.staged_window):",
+        "never-green + declared re-verifications + stalest by (last green",
+        "round, registration order).",
+        "",
+        "| last green | n | entries |",
+        "|---|---|---|",
+    ]
+    for rnd in sorted(by_round):
+        names = sorted(by_round[rnd])
+        label = "never" if rnd == 0 else f"r{rnd:02d}"
+        lines.append(
+            f"| {label} | {len(names)} | " + ", ".join(f"`{e}`" for e in names) + " |"
+        )
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
     with open(out, "w") as f:
