@@ -130,10 +130,28 @@ def _pin_cpus(monkeypatch, n=32):
 
 def test_idle_gate_passes_immediately_on_quiet_host(monkeypatch):
     _pin_cpus(monkeypatch)
+    # no jiffies in the snapshot -> the steal probe abstains (None) and
+    # must neither sleep nor block the gate
     monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 0.5})
     gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
-    assert gate == {"load1_gate": 4.0}
+    assert gate == {"load1_gate": 4.0, "steal_gate": bench.STEAL_GATE}
     assert "gated_wait_s" not in gate and "gate_gave_up" not in gate
+
+
+def test_idle_gate_waits_until_steal_drains(monkeypatch):
+    """The r12 gap: load1 quiet but the hypervisor stealing 5.9 % — the
+    gate must keep polling until the steal probe drops under the gate,
+    and record the last probe value."""
+    _pin_cpus(monkeypatch)
+    monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 0.5})
+    steals = iter([0.059, 0.03, 0.004])
+    monkeypatch.setattr(
+        bench, "_steal_probe", lambda window_s=3.0: next(steals, 0.004)
+    )
+    gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
+    assert gate["gated_wait_s"] > 0
+    assert gate["steal_pre"] == 0.004
+    assert "gate_gave_up" not in gate
 
 
 def test_idle_gate_waits_until_load_drains(monkeypatch):
