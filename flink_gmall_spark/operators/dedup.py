@@ -1966,44 +1966,64 @@ _RUN_GRAM_EXPR = (
 )
 
 
-def positional_run_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, gram) positional RUN_K-gram postings — like
-    pos_index (retrieval) but k tokens wide, occurrence-capped. Pure
-    map explode + one count-over-window on gram; the window's exchange
-    is reused by the pair join, which is keyed on gram too."""
+def raw_positional_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram) positional RUN_K-gram postings WITHOUT the
+    occurrence cap — a pure map explode, so it runs unchanged on a
+    STREAMING DataFrame (the raw_shingles discipline). The streaming
+    probe uses this for the arriving side: cap parity is implied,
+    because a match needs the STATIC side's posting rows and those only
+    exist for under-cap grams — same-gram, same cap decision."""
     toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
         F.size("t") >= RUN_K
     )
-    g = toks.select(
+    return toks.select(
         "doc_id",
         F.posexplode(F.expr(_RUN_GRAM_EXPR)).alias("pos", "gram"),
     )
+
+
+def positional_run_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, gram) positional RUN_K-gram postings, occurrence-
+    capped — raw_positional_grams + one count-over-window on gram; the
+    window's exchange is reused by the pair join, which is keyed on
+    gram too."""
     return (
-        g.withColumn("gct", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        raw_positional_grams(docs)
+        .withColumn("gct", F.count(F.lit(1)).over(Window.partitionBy("gram")))
         .filter(F.col("gct") <= MAX_RUN_GRAM_DF)
         .drop("gct")
     )
 
 
-def substring_runs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, a_start, b_start, run_tokens): maximal shared
-    token runs >= MIN_RUN_TOKENS between ordered doc pairs. One gram
-    equi-join (self-join on the capped postings — the exchange on gram
-    is planned once), one (d1, d2, diag) window + aggregation."""
-    g = positional_run_grams(docs)
-    a = g.select(
+def substring_gram_matches(
+    a_grams: DataFrame, b_grams: DataFrame
+) -> DataFrame:
+    """(d1, d2, diag, p1) gram-match rows between an A side and a B
+    side, ordered d1 < d2 — ONE definition shared by the batch self-join
+    and the streaming probe (where B is the arriving stream and each
+    unordered pair is still counted exactly once, because the arriving
+    doc only pairs with lower-id static docs)."""
+    a = a_grams.select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "gram"
     )
-    b = g.select(
+    b = b_grams.select(
         F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "gram"
     )
-    m = (
+    return (
         a.join(b, "gram")
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", (F.col("p2") - F.col("p1")).alias("diag"), "p1")
     )
+
+
+def runs_finish(matches: DataFrame) -> DataFrame:
+    """Diagonal islands + min-run floor over the gram-match rows,
+    shared VERBATIM by the batch entry and the streaming probe (the
+    group-by/window cannot run in append mode, so the probe drains the
+    bounded match rows and finishes batch-side — the phrase-serve
+    discipline)."""
     w = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
-    isl = m.withColumn("isl", F.col("p1") - F.row_number().over(w))
+    isl = matches.withColumn("isl", F.col("p1") - F.row_number().over(w))
     return (
         isl.groupBy("d1", "d2", "diag", "isl")
         .agg(
@@ -2019,6 +2039,15 @@ def substring_runs(docs: DataFrame) -> DataFrame:
             "run_tokens",
         )
     )
+
+
+def substring_runs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, a_start, b_start, run_tokens): maximal shared
+    token runs >= MIN_RUN_TOKENS between ordered doc pairs. One gram
+    equi-join (self-join on the capped postings — the exchange on gram
+    is planned once), one (d1, d2, diag) window + aggregation."""
+    g = positional_run_grams(docs)
+    return runs_finish(substring_gram_matches(g, g))
 
 
 def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -430,6 +430,7 @@ _register("stream_proximity_serve", stream_jobs.stream_proximity_serve, retrieva
 _register("dedup_exact_substring_runs", dedup.exact_substring_runs, dedup.ORACLE_EXACT_SUBSTRING_RUNS, bench=True, tags=("dedup", "exact-substring", "positional-index", "islands"))
 _register("dedup_exact_substring_ledger", dedup.exact_substring_ledger, dedup.ORACLE_EXACT_SUBSTRING_LEDGER, tags=("dedup", "exact-substring", "interval-merge", "quality"))
 _register("dedup_substring_coverage_audit", dedup.substring_coverage_audit, dedup.ORACLE_SUBSTRING_COVERAGE_AUDIT, tags=("dedup", "exact-substring", "evaluation", "recall-report", "self-measurement"))
+_register("stream_exact_substring_probe", stream_jobs.stream_exact_substring_probe, dedup.ORACLE_EXACT_SUBSTRING_RUNS, tags=("streaming", "dedup", "exact-substring", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -471,7 +472,7 @@ _SAMPLE_PRIORITY = [
     # never driver-verified (round-13 additions)
     "text_proximity_topk", "stream_proximity_serve",
     "dedup_exact_substring_runs", "dedup_exact_substring_ledger",
-    "dedup_substring_coverage_audit",
+    "dedup_substring_coverage_audit", "stream_exact_substring_probe",
     # changed-code re-verification (_REVERIFY_HEAD)
     "text_token_diversity", "stream_token_diversity",
     "text_token_entropy", "stream_token_entropy",
@@ -495,7 +496,6 @@ _SAMPLE_PRIORITY = [
     "stream_full_outer_join", "stream_sliding_windows",
     "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
     "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
-    "stream_session_windows",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

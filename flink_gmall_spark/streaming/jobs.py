@@ -2451,3 +2451,33 @@ def stream_proximity_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbg = query_bigram_occurrences(read_stream(spark, sf_dir, "documents"))
     matches = proximity_matches(qbg, idx, broadcast=False)
     return proximity_finish(run_to_memory(matches, "append"))
+
+
+def stream_exact_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_substring_runs as a PROBE job — documents ARRIVING ON
+    A STREAM are matched against the STATIC capped positional gram
+    postings (the ingestion-time shape of an exact-substring dedup
+    service: does this incoming doc share a verbatim run with anything
+    already in the corpus?). Per-arriving-doc work is the stateless
+    raw-gram explode plus one stream-static equi-join on gram; the
+    d1 < d2 orientation counts each unordered pair exactly once as the
+    stream replays the corpus, and cap parity is implied because only
+    under-cap grams exist on the static side (raw_positional_grams
+    docstring). The run assembly (diagonal islands) is a keyed window —
+    it cannot run in append mode, so the bounded match rows drain and
+    dedup.runs_finish applies batch-side VERBATIM. Shares
+    ORACLE_EXACT_SUBSTRING_RUNS: the served ledger is hash-identical to
+    the batch self-join by contract."""
+    from flink_gmall_spark.operators.dedup import (
+        positional_run_grams,
+        raw_positional_grams,
+        runs_finish,
+        substring_gram_matches,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    idx = positional_run_grams(load(spark, sf_dir, "documents"))
+    sg = raw_positional_grams(read_stream(spark, sf_dir, "documents"))
+    matches = substring_gram_matches(idx, sg)
+    return runs_finish(run_to_memory(matches, "append"))

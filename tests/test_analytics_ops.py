@@ -1550,3 +1550,18 @@ def test_exact_substring_plan_no_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Exchange hashpartitioning(gram" in plan, plan
+
+
+def test_stream_exact_substring_probe_equals_batch(spark, sf_dir):
+    """The streaming probe (arriving docs vs static capped postings,
+    d1 < d2 once per pair, runs_finish applied after the drain) must be
+    row-identical to the batch self-join."""
+    from flink_gmall_spark.operators import dedup as D
+    from flink_gmall_spark.streaming.jobs import stream_exact_substring_probe
+
+    batch = sorted(map(tuple, D.exact_substring_runs(spark, sf_dir).collect()))
+    served = sorted(
+        map(tuple, stream_exact_substring_probe(spark, sf_dir).collect())
+    )
+    assert batch == served
+    assert batch  # non-vacuous: the fixture carries real shared runs
