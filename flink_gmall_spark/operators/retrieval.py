@@ -1760,18 +1760,27 @@ PROX_WINDOW = 5  # ordered window: 1 <= p2 - p1 <= 5
 
 
 def proximity_matches(
-    qbg: DataFrame, idx: DataFrame, broadcast: bool = True
+    qbg: DataFrame,
+    idx: DataFrame,
+    broadcast: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
-    """One (query_id, doc_id, span) row per ordered within-window
-    position pair — the proximity analogue of phrase_adjacent_matches,
-    shared by the batch entry and the serve twin (broadcast=False for
-    the stream side, same contract as the phrase twin). Leg 1 fans the
-    (broadcast) query pairs onto the w1 postings map-side; leg 2 is an
-    equi-join on (doc_id, w2) with the window inequality as the hash
-    join's range residual — the shuffle moves only w2-postings of docs
-    that matched leg 1 (and under broadcast, only query-vocabulary
-    postings), each (doc_id, w2) group no larger than that term's
-    in-document positions."""
+    """One (query_id, doc_id, span) row per within-window position pair
+    — the proximity analogue of phrase_adjacent_matches, shared by the
+    batch entries and the serve twins (broadcast=False for the stream
+    side, same contract as the phrase twin). ordered=True is the
+    sequential-dependence model's ORDERED window (1 <= p2 - p1 <=
+    PROX_WINDOW, span = the signed gap); ordered=False its UNORDERED
+    window (1 <= |p2 - p1| <= PROX_WINDOW, span = the magnitude — both
+    term orders count, the #uwN feature; for a repeated-token query
+    pair each unordered position pair contributes once per direction,
+    which the oracle mirrors exactly). Leg 1 fans the (broadcast) query
+    pairs onto the w1 postings map-side; leg 2 is an equi-join on
+    (doc_id, w2) with the window inequality as the hash join's range
+    residual — the shuffle moves only w2-postings of docs that matched
+    leg 1 (and under broadcast, only query-vocabulary postings), each
+    (doc_id, w2) group no larger than that term's in-document
+    positions."""
     left = F.broadcast(qbg) if broadcast else qbg
     p1 = idx.select(F.col("tok").alias("w1"), "doc_id", F.col("pos").alias("p1"))
     m1 = (
@@ -1793,16 +1802,18 @@ def proximity_matches(
     # both legs share the idx lineage, the classic self-join ambiguity);
     # Catalyst folds the pushed filter into the join as its range
     # residual, so the executed plan is the band join described above
+    gap = (
+        (F.col("p2") - F.col("p1"))
+        if ordered
+        else F.abs(F.col("p2") - F.col("p1"))
+    )
     return (
         m1.join(p2, ["doc_id", "w2"])
-        .filter(
-            (F.col("p2") > F.col("p1"))
-            & (F.col("p2") <= F.col("p1") + PROX_WINDOW)
-        )
+        .filter((gap >= 1) & (gap <= PROX_WINDOW))
         .select(
             "query_id",
             "doc_id",
-            (F.col("p2") - F.col("p1")).cast("long").alias("span"),
+            gap.cast("long").alias("span"),
         )
     )
 
@@ -1873,6 +1884,73 @@ xm AS (
     JOIN xidx a ON a.tok = q.w1 AND a.doc_id <> q.query_id
     JOIN xidx b ON b.tok = q.w2 AND b.doc_id = a.doc_id
          AND b.pos > a.pos AND b.pos <= a.pos + {PROX_WINDOW}
+),
+xagg AS (
+    SELECT query_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum({PROX_WINDOW + 1} - span) AS BIGINT) AS prox_score,
+           CAST(min(span) AS BIGINT) AS min_span
+    FROM xm GROUP BY 1, 2
+),
+xranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY prox_score DESC, doc_id ASC) AS rank
+    FROM xagg
+)
+SELECT query_id, doc_id, n_pairs, prox_score, min_span,
+       CAST(rank AS BIGINT) AS rank
+FROM xranked WHERE rank <= {RETR_TOPK}
+"""
+
+
+def proximity_unordered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED-window proximity search — the #uwN companion of
+    proximity_topk (Metzler & Croft's sequential-dependence model
+    scores exact bigrams, ordered windows, AND unordered windows; with
+    phrase_search and proximity_topk this completes the trio on the ONE
+    shared pos_index). Same plan as the ordered entry — the residual
+    becomes 1 <= |p2 - p1| <= PROX_WINDOW and the closeness weight uses
+    the magnitude — so a document phrasing the query terms in either
+    order still scores."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return proximity_finish(
+        proximity_matches(
+            query_bigram_occurrences(docs), pos_index(docs), ordered=False
+        )
+    )
+
+
+ORACLE_PROXIMITY_UNORDERED = f"""
+WITH xt AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+xtok AS (
+    SELECT doc_id, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM xt
+),
+xdf AS (
+    SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM xtok GROUP BY 1
+),
+xidx AS (
+    SELECT i.tok, i.doc_id, i.pos FROM xtok i
+    JOIN xdf d ON i.tok = d.tok AND d.df <= {MAX_POSTING_DF}
+),
+xqbg AS (
+    SELECT doc_id AS query_id, t[i] AS w1, t[i+1] AS w2
+    FROM xt, UNNEST(range(1, len(t))) AS u(i)
+    WHERE doc_id < {N_RETR_QUERIES} AND len(t) >= 2
+),
+xm AS (
+    SELECT q.query_id, a.doc_id,
+           CAST(abs(b.pos - a.pos) AS BIGINT) AS span
+    FROM xqbg q
+    JOIN xidx a ON a.tok = q.w1 AND a.doc_id <> q.query_id
+    JOIN xidx b ON b.tok = q.w2 AND b.doc_id = a.doc_id
+         AND abs(b.pos - a.pos) >= 1
+         AND abs(b.pos - a.pos) <= {PROX_WINDOW}
 ),
 xagg AS (
     SELECT query_id, doc_id,

@@ -427,6 +427,8 @@ _register("scale_bucketed_phrase_serve", scale.bucketed_phrase_serve, retrieval.
 # --- round 13: proximity retrieval + exact-substring dedup -------------------
 _register("text_proximity_topk", retrieval.proximity_topk, retrieval.ORACLE_PROXIMITY_TOPK, bench=True, tags=("text-analysis", "retrieval", "lexical", "proximity", "positional-index", "band-join", "top-n"))
 _register("stream_proximity_serve", stream_jobs.stream_proximity_serve, retrieval.ORACLE_PROXIMITY_TOPK, tags=("streaming", "retrieval", "lexical", "proximity", "positional-index", "serving", "append-mode"))
+_register("text_proximity_unordered", retrieval.proximity_unordered_topk, retrieval.ORACLE_PROXIMITY_UNORDERED, tags=("text-analysis", "retrieval", "lexical", "proximity", "unordered-window", "positional-index", "band-join", "top-n"))
+_register("stream_proximity_unordered_serve", stream_jobs.stream_proximity_unordered_serve, retrieval.ORACLE_PROXIMITY_UNORDERED, tags=("streaming", "retrieval", "lexical", "proximity", "unordered-window", "serving", "append-mode"))
 _register("dedup_exact_substring_runs", dedup.exact_substring_runs, dedup.ORACLE_EXACT_SUBSTRING_RUNS, bench=True, tags=("dedup", "exact-substring", "positional-index", "islands"))
 _register("dedup_exact_substring_ledger", dedup.exact_substring_ledger, dedup.ORACLE_EXACT_SUBSTRING_LEDGER, tags=("dedup", "exact-substring", "interval-merge", "quality"))
 _register("dedup_substring_coverage_audit", dedup.substring_coverage_audit, dedup.ORACLE_SUBSTRING_COVERAGE_AUDIT, tags=("dedup", "exact-substring", "evaluation", "recall-report", "self-measurement"))
@@ -473,6 +475,7 @@ _SAMPLE_PRIORITY = [
     "text_proximity_topk", "stream_proximity_serve",
     "dedup_exact_substring_runs", "dedup_exact_substring_ledger",
     "dedup_substring_coverage_audit", "stream_exact_substring_probe",
+    "text_proximity_unordered", "stream_proximity_unordered_serve",
     # changed-code re-verification (_REVERIFY_HEAD)
     "text_token_diversity", "stream_token_diversity",
     "text_token_entropy", "stream_token_entropy",
@@ -495,7 +498,7 @@ _SAMPLE_PRIORITY = [
     "curation_weighted_sample", "scale_data_quality_report",
     "stream_full_outer_join", "stream_sliding_windows",
     "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
-    "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
+    "stream_t1_visit_flag",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -2453,6 +2453,27 @@ def stream_proximity_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proximity_finish(run_to_memory(matches, "append"))
 
 
+def stream_proximity_unordered_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """proximity_unordered_topk as a SERVING job — the unordered-window
+    member of the positional-serving family, identical contract to
+    stream_proximity_serve (stateless ingest transform, stream-static
+    legs, bounded span matches drain, proximity_finish batch-side
+    VERBATIM). Shares ORACLE_PROXIMITY_UNORDERED."""
+    from flink_gmall_spark.operators.retrieval import (
+        pos_index,
+        proximity_finish,
+        proximity_matches,
+        query_bigram_occurrences,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    idx = pos_index(load(spark, sf_dir, "documents"))
+    qbg = query_bigram_occurrences(read_stream(spark, sf_dir, "documents"))
+    matches = proximity_matches(qbg, idx, broadcast=False, ordered=False)
+    return proximity_finish(run_to_memory(matches, "append"))
+
+
 def stream_exact_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_exact_substring_runs as a PROBE job — documents ARRIVING ON
     A STREAM are matched against the STATIC capped positional gram

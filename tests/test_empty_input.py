@@ -90,6 +90,7 @@ DOC_OPS = [
     ("phrase_search", "retrieval"),
     # round-13 additions
     ("proximity_topk", "retrieval"),
+    ("proximity_unordered_topk", "retrieval"),
     ("exact_substring_runs", "dedup"),
     ("exact_substring_ledger", "dedup"),
     ("substring_coverage_audit", "dedup"),

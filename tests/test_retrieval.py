@@ -1470,3 +1470,97 @@ def test_stream_proximity_serve_equals_batch(spark, sf_dir):
         map(tuple, stream_proximity_serve(spark, sf_dir).collect())
     )
     assert batch == served
+
+
+def test_proximity_unordered_matches_python_mirror(spark):
+    """Unordered window vs mirror: reversed-order docs now score, both
+    directions count for repeated tokens, and the boundary (|span| 5
+    kept, 6 dropped) holds on the magnitude."""
+    corpus = [
+        (0, "a b"),
+        (8, "b x x x x a"),   # reversed, |span| 5 — kept (ordered: no)
+        (9, "b x x x x x a"),  # reversed, |span| 6 — dropped
+        (10, "b a"),           # reversed adjacency — weight 5
+        (11, "a b"),           # forward adjacency — same weight
+        (12, "a x b"),         # forward span 2
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): (r.n_pairs, r.prox_score, r.min_span, r.rank)
+        for r in R.proximity_finish(
+            R.proximity_matches(
+                R.query_bigram_occurrences(docs),
+                R.pos_index(docs),
+                ordered=False,
+            )
+        ).collect()
+    }
+    toks = {d: _toks(t) for d, t in corpus}
+    pos = {
+        d: {w: [i for i, x in enumerate(ts) if x == w] for w in set(ts)}
+        for d, ts in toks.items()
+    }
+    want = {}
+    for q, ts in toks.items():
+        if q >= R.N_RETR_QUERIES or len(ts) < 2:
+            continue
+        per_doc: dict[int, list[int]] = {}
+        for w1, w2 in zip(ts, ts[1:]):
+            for d, dp in pos.items():
+                if d == q:
+                    continue
+                for p1 in dp.get(w1, []):
+                    for p2 in dp.get(w2, []):
+                        if 1 <= abs(p2 - p1) <= R.PROX_WINDOW:
+                            per_doc.setdefault(d, []).append(abs(p2 - p1))
+        ranked = sorted(
+            per_doc.items(),
+            key=lambda kv: (-sum(R.PROX_WINDOW + 1 - s for s in kv[1]), kv[0]),
+        )
+        for rank, (d, spans) in enumerate(ranked[: R.RETR_TOPK], 1):
+            want[(q, d)] = (
+                len(spans),
+                sum(R.PROX_WINDOW + 1 - s for s in spans),
+                min(spans),
+                rank,
+            )
+    assert got == want
+    assert (0, 8) in want and want[(0, 8)][2] == 5  # reversed boundary kept
+    assert (0, 9) not in want                       # |span| 6 dropped
+    # direction-blind weight: identical score components, ranks then
+    # tie-break by doc_id
+    assert want[(0, 10)][:3] == want[(0, 11)][:3]
+    assert {want[(0, 10)][3], want[(0, 11)][3]} == {1, 2}
+
+
+def test_stream_proximity_unordered_serve_equals_batch(spark, sf_dir):
+    from flink_gmall_spark.streaming.jobs import (
+        stream_proximity_unordered_serve,
+    )
+
+    batch = sorted(
+        map(tuple, R.proximity_unordered_topk(spark, sf_dir).collect())
+    )
+    served = sorted(
+        map(tuple, stream_proximity_unordered_serve(spark, sf_dir).collect())
+    )
+    assert batch == served
+
+
+def test_proximity_unordered_diverges_from_ordered(spark, sf_dir):
+    """Non-vacuity: on the fixture the unordered ranking must actually
+    differ from the ordered one somewhere (reversed-order phrasings
+    exist), while every ordered hit stays a subset of unordered hits
+    per (query, doc) pair count."""
+    ordered = {
+        (r.query_id, r.doc_id): r.n_pairs
+        for r in R.proximity_topk(spark, sf_dir).collect()
+    }
+    unordered = {
+        (r.query_id, r.doc_id): r.n_pairs
+        for r in R.proximity_unordered_topk(spark, sf_dir).collect()
+    }
+    assert ordered != unordered
+    # where both rank the same pair, unordered can only see MORE hits
+    for k in set(ordered) & set(unordered):
+        assert unordered[k] >= ordered[k], k
