@@ -1996,7 +1996,7 @@ def positional_run_grams(docs: DataFrame) -> DataFrame:
 
 
 def substring_gram_matches(
-    a_grams: DataFrame, b_grams: DataFrame
+    a_grams: DataFrame, b_grams: DataFrame, hint_merge: bool = False
 ) -> DataFrame:
     """(d1, d2, diag, p1) gram-match rows between an A side and a B
     side, ordered d1 < d2 — ONE definition shared by the batch self-join
@@ -2009,6 +2009,11 @@ def substring_gram_matches(
     b = b_grams.select(
         F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "gram"
     )
+    if hint_merge:
+        # bulk serve: both sides read the SAME gram-bucketed table, so a
+        # SortMergeJoin takes its partitioning from the file layout —
+        # zero gram Exchange (the bucketed_phrase_serve discipline)
+        a, b = a.hint("merge"), b.hint("merge")
     return (
         a.join(b, "gram")
         .filter(F.col("d1") < F.col("d2"))

@@ -1031,3 +1031,37 @@ def bucketed_phrase_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_finish(
         m1.join(p2, ["doc_id", "pos", "w2"]).select("query_id", "doc_id")
     )
+
+
+def bucketed_substring_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring detection at BULK volume — the co-location
+    strategy for the gram self-join: the capped positional gram
+    postings are materialized ONCE, bucketed+sorted on gram, and both
+    join legs read that layout, so the pair join SortMergeJoins with
+    ZERO Exchange on gram (plan-gated). The remaining shuffles are the
+    (d1, d2, diag) island window and nothing else — at a corpus scale
+    where the per-round gram recompute (posexplode + window cap per
+    leg) dominates, this is the deployment shape: the index build is
+    paid once at write time and amortized across every dedup pass that
+    probes it (the scale_bucketed_postings_serve pattern on the dedup
+    family's own index).
+
+    Output and oracle are dedup_exact_substring_runs' own (shared
+    ORACLE_EXACT_SUBSTRING_RUNS): index layout must never change the
+    detected runs, only the shuffle bill."""
+    from flink_gmall_spark.operators.dedup import (
+        positional_run_grams,
+        runs_finish,
+        substring_gram_matches,
+    )
+    from flink_gmall_spark.session import tune
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    idx = spark.table(
+        _bucketed_df_table(
+            spark, sf_dir, "substr_grams", positional_run_grams(docs), "gram"
+        )
+    )
+    return runs_finish(substring_gram_matches(idx, idx, hint_merge=True))

@@ -433,6 +433,7 @@ _register("dedup_exact_substring_runs", dedup.exact_substring_runs, dedup.ORACLE
 _register("dedup_exact_substring_ledger", dedup.exact_substring_ledger, dedup.ORACLE_EXACT_SUBSTRING_LEDGER, tags=("dedup", "exact-substring", "interval-merge", "quality"))
 _register("dedup_substring_coverage_audit", dedup.substring_coverage_audit, dedup.ORACLE_SUBSTRING_COVERAGE_AUDIT, tags=("dedup", "exact-substring", "evaluation", "recall-report", "self-measurement"))
 _register("stream_exact_substring_probe", stream_jobs.stream_exact_substring_probe, dedup.ORACLE_EXACT_SUBSTRING_RUNS, tags=("streaming", "dedup", "exact-substring", "serving", "append-mode"))
+_register("scale_bucketed_substring_serve", scale.bucketed_substring_serve, dedup.ORACLE_EXACT_SUBSTRING_RUNS, tags=("scale", "dedup", "exact-substring", "bucketing", "zero-shuffle-join", "serving"))
 
 
 # =============================================================================
@@ -476,6 +477,7 @@ _SAMPLE_PRIORITY = [
     "dedup_exact_substring_runs", "dedup_exact_substring_ledger",
     "dedup_substring_coverage_audit", "stream_exact_substring_probe",
     "text_proximity_unordered", "stream_proximity_unordered_serve",
+    "scale_bucketed_substring_serve",
     # changed-code re-verification (_REVERIFY_HEAD)
     "text_token_diversity", "stream_token_diversity",
     "text_token_entropy", "stream_token_entropy",
@@ -498,7 +500,6 @@ _SAMPLE_PRIORITY = [
     "curation_weighted_sample", "scale_data_quality_report",
     "stream_full_outer_join", "stream_sliding_windows",
     "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
-    "stream_t1_visit_flag",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

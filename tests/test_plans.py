@@ -1127,3 +1127,17 @@ def test_bucketed_prf_and_triplets_serve_share_zero_tok_shuffle(spark, sf_dir):
             f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}"
             in plan
         ), plan
+
+
+def test_bucketed_substring_serve_no_gram_shuffle(spark, sf_dir):
+    """The bulk exact-substring serve: both legs of the pair join read
+    the gram-bucketed postings table — the SortMergeJoin takes its
+    partitioning from the file layout, NO exchange on gram; the only
+    shuffle left is the (d1, d2, diag) island window (lower-bound scan
+    assertion per the ADVICE r12 lesson)."""
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.bucketed_substring_serve(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(gram" not in plan, plan
+    assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") >= 1, plan
