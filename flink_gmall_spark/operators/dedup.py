@@ -2110,6 +2110,31 @@ SELECT doc_a, doc_b, a_start, b_start, run_tokens FROM eruns
 """
 
 
+def merged_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, isl, mst, men): DISTINCT (doc_id, st, en) spans merged
+    into disjoint intervals — the prefix-max island walk, factored so
+    the ledger and the span-stripping rewrite share ONE definition.
+    Input MUST be distinct (see substring_ledger's determinism note:
+    tied spans reorder between the flag scan and the cumulative-sum
+    scan and split islands)."""
+    w = Window.partitionBy("doc_id").orderBy("st", "en")
+    prev_max = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("st") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("doc_id", "isl").agg(
+        F.min("st").alias("mst"), F.max("en").alias("men")
+    )
+
+
 def substring_ledger(docs: DataFrame) -> DataFrame:
     """Per-doc DUPLICATED-SPAN LEDGER: overlapping run spans from all
     partners merged into disjoint intervals (prefix-max islands: a span
@@ -2139,23 +2164,7 @@ def substring_ledger(docs: DataFrame) -> DataFrame:
             (F.col("b_start") + F.col("run_tokens") - 1).alias("en"),
         )
     ).distinct()
-    w = Window.partitionBy("doc_id").orderBy("st", "en")
-    prev_max = F.max("en").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = spans.withColumn(
-        "new_isl",
-        F.when(prev_max.isNull() | (F.col("st") > prev_max), 1).otherwise(0),
-    ).withColumn(
-        "isl",
-        F.sum("new_isl").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    merged = flagged.groupBy("doc_id", "isl").agg(
-        F.min("st").alias("mst"), F.max("en").alias("men")
-    )
-    per_doc = merged.groupBy("doc_id").agg(
+    per_doc = merged_spans(spans).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("men") - F.col("mst") + 1).cast("long").alias("dup_tokens"),
     )
@@ -2318,4 +2327,117 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
                   THEN 1 END) AS BIGINT) AS n_runs_not_ngram,
        CAST(coalesce(sum(dup_tokens), 0) AS BIGINT) AS total_dup_tokens
 FROM ejoined
+"""
+
+
+def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CUT ITSELF — Lee et al.'s exact-substring dedup does not drop
+    documents, it removes the duplicated spans keeping one copy; this is
+    that rewrite as a corpus pass. Keep-first policy consistent with
+    exact_dedup's min-id convention: every detected run (doc_a < doc_b)
+    is cut from doc_b only, so the lowest-id holder of a span keeps it
+    (chains resolve transitively: in a 3-way duplicate the two higher
+    ids lose their copies). Per doc: b-side spans merged to disjoint
+    intervals (merged_spans, shared with the ledger), collected into ONE
+    small sorted array per doc (bounded by that doc's span count), then
+    the cut is a pure per-row array filter over the token positions —
+    the corpus is never exploded, never shuffled beyond the runs stages
+    and one per-doc span rollup; the rewrite scan is map-side after a
+    left join against the tiny span table. Emits count columns plus
+    md5(kept text) so the full rewritten string is hash-pinned without
+    shipping it through the compare."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    runs = substring_runs(docs)
+    spans = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("st"),
+        (F.col("b_start") + F.col("run_tokens") - 1).alias("en"),
+    ).distinct()
+    span_arr = (
+        merged_spans(spans)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("mst", "men"))
+            ).alias("cuts")
+        )
+    )
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    j = toks.join(span_arr, "doc_id", "left_outer")
+    kept = (
+        "CASE WHEN cuts IS NULL THEN t ELSE "
+        "transform(filter(transform(t, (x, i) -> struct(x AS x, i AS i)),"
+        " s -> NOT exists(cuts,"
+        "   c -> s.i >= c.mst AND s.i <= c.men)), s -> s.x) END"
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.expr(kept).alias("_kept"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.size("_kept").cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.size("_kept")).cast("long").alias("removed_tokens"),
+        F.md5(F.concat_ws(" ", F.col("_kept"))).alias("kept_md5"),
+    )
+
+
+ORACLE_STRIP_DUP_SPANS = f"""{_DUCK_RUNS_CTE},
+sspans AS (
+    SELECT DISTINCT doc_b AS doc_id, b_start AS st,
+           b_start + run_tokens - 1 AS en
+    FROM eruns
+),
+sflag AS (
+    SELECT doc_id, st, en,
+           CASE WHEN max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR st > max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_isl
+    FROM sspans
+),
+sisl AS (
+    SELECT doc_id, st, en,
+           sum(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM sflag
+),
+smerged AS (
+    SELECT doc_id, isl, min(st) AS mst, max(en) AS men
+    FROM sisl GROUP BY doc_id, isl
+),
+stok AS (
+    SELECT doc_id, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM est
+),
+scut AS (
+    SELECT k.doc_id, k.tok, k.pos
+    FROM stok k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM smerged m
+        WHERE m.doc_id = k.doc_id AND k.pos >= m.mst AND k.pos <= m.men
+    )
+),
+skept AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS kept_tokens,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY pos), '')) AS kept_md5
+    FROM scut GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(d.t) - coalesce(k.kept_tokens, 0) AS BIGINT)
+           AS removed_tokens,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM est d LEFT JOIN skept k ON d.doc_id = k.doc_id
 """

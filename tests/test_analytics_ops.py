@@ -1565,3 +1565,49 @@ def test_stream_exact_substring_probe_equals_batch(spark, sf_dir):
     )
     assert batch == served
     assert batch  # non-vacuous: the fixture carries real shared runs
+
+
+def test_strip_dup_spans_keep_first_policy(spark, tmp_path):
+    """The rewrite's keep-first semantics on the crafted corpus: the
+    lowest-id holder of a span keeps every token; higher-id duplicates
+    lose exactly the covered positions (full wipe for identical docs);
+    docs outside any pair are untouched byte-for-byte; removed counts
+    reconcile with the b-side span coverage."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.operators import dedup as D
+
+    corpus = _substring_corpus()
+    d = str(tmp_path / "strip_sf")
+    spark.createDataFrame(corpus, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.removed_tokens, r.kept_md5)
+        for r in D.strip_dup_spans(spark, d).collect()
+    }
+    toks = {i: t.split() for i, t in corpus}
+    runs, _ = _substring_mirror(
+        corpus, D.RUN_K, D.MAX_RUN_GRAM_DF, D.MIN_RUN_TOKENS
+    )
+    cuts: dict[int, set[int]] = {}
+    for _d1, d2, _a, b, n in runs:
+        cuts.setdefault(d2, set()).update(range(b, b + n))
+    for i, ts in toks.items():
+        kept = [w for p, w in enumerate(ts) if p not in cuts.get(i, set())]
+        md5 = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[i] == (len(ts), len(kept), len(ts) - len(kept), md5), i
+    # identical triple: min id keeps all, the other two fully wiped
+    assert got[11][2] == 0
+    assert got[12][1] == 0 and got[13][1] == 0
+    # doc 1 (the 16-run's higher-id holder vs doc 0) is fully cut;
+    # doc 0 keeps everything
+    assert got[0][2] == 0 and got[1][1] == 0
+    # untouched doc: zero removals and the identity hash of its text
+    assert got[2][2] == 0

@@ -94,6 +94,7 @@ DOC_OPS = [
     ("exact_substring_runs", "dedup"),
     ("exact_substring_ledger", "dedup"),
     ("substring_coverage_audit", "dedup"),
+    ("strip_dup_spans", "dedup"),
 ]
 
 EMB_OPS = [
