@@ -1968,3 +1968,139 @@ SELECT query_id, doc_id, n_pairs, prox_score, min_span,
        CAST(rank AS BIGINT) AS rank
 FROM xranked WHERE rank <= {RETR_TOPK}
 """
+
+
+# --- sequential-dependence fusion (round 13) ----------------------------------
+# With phrase search (exact adjacency), ordered proximity, and unordered
+# proximity all probing the one positional index, the classic composite
+# is Metzler & Croft's sequential-dependence model (SIGIR 2005): a
+# linear combination of the unigram score and the two window features.
+# The weights are a fixed configuration (SDM tunes them per collection;
+# the published defaults weight unigrams heaviest) scaled so a window
+# hit moves a ranking without drowning the lexical signal: BM25 sums
+# land around 10^6-10^7 on this corpus (BM25_SCALE x n_hits) while
+# proximity sums are 10^0-10^2, so the window weights carry the scale
+# difference explicitly instead of pretending the features are
+# commensurable.
+
+SDM_UNI_W = 8  # x bm25_score (itself BM25_SCALE-scaled)
+SDM_ORD_W = 100_000  # x ordered-window closeness sum
+SDM_UNW_W = 40_000  # x unordered-window closeness sum
+
+
+def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL-DEPENDENCE retrieval — proximity-boosted BM25 (the
+    ROADMAP item-6 candidate): sdm = SDM_UNI_W·bm25 + SDM_ORD_W·ordered
+    + SDM_UNW_W·unordered, integer-exact. One corpus pass per feature
+    family, every piece a shared definition (scored_postings/bm25_match,
+    pos_index/proximity_matches with both orderings); the window aggs
+    LEFT-join onto the BM25 pairs — lossless, because a window match
+    requires both terms in the capped index, which implies a BM25 term
+    match (pinned by test_sdm_prox_pairs_subset_of_bm25)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    bm = (
+        bm25_match(query_occurrences(docs), scored_postings(docs))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_i").alias("bm25_score"))
+    )
+    qbg, idx = query_bigram_occurrences(docs), pos_index(docs)
+    o = (
+        proximity_matches(qbg, idx)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.lit(PROX_WINDOW + 1) - F.col("span")).alias("po"))
+    )
+    u = (
+        proximity_matches(qbg, idx, ordered=False)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.lit(PROX_WINDOW + 1) - F.col("span")).alias("pu"))
+    )
+    fused = (
+        bm.join(o, ["query_id", "doc_id"], "left_outer")
+        .join(u, ["query_id", "doc_id"], "left_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("bm25_score").cast("long").alias("bm25_score"),
+            F.coalesce("po", F.lit(0)).cast("long").alias("prox_ordered"),
+            F.coalesce("pu", F.lit(0)).cast("long").alias("prox_unordered"),
+        )
+        .withColumn(
+            "sdm_score",
+            (
+                F.lit(SDM_UNI_W) * F.col("bm25_score")
+                + F.lit(SDM_ORD_W) * F.col("prox_ordered")
+                + F.lit(SDM_UNW_W) * F.col("prox_unordered")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sdm_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= RETR_TOPK)
+        .select(
+            "query_id", "doc_id", "bm25_score", "prox_ordered",
+            "prox_unordered", "sdm_score", "rank",
+        )
+    )
+
+
+ORACLE_SDM_TOPK = f"""
+WITH {_DUCK_BM25_BASE},
+sdt AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+sdtok AS (
+    SELECT doc_id, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM sdt
+),
+sdidx AS (
+    SELECT i.tok, i.doc_id, i.pos FROM sdtok i
+    JOIN dfreq f ON i.tok = f.tok AND f.df <= {MAX_POSTING_DF}
+),
+sdqbg AS (
+    SELECT doc_id AS query_id, t[i] AS w1, t[i+1] AS w2
+    FROM sdt, UNNEST(range(1, len(t))) AS u(i)
+    WHERE doc_id < {N_RETR_QUERIES} AND len(t) >= 2
+),
+sdo AS (
+    SELECT q.query_id, a.doc_id,
+           CAST(sum({PROX_WINDOW + 1} - (b.pos - a.pos)) AS BIGINT) AS po
+    FROM sdqbg q
+    JOIN sdidx a ON a.tok = q.w1 AND a.doc_id <> q.query_id
+    JOIN sdidx b ON b.tok = q.w2 AND b.doc_id = a.doc_id
+         AND b.pos - a.pos >= 1 AND b.pos - a.pos <= {PROX_WINDOW}
+    GROUP BY 1, 2
+),
+sdu AS (
+    SELECT q.query_id, a.doc_id,
+           CAST(sum({PROX_WINDOW + 1} - abs(b.pos - a.pos)) AS BIGINT) AS pu
+    FROM sdqbg q
+    JOIN sdidx a ON a.tok = q.w1 AND a.doc_id <> q.query_id
+    JOIN sdidx b ON b.tok = q.w2 AND b.doc_id = a.doc_id
+         AND abs(b.pos - a.pos) >= 1 AND abs(b.pos - a.pos) <= {PROX_WINDOW}
+    GROUP BY 1, 2
+),
+sdfused AS (
+    SELECT m.query_id, m.doc_id,
+           CAST(m.score AS BIGINT) AS bm25_score,
+           CAST(coalesce(o.po, 0) AS BIGINT) AS prox_ordered,
+           CAST(coalesce(u.pu, 0) AS BIGINT) AS prox_unordered,
+           CAST({SDM_UNI_W} * m.score + {SDM_ORD_W} * coalesce(o.po, 0)
+                + {SDM_UNW_W} * coalesce(u.pu, 0) AS BIGINT) AS sdm_score
+    FROM bm25_agg m
+    LEFT JOIN sdo o ON o.query_id = m.query_id AND o.doc_id = m.doc_id
+    LEFT JOIN sdu u ON u.query_id = m.query_id AND u.doc_id = m.doc_id
+),
+sdranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sdm_score DESC, doc_id ASC) AS rank
+    FROM sdfused
+)
+SELECT query_id, doc_id, bm25_score, prox_ordered, prox_unordered,
+       sdm_score, CAST(rank AS BIGINT) AS rank
+FROM sdranked WHERE rank <= {RETR_TOPK}
+"""

@@ -435,6 +435,7 @@ _register("dedup_substring_coverage_audit", dedup.substring_coverage_audit, dedu
 _register("stream_exact_substring_probe", stream_jobs.stream_exact_substring_probe, dedup.ORACLE_EXACT_SUBSTRING_RUNS, tags=("streaming", "dedup", "exact-substring", "serving", "append-mode"))
 _register("scale_bucketed_substring_serve", scale.bucketed_substring_serve, dedup.ORACLE_EXACT_SUBSTRING_RUNS, tags=("scale", "dedup", "exact-substring", "bucketing", "zero-shuffle-join", "serving"))
 _register("curation_strip_dup_spans", dedup.strip_dup_spans, dedup.ORACLE_STRIP_DUP_SPANS, tags=("curation", "dedup", "exact-substring", "corpus-rewrite", "e2e"))
+_register("text_sdm_topk", retrieval.sdm_topk, retrieval.ORACLE_SDM_TOPK, bench=True, tags=("text-analysis", "retrieval", "lexical", "proximity", "sdm", "rank-fusion", "positional-index", "top-n"))
 
 
 # =============================================================================
@@ -479,6 +480,7 @@ _SAMPLE_PRIORITY = [
     "dedup_substring_coverage_audit", "stream_exact_substring_probe",
     "text_proximity_unordered", "stream_proximity_unordered_serve",
     "scale_bucketed_substring_serve", "curation_strip_dup_spans",
+    "text_sdm_topk",
     # changed-code re-verification (_REVERIFY_HEAD)
     "text_token_diversity", "stream_token_diversity",
     "text_token_entropy", "stream_token_entropy",
@@ -500,7 +502,6 @@ _SAMPLE_PRIORITY = [
     "ads_top_event_paths", "ads_session_transitions",
     "curation_weighted_sample", "scale_data_quality_report",
     "stream_full_outer_join", "stream_sliding_windows",
-    "stream_pyds_cdc_upsert",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -91,6 +91,7 @@ DOC_OPS = [
     # round-13 additions
     ("proximity_topk", "retrieval"),
     ("proximity_unordered_topk", "retrieval"),
+    ("sdm_topk", "retrieval"),
     ("exact_substring_runs", "dedup"),
     ("exact_substring_ledger", "dedup"),
     ("substring_coverage_audit", "dedup"),

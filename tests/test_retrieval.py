@@ -1564,3 +1564,53 @@ def test_proximity_unordered_diverges_from_ordered(spark, sf_dir):
     # where both rank the same pair, unordered can only see MORE hits
     for k in set(ordered) & set(unordered):
         assert unordered[k] >= ordered[k], k
+
+
+# --- round-13: sequential-dependence fusion -----------------------------------
+
+
+def test_sdm_prox_pairs_subset_of_bm25(spark, sf_dir):
+    """The SDM LEFT join is lossless by construction: a window match
+    needs both terms in the capped index, which implies a BM25 term
+    match — no (query, doc) pair may carry proximity evidence without
+    lexical evidence."""
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    bm = (
+        R.bm25_match(R.query_occurrences(docs), R.scored_postings(docs))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qbg, idx = R.query_bigram_occurrences(docs), R.pos_index(docs)
+    for ordered in (True, False):
+        prox = (
+            R.proximity_matches(qbg, idx, ordered=ordered)
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        assert prox.join(bm, ["query_id", "doc_id"], "left_anti").count() == 0
+
+
+def test_sdm_reranks_vs_plain_bm25(spark, sf_dir):
+    """Non-vacuity: the window features must actually move the fixture
+    ranking somewhere (otherwise the fusion is the identity and the
+    weights are dead config), while every returned doc still carries a
+    positive lexical score."""
+    bm25 = {
+        (r.query_id, r.rank): r.doc_id
+        for r in R.bm25_topk(spark, sf_dir).collect()
+    }
+    sdm_rows = R.sdm_topk(spark, sf_dir).collect()
+    sdm = {(r.query_id, r.rank): r.doc_id for r in sdm_rows}
+    assert sdm != bm25
+    assert all(r.bm25_score > 0 for r in sdm_rows)
+    # fused score recomposes exactly from its parts
+    for r in sdm_rows:
+        assert r.sdm_score == (
+            R.SDM_UNI_W * r.bm25_score
+            + R.SDM_ORD_W * r.prox_ordered
+            + R.SDM_UNW_W * r.prox_unordered
+        )
