@@ -470,9 +470,10 @@ _REVERIFY_HEAD = (
     "stream_token_entropy",
 )
 
-# Round-13 window, derived by the rule above (5 round-13 additions +
-# 4 re-verifications + the 2 r6-latest entries + the first 39 of the
-# r7-latest cohort in registration order).
+# Round-13 window, derived by the rule above (11 round-13 additions +
+# 4 re-verifications + the 2 r6-latest entries + the first 33 of the
+# r7-latest cohort in registration order; restaged as each addition
+# landed — tests/test_freshness.py holds it to the rule).
 _SAMPLE_PRIORITY = [
     # never driver-verified (round-13 additions)
     "text_proximity_topk", "stream_proximity_serve",
