@@ -460,49 +460,41 @@ _register("text_sdm_topk", retrieval.sdm_topk, retrieval.ORACLE_SDM_TOPK, bench=
 _REGISTRATION_ORDER = tuple(_REGISTRY)
 
 # Entries whose expressions changed this round AFTER their last green
-# driver row (same-round re-verification): round 13 rewrote the per-row
-# token histogram (sorted run-length fold) shared by the diversity and
-# entropy entries and their stream twins.
-_REVERIFY_HEAD = (
-    "text_token_diversity",
-    "stream_token_diversity",
-    "text_token_entropy",
-    "stream_token_entropy",
-)
+# driver row (same-round re-verification). NOTE the cross-round
+# coupling (ADVICE r13): landing a new CORRECTNESS_r*.json ledger file
+# advances the derived window, so the ledger, a restaged
+# _SAMPLE_PRIORITY, and a cleared/updated _REVERIFY_HEAD must land in
+# ONE commit or tests/test_freshness.py fails in between.
+_REVERIFY_HEAD = ()
 
-# Round-13 window, derived by the rule above (11 round-13 additions +
-# 4 re-verifications + the 2 r6-latest entries + the first 33 of the
-# r7-latest cohort in registration order; restaged as each addition
-# landed — tests/test_freshness.py holds it to the rule).
+# Round-14 window, derived by the rule above: no never-green entries at
+# round start (CORRECTNESS_r13 greened all 11 round-13 additions), so
+# the window is pure stalest-fill — the 17 r7-latest leftovers
+# (streaming twins + curation/text stragglers) then the first 33 of the
+# r8-latest cohort in registration order. Restaged as round-14
+# additions land — tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
-    # never driver-verified (round-13 additions)
-    "text_proximity_topk", "stream_proximity_serve",
-    "dedup_exact_substring_runs", "dedup_exact_substring_ledger",
-    "dedup_substring_coverage_audit", "stream_exact_substring_probe",
-    "text_proximity_unordered", "stream_proximity_unordered_serve",
-    "scale_bucketed_substring_serve", "curation_strip_dup_spans",
-    "text_sdm_topk",
-    # changed-code re-verification (_REVERIFY_HEAD)
-    "text_token_diversity", "stream_token_diversity",
-    "text_token_entropy", "stream_token_entropy",
-    # stalest fill: last green r6
-    "text_hll_union_rollup", "text_lang_id_confusion",
     # stalest fill: last green r7, registration order
-    "tpch_q17", "tpch_q18", "tpch_q19",
-    "curation_length_buckets", "curation_sample_stratified",
-    "curation_decontaminate", "curation_tfidf_top_terms",
-    "curation_bigram_counts", "dedup_keep_best", "dedup_bag_of_words",
-    "text_fingerprints", "text_pii_scrub", "text_repetition",
-    "text_rare_token_ratio", "multimodal_binary_features",
-    "multimodal_frame_sample", "multimodal_resize",
-    "ads_top_sku_per_brand", "ads_customer_retention",
-    "ads_region_nation_rollup", "ads_customers_no_orders",
-    "ads_yoy_spend_full_outer", "ads_part_triangles",
-    "ads_part_bfs_distances", "ads_pit_features",
-    "ads_last_touch_attribution", "ads_negative_samples",
-    "ads_top_event_paths", "ads_session_transitions",
-    "curation_weighted_sample", "scale_data_quality_report",
-    "stream_full_outer_join", "stream_sliding_windows",
+    "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
+    "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
+    "stream_session_windows", "stream_keyword_stats",
+    "stream_windowed_append", "stream_left_outer_join",
+    "stream_event_transitions", "stream_last_touch_attribution",
+    "stream_pit_features", "stream_session_transitions",
+    "stream_cohort_retention", "stream_timed_funnel",
+    "curation_boilerplate_lines", "text_sparse_topk_pairs",
+    # stalest fill: last green r8, registration order
+    "curation_pack_chunks", "curation_mixture_sample",
+    "curation_pipeline_e2e", "stream_j2_payment_wide",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    "curation_domain_cap", "dwd_page_views", "dwd_clean_dirty_split",
+    "dwd_config_routing", "dwd_cdc_dim_upsert", "dwd_cdc_scd2_history",
+    "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
+    "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
+    "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
+    "dws_keyword_stats", "ads_approx_stats", "dws_session_stats",
+    "dws_sliding_windows", "dws_session_windows",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

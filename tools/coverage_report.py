@@ -59,6 +59,10 @@ def staged_window(
     registration order) up to n."""
     new = [e for e in reg_order if e not in last]
     head = new + [e for e in reverify if e not in new]
+    assert len(head) <= n, (
+        f"{len(head)} new+reverify entries exceed the {n}-slot window; "
+        "land them across rounds or the driver will never sample some"
+    )
     idx = {e: i for i, e in enumerate(reg_order)}
     rest = [e for e in reg_order if e in last and e not in head]
     fill = sorted(rest, key=lambda e: (last[e], idx[e]))[: n - len(head)]
