@@ -465,15 +465,19 @@ _REGISTRATION_ORDER = tuple(_REGISTRY)
 # advances the derived window, so the ledger, a restaged
 # _SAMPLE_PRIORITY, and a cleared/updated _REVERIFY_HEAD must land in
 # ONE commit or tests/test_freshness.py fails in between.
-_REVERIFY_HEAD = ()
+# Round 14 linearized the strip_dup_spans span cut (gap-slice flatten
+# replacing the per-token exists() scan — VERDICT r13 `weak`).
+_REVERIFY_HEAD = ("curation_strip_dup_spans",)
 
-# Round-14 window, derived by the rule above: no never-green entries at
-# round start (CORRECTNESS_r13 greened all 11 round-13 additions), so
-# the window is pure stalest-fill — the 17 r7-latest leftovers
-# (streaming twins + curation/text stragglers) then the first 33 of the
-# r8-latest cohort in registration order. Restaged as round-14
-# additions land — tests/test_freshness.py holds it to the rule.
+# Round-14 window, derived by the rule above: the re-verification head,
+# then pure stalest-fill (no never-green entries at round start —
+# CORRECTNESS_r13 greened all 11 round-13 additions) — the 17 r7-latest
+# leftovers (streaming twins + curation/text stragglers) then the r8
+# cohort in registration order. Restaged as round-14 additions land —
+# tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
+    # changed-code re-verification (_REVERIFY_HEAD)
+    "curation_strip_dup_spans",
     # stalest fill: last green r7, registration order
     "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
     "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
@@ -494,7 +498,7 @@ _SAMPLE_PRIORITY = [
     "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
     "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
     "dws_keyword_stats", "ads_approx_stats", "dws_session_stats",
-    "dws_sliding_windows", "dws_session_windows",
+    "dws_sliding_windows",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50
