@@ -171,10 +171,12 @@ def _wait_for_idle_host(max_wait_s: float, poll_s: float = 15.0) -> dict:
         if remaining <= 0:
             gate["gate_gave_up"] = True
             break
-        time.sleep(min(poll_s, remaining))
+        # the steal probe's sampling window IS the poll sleep (ADVICE
+        # r13: a separate sleep(poll_s) + 3 s probe per iteration was
+        # pure added latency) — one jiffy delta over the whole wait.
+        steal = _steal_probe(min(poll_s, remaining))
         waited = time.monotonic() - t0
         load1 = _host_snapshot().get("load1")
-        steal = _steal_probe()
         if steal is not None:
             gate["steal_pre"] = round(steal, 4)
     if waited:
@@ -245,10 +247,17 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     medians: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
+    steal_q: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(registry().items()):
         if not q.bench:
             continue
+        # Per-query steal window (VERDICT r13 ask #6): the r13 episode
+        # was BURSTY (pagerank clean, visitor_stats 4x), so one
+        # whole-run steal_contaminated flag discards salvageable
+        # medians; a jiffy delta around each query's cold+warm loop
+        # stamps exactly which timings the hypervisor touched.
+        jq = _host_snapshot().get("jiffies")
         try:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -266,6 +275,11 @@ def main() -> None:
             cold[name] = None
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        ja = _host_snapshot().get("jiffies")
+        if jq and ja and ja["total"] > jq["total"]:
+            steal_q[name] = round(
+                (ja["steal"] - jq["steal"]) / (ja["total"] - jq["total"]), 4
+            )
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # KEY ORDER IS LOAD-BEARING: the driver's BENCH_r{N}.json has twice
@@ -283,6 +297,9 @@ def main() -> None:
         "queries": timings,
         "value_cold": round(sum(v for v in cold.values() if v is not None), 3),
         "queries_cold": cold,
+        # head-side (reconstructible): per-query steal fractions; the
+        # tail-side host block carries the compact max/count summary.
+        "queries_steal": steal_q,
     }
     if errors:
         out["errors"] = _cap_errors(errors)
@@ -311,6 +328,13 @@ def main() -> None:
                     host_before, _host_snapshot(), time.perf_counter() - bench_t0
                 ),
                 **gate,
+                # per-query steal summary (detail in queries_steal): a
+                # steal_contaminated run whose n_steal_q is small is
+                # PARTIALLY salvageable — compare only the clean rows.
+                "steal_q_max": max(steal_q.values(), default=None),
+                "n_steal_q": sum(
+                    1 for v in steal_q.values() if v > STEAL_GATE
+                ),
             },
             "sf": sf,
             "n_failed": len(errors),
