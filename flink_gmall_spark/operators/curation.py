@@ -3748,3 +3748,466 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(score) // count(*) AS BIGINT) AS mean_score_x1000
 FROM dec GROUP BY 1
 """
+
+
+# =============================================================================
+# Unigram-LM tokenizer training (round 14) — the SentencePiece-style
+# counterpart to the BPE trio above (Kudo 2018, "Subword Regularization:
+# Improving Neural Network Translation Models with Multiple Subword
+# Candidates"). Deterministic Viterbi-EM: seed a substring vocabulary
+# from the corpus dictionary, then alternate (E) Viterbi-segment every
+# dictionary word under the current piece scores and (M) re-estimate
+# piece scores from the freq-weighted segment counts, a fixed
+# UNIGRAM_EM_ITERS times so the oracle can unroll the same rounds as
+# CTE stages (the _bpe_stage_ctes discipline). Hard-EM (Viterbi counts,
+# not forward-backward posteriors) keeps every quantity integer-exact:
+# scores are floor-scaled log-probabilities (floor(ln(ct)*1e6) -
+# floor(ln(total)*1e6), the ZIPF/ENTROPY ln convention), and the DP
+# compares integer path costs, so both engines agree bit-for-bit.
+#
+# Scale shape (100 TB): everything runs over the DISTINCT-WORD
+# dictionary (one partial-agg corpus pass), never the token stream —
+# the same trick the BPE trainer uses. Per EM round: one equi-join of
+# the candidate table (dictionary x <=L*4 substrings) against the
+# vocabulary on the piece, one per-word rollup, and a per-ROW O(L^2)
+# DP fold (L = word length, bounded by real-language word lengths) —
+# zero driver collects, zero cross joins; the vocabulary is
+# vocabulary-sized at any corpus scale. Applying the tokenizer to a
+# corpus is a broadcast join on the word (unigram_fertility_vs_bpe),
+# identical to bpe_token_budget's serve path.
+# =============================================================================
+
+UNIGRAM_MAX_PIECE = 4  # max piece length (chars) in the seed vocabulary
+UNIGRAM_SEED_MULTI = 200  # multi-char seed pieces kept (top by count)
+UNIGRAM_EM_ITERS = 2  # fixed EM rounds (oracle unrolls the same)
+UNIGRAM_LN_SCALE = 1_000_000  # ln floor-scaled to BIGINT (ZIPF convention)
+# Unreachable-position sentinel. Real path costs are bounded by
+# L_word * ln(total)*SCALE * 64 ~ 1e13 for absurd 10k-char words, so a
+# sentinel-prefixed path can never beat a real one, and -1e15 * 64
+# chains stay far inside BIGINT.
+UNIGRAM_NEG_INF = -(10**15)
+
+
+def _ug_lnfloor(col: str) -> str:
+    """floor(ln(col) * SCALE) as BIGINT — identical spelling in both
+    engines (the textstats ZIPF/ENTROPY ln-parity convention)."""
+    return (
+        f"CAST(floor(ln(CAST({col} AS DOUBLE))"
+        f" * CAST({UNIGRAM_LN_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _unigram_candidates(docs: DataFrame) -> DataFrame:
+    """(w, freq, en, ln, piece): every substring of length
+    1..UNIGRAM_MAX_PIECE of every dictionary word, with its 1-indexed
+    end position — the iteration-INDEPENDENT candidate table (piece
+    scores change across EM rounds; the candidate geometry does not).
+    Domain = _bpe_dictionary, shared with the BPE trio so the two
+    tokenizers train on the same words."""
+    return (
+        _bpe_dictionary(docs)
+        .select(
+            "w",
+            "freq",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), st ->"
+                    f" transform(sequence(1, least({UNIGRAM_MAX_PIECE},"
+                    " length(w) - st + 1)), ln ->"
+                    " struct(st + ln - 1 AS en, ln AS ln,"
+                    " substring(w, st, ln) AS piece))))"
+                )
+            ).alias("c"),
+        )
+        .select("w", "freq", "c.en", "c.ln", "c.piece")
+    )
+
+
+def _unigram_score(ct_df: DataFrame) -> DataFrame:
+    """(piece, ct) -> (piece, ct, score): floor-scaled log-probability
+    against the table's own total — ONE pass via a global window (the
+    frame is vocabulary-sized, so the single-partition window is a
+    few-KB sort at any corpus scale, not a data move)."""
+    return ct_df.select(
+        "piece",
+        "ct",
+        (
+            F.expr(_ug_lnfloor("ct")) - F.expr(_ug_lnfloor("sum(ct) OVER ()"))
+        )
+        .cast("long")
+        .alias("score"),
+    )
+
+
+def _unigram_seed(cand: DataFrame) -> DataFrame:
+    """Seed vocabulary: every single character (coverage — with all
+    1-char pieces present every word stays segmentable, and by
+    induction stays segmentable across EM rounds because a chosen
+    piece always has count >= 1 and therefore survives the M-step),
+    plus the top UNIGRAM_SEED_MULTI multi-char substrings by
+    (freq-weighted occurrence count desc, piece asc) — the exact
+    deterministic total order."""
+    ct = cand.groupBy("piece").agg(F.sum("freq").cast("long").alias("ct"))
+    kept = ct.filter(F.length("piece") == 1).unionByName(
+        ct.filter(F.length("piece") > 1)
+        .orderBy(F.desc("ct"), F.asc("piece"))
+        .limit(UNIGRAM_SEED_MULTI)
+    )
+    return _unigram_score(kept)
+
+
+# Viterbi DP over word positions 1..L: acc[p+1] = best path cost to
+# prefix p, ENCODED as cost*64 + ln_of_last_piece (ln <= UNIGRAM_MAX_PIECE
+# < 64, and integer costs differ by >= 1, so the encoding is order-
+# preserving: max cost wins, cost ties break to the LONGER piece; two
+# candidates ending at p with equal length are the same substring, so
+# the argmax is total). Decode on read:
+# lnv = ((k % 64) + 64) % 64 (floor-mod, negative-cost safe in both
+# engines), cost = (k - lnv) DIV 64 (exact division). Appending via
+# concat is O(L^2) per row in the worst case — L is a word length,
+# not a document length, so the quadratic is capped at ~1e3 ops.
+_UG_DP = f"""
+aggregate(sequence(1, L), array(0L),
+ (acc, i) -> concat(acc, array(coalesce(
+   array_max(transform(filter(cands, c -> c.en = i),
+     c -> ((element_at(acc, c.en - c.ln + 1)
+            - ((element_at(acc, c.en - c.ln + 1) % 64) + 64) % 64) DIV 64
+           + c.score) * 64 + c.ln)),
+   {UNIGRAM_NEG_INF}L))))
+"""
+
+# Backtrack: walk ln-s off the DP tail. The accumulator is ONLY the
+# list of chosen piece lengths (rightmost piece first) — the cursor
+# position is always L - sum(lns), so no struct accumulator is needed
+# (DuckDB 1.0's list_reduce mutates struct accumulators field-by-field
+# in place, which makes struct folds engine-divergent). DELIBERATELY
+# BRANCH-FREE: once the cursor reaches 0 the step reads dp[1] = 0 and
+# appends ln = 0, which leaves the position sum unchanged — the fold
+# self-terminates into harmless zero steps without a CASE. (A CASE
+# no-op guard here mis-lanes under DuckDB 1.0's vectorized
+# list_reduce: rows nondeterministically took the ELSE branch after
+# the walk finished, appending spurious zero-length pieces — observed
+# on the sf0.001 fixture, different rows per threads= setting.) The
+# consumers read only the positive entries.
+_UG_LNS = """
+filter(
+  aggregate(sequence(1, L), CAST(array() AS array<bigint>),
+   (acc, i) -> concat(acc, array(
+     ((element_at(dp,
+        CAST(L - coalesce(aggregate(acc, 0L, (s, v) -> s + v), 0L) AS INT) + 1)
+       % 64) + 64) % 64))),
+  v -> v > 0L)
+"""
+
+# lns (rightmost-first) -> the piece substrings: piece j ends at
+# L - sum(lns[1..j-1]) and has length lns[j].
+_UG_PIECES = """
+transform(sequence(1, size(lns)),
+ j -> substring(w,
+       CAST(L - coalesce(aggregate(slice(lns, 1, j - 1), 0L,
+                                   (s, v) -> s + v), 0L)
+            - element_at(lns, j) + 1 AS INT),
+       CAST(element_at(lns, j) AS INT)))
+"""
+
+
+def _unigram_segment(cand: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(w, freq, pieces): Viterbi segmentation of every dictionary word
+    under the given piece scores — the E-step, and also the serve-time
+    encoder. One piece-keyed equi-join + one per-word rollup + per-row
+    folds; collect_list order does not matter (the DP's filter +
+    array_max is order-insensitive)."""
+    cw = (
+        cand.join(vocab.select("piece", "score"), "piece")
+        .groupBy("w", "freq")
+        .agg(F.collect_list(F.struct("en", "ln", "score")).alias("cands"))
+        .withColumn("L", F.length("w"))
+    )
+    return (
+        cw.select("w", "freq", "L", F.expr(_UG_DP).alias("dp"))
+        .select("w", "freq", "L", F.expr(_UG_LNS).alias("lns"))
+        .select("w", "freq", F.expr(_UG_PIECES).alias("pieces"))
+    )
+
+
+def _unigram_mstep(seg: DataFrame) -> DataFrame:
+    """Freq-weighted Viterbi piece counts -> re-scored vocabulary.
+    Pieces a segmentation never chose drop out (Kudo's prune step, in
+    its hard-EM form); chosen pieces always survive, which preserves
+    segmentability round over round."""
+    ct = (
+        seg.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("ct"))
+    )
+    return _unigram_score(ct)
+
+
+def _unigram_vocab(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(cand, trained vocab) after UNIGRAM_EM_ITERS rounds."""
+    cand = _unigram_candidates(docs)
+    vocab = _unigram_seed(cand)
+    for _ in range(UNIGRAM_EM_ITERS):
+        vocab = _unigram_mstep(_unigram_segment(cand, vocab))
+    return cand, vocab
+
+
+def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM vocabulary: (piece, ct, score_x1e6) after
+    UNIGRAM_EM_ITERS Viterbi-EM rounds — the artifact a SentencePiece-
+    style tokenizer ships (piece + log-probability), next to BPE's
+    merge table (bpe_train_merges)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    _, vocab = _unigram_vocab(docs)
+    return vocab.select(
+        "piece", "ct", F.col("score").alias("score_x1e6")
+    )
+
+
+def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram SERVE side — segment the dictionary under the TRAINED
+    vocabulary (one more Viterbi pass, exactly the deployment encoder)
+    and report per-piece corpus usage: (piece, ct, n_words). Train→serve
+    twin of unigram_train, mirroring bpe_encode_corpus."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    cand, vocab = _unigram_vocab(docs)
+    seg = _unigram_segment(cand, vocab)
+    return (
+        seg.select("w", "freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("freq").cast("long").alias("ct"),
+            F.countDistinct("w").cast("long").alias("n_words"),
+        )
+    )
+
+
+def unigram_fertility_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FERTILITY COMPARISON — unigram-LM vs BPE tokens-per-word by
+    document language, both tokenizers trained on the SAME dictionary:
+    the head-to-head a pipeline runs before choosing its tokenizer,
+    because the two segment real words differently and fertility drives
+    the token budget (bpe_fertility_by_lang's frame, with both columns).
+    Serve path is dictionary-sized joins against the corpus word stream
+    (broadcast while the vocab fits); OOV words (outside the trainer's
+    /^[a-z]+$/ len>=2 domain) count 1 token under both — the shared
+    byte-fallback tier."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    cand, vocab = _unigram_vocab(docs)
+    uni = _unigram_segment(cand, vocab).select(
+        "w", F.size("pieces").cast("long").alias("n_uni")
+    )
+    bpe = _bpe_symbolized_dictionary(spark, sf_dir, docs).select(
+        "w", F.size(F.split("s", " ")).cast("long").alias("n_bpe")
+    )
+    toks = docs.select("lang", F.explode(tokens_col("text")).alias("w"))
+    j = (
+        toks.join(uni, "w", "left")
+        .join(bpe, "w", "left")
+        .select(
+            "lang",
+            F.coalesce("n_uni", F.lit(1)).alias("n_uni"),
+            F.coalesce("n_bpe", F.lit(1)).alias("n_bpe"),
+        )
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_uni").cast("long").alias("n_unigram_tokens"),
+        F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        F.expr("(1000 * sum(n_uni)) DIV count(1)")
+        .cast("long")
+        .alias("unigram_fertility_x1000"),
+        F.expr("(1000 * sum(n_bpe)) DIV count(1)")
+        .cast("long")
+        .alias("bpe_fertility_x1000"),
+    )
+
+
+def _ug_duck_lnfloor(col: str) -> str:
+    return (
+        f"CAST(floor(ln(CAST({col} AS DOUBLE))"
+        f" * CAST({UNIGRAM_LN_SCALE} AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _unigram_stage_ctes() -> list[str]:
+    """The unigram trainer unrolled as DuckDB CTE stages (ugdict/ugcand
+    seed geometry, ugv0 seed scores, then per EM round k: ugcw{k}
+    candidate lists, ugdp{k} Viterbi fold, uglns{k} backtrack,
+    ugseg{k} pieces, ugct{k} counts, ugv{k} re-scores) — the
+    _bpe_stage_ctes discipline. The lambdas are the SAME folds the
+    Spark expressions run; list_reduce's 2-arg form is seeded by
+    prepending the DP seed to per-position dummy elements."""
+    neg = UNIGRAM_NEG_INF
+    stages = [
+        f"""ugdict AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_DUCK_T}) AS w FROM documents
+    ) WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2 GROUP BY w
+)""",
+        f"""ugcand AS (
+    SELECT w, freq, CAST(st + ln - 1 AS INT) AS en, CAST(ln AS INT) AS ln,
+           substring(w, CAST(st AS INT), CAST(ln AS INT)) AS piece
+    FROM (SELECT w, freq, len(w) AS L FROM ugdict),
+         UNNEST(range(1, L + 1)) AS a(st),
+         UNNEST(range(1, {UNIGRAM_MAX_PIECE} + 1)) AS b(ln)
+    WHERE ln <= L - st + 1
+)""",
+        """ugsd AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS ct FROM ugcand GROUP BY piece
+)""",
+        f"""ugkeep AS (
+    SELECT piece, ct FROM ugsd WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, ct FROM (
+        SELECT piece, ct FROM ugsd WHERE len(piece) > 1
+        ORDER BY ct DESC, piece ASC LIMIT {UNIGRAM_SEED_MULTI})
+)""",
+        f"""ugv0 AS (
+    SELECT piece, ct,
+           {_ug_duck_lnfloor('ct')}
+           - {_ug_duck_lnfloor('sum(ct) OVER ()')} AS score
+    FROM ugkeep
+)""",
+    ]
+    for k in range(1, UNIGRAM_EM_ITERS + 1):
+        stages.append(
+            f"""ugcw{k} AS (
+    SELECT w, freq, CAST(len(w) AS INT) AS L,
+           list(struct_pack(en := en, ln := ln, score := score)) AS cands
+    FROM ugcand JOIN ugv{k - 1} USING (piece) GROUP BY w, freq
+),
+ugdp{k} AS (
+    SELECT w, freq, L, list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+                   list_transform(range(1, L + 1), i -> CAST([i] AS BIGINT[]))),
+      (acc, x) -> list_append(acc, coalesce(
+        list_max(list_transform(list_filter(cands, c -> c.en = x[1]),
+          c -> ((acc[c.en - c.ln + 1]
+                 - ((acc[c.en - c.ln + 1] % 64) + 64) % 64) // 64
+                + c.score) * 64 + c.ln)),
+        CAST({neg} AS BIGINT)))) AS dp
+    FROM ugcw{k}
+),
+uglns{k} AS (
+    SELECT w, freq, L, list_filter(list_reduce(
+      list_prepend(CAST([] AS BIGINT[]),
+                   list_transform(range(1, L + 1), i -> CAST([] AS BIGINT[]))),
+      (acc, x) -> list_append(acc,
+          ((dp[CAST(L - coalesce(list_sum(acc), 0) AS INT) + 1]
+            % 64) + 64) % 64)), v -> v > 0) AS lns
+    FROM ugdp{k}
+),
+ugseg{k} AS (
+    SELECT w, freq, list_transform(range(1, CAST(len(lns) AS BIGINT) + 1),
+      j -> substring(w,
+            CAST(L - coalesce(list_sum(list_slice(lns, 1, CAST(j AS INT) - 1)), 0)
+                 - lns[CAST(j AS INT)] + 1 AS INT),
+            CAST(lns[CAST(j AS INT)] AS INT))) AS pieces
+    FROM uglns{k}
+),
+ugct{k} AS (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS ct
+    FROM (SELECT freq, unnest(pieces) AS piece FROM ugseg{k}) GROUP BY piece
+),
+ugv{k} AS (
+    SELECT piece, ct,
+           {_ug_duck_lnfloor('ct')}
+           - {_ug_duck_lnfloor('sum(ct) OVER ()')} AS score
+    FROM ugct{k}
+)"""
+        )
+    return stages
+
+
+_N = UNIGRAM_EM_ITERS
+
+ORACLE_UNIGRAM_TRAIN = (
+    "WITH "
+    + ",\n".join(_unigram_stage_ctes())
+    + f"""
+SELECT piece, ct, score AS score_x1e6 FROM ugv{_N}
+"""
+)
+
+# the serve pass = one more E-step under the trained vocabulary
+_UG_SERVE_CTES = (
+    ",\n".join(_unigram_stage_ctes())
+    + f""",
+ugcws AS (
+    SELECT w, freq, CAST(len(w) AS INT) AS L,
+           list(struct_pack(en := en, ln := ln, score := score)) AS cands
+    FROM ugcand JOIN ugv{_N} USING (piece) GROUP BY w, freq
+),
+ugdps AS (
+    SELECT w, freq, L, list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+                   list_transform(range(1, L + 1), i -> CAST([i] AS BIGINT[]))),
+      (acc, x) -> list_append(acc, coalesce(
+        list_max(list_transform(list_filter(cands, c -> c.en = x[1]),
+          c -> ((acc[c.en - c.ln + 1]
+                 - ((acc[c.en - c.ln + 1] % 64) + 64) % 64) // 64
+                + c.score) * 64 + c.ln)),
+        CAST({UNIGRAM_NEG_INF} AS BIGINT)))) AS dp
+    FROM ugcws
+),
+uglnss AS (
+    SELECT w, freq, L, list_filter(list_reduce(
+      list_prepend(CAST([] AS BIGINT[]),
+                   list_transform(range(1, L + 1), i -> CAST([] AS BIGINT[]))),
+      (acc, x) -> list_append(acc,
+          ((dp[CAST(L - coalesce(list_sum(acc), 0) AS INT) + 1]
+            % 64) + 64) % 64)), v -> v > 0) AS lns
+    FROM ugdps
+),
+ugsegs AS (
+    SELECT w, freq, list_transform(range(1, CAST(len(lns) AS BIGINT) + 1),
+      j -> substring(w,
+            CAST(L - coalesce(list_sum(list_slice(lns, 1, CAST(j AS INT) - 1)), 0)
+                 - lns[CAST(j AS INT)] + 1 AS INT),
+            CAST(lns[CAST(j AS INT)] AS INT))) AS pieces
+    FROM uglnss
+)"""
+)
+
+ORACLE_UNIGRAM_ENCODE = (
+    "WITH "
+    + _UG_SERVE_CTES
+    + """
+SELECT piece, CAST(sum(freq) AS BIGINT) AS ct,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_words
+FROM (SELECT w, freq, unnest(pieces) AS piece FROM ugsegs)
+GROUP BY piece
+"""
+)
+
+ORACLE_UNIGRAM_FERTILITY = (
+    "WITH "
+    + _UG_SERVE_CTES
+    + ",\n"
+    + ",\n".join(_bpe_stage_ctes())
+    + f""",
+ugn AS (
+    SELECT w, CAST(len(pieces) AS BIGINT) AS n_uni FROM ugsegs
+),
+bpen AS (
+    SELECT replace(s, ' ', '') AS w,
+           CAST(len(string_split(s, ' ')) AS BIGINT) AS n_bpe
+    FROM w{BPE_TRAIN_MERGES}
+),
+ftoks AS (SELECT lang, unnest({_DUCK_T}) AS w FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(COALESCE(n_uni, 1)) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(COALESCE(n_bpe, 1)) AS BIGINT) AS n_bpe_tokens,
+       (1000 * CAST(sum(COALESCE(n_uni, 1)) AS BIGINT)) // count(*)
+           AS unigram_fertility_x1000,
+       (1000 * CAST(sum(COALESCE(n_bpe, 1)) AS BIGINT)) // count(*)
+           AS bpe_fertility_x1000
+FROM ftoks LEFT JOIN ugn USING (w) LEFT JOIN bpen USING (w)
+GROUP BY lang
+"""
+)

@@ -437,6 +437,12 @@ _register("scale_bucketed_substring_serve", scale.bucketed_substring_serve, dedu
 _register("curation_strip_dup_spans", dedup.strip_dup_spans, dedup.ORACLE_STRIP_DUP_SPANS, tags=("curation", "dedup", "exact-substring", "corpus-rewrite", "e2e"))
 _register("text_sdm_topk", retrieval.sdm_topk, retrieval.ORACLE_SDM_TOPK, bench=True, tags=("text-analysis", "retrieval", "lexical", "proximity", "sdm", "rank-fusion", "positional-index", "top-n"))
 
+# --- round 14: unigram-LM tokenizer training (SentencePiece-style
+# Viterbi-EM, Kudo 2018) — the standard counterpart to the BPE trio ---
+_register("curation_unigram_train", curation.unigram_train, curation.ORACLE_UNIGRAM_TRAIN, bench=True, tags=("curation", "text", "tokenizer-training", "iterative", "viterbi-em"))
+_register("curation_unigram_encode", curation.unigram_encode_corpus, curation.ORACLE_UNIGRAM_ENCODE, tags=("curation", "text", "tokenizer-training", "train-serve", "viterbi-em"))
+_register("curation_unigram_fertility", curation.unigram_fertility_vs_bpe, curation.ORACLE_UNIGRAM_FERTILITY, tags=("curation", "text", "tokenizer-training", "fertility", "evaluation", "self-measurement"))
+
 
 # =============================================================================
 # Per-round sample window (the driver samples the FIRST 50 registrations,
@@ -476,6 +482,9 @@ _REVERIFY_HEAD = ("curation_strip_dup_spans",)
 # cohort in registration order. Restaged as round-14 additions land —
 # tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
+    # never driver-verified (round-14 additions)
+    "curation_unigram_train", "curation_unigram_encode",
+    "curation_unigram_fertility",
     # changed-code re-verification (_REVERIFY_HEAD)
     "curation_strip_dup_spans",
     # stalest fill: last green r7, registration order
@@ -497,8 +506,7 @@ _SAMPLE_PRIORITY = [
     "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
     "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
     "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
-    "dws_keyword_stats", "ads_approx_stats", "dws_session_stats",
-    "dws_sliding_windows",
+    "dws_keyword_stats",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

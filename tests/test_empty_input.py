@@ -96,6 +96,10 @@ DOC_OPS = [
     ("exact_substring_ledger", "dedup"),
     ("substring_coverage_audit", "dedup"),
     ("strip_dup_spans", "dedup"),
+    # round-14 additions
+    ("unigram_train", "curation"),
+    ("unigram_encode_corpus", "curation"),
+    ("unigram_fertility_vs_bpe", "curation"),
 ]
 
 EMB_OPS = [
