@@ -442,6 +442,7 @@ _register("text_sdm_topk", retrieval.sdm_topk, retrieval.ORACLE_SDM_TOPK, bench=
 _register("curation_unigram_train", curation.unigram_train, curation.ORACLE_UNIGRAM_TRAIN, bench=True, tags=("curation", "text", "tokenizer-training", "iterative", "viterbi-em"))
 _register("curation_unigram_encode", curation.unigram_encode_corpus, curation.ORACLE_UNIGRAM_ENCODE, tags=("curation", "text", "tokenizer-training", "train-serve", "viterbi-em"))
 _register("curation_unigram_fertility", curation.unigram_fertility_vs_bpe, curation.ORACLE_UNIGRAM_FERTILITY, tags=("curation", "text", "tokenizer-training", "fertility", "evaluation", "self-measurement"))
+_register("scale_bucketed_sdm_serve", scale.bucketed_sdm_serve, retrieval.ORACLE_SDM_TOPK, tags=("scale", "retrieval", "lexical", "proximity", "sdm", "positional-index", "bucketing", "zero-shuffle-join", "serving"))
 
 
 # =============================================================================
@@ -484,7 +485,7 @@ _REVERIFY_HEAD = ("curation_strip_dup_spans",)
 _SAMPLE_PRIORITY = [
     # never driver-verified (round-14 additions)
     "curation_unigram_train", "curation_unigram_encode",
-    "curation_unigram_fertility",
+    "curation_unigram_fertility", "scale_bucketed_sdm_serve",
     # changed-code re-verification (_REVERIFY_HEAD)
     "curation_strip_dup_spans",
     # stalest fill: last green r7, registration order
@@ -506,7 +507,6 @@ _SAMPLE_PRIORITY = [
     "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
     "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
     "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
-    "dws_keyword_stats",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -1141,3 +1141,20 @@ def test_bucketed_substring_serve_no_gram_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(gram" not in plan, plan
     assert plan.count(f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}") >= 1, plan
+
+
+def test_bucketed_sdm_serve_zero_tok_shuffle(spark, sf_dir):
+    """VERDICT r13 ask #5: every SDM leg reads a tok-bucketed layout —
+    the unigram match join AND the proximity leg-1 join SortMergeJoin
+    with NO Exchange on tok anywhere in the plan; the only shuffles
+    left are the (doc_id, w2) band join, the bounded aggs, and the
+    per-query rank window."""
+    from flink_gmall_spark.operators import scale
+
+    plan = plan_of(scale.bucketed_sdm_serve(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(tok" not in plan, plan
+    assert (
+        f"SelectedBucketsCount: {scale.BUCKET_N} out of {scale.BUCKET_N}"
+        in plan
+    ), plan

@@ -269,3 +269,18 @@ def test_bucketed_triplets_serve_equals_broadcast_path(spark, sf_dir):
         map(tuple, retrieval.retrieval_triplets(spark, sf_dir).collect())
     )
     assert bucketed == broadcast
+
+
+def test_bucketed_sdm_serve_equals_batch(spark, sf_dir):
+    """The bulk SDM serve (one bucketed positional index for both
+    window legs, single band join with conditional ordered/unordered
+    sums) must be row-identical to the batch twin — index layout and
+    leg fusion change only the shuffle bill (shared ORACLE_SDM_TOPK)."""
+    from flink_gmall_spark.operators import retrieval, scale
+
+    served = sorted(
+        map(tuple, scale.bucketed_sdm_serve(spark, sf_dir).collect())
+    )
+    batch = sorted(map(tuple, retrieval.sdm_topk(spark, sf_dir).collect()))
+    assert served == batch
+    assert batch  # non-vacuous: fixture queries produce window matches
