@@ -3782,10 +3782,20 @@ UNIGRAM_SEED_MULTI = 200  # multi-char seed pieces kept (top by count)
 UNIGRAM_EM_ITERS = 2  # fixed EM rounds (oracle unrolls the same)
 UNIGRAM_LN_SCALE = 1_000_000  # ln floor-scaled to BIGINT (ZIPF convention)
 # Unreachable-position sentinel. Real path costs are bounded by
-# L_word * ln(total)*SCALE * 64 ~ 1e13 for absurd 10k-char words, so a
+# L_word * ln(total)*SCALE ~ 2e11 for absurd 10k-char words, so a
 # sentinel-prefixed path can never beat a real one, and -1e15 * 64
-# chains stay far inside BIGINT.
+# chains stay far inside BIGINT. DIVISIBLE BY 64 by construction
+# (10^15 = 2^15·5^15): an unreachable position decodes ln = 0, which
+# stalls the backtrack walk harmlessly.
 UNIGRAM_NEG_INF = -(10**15)
+# Taint clamp: a DP step whose PREFIX cost is below this is a path
+# through an unreachable position — propagate the EXACT sentinel
+# instead of sentinel+score (otherwise a word with an unreachable
+# prefix but matchable suffix would backtrack PARTIAL pieces under a
+# pruned vocabulary, and the sweep would count it covered — caught by
+# the Python-mirror test). Real costs stay above -2e11; the decoded
+# sentinel is ~ -1.56e13.
+UNIGRAM_TAINT = -(10**13)
 
 
 def _ug_lnfloor(col: str) -> str:
@@ -3870,9 +3880,12 @@ _UG_DP = f"""
 aggregate(sequence(1, L), array(0L),
  (acc, i) -> concat(acc, array(coalesce(
    array_max(transform(filter(cands, c -> c.en = i),
-     c -> ((element_at(acc, c.en - c.ln + 1)
+     c -> CASE WHEN (element_at(acc, c.en - c.ln + 1)
             - ((element_at(acc, c.en - c.ln + 1) % 64) + 64) % 64) DIV 64
-           + c.score) * 64 + c.ln)),
+            <= {UNIGRAM_TAINT}L THEN {UNIGRAM_NEG_INF}L
+          ELSE ((element_at(acc, c.en - c.ln + 1)
+            - ((element_at(acc, c.en - c.ln + 1) % 64) + 64) % 64) DIV 64
+           + c.score) * 64 + c.ln END)),
    {UNIGRAM_NEG_INF}L))))
 """
 
@@ -3900,14 +3913,19 @@ filter(
 """
 
 # lns (rightmost-first) -> the piece substrings: piece j ends at
-# L - sum(lns[1..j-1]) and has length lns[j].
+# L - sum(lns[1..j-1]) and has length lns[j]. The empty-lns CASE guards
+# an UNSEGMENTABLE word (possible only under a PRUNED vocabulary, the
+# sweep): Spark's sequence(1, 0) steps DOWN to [1, 0] — the same trap
+# the BPE pair explode guards — and element_at(lns, 0) throws under
+# ANSI; DuckDB's range(1, 1) is [] and needs no guard.
 _UG_PIECES = """
-transform(sequence(1, size(lns)),
+CASE WHEN size(lns) = 0 THEN CAST(array() AS array<string>)
+ELSE transform(sequence(1, size(lns)),
  j -> substring(w,
        CAST(L - coalesce(aggregate(slice(lns, 1, j - 1), 0L,
                                    (s, v) -> s + v), 0L)
             - element_at(lns, j) + 1 AS INT),
-       CAST(element_at(lns, j) AS INT)))
+       CAST(element_at(lns, j) AS INT))) END
 """
 
 
@@ -4075,43 +4093,11 @@ def _unigram_stage_ctes() -> list[str]:
     ]
     for k in range(1, UNIGRAM_EM_ITERS + 1):
         stages.append(
-            f"""ugcw{k} AS (
-    SELECT w, freq, CAST(len(w) AS INT) AS L,
-           list(struct_pack(en := en, ln := ln, score := score)) AS cands
-    FROM ugcand JOIN ugv{k - 1} USING (piece) GROUP BY w, freq
-),
-ugdp{k} AS (
-    SELECT w, freq, L, list_reduce(
-      list_prepend(CAST([0] AS BIGINT[]),
-                   list_transform(range(1, L + 1), i -> CAST([i] AS BIGINT[]))),
-      (acc, x) -> list_append(acc, coalesce(
-        list_max(list_transform(list_filter(cands, c -> c.en = x[1]),
-          c -> ((acc[c.en - c.ln + 1]
-                 - ((acc[c.en - c.ln + 1] % 64) + 64) % 64) // 64
-                + c.score) * 64 + c.ln)),
-        CAST({neg} AS BIGINT)))) AS dp
-    FROM ugcw{k}
-),
-uglns{k} AS (
-    SELECT w, freq, L, list_filter(list_reduce(
-      list_prepend(CAST([] AS BIGINT[]),
-                   list_transform(range(1, L + 1), i -> CAST([] AS BIGINT[]))),
-      (acc, x) -> list_append(acc,
-          ((dp[CAST(L - coalesce(list_sum(acc), 0) AS INT) + 1]
-            % 64) + 64) % 64)), v -> v > 0) AS lns
-    FROM ugdp{k}
-),
-ugseg{k} AS (
-    SELECT w, freq, list_transform(range(1, CAST(len(lns) AS BIGINT) + 1),
-      j -> substring(w,
-            CAST(L - coalesce(list_sum(list_slice(lns, 1, CAST(j AS INT) - 1)), 0)
-                 - lns[CAST(j AS INT)] + 1 AS INT),
-            CAST(lns[CAST(j AS INT)] AS INT))) AS pieces
-    FROM uglns{k}
-),
+            _ug_viterbi_ctes(f"ugi{k}", f"ugv{k - 1}")
+            + f""",
 ugct{k} AS (
     SELECT piece, CAST(sum(freq) AS BIGINT) AS ct
-    FROM (SELECT freq, unnest(pieces) AS piece FROM ugseg{k}) GROUP BY piece
+    FROM (SELECT freq, unnest(pieces) AS piece FROM ugi{k}seg) GROUP BY piece
 ),
 ugv{k} AS (
     SELECT piece, ct,
@@ -4121,6 +4107,55 @@ ugv{k} AS (
 )"""
         )
     return stages
+
+
+def _ug_viterbi_ctes(p: str, vocab_cte: str) -> str:
+    """The Viterbi-segmentation CTE chain — ugcand joined to
+    ``vocab_cte``'s (piece, score), the DP fold, the branch-free
+    backtrack, the piece reconstruction — names prefixed with ``p``
+    ({p}cw/{p}dp/{p}lns/{p}seg). ONE definition reused by every EM
+    round, the serve pass, and the vocab-size sweep (an unsegmentable
+    word under a PRUNED vocabulary yields pieces = []: its DP tail is
+    the NEG_INF sentinel, which is divisible by 64 BY CONSTRUCTION so
+    the backtrack decodes ln = 0, stalls harmlessly, and the positive
+    filter strips everything)."""
+    return f"""{p}cw AS (
+    SELECT w, freq, CAST(len(w) AS INT) AS L,
+           list(struct_pack(en := en, ln := ln, score := score)) AS cands
+    FROM ugcand JOIN {vocab_cte} USING (piece) GROUP BY w, freq
+),
+{p}dp AS (
+    SELECT w, freq, L, list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+                   list_transform(range(1, L + 1), i -> CAST([i] AS BIGINT[]))),
+      (acc, x) -> list_append(acc, coalesce(
+        list_max(list_transform(list_filter(cands, c -> c.en = x[1]),
+          c -> CASE WHEN (acc[c.en - c.ln + 1]
+                 - ((acc[c.en - c.ln + 1] % 64) + 64) % 64) // 64
+                 <= {UNIGRAM_TAINT} THEN CAST({UNIGRAM_NEG_INF} AS BIGINT)
+               ELSE ((acc[c.en - c.ln + 1]
+                 - ((acc[c.en - c.ln + 1] % 64) + 64) % 64) // 64
+                + c.score) * 64 + c.ln END)),
+        CAST({UNIGRAM_NEG_INF} AS BIGINT)))) AS dp
+    FROM {p}cw
+),
+{p}lns AS (
+    SELECT w, freq, L, list_filter(list_reduce(
+      list_prepend(CAST([] AS BIGINT[]),
+                   list_transform(range(1, L + 1), i -> CAST([] AS BIGINT[]))),
+      (acc, x) -> list_append(acc,
+          ((dp[CAST(L - coalesce(list_sum(acc), 0) AS INT) + 1]
+            % 64) + 64) % 64)), v -> v > 0) AS lns
+    FROM {p}dp
+),
+{p}seg AS (
+    SELECT w, freq, list_transform(range(1, CAST(len(lns) AS BIGINT) + 1),
+      j -> substring(w,
+            CAST(L - coalesce(list_sum(list_slice(lns, 1, CAST(j AS INT) - 1)), 0)
+                 - lns[CAST(j AS INT)] + 1 AS INT),
+            CAST(lns[CAST(j AS INT)] AS INT))) AS pieces
+    FROM {p}lns
+)"""
 
 
 _N = UNIGRAM_EM_ITERS
@@ -4136,41 +4171,8 @@ SELECT piece, ct, score AS score_x1e6 FROM ugv{_N}
 # the serve pass = one more E-step under the trained vocabulary
 _UG_SERVE_CTES = (
     ",\n".join(_unigram_stage_ctes())
-    + f""",
-ugcws AS (
-    SELECT w, freq, CAST(len(w) AS INT) AS L,
-           list(struct_pack(en := en, ln := ln, score := score)) AS cands
-    FROM ugcand JOIN ugv{_N} USING (piece) GROUP BY w, freq
-),
-ugdps AS (
-    SELECT w, freq, L, list_reduce(
-      list_prepend(CAST([0] AS BIGINT[]),
-                   list_transform(range(1, L + 1), i -> CAST([i] AS BIGINT[]))),
-      (acc, x) -> list_append(acc, coalesce(
-        list_max(list_transform(list_filter(cands, c -> c.en = x[1]),
-          c -> ((acc[c.en - c.ln + 1]
-                 - ((acc[c.en - c.ln + 1] % 64) + 64) % 64) // 64
-                + c.score) * 64 + c.ln)),
-        CAST({UNIGRAM_NEG_INF} AS BIGINT)))) AS dp
-    FROM ugcws
-),
-uglnss AS (
-    SELECT w, freq, L, list_filter(list_reduce(
-      list_prepend(CAST([] AS BIGINT[]),
-                   list_transform(range(1, L + 1), i -> CAST([] AS BIGINT[]))),
-      (acc, x) -> list_append(acc,
-          ((dp[CAST(L - coalesce(list_sum(acc), 0) AS INT) + 1]
-            % 64) + 64) % 64)), v -> v > 0) AS lns
-    FROM ugdps
-),
-ugsegs AS (
-    SELECT w, freq, list_transform(range(1, CAST(len(lns) AS BIGINT) + 1),
-      j -> substring(w,
-            CAST(L - coalesce(list_sum(list_slice(lns, 1, CAST(j AS INT) - 1)), 0)
-                 - lns[CAST(j AS INT)] + 1 AS INT),
-            CAST(lns[CAST(j AS INT)] AS INT))) AS pieces
-    FROM uglnss
-)"""
+    + ",\n"
+    + _ug_viterbi_ctes("ugs", f"ugv{_N}")
 )
 
 ORACLE_UNIGRAM_ENCODE = (
@@ -4179,7 +4181,7 @@ ORACLE_UNIGRAM_ENCODE = (
     + """
 SELECT piece, CAST(sum(freq) AS BIGINT) AS ct,
        CAST(count(DISTINCT w) AS BIGINT) AS n_words
-FROM (SELECT w, freq, unnest(pieces) AS piece FROM ugsegs)
+FROM (SELECT w, freq, unnest(pieces) AS piece FROM ugsseg)
 GROUP BY piece
 """
 )
@@ -4191,7 +4193,7 @@ ORACLE_UNIGRAM_FERTILITY = (
     + ",\n".join(_bpe_stage_ctes())
     + f""",
 ugn AS (
-    SELECT w, CAST(len(pieces) AS BIGINT) AS n_uni FROM ugsegs
+    SELECT w, CAST(len(pieces) AS BIGINT) AS n_uni FROM ugsseg
 ),
 bpen AS (
     SELECT replace(s, ' ', '') AS w,
@@ -4211,3 +4213,176 @@ FROM ftoks LEFT JOIN ugn USING (w) LEFT JOIN bpen USING (w)
 GROUP BY lang
 """
 )
+
+
+def unigram_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under the TRAINED unigram tokenizer —
+    completes the train/encode/budget symmetry with the BPE trio
+    (bpe_token_budget's exact frame): the corpus word stream joins the
+    per-word Viterbi piece counts and reduces per document; OOV words
+    (outside the /^[a-z]+$/ len>=2 trainer domain) count 1 token — the
+    shared byte-fallback tier. Scale shape identical to
+    bpe_token_budget: the segmented dictionary is vocabulary-sized, the
+    corpus joins it on the word (broadcast while it fits, AQE decides)
+    and partial-aggregates per doc — no per-document re-tokenization."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    cand, vocab = _unigram_vocab(docs)
+    uni = _unigram_segment(cand, vocab).select(
+        "w", F.size("pieces").cast("long").alias("n_sym")
+    )
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    counted = toks.join(uni, "w", "left").select(
+        "doc_id", F.coalesce("n_sym", F.lit(1)).alias("n_sym")
+    )
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_sym").cast("long").alias("n_unigram_tokens"),
+    )
+
+
+ORACLE_UNIGRAM_BUDGET = (
+    "WITH "
+    + _UG_SERVE_CTES
+    + f""",
+ubn AS (
+    SELECT w, CAST(len(pieces) AS BIGINT) AS n_sym FROM ugsseg
+),
+ubtoks AS (SELECT doc_id, unnest({_DUCK_T}) AS w FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(COALESCE(n_sym, 1)) AS BIGINT) AS n_unigram_tokens
+FROM ubtoks LEFT JOIN ubn USING (w)
+GROUP BY doc_id
+"""
+)
+
+
+# Vocab-size operating points for the ablation sweep: singles always
+# kept (coverage tier), top-K multi-char pieces by (score desc, piece
+# asc) from the TRAINED vocabulary.
+UNIGRAM_SWEEP_KS = (10, 40, 160)
+
+
+def _unigram_prune(vocab: DataFrame, k: int) -> DataFrame:
+    """Budget-prune the trained vocabulary to all single-char pieces +
+    the top-k multi-char pieces by (score desc, piece asc) — the exact
+    deterministic total order; scores are NOT re-normalized (the sweep
+    measures segmentation quality of the shipped subset, and Viterbi
+    argmaxes are invariant to the constant total shift renormalizing
+    would apply to every path of equal piece count — fertility compares
+    paths of DIFFERENT counts, so the raw scores are the honest
+    operating point)."""
+    return vocab.filter(F.length("piece") == 1).unionByName(
+        vocab.filter(F.length("piece") > 1)
+        .orderBy(F.desc("score"), F.asc("piece"))
+        .limit(k)
+    )
+
+
+def unigram_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCAB-SIZE ABLATION — the fertility-vs-budget curve a tokenizer
+    release plots before fixing its vocabulary size: for each operating
+    point K, prune the trained vocabulary (singles + top-K multis),
+    re-segment the dictionary, and report corpus-weighted fertility
+    plus the words the pruned vocabulary can no longer cover (a word is
+    uncoverable when EM pruned some single char in training — it only
+    survived via a multi piece that the budget cut; the honest ablation
+    reports that count rather than hiding it). One row per K:
+    (k, vocab_size, n_words, n_covered, n_uncovered, n_tokens,
+    fertility_x1000 over covered words, corpus-freq-weighted).
+
+    Scale shape: the sweep re-runs only the vocabulary-sized segment
+    pass per K — the corpus is touched once (the dictionary build);
+    each operating point is a broadcast-sized join + per-row DP."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    cand, vocab = _unigram_vocab(docs)
+    dictionary = _bpe_dictionary(docs)
+    out = None
+    for k in UNIGRAM_SWEEP_KS:
+        vk = _unigram_prune(vocab, k)
+        seg = _unigram_segment(cand, vk).select(
+            "w", F.size("pieces").cast("long").alias("n_sym")
+        )
+        j = dictionary.join(seg, "w", "left").select(
+            "freq",
+            # n_sym NULL (no candidate in vk at all) or 0 (candidates
+            # exist but no full cover) are both "uncovered"
+            F.coalesce("n_sym", F.lit(0)).alias("n_sym"),
+        )
+        row = (
+            j.crossJoin(
+                F.broadcast(
+                    vk.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+                )
+            )
+            .withColumn("k", F.lit(k).cast("long"))
+            # group by the two constants: ZERO output rows on an empty
+            # corpus, matching the oracle's mirrored GROUP BY
+            .groupBy("k", "vocab_size")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.count(F.when(F.col("n_sym") > 0, 1))
+                .cast("long")
+                .alias("n_covered"),
+                F.count(F.when(F.col("n_sym") == 0, 1))
+                .cast("long")
+                .alias("n_uncovered"),
+                F.sum(F.col("freq") * F.col("n_sym"))
+                .cast("long")
+                .alias("n_tokens"),
+                F.expr(
+                    "(1000 * sum(freq * n_sym))"
+                    " DIV sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END)"
+                )
+                .cast("long")
+                .alias("fertility_x1000"),
+            )
+            .select(
+                "k", "vocab_size", "n_words", "n_covered", "n_uncovered",
+                "n_tokens", "fertility_x1000",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_unigram_sweep() -> str:
+    blocks, finals = [], []
+    for k in UNIGRAM_SWEEP_KS:
+        blocks.append(
+            f"""ugp{k} AS (
+    SELECT piece, score FROM ugv{_N} WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, score FROM (
+        SELECT piece, score FROM ugv{_N} WHERE len(piece) > 1
+        ORDER BY score DESC, piece ASC LIMIT {k})
+)"""
+        )
+        blocks.append(_ug_viterbi_ctes(f"ugk{k}", f"ugp{k}"))
+        finals.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k, vocab_size,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(CASE WHEN n_sym > 0 THEN 1 END) AS BIGINT) AS n_covered,
+       CAST(count(CASE WHEN n_sym = 0 THEN 1 END) AS BIGINT) AS n_uncovered,
+       CAST(sum(freq * n_sym) AS BIGINT) AS n_tokens,
+       (1000 * CAST(sum(freq * n_sym) AS BIGINT))
+         // CAST(sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) AS BIGINT)
+           AS fertility_x1000
+FROM (SELECT d.freq, COALESCE(CAST(len(s.pieces) AS BIGINT), 0) AS n_sym
+      FROM ugdict d LEFT JOIN ugk{k}seg s USING (w)),
+     (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM ugp{k})
+GROUP BY 1, 2"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(_unigram_stage_ctes())
+        + ",\n"
+        + ",\n".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+ORACLE_UNIGRAM_SWEEP = _oracle_unigram_sweep()

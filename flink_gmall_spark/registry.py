@@ -443,6 +443,8 @@ _register("curation_unigram_train", curation.unigram_train, curation.ORACLE_UNIG
 _register("curation_unigram_encode", curation.unigram_encode_corpus, curation.ORACLE_UNIGRAM_ENCODE, tags=("curation", "text", "tokenizer-training", "train-serve", "viterbi-em"))
 _register("curation_unigram_fertility", curation.unigram_fertility_vs_bpe, curation.ORACLE_UNIGRAM_FERTILITY, tags=("curation", "text", "tokenizer-training", "fertility", "evaluation", "self-measurement"))
 _register("scale_bucketed_sdm_serve", scale.bucketed_sdm_serve, retrieval.ORACLE_SDM_TOPK, tags=("scale", "retrieval", "lexical", "proximity", "sdm", "positional-index", "bucketing", "zero-shuffle-join", "serving"))
+_register("curation_unigram_budget", curation.unigram_token_budget, curation.ORACLE_UNIGRAM_BUDGET, tags=("curation", "text", "tokenizer-training", "train-serve", "token-accounting"))
+_register("curation_unigram_vocab_sweep", curation.unigram_vocab_sweep, curation.ORACLE_UNIGRAM_SWEEP, tags=("curation", "text", "tokenizer-training", "calibration", "evaluation", "self-measurement"))
 
 
 # =============================================================================
@@ -486,6 +488,7 @@ _SAMPLE_PRIORITY = [
     # never driver-verified (round-14 additions)
     "curation_unigram_train", "curation_unigram_encode",
     "curation_unigram_fertility", "scale_bucketed_sdm_serve",
+    "curation_unigram_budget", "curation_unigram_vocab_sweep",
     # changed-code re-verification (_REVERIFY_HEAD)
     "curation_strip_dup_spans",
     # stalest fill: last green r7, registration order
@@ -506,7 +509,7 @@ _SAMPLE_PRIORITY = [
     "dwd_config_routing", "dwd_cdc_dim_upsert", "dwd_cdc_scd2_history",
     "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
     "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
-    "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
+    "dws_visitor_stats",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

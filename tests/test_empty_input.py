@@ -100,6 +100,8 @@ DOC_OPS = [
     ("unigram_train", "curation"),
     ("unigram_encode_corpus", "curation"),
     ("unigram_fertility_vs_bpe", "curation"),
+    ("unigram_token_budget", "curation"),
+    ("unigram_vocab_sweep", "curation"),
 ]
 
 EMB_OPS = [

@@ -52,7 +52,14 @@ def _py_segment(w: str, score: dict[str, int]) -> list[str]:
             if piece in score:
                 k = dp[i - ln]
                 lnv = ((k % 64) + 64) % 64
-                key = ((k - lnv) // 64 + score[piece]) * 64 + ln
+                cost = (k - lnv) // 64
+                # taint clamp: paths through unreachable prefixes carry
+                # the EXACT sentinel (fully-segmentable-or-nothing)
+                key = (
+                    C.UNIGRAM_NEG_INF
+                    if cost <= C.UNIGRAM_TAINT
+                    else (cost + score[piece]) * 64 + ln
+                )
                 if best is None or key > best:
                     best = key
         dp.append(best if best is not None else C.UNIGRAM_NEG_INF)
@@ -190,3 +197,59 @@ def test_unigram_whole_word_pieces_win(spark, corpus_dir):
     for w in words:
         ps = _py_segment(w, score)
         assert "".join(reversed(ps)) == w, (w, ps)
+
+
+def test_unigram_budget_matches_mirror(spark, corpus_dir):
+    """Per-doc token accounting under the trained vocabulary — corpus
+    words join the segmented dictionary; OOV words cost 1 (the shared
+    byte-fallback tier with bpe_token_budget)."""
+    words = _words()
+    score = _py_score(_py_train(words))
+    n_sym = {w: len(_py_segment(w, score)) for w in words}
+    want = {}
+    for doc_id, t in CORPUS:
+        ws = t.split()
+        want[doc_id] = (len(ws), sum(n_sym.get(w, 1) for w in ws))
+    got = {
+        r.doc_id: (r.n_words, r.n_unigram_tokens)
+        for r in C.unigram_token_budget(spark, corpus_dir).collect()
+    }
+    assert got == want
+
+
+def test_unigram_vocab_sweep_matches_mirror(spark, corpus_dir):
+    """The fertility-vs-budget curve: each operating point prunes the
+    trained vocabulary to singles + top-K multis by (score desc, piece
+    asc), re-segments, and reports coverage + corpus-weighted fertility.
+    Coverage is non-decreasing in K (a covered word's path survives any
+    vocabulary growth) and the largest K on this tiny corpus keeps every
+    multi, so it reproduces full-vocabulary coverage (zero uncovered)."""
+    words = _words()
+    trained_ct = _py_train(words)
+    score = _py_score(trained_ct)
+    rows = {
+        r.k: r for r in C.unigram_vocab_sweep(spark, corpus_dir).collect()
+    }
+    assert set(rows) == set(C.UNIGRAM_SWEEP_KS)
+    prev_cov = -1
+    for k in sorted(C.UNIGRAM_SWEEP_KS):
+        singles = {p: s for p, s in score.items() if len(p) == 1}
+        multis = sorted(
+            ((p, s) for p, s in score.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        vk = {**singles, **dict(multis)}
+        n_sym = {w: len(_py_segment(w, vk)) for w in words}
+        covered = {w for w, n in n_sym.items() if n > 0}
+        n_tok = sum(words[w] * n_sym[w] for w in words)
+        cov_freq = sum(words[w] for w in covered)
+        r = rows[k]
+        assert r.vocab_size == len(vk)
+        assert r.n_words == len(words)
+        assert r.n_covered == len(covered)
+        assert r.n_uncovered == len(words) - len(covered)
+        assert r.n_tokens == n_tok
+        assert r.fertility_x1000 == (1000 * n_tok) // cov_freq
+        assert r.n_covered >= prev_cov
+        prev_cov = r.n_covered
+    assert rows[max(C.UNIGRAM_SWEEP_KS)].n_uncovered == 0
