@@ -2015,24 +2015,34 @@ def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.lit(PROX_WINDOW + 1) - F.col("span")).alias("pu"))
     )
-    fused = (
-        bm.join(o, ["query_id", "doc_id"], "left_outer")
-        .join(u, ["query_id", "doc_id"], "left_outer")
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("bm25_score").cast("long").alias("bm25_score"),
-            F.coalesce("po", F.lit(0)).cast("long").alias("prox_ordered"),
-            F.coalesce("pu", F.lit(0)).cast("long").alias("prox_unordered"),
+    return sdm_fuse(
+        bm.join(o, ["query_id", "doc_id"], "left_outer").join(
+            u, ["query_id", "doc_id"], "left_outer"
         )
-        .withColumn(
-            "sdm_score",
-            (
-                F.lit(SDM_UNI_W) * F.col("bm25_score")
-                + F.lit(SDM_ORD_W) * F.col("prox_ordered")
-                + F.lit(SDM_UNW_W) * F.col("prox_unordered")
-            ).cast("long"),
-        )
+    )
+
+
+def sdm_fuse(pairs: DataFrame) -> DataFrame:
+    """Fusion scaling + rank window over the joined SDM feature frame —
+    shared VERBATIM by the batch entry and the stream serve twin.
+    ``pairs``: (query_id, doc_id, bm25_score, po nullable, pu nullable)
+    with the LEXICAL matches as the base rows (the batch side LEFT-joins
+    the window aggs onto them; the stream side pivots one tagged drain —
+    either way, lossless by the window-match ⊆ lexical-match invariant,
+    test_sdm_prox_pairs_subset_of_bm25)."""
+    fused = pairs.select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_score").cast("long").alias("bm25_score"),
+        F.coalesce("po", F.lit(0)).cast("long").alias("prox_ordered"),
+        F.coalesce("pu", F.lit(0)).cast("long").alias("prox_unordered"),
+    ).withColumn(
+        "sdm_score",
+        (
+            F.lit(SDM_UNI_W) * F.col("bm25_score")
+            + F.lit(SDM_ORD_W) * F.col("prox_ordered")
+            + F.lit(SDM_UNW_W) * F.col("prox_unordered")
+        ).cast("long"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sdm_score"), F.asc("doc_id")

@@ -445,6 +445,7 @@ _register("curation_unigram_fertility", curation.unigram_fertility_vs_bpe, curat
 _register("scale_bucketed_sdm_serve", scale.bucketed_sdm_serve, retrieval.ORACLE_SDM_TOPK, tags=("scale", "retrieval", "lexical", "proximity", "sdm", "positional-index", "bucketing", "zero-shuffle-join", "serving"))
 _register("curation_unigram_budget", curation.unigram_token_budget, curation.ORACLE_UNIGRAM_BUDGET, tags=("curation", "text", "tokenizer-training", "train-serve", "token-accounting"))
 _register("curation_unigram_vocab_sweep", curation.unigram_vocab_sweep, curation.ORACLE_UNIGRAM_SWEEP, tags=("curation", "text", "tokenizer-training", "calibration", "evaluation", "self-measurement"))
+_register("stream_sdm_serve", stream_jobs.stream_sdm_serve, retrieval.ORACLE_SDM_TOPK, tags=("streaming", "retrieval", "lexical", "proximity", "sdm", "rank-fusion", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -489,6 +490,7 @@ _SAMPLE_PRIORITY = [
     "curation_unigram_train", "curation_unigram_encode",
     "curation_unigram_fertility", "scale_bucketed_sdm_serve",
     "curation_unigram_budget", "curation_unigram_vocab_sweep",
+    "stream_sdm_serve",
     # changed-code re-verification (_REVERIFY_HEAD)
     "curation_strip_dup_spans",
     # stalest fill: last green r7, registration order
@@ -509,7 +511,6 @@ _SAMPLE_PRIORITY = [
     "dwd_config_routing", "dwd_cdc_dim_upsert", "dwd_cdc_scd2_history",
     "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
     "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv", "t3_jump_out",
-    "dws_visitor_stats",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -2474,6 +2474,77 @@ def stream_proximity_unordered_serve(spark: SparkSession, sf_dir: str) -> DataFr
     return proximity_finish(run_to_memory(matches, "append"))
 
 
+def stream_sdm_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_sdm_topk as a SERVING job — SDM queries ARRIVING ON A STREAM
+    probe the static corpus: all three feature legs (unigram BM25
+    match, ordered window, unordered window) run as stream-static joins
+    off the arriving-query stream and UNION into ONE append sink — a
+    deployed endpoint drains one tagged match stream, not three
+    queries. Per-arriving-query work is stateless (tokenize / pair
+    explode + equi-joins, broadcast hint off per the serve contract);
+    the per-(query, doc) sums, LEFT-join fusion, and rank window apply
+    batch-side on the drained legs via retrieval.sdm_fuse (shared
+    VERBATIM with the batch entry). Shares ORACLE_SDM_TOPK: the served
+    SDM ranking is hash-identical to the batch index probe by
+    contract."""
+    from flink_gmall_spark.operators.retrieval import (
+        PROX_WINDOW,
+        bm25_match,
+        pos_index,
+        proximity_matches,
+        query_bigram_occurrences,
+        query_occurrences,
+        scored_postings,
+        sdm_fuse,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    sp, idx = scored_postings(docs), pos_index(docs)
+    qocc = query_occurrences(read_stream(spark, sf_dir, "documents"))
+    qbg = query_bigram_occurrences(read_stream(spark, sf_dir, "documents"))
+    closeness = (F.lit(PROX_WINDOW + 1) - F.col("span")).cast("long")
+    legs = (
+        bm25_match(qocc, sp, broadcast=False)
+        .select(
+            "query_id", "doc_id", F.lit("uni").alias("leg"),
+            F.col("score_i").cast("long").alias("val"),
+        )
+        .unionByName(
+            proximity_matches(qbg, idx, broadcast=False).select(
+                "query_id", "doc_id", F.lit("ord").alias("leg"),
+                closeness.alias("val"),
+            )
+        )
+        .unionByName(
+            proximity_matches(qbg, idx, broadcast=False, ordered=False).select(
+                "query_id", "doc_id", F.lit("unw").alias("leg"),
+                closeness.alias("val"),
+            )
+        )
+    )
+    drained = run_to_memory(legs, "append")
+    # ONE pivot aggregation over the tagged drain (three filtered aggs
+    # re-joined would self-join one memory table — conflicting-reference
+    # analysis error, and three passes where one suffices). Base rows =
+    # lexical matches: bm25_score IS NULL would mean a window match with
+    # no term match, impossible by the capped-index invariant — the
+    # filter mirrors the batch side's bm-anchored LEFT joins exactly.
+    pairs = (
+        drained.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.when(F.col("leg") == "uni", F.col("val"))).alias(
+                "bm25_score"
+            ),
+            F.sum(F.when(F.col("leg") == "ord", F.col("val"))).alias("po"),
+            F.sum(F.when(F.col("leg") == "unw", F.col("val"))).alias("pu"),
+        )
+        .filter(F.col("bm25_score").isNotNull())
+    )
+    return sdm_fuse(pairs)
+
+
 def stream_exact_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_exact_substring_runs as a PROBE job — documents ARRIVING ON
     A STREAM are matched against the STATIC capped positional gram

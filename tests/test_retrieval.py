@@ -1614,3 +1614,17 @@ def test_sdm_reranks_vs_plain_bm25(spark, sf_dir):
             + R.SDM_ORD_W * r.prox_ordered
             + R.SDM_UNW_W * r.prox_unordered
         )
+
+
+def test_stream_sdm_serve_equals_batch(spark, sf_dir):
+    """The streamed SDM endpoint (three feature legs unioned into one
+    tagged append drain, fusion batch-side via the shared sdm_fuse)
+    must be row-identical to the batch entry — transport must never
+    change the fused ranking (shared ORACLE_SDM_TOPK)."""
+    from flink_gmall_spark.operators.retrieval import sdm_topk
+    from flink_gmall_spark.streaming.jobs import stream_sdm_serve
+
+    served = sorted(map(tuple, stream_sdm_serve(spark, sf_dir).collect()))
+    batch = sorted(map(tuple, sdm_topk(spark, sf_dir).collect()))
+    assert served == batch
+    assert batch  # non-vacuous
