@@ -4386,3 +4386,176 @@ GROUP BY 1, 2"""
 
 
 ORACLE_UNIGRAM_SWEEP = _oracle_unigram_sweep()
+
+
+# =============================================================================
+# Blocklist phrase scrub (round 14) — exact multi-token banned-phrase
+# matching + span removal, the policy-filter step of a curation
+# pipeline (licensing strings, spam CTAs, template boilerplate given
+# as literal phrases). Aho-Corasick semantics, join-parallel form:
+# every corpus token joins the (tiny, broadcast) blocklist term table,
+# each hit votes for the anchor position `pos - term_idx`, and an
+# anchor where all k terms voted is a match — repeated-token phrases
+# work because the vote is per (term_idx), not per token value. The
+# cut itself reuses the exact-substring machinery verbatim
+# (dedup.merged_spans + dedup.apply_span_cuts), so the scrub and the
+# dedup rewrite cannot diverge in span semantics.
+# =============================================================================
+
+# Fixture-realistic policy phrases (2- and 3-token; lowercase alpha so
+# the SQL interpolation is quoting-safe).
+BLOCKLIST_PHRASES = (
+    "table hash",
+    "customer join",
+    "merge group",
+    "slow hash batch",
+    "window fast query",
+)
+
+
+def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc blocklist-scrub ledger: (doc_id, n_tokens, kept_tokens,
+    removed_tokens, kept_md5, n_hits) — every occurrence of every
+    banned phrase located (anchor voting over ONE tokens⋈terms
+    equi-join), overlapping hits merged to disjoint spans, spans cut by
+    the shared gap-slice rewrite, kept text hash-pinned.
+
+    Scale shape (100 TB): the blocklist is policy-sized — the term
+    table broadcasts; per-corpus work is one posexplode scan, one
+    broadcast join, one (doc, phrase, anchor) partial-agg, and the
+    map-side cut after a per-doc span rollup. No df caps (a policy
+    filter must be exhaustive — unlike retrieval's capped index,
+    missing a stop-phrase in a common document is the failure mode)."""
+    from flink_gmall_spark.operators.dedup import apply_span_cuts, merged_spans
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    terms = [
+        (pid, ti, tok, len(p.split()))
+        for pid, p in enumerate(BLOCKLIST_PHRASES)
+        for ti, tok in enumerate(p.split())
+    ]
+    bl = spark.createDataFrame(
+        terms, "pid int, ti int, tok string, k int"
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    )
+    hits = (
+        toks.join(F.broadcast(bl), "tok")
+        .filter(F.col("pos") >= F.col("ti"))
+        .groupBy("doc_id", "pid", "k", (F.col("pos") - F.col("ti")).alias("anchor"))
+        .agg(F.countDistinct("ti").alias("n_terms"))
+        .filter(F.col("n_terms") == F.col("k"))
+        .select("doc_id", "pid", "anchor", "k")
+    )
+    n_hits = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    spans = hits.select(
+        "doc_id",
+        F.col("anchor").alias("st"),
+        (F.col("anchor") + F.col("k") - 1).alias("en"),
+    ).distinct()
+    span_arr = (
+        merged_spans(spans)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("mst", "men"))).alias("cuts"))
+    )
+    t = docs.select("doc_id", tokens_col("text").alias("t"))
+    return (
+        apply_span_cuts(t.join(span_arr, "doc_id", "left_outer"))
+        .join(n_hits, "doc_id", "left_outer")
+        .select(
+            "doc_id", "n_tokens", "kept_tokens", "removed_tokens", "kept_md5",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def _oracle_blocklist() -> str:
+    rows = ",\n        ".join(
+        f"({pid}, {ti}, '{tok}', {len(p.split())})"
+        for pid, p in enumerate(BLOCKLIST_PHRASES)
+        for ti, tok in enumerate(p.split())
+    )
+    return f"""
+WITH bl(pid, ti, tok, k) AS (
+    VALUES {rows}
+),
+blt AS (
+    SELECT doc_id, {_DUCK_T} AS t FROM documents
+),
+bltok AS (
+    SELECT doc_id, t, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM blt
+),
+blhits AS (
+    SELECT doc_id, pid, k, pos - ti AS anchor,
+           count(DISTINCT ti) AS n_terms
+    FROM bltok JOIN bl USING (tok)
+    WHERE pos >= ti
+    GROUP BY doc_id, pid, k, pos - ti
+    HAVING count(DISTINCT ti) = k
+),
+blnh AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM blhits GROUP BY doc_id
+),
+blspans AS (
+    SELECT DISTINCT doc_id, anchor AS st, anchor + k - 1 AS en FROM blhits
+),
+blflag AS (
+    SELECT doc_id, st, en,
+           CASE WHEN max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR st > max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_isl
+    FROM blspans
+),
+blisl AS (
+    SELECT doc_id, st, en,
+           sum(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM blflag
+),
+blmerged AS (
+    SELECT doc_id, isl, min(st) AS mst, max(en) AS men
+    FROM blisl GROUP BY doc_id, isl
+),
+blcut AS (
+    SELECT b.doc_id, b.tok, b.pos
+    FROM bltok b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM blmerged m
+        WHERE m.doc_id = b.doc_id AND b.pos >= m.mst AND b.pos <= m.men
+    )
+),
+blkept AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+           CAST(count(*) AS BIGINT) AS kept_tokens
+    FROM blcut GROUP BY doc_id
+),
+bllens AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM blt
+)
+SELECT l.doc_id, l.n_tokens,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(l.n_tokens - coalesce(k.kept_tokens, 0) AS BIGINT)
+           AS removed_tokens,
+       md5(coalesce(k.kept_text, '')) AS kept_md5,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM bllens l
+LEFT JOIN blkept k USING (doc_id)
+LEFT JOIN blnh h USING (doc_id)
+"""
+
+
+ORACLE_BLOCKLIST_SCRUB = _oracle_blocklist()

@@ -1658,3 +1658,54 @@ def test_strip_dup_spans_long_document_is_linear(spark):
     r1 = got[1]
     assert (r1.kept_tokens, r1.removed_tokens) == (n, 0)
     assert r1.kept_md5 == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+def test_blocklist_scrub_crafted(spark, tmp_path):
+    """Anchor-vote semantics on a crafted corpus: multiple phrases per
+    doc, adjacent spans, repeated occurrences of one phrase, a fully
+    wiped doc, an untouched doc — removed counts and kept hashes match
+    a direct Python mirror."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_gmall_spark.operators import curation as C
+
+    docs = [
+        (0, "x slow hash batch y table hash merge group"),
+        (1, "table hash"),                        # full wipe
+        (2, "plain words only here"),             # untouched
+        (3, "table hash z table hash"),           # same phrase twice
+        (4, "slow hash plain batch"),             # near-miss: no hit
+    ]
+    d = str(tmp_path / "bl_sf")
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("t").alias("source"),
+        F.length("text").alias("n_chars"),
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    phrases = [p.split() for p in C.BLOCKLIST_PHRASES]
+    want = {}
+    for doc_id, text in docs:
+        ts = text.split()
+        cut, hits = set(), 0
+        for p in phrases:
+            for a in range(len(ts) - len(p) + 1):
+                if ts[a : a + len(p)] == p:
+                    hits += 1
+                    cut.update(range(a, a + len(p)))
+        kept = [w for i, w in enumerate(ts) if i not in cut]
+        want[doc_id] = (
+            len(ts), len(kept), len(ts) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(), hits,
+        )
+    got = {
+        r.doc_id: (
+            r.n_tokens, r.kept_tokens, r.removed_tokens, r.kept_md5, r.n_hits
+        )
+        for r in C.blocklist_scrub(spark, d).collect()
+    }
+    assert got == want
+    assert want[0][4] == 3 and want[1][1] == 0 and want[3][4] == 2

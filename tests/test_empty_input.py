@@ -102,6 +102,7 @@ DOC_OPS = [
     ("unigram_fertility_vs_bpe", "curation"),
     ("unigram_token_budget", "curation"),
     ("unigram_vocab_sweep", "curation"),
+    ("blocklist_scrub", "curation"),
 ]
 
 EMB_OPS = [
