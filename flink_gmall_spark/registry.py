@@ -447,6 +447,7 @@ _register("curation_unigram_budget", curation.unigram_token_budget, curation.ORA
 _register("curation_unigram_vocab_sweep", curation.unigram_vocab_sweep, curation.ORACLE_UNIGRAM_SWEEP, tags=("curation", "text", "tokenizer-training", "calibration", "evaluation", "self-measurement"))
 _register("stream_sdm_serve", stream_jobs.stream_sdm_serve, retrieval.ORACLE_SDM_TOPK, tags=("streaming", "retrieval", "lexical", "proximity", "sdm", "rank-fusion", "serving", "append-mode"))
 _register("curation_blocklist_scrub", curation.blocklist_scrub, curation.ORACLE_BLOCKLIST_SCRUB, tags=("curation", "text", "policy-filter", "phrase-match", "corpus-rewrite"))
+_register("stream_blocklist_scrub", stream_jobs.stream_blocklist_scrub, curation.ORACLE_BLOCKLIST_SCRUB, tags=("streaming", "curation", "policy-filter", "phrase-match", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -492,6 +493,7 @@ _SAMPLE_PRIORITY = [
     "curation_unigram_fertility", "scale_bucketed_sdm_serve",
     "curation_unigram_budget", "curation_unigram_vocab_sweep",
     "stream_sdm_serve", "curation_blocklist_scrub",
+    "stream_blocklist_scrub",
     # changed-code re-verification (_REVERIFY_HEAD)
     "curation_strip_dup_spans",
     # stalest fill: last green r7, registration order
@@ -511,7 +513,7 @@ _SAMPLE_PRIORITY = [
     "curation_domain_cap", "dwd_page_views", "dwd_clean_dirty_split",
     "dwd_config_routing", "dwd_cdc_dim_upsert", "dwd_cdc_scd2_history",
     "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
-    "dwm_payment_wide", "t1_visit_flag", "t2_daily_uv",
+    "dwm_payment_wide", "t1_visit_flag",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

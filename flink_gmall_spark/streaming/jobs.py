@@ -2545,6 +2545,72 @@ def stream_sdm_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdm_fuse(pairs)
 
 
+def stream_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.blocklist_scrub at INGEST TIME — documents arriving on
+    a stream are matched against the static (broadcast-sized) blocklist
+    term table as they land: per-arriving-doc work is the stateless
+    posexplode plus one stream-static equi-join on the token; the
+    bounded VOTE rows (only tokens that appear in some banned phrase)
+    drain to the sink, and the anchor grouping, span merge, and
+    gap-slice cut apply batch-side over the drained votes — the anchor
+    vote is a keyed aggregation, so it cannot run in append mode, and
+    a deployed scrubber would fold it per micro-batch in foreachBatch
+    (the T9 sink discipline). Shares ORACLE_BLOCKLIST_SCRUB: the
+    ingest-time scrub ledger is hash-identical to the batch corpus
+    pass by contract."""
+    from flink_gmall_spark.operators.curation import BLOCKLIST_PHRASES
+    from flink_gmall_spark.operators.dedup import apply_span_cuts, merged_spans
+    from flink_gmall_spark.functions.tokenize import tokens_col
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    terms = [
+        (pid, ti, tok, len(p.split()))
+        for pid, p in enumerate(BLOCKLIST_PHRASES)
+        for ti, tok in enumerate(p.split())
+    ]
+    bl = spark.createDataFrame(terms, "pid int, ti int, tok string, k int")
+    stoks = read_stream(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok")
+    )
+    votes = run_to_memory(
+        stoks.join(F.broadcast(bl), "tok").filter(F.col("pos") >= F.col("ti")),
+        "append",
+    )
+    hits = (
+        votes.groupBy(
+            "doc_id", "pid", "k", (F.col("pos") - F.col("ti")).alias("anchor")
+        )
+        .agg(F.countDistinct("ti").alias("n_terms"))
+        .filter(F.col("n_terms") == F.col("k"))
+        .select("doc_id", "pid", "anchor", "k")
+    )
+    n_hits = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    spans = hits.select(
+        "doc_id",
+        F.col("anchor").alias("st"),
+        (F.col("anchor") + F.col("k") - 1).alias("en"),
+    ).distinct()
+    span_arr = (
+        merged_spans(spans)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("mst", "men"))).alias("cuts"))
+    )
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("t")
+    )
+    return (
+        apply_span_cuts(t.join(span_arr, "doc_id", "left_outer"))
+        .join(n_hits, "doc_id", "left_outer")
+        .select(
+            "doc_id", "n_tokens", "kept_tokens", "removed_tokens", "kept_md5",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
 def stream_exact_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_exact_substring_runs as a PROBE job — documents ARRIVING ON
     A STREAM are matched against the STATIC capped positional gram

@@ -1709,3 +1709,16 @@ def test_blocklist_scrub_crafted(spark, tmp_path):
     }
     assert got == want
     assert want[0][4] == 3 and want[1][1] == 0 and want[3][4] == 2
+
+
+def test_stream_blocklist_scrub_equals_batch(spark, sf_dir):
+    """The ingest-time scrub (stream-static vote join, anchor/span/cut
+    batch-side) must be row-identical to the batch corpus pass —
+    transport must never change the scrub ledger (shared oracle)."""
+    from flink_gmall_spark.operators.curation import blocklist_scrub
+    from flink_gmall_spark.streaming.jobs import stream_blocklist_scrub
+
+    served = sorted(map(tuple, stream_blocklist_scrub(spark, sf_dir).collect()))
+    batch = sorted(map(tuple, blocklist_scrub(spark, sf_dir).collect()))
+    assert served == batch
+    assert any(r[-1] > 0 for r in batch)  # non-vacuous: real hits
