@@ -12,9 +12,13 @@ emits one composite JSON line with the same `queries_median` /
 `value_median_anchor24` fields a clean run would have, plus per-query
 provenance counts.
 
-Usage: python tools/bench_clean_composite.py [r14] [> out.json]
+Usage: python tools/bench_clean_composite.py [r14] [--exclude sub1,sub2]
 A query with NO clean window in any attempt is reported null and
 counted in `n_never_clean` — the composite is honest about holes.
+--exclude drops attempts whose filename contains any given substring —
+for attempts KNOWN to have overlapped a same-host dev workload, which
+inflates windows without tripping the steal stamp (the excluded names
+are recorded in the output for auditability).
 """
 
 from __future__ import annotations
@@ -33,12 +37,20 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "r14"
+    args = sys.argv[1:]
+    rnd = args[0] if args and not args[0].startswith("--") else "r14"
+    excl: list[str] = []
+    if "--exclude" in args:
+        excl = args[args.index("--exclude") + 1].split(",")
     files = sorted(glob.glob(os.path.join(REPO, f"BENCH_local_{rnd}_attempt*.json")))
-    attempts = []
+    attempts, excluded = [], []
     for f in files:
+        base = os.path.basename(f)
+        if any(e in base for e in excl):
+            excluded.append(base)
+            continue
         try:
-            attempts.append((os.path.basename(f), json.load(open(f))))
+            attempts.append((base, json.load(open(f))))
         except Exception:
             continue
     if not attempts:
@@ -81,6 +93,7 @@ def main() -> None:
         "value_median_anchor24": round(sum(anchor), 3),
         "anchor24_complete": len(anchor) == len(ANCHOR_24),
         "steal_gate": STEAL_GATE,
+        "excluded_attempts": excluded,
     }
     print(json.dumps(out))
 
