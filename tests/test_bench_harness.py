@@ -141,15 +141,27 @@ def test_idle_gate_passes_immediately_on_quiet_host(monkeypatch):
 def test_idle_gate_waits_until_steal_drains(monkeypatch):
     """The r12 gap: load1 quiet but the hypervisor stealing 5.9 % — the
     gate must keep polling until the steal probe drops under the gate,
-    and record the last probe value."""
+    and record the last probe value. Since r14 the probe's sampling
+    window IS the poll sleep (ADVICE r13), so with a mocked
+    instant-return probe the measured wall wait legitimately rounds to
+    0 — the loop evidence is the consumed probe sequence plus the
+    recorded wait marker, not a wall-clock lower bound."""
     _pin_cpus(monkeypatch)
     monkeypatch.setattr(bench, "_host_snapshot", lambda: {"load1": 0.5})
+    calls = []
     steals = iter([0.059, 0.03, 0.004])
-    monkeypatch.setattr(
-        bench, "_steal_probe", lambda window_s=3.0: next(steals, 0.004)
-    )
+
+    def probe(window_s=3.0):
+        calls.append(window_s)
+        return next(steals, 0.004)
+
+    monkeypatch.setattr(bench, "_steal_probe", probe)
     gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
-    assert gate["gated_wait_s"] > 0
+    # initial probe (0.059) + two in-loop probes (0.03 gated, 0.004 clean)
+    assert len(calls) == 3
+    # the in-loop probes doubled as the poll sleep (window == poll_s)
+    assert calls[1:] == [0.01, 0.01]
+    assert "gated_wait_s" in gate
     assert gate["steal_pre"] == 0.004
     assert "gate_gave_up" not in gate
 
@@ -157,11 +169,21 @@ def test_idle_gate_waits_until_steal_drains(monkeypatch):
 def test_idle_gate_waits_until_load_drains(monkeypatch):
     _pin_cpus(monkeypatch)
     loads = iter([22.0, 9.0, 0.8])
-    monkeypatch.setattr(
-        bench, "_host_snapshot", lambda: {"load1": next(loads, 0.8)}
-    )
+    snaps = []
+
+    def snapshot():
+        v = next(loads, 0.8)
+        snaps.append(v)
+        return {"load1": v}
+
+    monkeypatch.setattr(bench, "_host_snapshot", snapshot)
     gate = bench._wait_for_idle_host(max_wait_s=600, poll_s=0.01)
-    assert gate["gated_wait_s"] > 0
+    # the gate re-snapshotted until load1 drained under 2*ncpu/16 = 4.0
+    # (the un-mocked steal probe also reads snapshots — jiffies absent,
+    # so it abstains — hence the extra draws interleaved with the gate's
+    # own load reads; what matters is it started hot and exited clean)
+    assert snaps[0] == 22.0 and snaps[-1] == 0.8
+    assert "gated_wait_s" in gate
     assert "gate_gave_up" not in gate
 
 
