@@ -184,8 +184,37 @@ def read_stream(
 
 
 def run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
-    """Drive a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the materialized table."""
+    """Drive a streaming DataFrame to completion (availableNow) and
+    return the materialized drain.
+
+    Append-mode drains go to a DISK-backed parquet staging (scratch
+    dir), not a memory sink: a memory sink pins its rows in DRIVER heap
+    for the session's lifetime, and a driver session that runs every
+    registry entry accumulates ~80 stream-twin drains — the round-14
+    full sim OOMed the 1 GiB mirror heap at entry ~250 exactly this
+    way. The parquet staging costs one local write+read and frees the
+    heap entirely; at any corpus scale it is also the honest transport
+    (a real drain lands on storage, not in the driver). Update- and
+    complete-mode drains keep the memory sink — the file sink cannot
+    express them, and those drains are small aggregate states by
+    construction."""
+    spark = result.sparkSession
+    if output_mode == "append":
+        from flink_gmall_spark.scratch import scratch_dir
+
+        path = scratch_dir("stream_drain", uuid.uuid4().hex[:12])
+        out = os.path.join(path, "rows")
+        q = (
+            result.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(path, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        os.makedirs(out, exist_ok=True)  # zero-batch drain: empty dir
+        return spark.read.schema(result.schema).parquet(out)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         result.writeStream.outputMode(output_mode)
@@ -195,7 +224,6 @@ def run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    spark = result.sparkSession
     return spark.table(name)
 
 
