@@ -477,43 +477,46 @@ _REGISTRATION_ORDER = tuple(_REGISTRY)
 # advances the derived window, so the ledger, a restaged
 # _SAMPLE_PRIORITY, and a cleared/updated _REVERIFY_HEAD must land in
 # ONE commit or tests/test_freshness.py fails in between.
-# Round 14 linearized the strip_dup_spans span cut (gap-slice flatten
-# replacing the per-token exists() scan — VERDICT r13 `weak`).
-_REVERIFY_HEAD = ("curation_strip_dup_spans",)
+# Round 15: cleared — curation_strip_dup_spans re-greened in r14
+# (VERDICT r14 "what's wrong" bullet: clear in the restage commit).
+_REVERIFY_HEAD = ()
 
-# Round-14 window, derived by the rule above: the re-verification head,
-# then pure stalest-fill (no never-green entries at round start —
-# CORRECTNESS_r13 greened all 11 round-13 additions) — the 17 r7-latest
-# leftovers (streaming twins + curation/text stragglers) then the r8
-# cohort in registration order. Restaged as round-14 additions land —
+# Round-15 window, derived by the rule above. DEPTH-OVER-BREADTH
+# (VERDICT r14 ask #5): at 318 entries and 50 samples/round, even
+# perfect rotation gives ceil(318/50) ≈ 7-round worst-case staleness —
+# the original ≤5-round intent is arithmetically unreachable, and every
+# net-new entry dilutes re-verification density further. Round 15
+# therefore holds net-new registrations to ≤5 and spends the window on
+# re-verification: at round start it is PURE stalest-fill (no
+# never-green entries — CORRECTNESS_r14 greened all 9 r14 additions,
+# no re-verify head) — the 27 r8-latest leftovers then the r9 cohort
+# in registration order. Restaged if round-15 additions land —
 # tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
-    # never driver-verified (round-14 additions)
-    "curation_unigram_train", "curation_unigram_encode",
-    "curation_unigram_fertility", "scale_bucketed_sdm_serve",
-    "curation_unigram_budget", "curation_unigram_vocab_sweep",
-    "stream_sdm_serve", "curation_blocklist_scrub",
-    "stream_blocklist_scrub",
-    # changed-code re-verification (_REVERIFY_HEAD)
-    "curation_strip_dup_spans",
-    # stalest fill: last green r7, registration order
-    "stream_pyds_cdc_upsert", "stream_j1_order_detail_wide",
-    "stream_t1_visit_flag", "stream_t2_daily_uv", "stream_t3_jump_out",
-    "stream_session_windows", "stream_keyword_stats",
-    "stream_windowed_append", "stream_left_outer_join",
-    "stream_event_transitions", "stream_last_touch_attribution",
-    "stream_pit_features", "stream_session_transitions",
-    "stream_cohort_retention", "stream_timed_funnel",
-    "curation_boilerplate_lines", "text_sparse_topk_pairs",
     # stalest fill: last green r8, registration order
-    "curation_pack_chunks", "curation_mixture_sample",
-    "curation_pipeline_e2e", "stream_j2_payment_wide",
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    "curation_domain_cap", "dwd_page_views", "dwd_clean_dirty_split",
-    "dwd_config_routing", "dwd_cdc_dim_upsert", "dwd_cdc_scd2_history",
-    "dwd_cdc_asof_join", "dwm_order_wide", "dwm_order_detail_wide",
-    "dwm_payment_wide", "t1_visit_flag",
+    "t2_daily_uv", "t3_jump_out",
+    "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
+    "dws_keyword_stats", "ads_approx_stats", "dws_session_stats",
+    "dws_sliding_windows", "dws_session_windows",
+    "stream_visitor_stats", "stream_product_stats",
+    "scale_zorder_layout", "scale_join_preflight",
+    "curation_decontaminate_bloom", "curation_mixture_temperature",
+    "curation_filter_funnel", "text_frequent_terms",
+    "ads_kanon_export", "stream_filter_funnel", "stream_kanon_export",
+    "dwd_cdc_delete_aware_agg", "ads_rolling_activity_7d",
+    "curation_source_overlap", "stream_rolling_activity_7d",
+    "stream_decontaminate_bloom", "curation_recipe_v2",
+    # stalest fill: last green r9, registration order
+    "sim_block_topk", "sim_label_centroids", "multimodal_embed_stub",
+    "ads_conversion_funnel", "scale_salted_status_rollup",
+    "scale_bucketed_join", "scale_skew_join_aqe",
+    "scale_binned_range_join", "udaf_activity_streaks",
+    "pipeline_e2e_hourly", "stream_dedup_within_watermark",
+    "stream_dedup_fingerprints", "stream_province_stats",
+    "stream_pipeline_payment_province", "source_pyds_cdc_upsert",
+    "sink_pyds_dim_roundtrip", "stream_pyds_cdc_dist",
+    "dws_supplier_stats", "ads_gmv_by_date", "ads_top_brands",
+    "ads_hourly_stats", "ads_status_stats", "ads_user_scores",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -176,6 +176,14 @@ def main() -> None:
         "never-green + declared re-verifications + stalest by (last green",
         "round, registration order).",
         "",
+        f"**Depth-over-breadth policy (round 15+):** at {len(reg)} entries",
+        f"and {WINDOW_SIZE} samples/round, perfect rotation still leaves a",
+        f"worst-case staleness of ceil({len(reg)}/{WINDOW_SIZE}) =",
+        f"{-(-len(reg) // WINDOW_SIZE)} rounds, and every net-new entry",
+        "dilutes re-verification density further. New registrations are",
+        "held to ≤5/round unless a VERDICT ask demands more; window slots",
+        "go to re-verification first.",
+        "",
         "| last green | n | entries |",
         "|---|---|---|",
     ]
