@@ -127,6 +127,10 @@ def _steal_probe(window_s: float = 3.0) -> float | None:
     between two /proc/stat reads — cheap next to a multi-minute bench."""
     b = _host_snapshot().get("jiffies")
     if not b:
+        # Still sleep: callers use the probe's window AS the idle-gate
+        # poll interval (ADVICE r14 — returning before the sleep on a
+        # jiffy-less host busy-spins the getloadavg loop).
+        time.sleep(window_s)
         return None
     time.sleep(window_s)
     a = _host_snapshot().get("jiffies")

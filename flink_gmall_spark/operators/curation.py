@@ -4332,9 +4332,13 @@ def unigram_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("freq") * F.col("n_sym"))
                 .cast("long")
                 .alias("n_tokens"),
+                # all-uncovered K ⇒ NULL fertility, not a divide-by-zero
+                # (ADVICE r14: ANSI DIV raises where DuckDB // NULLs;
+                # guard BOTH engines explicitly)
                 F.expr(
-                    "(1000 * sum(freq * n_sym))"
-                    " DIV sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END)"
+                    "CASE WHEN sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) = 0"
+                    " THEN NULL ELSE (1000 * sum(freq * n_sym))"
+                    " DIV sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) END"
                 )
                 .cast("long")
                 .alias("fertility_x1000"),
@@ -4367,9 +4371,11 @@ def _oracle_unigram_sweep() -> str:
        CAST(count(CASE WHEN n_sym > 0 THEN 1 END) AS BIGINT) AS n_covered,
        CAST(count(CASE WHEN n_sym = 0 THEN 1 END) AS BIGINT) AS n_uncovered,
        CAST(sum(freq * n_sym) AS BIGINT) AS n_tokens,
-       (1000 * CAST(sum(freq * n_sym) AS BIGINT))
-         // CAST(sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) AS BIGINT)
-           AS fertility_x1000
+       CASE WHEN sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) = 0
+            THEN NULL
+            ELSE (1000 * CAST(sum(freq * n_sym) AS BIGINT))
+              // CAST(sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) AS BIGINT)
+       END AS fertility_x1000
 FROM (SELECT d.freq, COALESCE(CAST(len(s.pieces) AS BIGINT), 0) AS n_sym
       FROM ugdict d LEFT JOIN ugk{k}seg s USING (w)),
      (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM ugp{k})

@@ -1996,13 +1996,33 @@ def positional_run_grams(docs: DataFrame) -> DataFrame:
 
 
 def substring_gram_matches(
-    a_grams: DataFrame, b_grams: DataFrame, hint_merge: bool = False
+    a_grams: DataFrame,
+    b_grams: DataFrame,
+    hint_merge: bool = False,
+    scope: str = "cross",
 ) -> DataFrame:
     """(d1, d2, diag, p1) gram-match rows between an A side and a B
-    side, ordered d1 < d2 — ONE definition shared by the batch self-join
-    and the streaming probe (where B is the arriving stream and each
-    unordered pair is still counted exactly once, because the arriving
-    doc only pairs with lower-id static docs)."""
+    side — ONE definition shared by the batch self-join and the
+    streaming probe (where B is the arriving stream and each unordered
+    pair is still counted exactly once, because the arriving doc only
+    pairs with lower-id static docs).
+
+    scope selects which pairs count (VERDICT r14 ask #3 added the
+    intra-document branch; default unchanged so every pre-existing
+    caller keeps its hashes):
+      - "cross": d1 < d2 — distinct-document pairs, each unordered pair
+        once (the original semantics).
+      - "intra": d1 == d2 AND p2 > p1 — the SAME document's self-join
+        off the main diagonal; p2 > p1 keeps one of each symmetric
+        (+diag, -diag) twin, so each repeated-occurrence pair counts
+        once and the LATER occurrence is the b side (the cut side,
+        consistent with the cross-doc keep-lowest-id policy: the
+        earliest copy keeps the text).
+      - "both": the union predicate, evaluated in the SAME single gram
+        join — cross-doc and intra-doc runs from one exchange, no
+        second pass over the postings (how the full-strip entry
+        avoids paying the join twice).
+    """
     a = a_grams.select(
         F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "gram"
     )
@@ -2014,9 +2034,12 @@ def substring_gram_matches(
         # SortMergeJoin takes its partitioning from the file layout —
         # zero gram Exchange (the bucketed_phrase_serve discipline)
         a, b = a.hint("merge"), b.hint("merge")
+    cross = F.col("d1") < F.col("d2")
+    intra = (F.col("d1") == F.col("d2")) & (F.col("p2") > F.col("p1"))
+    cond = {"cross": cross, "intra": intra, "both": cross | intra}[scope]
     return (
         a.join(b, "gram")
-        .filter(F.col("d1") < F.col("d2"))
+        .filter(cond)
         .select("d1", "d2", (F.col("p2") - F.col("p1")).alias("diag"), "p1")
     )
 
@@ -2468,4 +2491,231 @@ SELECT d.doc_id,
            AS removed_tokens,
        coalesce(k.kept_md5, md5('')) AS kept_md5
 FROM est d LEFT JOIN skept k ON d.doc_id = k.doc_id
+"""
+
+# --- intra-document exact-substring cutting (VERDICT r14 ask #3) ------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") cut EVERY duplicated substring occurrence beyond the first,
+# including verbatim repetition INSIDE one document — the branch the
+# cross-doc family (d1 < d2) scoped out by design. The intra branch is
+# the same positional-gram self-join off the main diagonal: d1 == d2,
+# p2 > p1, so each repeated-occurrence pair counts once, diag > 0, and
+# runs_finish / merged_spans / apply_span_cuts apply UNCHANGED (the b
+# side is the later occurrence = the cut side, mirroring the cross-doc
+# keep-lowest-id policy). A period-p repeat matches at every multiple
+# of p — many diagonals, one overlapping span union — so the merged
+# interval walk, not the run table, is the cut's unit of truth.
+# Reference scope note: the family docstrings cite the formulation
+# (gmall has no text-dedup analog; this extends SURVEY §2's pipeline
+# families).
+
+
+def intra_substring_runs(docs: DataFrame) -> DataFrame:
+    """(doc_a == doc_b, a_start, b_start, run_tokens): maximal
+    >= MIN_RUN_TOKENS token runs repeated WITHIN single documents.
+    Same capped postings, same gram equi-join exchange, same island
+    finish as the cross-doc table — only the pair predicate differs."""
+    g = positional_run_grams(docs)
+    return runs_finish(substring_gram_matches(g, g, scope="intra"))
+
+
+def _b_side_spans(runs: DataFrame) -> DataFrame:
+    """(doc_id, st, en) DISTINCT cut-side spans of a runs table — the
+    later/higher-id occurrence loses its copy. distinct() is the
+    offset-dedup: a period-p repeat emits the same span region via
+    diagonals p, 2p, ... and merged_spans' determinism contract
+    requires distinct input (see substring_ledger)."""
+    return runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("st"),
+        (F.col("b_start") + F.col("run_tokens") - 1).alias("en"),
+    ).distinct()
+
+
+def intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc INTRA-DOCUMENT duplicated-span ledger: later-occurrence
+    spans of within-document repeats merged to disjoint intervals, then
+    n_spans / dup_tokens / coverage — the intra twin of
+    exact_substring_ledger (one row per doc that repeats itself; a
+    period-2 pathological doc reports everything past the first period
+    as duplicated). Shuffles: the shared runs stages + one per-doc
+    window + rollup."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    per_doc = (
+        merged_spans(_b_side_spans(intra_substring_runs(docs)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.col("men") - F.col("mst") + 1)
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+    lens = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    return per_doc.join(lens, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tokens",
+        F.expr("(1000 * dup_tokens) DIV n_tokens")
+        .cast("long")
+        .alias("intra_coverage_x1000"),
+    )
+
+
+def strip_all_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE FULL CUT — strip_dup_spans' corpus rewrite with BOTH branches
+    of the Lee et al. formulation: cross-document runs (cut from the
+    higher doc_id) AND intra-document runs (cut from the later
+    occurrence), as one pass. The two branches come from ONE gram join
+    (scope="both" folds the union predicate into the same exchange —
+    the postings are never joined twice), their (d1, d2, diag)
+    partitions are disjoint, so the run table is exactly the union of
+    the two scopes' runs; the b-side spans union under distinct() and
+    the shared merged_spans / apply_span_cuts finish is unchanged.
+    Same output shape as strip_dup_spans (n/kept/removed tokens +
+    kept-text md5), so the two entries diff directly: any doc whose
+    kept_md5 differs is a doc with intra-document repetition."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    g = positional_run_grams(docs)
+    runs = runs_finish(substring_gram_matches(g, g, scope="both"))
+    span_arr = (
+        merged_spans(_b_side_spans(runs))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("mst", "men"))).alias("cuts")
+        )
+    )
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    return apply_span_cuts(toks.join(span_arr, "doc_id", "left_outer"))
+
+
+# Shared intra-match CTE chain (mirrors em/er/eruns with the
+# off-diagonal self-pair predicate).
+_DUCK_INTRA_RUNS = f"""
+im AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           b.pos - a.pos AS diag, a.pos AS p1
+    FROM ekept a JOIN ekept b
+      ON a.gram = b.gram AND a.doc_id = b.doc_id AND b.pos > a.pos
+),
+ir AS (
+    SELECT d1, d2, diag, p1,
+           p1 - row_number() OVER (PARTITION BY d1, d2, diag ORDER BY p1)
+               AS isl
+    FROM im
+),
+iruns AS (
+    SELECT d1 AS doc_a, d2 AS doc_b,
+           CAST(min(p1) AS BIGINT) AS a_start,
+           CAST(min(p1) + diag AS BIGINT) AS b_start,
+           CAST(count(*) + {RUN_K - 1} AS BIGINT) AS run_tokens
+    FROM ir GROUP BY d1, d2, diag, isl
+    HAVING count(*) + {RUN_K - 1} >= {MIN_RUN_TOKENS}
+)"""
+
+ORACLE_INTRA_DOC_SPANS = f"""{_DUCK_RUNS_CTE},{_DUCK_INTRA_RUNS},
+ispans AS (
+    SELECT DISTINCT doc_b AS doc_id, b_start AS st,
+           b_start + run_tokens - 1 AS en
+    FROM iruns
+),
+iflag AS (
+    SELECT doc_id, st, en,
+           CASE WHEN max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR st > max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_isl
+    FROM ispans
+),
+iisl AS (
+    SELECT doc_id, st, en,
+           sum(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM iflag
+),
+imerged AS (
+    SELECT doc_id, isl, min(st) AS mst, max(en) AS men
+    FROM iisl GROUP BY doc_id, isl
+),
+iper AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(men - mst + 1) AS BIGINT) AS dup_tokens
+    FROM imerged GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_spans, p.dup_tokens,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST((1000 * p.dup_tokens) // len(d.t) AS BIGINT)
+           AS intra_coverage_x1000
+FROM iper p JOIN est d ON p.doc_id = d.doc_id
+"""
+
+ORACLE_STRIP_ALL_SPANS = f"""{_DUCK_RUNS_CTE},{_DUCK_INTRA_RUNS},
+fspans AS (
+    SELECT DISTINCT doc_b AS doc_id, b_start AS st,
+           b_start + run_tokens - 1 AS en
+    FROM (SELECT doc_b, b_start, run_tokens FROM eruns
+          UNION ALL
+          SELECT doc_b, b_start, run_tokens FROM iruns)
+),
+fflag AS (
+    SELECT doc_id, st, en,
+           CASE WHEN max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR st > max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) THEN 1 ELSE 0 END AS new_isl
+    FROM fspans
+),
+fisl AS (
+    SELECT doc_id, st, en,
+           sum(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS isl
+    FROM fflag
+),
+fmerged AS (
+    SELECT doc_id, isl, min(st) AS mst, max(en) AS men
+    FROM fisl GROUP BY doc_id, isl
+),
+ftok AS (
+    SELECT doc_id, unnest(t) AS tok,
+           generate_subscripts(t, 1) - 1 AS pos
+    FROM est
+),
+fcut AS (
+    SELECT k.doc_id, k.tok, k.pos
+    FROM ftok k
+    WHERE NOT EXISTS (
+        SELECT 1 FROM fmerged m
+        WHERE m.doc_id = k.doc_id AND k.pos >= m.mst AND k.pos <= m.men
+    )
+),
+fkept AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS kept_tokens,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY pos), '')) AS kept_md5
+    FROM fcut GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(d.t) - coalesce(k.kept_tokens, 0) AS BIGINT)
+           AS removed_tokens,
+       coalesce(k.kept_md5, md5('')) AS kept_md5
+FROM est d LEFT JOIN fkept k ON d.doc_id = k.doc_id
 """

@@ -449,6 +449,11 @@ _register("stream_sdm_serve", stream_jobs.stream_sdm_serve, retrieval.ORACLE_SDM
 _register("curation_blocklist_scrub", curation.blocklist_scrub, curation.ORACLE_BLOCKLIST_SCRUB, tags=("curation", "text", "policy-filter", "phrase-match", "corpus-rewrite"))
 _register("stream_blocklist_scrub", stream_jobs.stream_blocklist_scrub, curation.ORACLE_BLOCKLIST_SCRUB, tags=("streaming", "curation", "policy-filter", "phrase-match", "serving", "append-mode"))
 
+# --- round 15: intra-document exact-substring branch (VERDICT r14 ask #3;
+# depth-over-breadth round — ≤5 net-new entries, see _SAMPLE_PRIORITY) ---
+_register("dedup_intra_doc_spans", dedup.intra_doc_spans, dedup.ORACLE_INTRA_DOC_SPANS, tags=("dedup", "exact-substring", "intra-document", "interval-merge", "quality"))
+_register("curation_strip_all_spans", dedup.strip_all_dup_spans, dedup.ORACLE_STRIP_ALL_SPANS, tags=("curation", "dedup", "exact-substring", "intra-document", "corpus-rewrite", "e2e"))
+
 
 # =============================================================================
 # Per-round sample window (the driver samples the FIRST 50 registrations,
@@ -477,9 +482,11 @@ _REGISTRATION_ORDER = tuple(_REGISTRY)
 # advances the derived window, so the ledger, a restaged
 # _SAMPLE_PRIORITY, and a cleared/updated _REVERIFY_HEAD must land in
 # ONE commit or tests/test_freshness.py fails in between.
-# Round 15: cleared — curation_strip_dup_spans re-greened in r14
-# (VERDICT r14 "what's wrong" bullet: clear in the restage commit).
-_REVERIFY_HEAD = ()
+# Round 15: curation_strip_dup_spans cleared (re-greened in r14,
+# VERDICT r14 "what's wrong" bullet). unigram_vocab_sweep's fertility
+# aggregate gained the zero-denominator NULL guard in both engines
+# after its r14 green row (ADVICE r14 item 2) — re-verify.
+_REVERIFY_HEAD = ("curation_unigram_vocab_sweep",)
 
 # Round-15 window, derived by the rule above. DEPTH-OVER-BREADTH
 # (VERDICT r14 ask #5): at 318 entries and 50 samples/round, even
@@ -493,6 +500,10 @@ _REVERIFY_HEAD = ()
 # in registration order. Restaged if round-15 additions land —
 # tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
+    # never driver-verified (round-15 additions)
+    "dedup_intra_doc_spans", "curation_strip_all_spans",
+    # changed-code re-verification (_REVERIFY_HEAD)
+    "curation_unigram_vocab_sweep",
     # stalest fill: last green r8, registration order
     "t2_daily_uv", "t3_jump_out",
     "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
@@ -516,7 +527,6 @@ _SAMPLE_PRIORITY = [
     "stream_pipeline_payment_province", "source_pyds_cdc_upsert",
     "sink_pyds_dim_roundtrip", "stream_pyds_cdc_dist",
     "dws_supplier_stats", "ads_gmv_by_date", "ads_top_brands",
-    "ads_hourly_stats", "ads_status_stats", "ads_user_scores",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -253,3 +253,39 @@ def test_unigram_vocab_sweep_matches_mirror(spark, corpus_dir):
         assert r.n_covered >= prev_cov
         prev_cov = r.n_covered
     assert rows[max(C.UNIGRAM_SWEEP_KS)].n_uncovered == 0
+
+def test_vocab_sweep_all_uncovered_fertility_is_null(spark):
+    """ADVICE r14: an operating point whose pruned vocabulary covers no
+    dictionary word must report NULL fertility in BOTH engines — ANSI
+    `DIV` would raise on the zero denominator while DuckDB `//` NULLs,
+    so the guard is what keeps the engines in lockstep. Pin the guarded
+    aggregate expression directly on an all-uncovered rowset, and prove
+    the guard is load-bearing (the unguarded form raises in Spark)."""
+    import duckdb
+
+    guarded = (
+        "CASE WHEN sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) = 0"
+        " THEN NULL ELSE (1000 * sum(freq * n_sym))"
+        " DIV sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) END"
+    )
+    df = spark.createDataFrame(
+        [(5, 0), (3, 0)], "freq long, n_sym long"
+    )
+    assert df.agg(F.expr(guarded).alias("f")).collect()[0].f is None
+
+    unguarded = (
+        "(1000 * sum(freq * n_sym))"
+        " DIV sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END)"
+    )
+    with pytest.raises(Exception):
+        df.agg(F.expr(unguarded).alias("f")).collect()
+
+    duck = duckdb.sql(
+        """SELECT CASE WHEN sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) = 0
+                  THEN NULL
+                  ELSE (1000 * CAST(sum(freq * n_sym) AS BIGINT))
+                    // CAST(sum(CASE WHEN n_sym > 0 THEN freq ELSE 0 END) AS BIGINT)
+             END AS f
+           FROM (VALUES (5, 0), (3, 0)) t(freq, n_sym)"""
+    ).fetchone()
+    assert duck[0] is None
