@@ -1363,16 +1363,24 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_occurrences(docs: DataFrame) -> DataFrame:
+    """Per-OCCURRENCE word rows in the trainer's domain (lowercase-
+    ascii, >= 2 chars) — the stateless pre-aggregation half of
+    _bpe_dictionary, factored out so it runs unchanged on a STREAMING
+    DataFrame (the raw_shingles discipline; the streaming encode twin
+    explodes arriving docs through this exact definition)."""
+    return docs.select(F.explode(tokens_col("text")).alias("w")).filter(
+        F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2)
+    )
+
+
 def _bpe_dictionary(docs: DataFrame) -> DataFrame:
     """The trainer's dictionary domain — lowercase-ascii words >= 2 chars
     with corpus frequency. Single definition shared by the trainer,
     encoder, and token-budget entries so the domain cannot
     desynchronize between the train and serve twins."""
-    return (
-        docs.select(F.explode(tokens_col("text")).alias("w"))
-        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    return _word_occurrences(docs).groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq")
     )
 
 
@@ -3807,6 +3815,19 @@ def _ug_lnfloor(col: str) -> str:
     )
 
 
+# Candidate geometry of one word — every substring of length
+# 1..UNIGRAM_MAX_PIECE with its 1-indexed end position. A module
+# constant (not inlined) so the batch dictionary path and the
+# streaming ingest twin explode the IDENTICAL expression.
+_UG_CANDS = (
+    "flatten(transform(sequence(1, length(w)), st ->"
+    f" transform(sequence(1, least({UNIGRAM_MAX_PIECE},"
+    " length(w) - st + 1)), ln ->"
+    " struct(st + ln - 1 AS en, ln AS ln,"
+    " substring(w, st, ln) AS piece))))"
+)
+
+
 def _unigram_candidates(docs: DataFrame) -> DataFrame:
     """(w, freq, en, ln, piece): every substring of length
     1..UNIGRAM_MAX_PIECE of every dictionary word, with its 1-indexed
@@ -3816,19 +3837,7 @@ def _unigram_candidates(docs: DataFrame) -> DataFrame:
     tokenizers train on the same words."""
     return (
         _bpe_dictionary(docs)
-        .select(
-            "w",
-            "freq",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, length(w)), st ->"
-                    f" transform(sequence(1, least({UNIGRAM_MAX_PIECE},"
-                    " length(w) - st + 1)), ln ->"
-                    " struct(st + ln - 1 AS en, ln AS ln,"
-                    " substring(w, st, ln) AS piece))))"
-                )
-            ).alias("c"),
-        )
+        .select("w", "freq", F.explode(F.expr(_UG_CANDS)).alias("c"))
         .select("w", "freq", "c.en", "c.ln", "c.piece")
     )
 
@@ -3929,6 +3938,19 @@ ELSE transform(sequence(1, size(lns)),
 """
 
 
+def _unigram_dp_finish(cw: DataFrame) -> DataFrame:
+    """(w, freq, cands, L) -> (w, freq, pieces): the Viterbi DP +
+    backtrack, PARAMETRIZED over where the candidate rows came from —
+    the batch dictionary path and the streaming ingest twin feed the
+    identical expressions (VERDICT r14 ask #4), so the two encoders
+    cannot diverge."""
+    return (
+        cw.select("w", "freq", "L", F.expr(_UG_DP).alias("dp"))
+        .select("w", "freq", "L", F.expr(_UG_LNS).alias("lns"))
+        .select("w", "freq", F.expr(_UG_PIECES).alias("pieces"))
+    )
+
+
 def _unigram_segment(cand: DataFrame, vocab: DataFrame) -> DataFrame:
     """(w, freq, pieces): Viterbi segmentation of every dictionary word
     under the given piece scores — the E-step, and also the serve-time
@@ -3941,11 +3963,7 @@ def _unigram_segment(cand: DataFrame, vocab: DataFrame) -> DataFrame:
         .agg(F.collect_list(F.struct("en", "ln", "score")).alias("cands"))
         .withColumn("L", F.length("w"))
     )
-    return (
-        cw.select("w", "freq", "L", F.expr(_UG_DP).alias("dp"))
-        .select("w", "freq", "L", F.expr(_UG_LNS).alias("lns"))
-        .select("w", "freq", F.expr(_UG_PIECES).alias("pieces"))
-    )
+    return _unigram_dp_finish(cw)
 
 
 def _unigram_mstep(seg: DataFrame) -> DataFrame:
@@ -3991,7 +4009,13 @@ def unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     cand, vocab = _unigram_vocab(docs)
-    seg = _unigram_segment(cand, vocab)
+    return _unigram_usage(_unigram_segment(cand, vocab))
+
+
+def _unigram_usage(seg: DataFrame) -> DataFrame:
+    """(w, freq, pieces) -> per-piece corpus usage (piece, ct, n_words)
+    — the encode entries' output shape, shared by the batch and the
+    streaming twin."""
     return (
         seg.select("w", "freq", F.explode("pieces").alias("piece"))
         .groupBy("piece")

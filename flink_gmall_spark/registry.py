@@ -453,6 +453,9 @@ _register("stream_blocklist_scrub", stream_jobs.stream_blocklist_scrub, curation
 # depth-over-breadth round — ≤5 net-new entries, see _SAMPLE_PRIORITY) ---
 _register("dedup_intra_doc_spans", dedup.intra_doc_spans, dedup.ORACLE_INTRA_DOC_SPANS, tags=("dedup", "exact-substring", "intra-document", "interval-merge", "quality"))
 _register("curation_strip_all_spans", dedup.strip_all_dup_spans, dedup.ORACLE_STRIP_ALL_SPANS, tags=("curation", "dedup", "exact-substring", "intra-document", "corpus-rewrite", "e2e"))
+# tokenizer serving at ingest (VERDICT r14 ask #4): the missing twin —
+# every other family already serves at ingest.
+_register("stream_unigram_encode", stream_jobs.stream_unigram_encode, curation.ORACLE_UNIGRAM_ENCODE, tags=("streaming", "curation", "tokenizer-training", "train-serve", "viterbi-em", "serving", "append-mode"))
 
 
 # =============================================================================
@@ -502,6 +505,7 @@ _REVERIFY_HEAD = ("curation_unigram_vocab_sweep",)
 _SAMPLE_PRIORITY = [
     # never driver-verified (round-15 additions)
     "dedup_intra_doc_spans", "curation_strip_all_spans",
+    "stream_unigram_encode",
     # changed-code re-verification (_REVERIFY_HEAD)
     "curation_unigram_vocab_sweep",
     # stalest fill: last green r8, registration order
@@ -526,7 +530,7 @@ _SAMPLE_PRIORITY = [
     "stream_dedup_fingerprints", "stream_province_stats",
     "stream_pipeline_payment_province", "source_pyds_cdc_upsert",
     "sink_pyds_dim_roundtrip", "stream_pyds_cdc_dist",
-    "dws_supplier_stats", "ads_gmv_by_date", "ads_top_brands",
+    "dws_supplier_stats", "ads_gmv_by_date",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -2667,3 +2667,54 @@ def stream_exact_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg = raw_positional_grams(read_stream(spark, sf_dir, "documents"))
     matches = substring_gram_matches(idx, sg)
     return runs_finish(run_to_memory(matches, "append"))
+
+def stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.unigram_encode_corpus at INGEST TIME — the tokenizer-
+    serving twin (VERDICT r14 ask #4): documents arriving on a stream
+    are Viterbi-segmented against the TRAINED unigram-LM vocabulary as
+    they land. Per-arriving-doc work is stateless: explode to domain
+    words (curation._word_occurrences, the exact batch definition),
+    explode each word to its candidate substrings (_UG_CANDS, the
+    exact batch geometry), and one stream-static broadcast join on
+    piece against the trained vocab. The joined (w, en, ln, score)
+    candidate-hit rows drain append-mode — a row count of
+    freq(w) x |vocab-member candidates of w|, linear in the arriving
+    token stream (the staged-to-disk drain is the honest transport at
+    scale); every occurrence of a word emits the identical candidate
+    set, so the batch-side finish recovers the dictionary frequency as
+    count(*) per (w, en, ln, score) WITHOUT a second corpus pass, then
+    applies the shared Viterbi DP (_unigram_dp_finish — the twins
+    cannot diverge) and the shared piece-usage rollup. The per-word
+    DP is a keyed aggregation, so it cannot run in append mode; a
+    deployed encoder would fold it per micro-batch in foreachBatch
+    (the T9 sink discipline). Shares ORACLE_UNIGRAM_ENCODE: the
+    ingest-time usage table is hash-identical to the batch corpus
+    pass by contract. No Python UDF anywhere on the path."""
+    from flink_gmall_spark.operators.curation import (
+        _UG_CANDS,
+        _unigram_dp_finish,
+        _unigram_usage,
+        _unigram_vocab,
+        _word_occurrences,
+    )
+    from flink_gmall_spark.sources import load
+
+    tune(spark)
+    _, vocab = _unigram_vocab(load(spark, sf_dir, "documents"))
+    cands = (
+        _word_occurrences(read_stream(spark, sf_dir, "documents"))
+        .select("w", F.explode(F.expr(_UG_CANDS)).alias("c"))
+        .select("w", "c.en", "c.ln", "c.piece")
+    )
+    hits = cands.join(
+        F.broadcast(vocab.select("piece", "score")), "piece"
+    ).select("w", "en", "ln", "score")
+    drained = run_to_memory(hits, "append")
+    cw = (
+        drained.groupBy("w", "en", "ln", "score")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("w", "freq")
+        .agg(F.collect_list(F.struct("en", "ln", "score")).alias("cands"))
+        .withColumn("L", F.length("w"))
+    )
+    return _unigram_usage(_unigram_dp_finish(cw))

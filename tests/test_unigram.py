@@ -98,14 +98,27 @@ CORPUS = [
 
 @pytest.fixture(scope="module")
 def corpus_dir(spark, tmp_path_factory):
+    # ONE parquet file (pyarrow), not a Spark directory write: the
+    # streaming twin's file source stages table_path as a single-file
+    # symlink (jobs._stream_dir), exactly the testdata layout.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     d = str(tmp_path_factory.mktemp("unigram_sf"))
-    spark.createDataFrame(CORPUS, "doc_id long, text string").select(
-        "doc_id",
-        "text",
-        F.lit("en").alias("lang"),
-        F.lit("t").alias("source"),
-        F.length("text").alias("n_chars"),
-    ).write.parquet(os.path.join(d, "documents.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in CORPUS], pa.int64()),
+                "text": pa.array([t for _, t in CORPUS], pa.string()),
+                "lang": pa.array(["en"] * len(CORPUS), pa.string()),
+                "source": pa.array(["t"] * len(CORPUS), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for _, t in CORPUS], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
     return d
 
 
@@ -289,3 +302,33 @@ def test_vocab_sweep_all_uncovered_fertility_is_null(spark):
            FROM (VALUES (5, 0), (3, 0)) t(freq, n_sym)"""
     ).fetchone()
     assert duck[0] is None
+
+def test_stream_unigram_encode_equals_batch(spark, corpus_dir):
+    """The ingest-time encode (stateless word/candidate explode +
+    broadcast vocab join, drained append-mode; frequency recovered as
+    count(*) per candidate row; Viterbi + usage batch-side via the
+    SHARED _unigram_dp_finish/_unigram_usage) must be row-identical to
+    the batch corpus pass — transport must never change the usage
+    table (shared oracle). VERDICT r14 ask #4."""
+    from flink_gmall_spark.streaming.jobs import stream_unigram_encode
+
+    served = sorted(map(tuple, stream_unigram_encode(spark, corpus_dir).collect()))
+    batch = sorted(map(tuple, C.unigram_encode_corpus(spark, corpus_dir).collect()))
+    assert served == batch
+    assert len(batch) > 0
+
+
+def test_stream_unigram_encode_no_python_udf(spark, corpus_dir):
+    """Plan gate: no row-at-a-time Python evaluation anywhere on the
+    served path (the DP/backtrack are SQL folds; the vocab join is
+    broadcast)."""
+    from flink_gmall_spark.streaming.jobs import stream_unigram_encode
+
+    plan = (
+        stream_unigram_encode(spark, corpus_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
