@@ -248,13 +248,20 @@ def main() -> None:
     # Failure isolation: one broken query must cost one null row, never the
     # whole BENCH file (round 3 lost ALL numbers to a single source-typing
     # regression). Errors go to stderr; the JSON line always prints.
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 scopes the run (VERDICT r14
+    # ask #2: re-measuring a composite hole must not cost a full
+    # 54-query attempt). Scoped attempts pool into the clean-window
+    # composite like any other (tools/bench_clean_composite.py keys
+    # per-query), and the output records the scope for auditability.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = {n for n in only_env.split(",") if n} or None
     timings: dict[str, float | None] = {}
     medians: dict[str, float | None] = {}
     cold: dict[str, float | None] = {}
     steal_q: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(registry().items()):
-        if not q.bench:
+        if not q.bench or (only and name not in only):
             continue
         # Per-query steal window (VERDICT r13 ask #6): the r13 episode
         # was BURSTY (pagerank clean, visitor_stats 4x), so one
@@ -344,6 +351,8 @@ def main() -> None:
             "n_failed": len(errors),
         }
     )
+    if only:
+        out["scoped_to"] = sorted(only)
     print(json.dumps(out))
     try:
         spark.stop()
