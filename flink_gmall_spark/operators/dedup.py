@@ -2539,7 +2539,15 @@ def intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_substring_ledger (one row per doc that repeats itself; a
     period-2 pathological doc reports everything past the first period
     as duplicated). Shuffles: the shared runs stages + one per-doc
-    window + rollup."""
+    window + rollup.
+
+    Evidence note: the synthetic documents tables contain ZERO
+    intra-document RUN_K-gram repeats (verified by direct DuckDB scan
+    at sf0.01), so the driver's oracle row for this entry is an honest
+    but vacuous 0 == 0; the operative correctness evidence is
+    tests/test_intra_spans.py, which runs BOTH engines over a
+    pathological fixture (period-2 repeat, disjoint block repeat,
+    cross-doc control) and pins hand-computed expectations."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     per_doc = (
