@@ -127,10 +127,6 @@ def _steal_probe(window_s: float = 3.0) -> float | None:
     between two /proc/stat reads — cheap next to a multi-minute bench."""
     b = _host_snapshot().get("jiffies")
     if not b:
-        # Still sleep: callers use the probe's window AS the idle-gate
-        # poll interval (ADVICE r14 — returning before the sleep on a
-        # jiffy-less host busy-spins the getloadavg loop).
-        time.sleep(window_s)
         return None
     time.sleep(window_s)
     a = _host_snapshot().get("jiffies")
@@ -178,7 +174,15 @@ def _wait_for_idle_host(max_wait_s: float, poll_s: float = 15.0) -> dict:
         # the steal probe's sampling window IS the poll sleep (ADVICE
         # r13: a separate sleep(poll_s) + 3 s probe per iteration was
         # pure added latency) — one jiffy delta over the whole wait.
-        steal = _steal_probe(min(poll_s, remaining))
+        window = min(poll_s, remaining)
+        probe_t0 = time.monotonic()
+        steal = _steal_probe(window)
+        if steal is None and time.monotonic() - probe_t0 < window:
+            # jiffy-less host: the probe abstained BEFORE its sleep, so
+            # sleep here or the loop busy-spins on getloadavg (ADVICE
+            # r14; kept in-loop rather than inside _steal_probe so the
+            # PRE-loop probe stays instant on such hosts).
+            time.sleep(window)
         waited = time.monotonic() - t0
         load1 = _host_snapshot().get("load1")
         if steal is not None:
