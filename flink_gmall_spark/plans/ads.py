@@ -956,22 +956,15 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle.
     """
     tune(spark)
-    # Basket semantics: dedup to DISTINCT (order, part) first so an order
+    # Basket semantics: collect_set dedups parts per order, so an order
     # holding the same part on two lines counts the pair once — the same
     # support definition association_rules uses (one basket, one vote).
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    # r15: pairs generate map-side from the basket set (see
+    # _basket_pair_rows) instead of the order-keyed self-join — one
+    # partial-aggregated basket exchange replaces the distinct + join
+    # shuffles.
+    pairs = _basket_pair_rows(
+        _order_baskets(spark, sf_dir), "part_a", "part_b", canonical=True
     )
     counted = (
         pairs.groupBy("part_a", "part_b")
@@ -1786,29 +1779,23 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item key, a 1-row broadcast total. Support floor prunes before joins.
     """
     tune(spark)
-    # the distinct basket table feeds four consumers (item support, order
-    # total, both self-join sides) — materialize once
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=True)
+    # the basket table feeds three consumers (item support, order total,
+    # pair generation) — materialize once. r15: baskets replace the
+    # distinct (order, part) table + order-keyed self-join (see
+    # _order_baskets/_basket_pair_rows): item support is an explode over
+    # the checkpointed sets, the order total a bare count, and the pair
+    # table is generated map-side — one exchange (the pair_ct groupBy)
+    # where the join shape paid three plus a sort-merge join.
+    baskets = _order_baskets(spark, sf_dir).localCheckpoint(eager=True)
+    item_ct = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ict"))
     )
-    item_ct = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ict"))
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_ord")
-    )
-    a = li.alias("a")
-    b = li.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_ord"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("ante"), F.col("b.l_partkey").alias("cons")
-        )
+        _basket_pair_rows(baskets, "ante", "cons", canonical=False)
+        .groupBy("ante", "cons")
         .agg(F.count(F.lit(1)).alias("pair_ct"))
         .filter(F.col("pair_ct") >= COPURCHASE_MIN_CT)
     )
@@ -1928,35 +1915,118 @@ PR_ROUNDS = 3
 PR_TOP_N = 20
 
 
+def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, parts) — the DISTINCT part set per order, the basket
+    table every co-purchase consumer derives from. ONE shuffle builds it,
+    and collect_set partial-aggregates map-side, so the exchange carries
+    ~one row per (order × map partition) instead of every lineitem row
+    (guide §2.3: aggregate before you shuffle). Basket cardinality is
+    bounded by order size (single-digit in TPC-H-shaped data), so the
+    per-row set is small by construction at any scale factor."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+
+
+def _basket_pair_rows(baskets: DataFrame, u: str, v: str, canonical: bool) -> DataFrame:
+    """One (u, v) row per co-purchased part pair per basket, generated
+    MAP-SIDE from the basket array (an O(basket²) lambda over a bounded
+    array) — replaces the order-keyed self-join of the distinct
+    (order, part) table, which shuffled the basket rows twice (once for
+    the distinct, once for the join) and paid a sort-merge join to
+    produce the exact same multiset (guide §2.4: remove shuffles
+    outright). ``canonical`` emits each unordered pair once (x < y);
+    otherwise both directions (x ≠ y). Per-basket dedup is inherited
+    from collect_set, matching the DISTINCT-baskets join semantics."""
+    op = "<" if canonical else "!="
+    return baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts,"
+                f" x -> transform(filter(parts, y -> x {op} y),"
+                f" y -> struct(x AS {u}, y AS {v}))))"
+            )
+        ).alias("p")
+    ).select(f"p.{u}", f"p.{v}")
+
+
 def _copurchase_edges(
     spark: SparkSession, sf_dir: str, canonical: bool = False
 ) -> DataFrame:
-    """The co-purchase edge list every graph operator shares: DISTINCT
-    (order, part) baskets, order-keyed self-join, COPURCHASE_MIN_CT
-    support floor. ``canonical=False`` returns both directions as
-    (src, dst) — the PageRank/BFS form; ``canonical=True`` returns one
-    row per undirected edge with u < v — the triangle form. Always
-    eagerly checkpointed: the list feeds multiple consumers (degree
-    table, propagation rounds, wedge closure) and exchange reuse does
-    not dedupe it (measured 14-22 lineitem scans across the graph
-    family before this was materialized once)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    side = (
-        F.col("a.l_partkey") < F.col("b.l_partkey")
-        if canonical
-        else F.col("a.l_partkey") != F.col("b.l_partkey")
-    )
+    """The co-purchase edge list every graph operator shares: per-order
+    basket sets, map-side pair generation, COPURCHASE_MIN_CT support
+    floor. ``canonical=False`` returns both directions as (src, dst) —
+    the PageRank/BFS form; ``canonical=True`` returns one row per
+    undirected edge with u < v — the triangle form. Always eagerly
+    checkpointed: the list feeds multiple consumers (degree table,
+    propagation rounds, wedge closure) and exchange reuse does not
+    dedupe it (measured 14-22 lineitem scans across the graph family
+    before this was materialized once). r15: the former distinct +
+    order-keyed self-join (2 shuffles + SMJ before the pair count) is
+    now _order_baskets + _basket_pair_rows — 2 partial-aggregated
+    exchanges total and zero joins, same pair multiset."""
     u, v = ("u", "v") if canonical else ("src", "dst")
     return (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & side)
-        .groupBy(F.col("a.l_partkey").alias(u), F.col("b.l_partkey").alias(v))
+        _basket_pair_rows(_order_baskets(spark, sf_dir), u, v, canonical)
+        .groupBy(u, v)
         .agg(F.count(F.lit(1)).alias("ct"))
         .filter(F.col("ct") >= COPURCHASE_MIN_CT)
         .select(u, v)
         .localCheckpoint(eager=True)
     )
+
+
+_PR_STEP_FORMULA = (
+    f"cast({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) DIV {PR_DAMP_DEN}"
+    f" + ({PR_DAMP_NUM} * inflow) DIV {PR_DAMP_DEN} as bigint)"
+)
+
+
+def _pr_round(pr: DataFrame, und: DataFrame) -> DataFrame:
+    """ONE integer-exact PageRank round as a union-aggregate, shared by
+    the declarative 3-round entry and the persisted 10-round production
+    twin. r15 shape (guide §2.4): the former round was contrib =
+    (pr ⋈ und on src → groupBy dst) followed by nodes LEFT JOIN contrib
+    — an edge-sized exchange plus a second node-keyed join per round.
+    Here the dangling-mass base case rides the SAME aggregation instead:
+    a zero-share seed row per node (carrying deg) unions with the
+    map-side share rows and ONE groupBy(part) produces the new vector —
+    sum(share) ≡ coalesce(inflow, 0) because every node seeds exactly
+    once, max(deg) picks the seed's deg (share rows carry NULL). Per
+    round: one broadcast/equi join on src + one partially-aggregated
+    exchange; the per-round left join is gone."""
+    contrib = (
+        pr.select(F.col("part").alias("src"), F.expr("pr DIV deg").alias("share"))
+        .join(und, "src")
+        .select(
+            F.col("dst").alias("part"),
+            F.lit(None).cast("long").alias("deg"),
+            "share",
+        )
+    )
+    seed = pr.select("part", "deg", F.lit(0).cast("long").alias("share"))
+    return (
+        seed.unionByName(contrib)
+        .groupBy("part")
+        .agg(F.max("deg").alias("deg"), F.sum("share").alias("inflow"))
+        .select("part", "deg", F.expr(_PR_STEP_FORMULA).alias("pr"))
+    )
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free an INTERMEDIATE localCheckpoint's storage once its child has
+    materialized — the iterative-loop hygiene that keeps 10 rounds from
+    holding 10 ephemeral copies of the rank vector (guide §5: unpersist
+    when done). Best-effort by design: it reaches through the LogicalRDD
+    to the checkpointed RDD, and if the internals move, GC + the
+    ContextCleaner's weak-reference sweep remain the fallback."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1978,29 +2048,14 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     # shared checkpointed edge list; the ROUNDS stay declaratively
     # unrolled, which is this entry's identity (the persisted-per-round
-    # production form is ads_part_pagerank_deep)
+    # production form is ads_part_pagerank_deep); each round is the
+    # shared _pr_round union-aggregate (one exchange per round)
     und = _copurchase_edges(spark, sf_dir)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("part"), "deg")
     pr = nodes.select("part", "deg", F.lit(PR_SCALE).cast("long").alias("pr"))
     for _ in range(PR_ROUNDS):
-        contrib = (
-            pr.select(F.col("part").alias("src"), F.expr("pr DIV deg").alias("share"))
-            .join(und, "src")
-            .groupBy(F.col("dst").alias("part"))
-            .agg(F.sum("share").alias("inflow"))
-        )
-        pr = (
-            nodes.join(contrib, "part", "left")
-            .select(
-                "part",
-                "deg",
-                F.expr(
-                    f"cast({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) DIV {PR_DAMP_DEN}"
-                    f" + ({PR_DAMP_NUM} * coalesce(inflow, 0)) DIV {PR_DAMP_DEN} as bigint)"
-                ).alias("pr"),
-            )
-        )
+        pr = _pr_round(pr, und)
     return (
         pr.select("part", F.col("pr").alias("pr_x1e6"))
         .orderBy(F.desc("pr_x1e6"), F.asc("part"))
@@ -2056,63 +2111,46 @@ PR_ROUNDS_DEEP = 10
 def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank at PRODUCTION round counts — the persisted-iteration twin
     of part_pagerank: same integer-exact update rule, PR_ROUNDS_DEEP
-    rounds, but each round's rank vector is persisted and the parent
-    vector unpersisted once its child materializes (the k-means/BPE loop
-    discipline, curation.bpe_train_merges). Declarative unrolling at 10+
-    rounds would nest the two-shuffle step tenfold into one plan — the
-    lineage (and recompute-on-retry cost) grows with round count, which
-    is exactly what kills unpersisted iterative jobs at scale. Here every
-    round's physical plan reads the previous vector as an
-    InMemoryTableScan, so plan size stays CONSTANT per round
-    (plan-gated in tests/test_plans.py); the final 20-row top-N is
-    eagerly localCheckpoint-ed so the caches can be dropped before
+    rounds, each round the shared _pr_round union-aggregate (one
+    exchange per round; the per-round nodes left join is gone, r15).
+    Declarative unrolling at 10+ rounds would nest the round step
+    tenfold into one plan — the lineage (and recompute-on-retry cost)
+    grows with round count, which is exactly what kills unpersisted
+    iterative jobs at scale. r15 materialization discipline: each
+    round's vector is eagerly localCheckpoint-ed (truncating the
+    LOGICAL plan to a LogicalRDD scan — the former persist+count kept
+    the full logical lineage, so Catalyst re-analyzed an O(round)-deep
+    tree every round: measured rounds 0.55 s → 1.5 s growing at sf0.1,
+    flat ~0.27 s after) and the parent vector's checkpoint storage is
+    released as soon as its child materializes
+    (_release_local_checkpoint — the k-means/BPE loop discipline,
+    guide §5). Plan size stays CONSTANT per round (plan-gated in
+    tests/test_plans.py); the final 20-row top-N is eagerly
+    localCheckpoint-ed so every round vector can be dropped before
     returning. Oracle: the same 10 rounds unrolled as CTE stages —
     integer DIV arithmetic makes the full trajectory bit-identical.
     """
     tune(spark)
-    # shared edge list, already eagerly checkpointed by the helper —
-    # replaces this entry's former persist/unpersist of the same table
+    # shared edge list, already eagerly checkpointed by the helper
     und = _copurchase_edges(spark, sf_dir)
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("part"), "deg").persist()
-    pr = nodes.select("part", "deg", F.lit(PR_SCALE).cast("long").alias("pr")).persist()
-    pr.count()  # materialize round 0
-    try:
-        for _ in range(PR_ROUNDS_DEEP):
-            contrib = (
-                pr.select(
-                    F.col("part").alias("src"), F.expr("pr DIV deg").alias("share")
-                )
-                .join(und, "src")
-                .groupBy(F.col("dst").alias("part"))
-                .agg(F.sum("share").alias("inflow"))
-            )
-            nxt = (
-                nodes.join(contrib, "part", "left")
-                .select(
-                    "part",
-                    "deg",
-                    F.expr(
-                        f"cast({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}) DIV {PR_DAMP_DEN}"
-                        f" + ({PR_DAMP_NUM} * coalesce(inflow, 0)) DIV {PR_DAMP_DEN} as bigint)"
-                    ).alias("pr"),
-                )
-                .persist()
-            )
-            nxt.count()  # materialize before dropping the parent cache
-            pr.unpersist()
-            pr = nxt
-        # 20-row result, eagerly materialized so unpersisting the final
-        # vector cannot trigger a full 10-round lineage recompute later
-        return (
-            pr.select("part", F.col("pr").alias("pr_x1e6"))
-            .orderBy(F.desc("pr_x1e6"), F.asc("part"))
-            .limit(PR_TOP_N)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        pr.unpersist()
-        nodes.unpersist()
+    pr = deg.select(
+        F.col("src").alias("part"), "deg", F.lit(PR_SCALE).cast("long").alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ROUNDS_DEEP):
+        nxt = _pr_round(pr, und).localCheckpoint(eager=True)
+        _release_local_checkpoint(pr)
+        pr = nxt
+    # 20-row result, eagerly materialized so releasing the final vector
+    # cannot trigger a recompute later
+    out = (
+        pr.select("part", F.col("pr").alias("pr_x1e6"))
+        .orderBy(F.desc("pr_x1e6"), F.asc("part"))
+        .limit(PR_TOP_N)
+        .localCheckpoint(eager=True)
+    )
+    _release_local_checkpoint(pr)
+    return out
 
 
 ORACLE_PART_PAGERANK_DEEP = _oracle_part_pagerank(PR_ROUNDS_DEEP)
