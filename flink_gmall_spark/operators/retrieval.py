@@ -1992,11 +1992,12 @@ def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENTIAL-DEPENDENCE retrieval — proximity-boosted BM25 (the
     ROADMAP item-6 candidate): sdm = SDM_UNI_W·bm25 + SDM_ORD_W·ordered
     + SDM_UNW_W·unordered, integer-exact. One corpus pass per feature
-    family, every piece a shared definition (scored_postings/bm25_match,
-    pos_index/proximity_matches with both orderings); the window aggs
-    LEFT-join onto the BM25 pairs — lossless, because a window match
-    requires both terms in the capped index, which implies a BM25 term
-    match (pinned by test_sdm_prox_pairs_subset_of_bm25)."""
+    family (scored_postings/bm25_match for the unigram leg, pos_index
+    for the window legs — both orderings served by ONE band join with
+    conditional sums, r15); the window agg LEFT-joins onto the BM25
+    pairs — lossless, because a window match requires both terms in the
+    capped index, which implies a BM25 term match (pinned by
+    test_sdm_prox_pairs_subset_of_bm25)."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     bm = (
@@ -2005,21 +2006,42 @@ def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("score_i").alias("bm25_score"))
     )
     qbg, idx = query_bigram_occurrences(docs), pos_index(docs)
-    o = (
-        proximity_matches(qbg, idx)
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.lit(PROX_WINDOW + 1) - F.col("span")).alias("po"))
+    # r15: ONE (doc_id, w2) band join serves BOTH window orderings — the
+    # unordered residual |gap| <= W contains the ordered one, so ordered
+    # closeness is a conditional sum over the same matched pairs (the
+    # bucketed_sdm_serve fusion, ported back to the batch twin; the
+    # serve's oracle equality is exactly this equivalence). Replaces two
+    # proximity_matches legs + two aggs + two left joins with one of
+    # each: rows matched only unordered contribute 0 to po, which is
+    # what the former ordered-leg LEFT join's NULL coalesced to.
+    left = F.broadcast(qbg)
+    p1 = idx.select(F.col("tok").alias("w1"), "doc_id", F.col("pos").alias("p1"))
+    m1 = (
+        left.join(p1, "w1")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "w2", "doc_id", "p1")
     )
-    u = (
-        proximity_matches(qbg, idx, ordered=False)
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.lit(PROX_WINDOW + 1) - F.col("span")).alias("pu"))
+    p2 = idx.select(F.col("tok").alias("w2"), "doc_id", F.col("pos").alias("p2"))
+    # batch regime: prune the band leg to the query vocabulary (the
+    # proximity_matches broadcast discipline)
+    p2 = p2.join(
+        F.broadcast(qbg.select(F.col("w2").alias("tok")).distinct()),
+        F.col("w2") == F.col("tok"),
+        "left_semi",
     )
-    return sdm_fuse(
-        bm.join(o, ["query_id", "doc_id"], "left_outer").join(
-            u, ["query_id", "doc_id"], "left_outer"
+    gap = F.col("p2") - F.col("p1")
+    prox = (
+        m1.join(p2, ["doc_id", "w2"])
+        .filter((F.abs(gap) >= 1) & (F.abs(gap) <= PROX_WINDOW))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.when(gap >= 1, F.lit(PROX_WINDOW + 1) - gap).otherwise(0)
+            ).alias("po"),
+            F.sum(F.lit(PROX_WINDOW + 1) - F.abs(gap)).alias("pu"),
         )
     )
+    return sdm_fuse(bm.join(prox, ["query_id", "doc_id"], "left_outer"))
 
 
 def sdm_fuse(pairs: DataFrame) -> DataFrame:
