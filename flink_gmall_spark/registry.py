@@ -485,52 +485,52 @@ _REGISTRATION_ORDER = tuple(_REGISTRY)
 # advances the derived window, so the ledger, a restaged
 # _SAMPLE_PRIORITY, and a cleared/updated _REVERIFY_HEAD must land in
 # ONE commit or tests/test_freshness.py fails in between.
-# Round 15: curation_strip_dup_spans cleared (re-greened in r14,
-# VERDICT r14 "what's wrong" bullet). unigram_vocab_sweep's fertility
-# aggregate gained the zero-denominator NULL guard in both engines
-# after its r14 green row (ADVICE r14 item 2) — re-verify.
-_REVERIFY_HEAD = ("curation_unigram_vocab_sweep",)
+# Round 16 (VERDICT r15 "what's wrong" #2): the 7 entries whose
+# expressions changed in the r15 optimization session (fb58517: the
+# copurchase basket/edge rewrite + union-aggregate PageRank rounds;
+# 32fad19: the SDM window-leg fusion) were NOT restaged in r15 — their
+# only green evidence is test_parity. Restage them at the head so the
+# r16 driver verify covers them. vocab_sweep re-greened in r15
+# (CORRECTNESS_r15) — cleared.
+_REVERIFY_HEAD = (
+    "ads_part_pagerank_deep", "ads_part_pagerank", "ads_copurchase_pairs",
+    "ads_association_rules", "ads_part_triangles", "ads_part_bfs_distances",
+    "text_sdm_topk",
+)
 
-# Round-15 window, derived by the rule above. DEPTH-OVER-BREADTH
-# (VERDICT r14 ask #5): at 318 entries and 50 samples/round, even
-# perfect rotation gives ceil(318/50) ≈ 7-round worst-case staleness —
-# the original ≤5-round intent is arithmetically unreachable, and every
-# net-new entry dilutes re-verification density further. Round 15
-# therefore holds net-new registrations to ≤5 and spends the window on
-# re-verification: at round start it is PURE stalest-fill (no
-# never-green entries — CORRECTNESS_r14 greened all 9 r14 additions,
-# no re-verify head) — the 27 r8-latest leftovers then the r9 cohort
-# in registration order. Restaged if round-15 additions land —
-# tests/test_freshness.py holds it to the rule.
+# Round-16 window, derived by the rule above. Optimization round: zero
+# net-new registrations (no never-green entries — CORRECTNESS_r15
+# greened all of its 50); the window is the 7-entry re-verify head plus
+# pure stalest fill (r9/r10 cohorts then the four r11 graph entries'
+# own cohort, registration order). Restaged whenever an r16 shape
+# change lands — tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
-    # never driver-verified (round-15 additions)
-    "dedup_intra_doc_spans", "curation_strip_all_spans",
-    "stream_unigram_encode",
-    # changed-code re-verification (_REVERIFY_HEAD)
-    "curation_unigram_vocab_sweep",
-    # stalest fill: last green r8, registration order
-    "t2_daily_uv", "t3_jump_out",
-    "dws_visitor_stats", "dws_product_stats", "dws_province_stats",
-    "dws_keyword_stats", "ads_approx_stats", "dws_session_stats",
-    "dws_sliding_windows", "dws_session_windows",
-    "stream_visitor_stats", "stream_product_stats",
-    "scale_zorder_layout", "scale_join_preflight",
-    "curation_decontaminate_bloom", "curation_mixture_temperature",
-    "curation_filter_funnel", "text_frequent_terms",
-    "ads_kanon_export", "stream_filter_funnel", "stream_kanon_export",
-    "dwd_cdc_delete_aware_agg", "ads_rolling_activity_7d",
-    "curation_source_overlap", "stream_rolling_activity_7d",
-    "stream_decontaminate_bloom", "curation_recipe_v2",
+    # changed-code re-verification (_REVERIFY_HEAD, r15 optimization
+    # commits fb58517 + 32fad19)
+    "ads_part_pagerank_deep", "ads_part_pagerank", "ads_copurchase_pairs",
+    "ads_association_rules", "ads_part_triangles", "ads_part_bfs_distances",
+    "text_sdm_topk",
     # stalest fill: last green r9, registration order
-    "sim_block_topk", "sim_label_centroids", "multimodal_embed_stub",
-    "ads_conversion_funnel", "scale_salted_status_rollup",
-    "scale_bucketed_join", "scale_skew_join_aqe",
-    "scale_binned_range_join", "udaf_activity_streaks",
-    "pipeline_e2e_hourly", "stream_dedup_within_watermark",
-    "stream_dedup_fingerprints", "stream_province_stats",
-    "stream_pipeline_payment_province", "source_pyds_cdc_upsert",
-    "sink_pyds_dim_roundtrip", "stream_pyds_cdc_dist",
-    "dws_supplier_stats", "ads_gmv_by_date",
+    "ads_top_brands", "ads_hourly_stats", "ads_status_stats",
+    "ads_user_scores", "ads_keyword_weighted", "ads_totals",
+    "ads_province_rollup", "ads_visitor_ratios",
+    "ads_monthly_status_pivot", "ads_gmv_moving_avg",
+    "ads_amount_percentiles", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_connected_components",
+    "dedup_chunk_first_occurrence", "curation_bpe_pair_counts",
+    "curation_lm_score", "sim_ann_topk", "sim_embedding_neardup_lsh",
+    "sim_ivf_topk", "text_lang_id", "text_quality_scores",
+    "text_token_counts", "stream_pit_features_gated",
+    "stream_zorder_compaction", "stream_cdc_delete_aware_agg",
+    "ads_ldiversity_export", "sim_hard_negatives",
+    "curation_bpe_greedy_drift",
+    # stalest fill: last green r10, registration order
+    "sim_kmeans_assign", "stream_binned_range_join",
+    "stream_config_routing", "dedup_simhash_pairs", "dedup_apply_near",
+    "sim_ivf_topk_trained", "sim_hard_negatives_ivf",
+    "dedup_containment_prefix", "sim_mrl_truncation_recall",
+    "sim_ivf_cell_balance", "dedup_funnel_report",
+    "stream_containment_probe",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Per-query optimization-loop harness (guide §1): time named registry
 queries through the noop sink on the bench session shape and dump
-explain("formatted") to plans/r15/<name>_<tag>.txt.
+explain("formatted") to plans/<round>/<name>_<tag>.txt.
 
-Usage: python tools/qmeasure.py [--tag before|after] [--runs N] name1 name2 ...
+Usage: python tools/qmeasure.py [--tag before|after] [--runs N]
+       [--round r16] [--plan-only] name1 name2 ...
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
 """
 
@@ -24,6 +25,7 @@ def main() -> None:
     args = sys.argv[1:]
     tag = "probe"
     runs = 5
+    rnd = "r16"
     names: list[str] = []
     i = 0
     while i < len(args):
@@ -33,14 +35,21 @@ def main() -> None:
         elif args[i] == "--runs":
             runs = int(args[i + 1])
             i += 2
+        elif args[i] == "--round":
+            rnd = args[i + 1]
+            i += 2
         elif args[i] == "--plan-only":
             runs = -1
             i += 1
         else:
             names.append(args[i])
             i += 1
+    if runs < 0 and tag not in ("before", "after"):
+        # --plan-only with the non-dumping default tag wrote no file at
+        # all (ADVICE r15); a plan-only run's whole point is the dump.
+        tag = "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(plan_dir, exist_ok=True)
     reg = registry()
     spark = get_spark("qmeasure")
