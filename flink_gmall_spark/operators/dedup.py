@@ -515,44 +515,52 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per distinct token: md5's leading 16 hex digits give 64 bits; each bit
     votes +/-1 per containing doc; the sign of the per-position vote sum is
-    the fingerprint bit (ties -> 1). Token hashes are computed once over
-    the (small) vocabulary, then broadcast-joined back to doc-tokens —
-    at 100 TB the vocabulary stays millions while doc-tokens are billions,
-    so the 64x bit explosion happens only on the vocab side.
+    the fingerprint bit (ties -> 1).
+
+    r16 shape (guide §2.3/§2.4; VERDICT r15 ask #2): the former plan
+    materialized a distinct-vocabulary table, exploded it 64x into
+    per-(token, bit-index) vote rows, broadcast-joined those back to
+    doc-tokens and aggregated twice (groupBy(doc_id, j) then
+    groupBy(doc_id) collect_list) — 3 exchanges, 2 document scans, a
+    broadcast build, and 64 rows per doc-token flowing into the partial
+    aggregate. Now each doc-token row computes its md5 once, splits the
+    leading 16 hex chars into two 32-bit halves, and ONE
+    groupBy(doc_id) aggregates 64 conditional bit-sums plus the token
+    count: per-position vote sum sv_j = 2*s_j - n (each token votes
+    2*bit_j - 1), so the fingerprint bit is s_j*2 >= n — one exchange
+    row per document (65 longs), zero joins, one scan. At 100 TB this
+    trades vocabulary-sized md5 work for doc-token-sized md5 work but
+    removes the 64x per-occurrence row blowup between the join and the
+    aggregate, which dominates: the exchange carries ~520 bytes/doc
+    instead of 64 partial rows/doc, and the broadcast (vocab x 64 rows)
+    disappears. Equivalence is pinned by tests/test_analytics_ops.py
+    (hand-computed bits) and the DuckDB oracle (unchanged).
     """
     tune(spark)
     docs = load(spark, sf_dir, "documents")
+    # bit j (0..63, MSB-first over md5's leading 16 hex chars) lives in
+    # hi (chars 1-8) for j < 32, lo (chars 9-16) for j >= 32; conv() of
+    # 8 hex chars fits a BIGINT with no sign trouble.
     doc_toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)").alias("hi"),
+        F.expr("cast(conv(substring(md5(tok), 9, 8), 16, 10) as bigint)").alias("lo"),
     )
-    vocab_bits = (
-        doc_toks.select("tok")
-        .distinct()
-        .select(
-            "tok",
-            F.explode(F.expr("sequence(0, 63)")).alias("j"),
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(64):
+        half, shift = ("hi", 31 - j) if j < 32 else ("lo", 63 - j)
+        aggs.append(
+            F.sum(F.expr(f"shiftright({half}, {shift}) & 1")).alias(f"s{j}")
         )
-        .withColumn(
-            "vote",
-            F.expr(
-                "2 * (shiftright(instr('0123456789abcdef',"
-                " substring(md5(tok), 1 + CAST(j / 4 AS INT), 1)) - 1,"
-                " 3 - j % 4) & 1) - 1"
-            ),
-        )
-        .select("tok", "j", "vote")
-    )
-    votes = (
-        doc_toks.join(F.broadcast(vocab_bits), "tok")
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("sv"))
-        .withColumn("bit", F.when(F.col("sv") >= 0, "1").otherwise("0"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(j, bit))), x -> x.bit), '')"
-        ).alias("simhash")
-    )
+    sums = doc_toks.groupBy("doc_id").agg(*aggs)
+    # sign of the vote sum: sv_j = 2*s_j - n >= 0  <=>  2*s_j >= n
+    bits = [
+        F.when(F.col(f"s{j}") * 2 >= F.col("n"), F.lit("1")).otherwise(F.lit("0"))
+        for j in range(64)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 HAMMING_THRESHOLD = 3
@@ -1389,18 +1397,24 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = _pair_jaccard(sh).select("doc_a", "doc_b")
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    # r16 (guide §2.4): cand was consumed TWICE — a bare count plus a
+    # left-semi-join hit count, then re-joined — so the candidate
+    # self-join + distinct subtree appeared twice in the plan (exchange
+    # reuse dedupes the shuffle, not the per-consumer distinct/join
+    # work above it). One LEFT join against the truth pairs (unique on
+    # (doc_a, doc_b) by _pair_jaccard's groupBy) marks hits, and a
+    # single aggregation produces both counts: count(hit) over the
+    # preserved cand rows ≡ the old semi-join count, 0 for a config
+    # with no hits ≡ the old coalesce.
+    flagged = cand.join(
+        truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
     per_cfg = (
-        cand.groupBy("bands", "rows_per_band")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        .join(
-            hits.groupBy("bands", "rows_per_band").agg(
-                F.count(F.lit(1)).cast("long").alias("n_hit")
-            ),
-            ["bands", "rows_per_band"],
-            "left",
+        flagged.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("hit").cast("long").alias("n_hit"),
         )
-        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)).cast("long"))
         .crossJoin(n_true)
     )
     return per_cfg.select(
@@ -1838,21 +1852,26 @@ def winnowing_w_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    cand_counts = pairs.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
-    )
-    hit_counts = (
-        pairs.join(truth, ["doc_a", "doc_b"], "left_semi")
+    # r16 (guide §2.4, the band_tuning fusion): pairs was consumed
+    # twice (bare count + left-semi hit count), duplicating the whole
+    # capped self-join subtree in the plan; one LEFT join against the
+    # truth pairs (unique on (doc_a, doc_b) — a groupBy/HAVING output)
+    # preserves the pairs row count and marks hits, so ONE aggregation
+    # yields both counts per w.
+    counts = (
+        pairs.join(truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left")
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("hit").cast("long").alias("n_hit"),
+        )
     )
     ws = spark.createDataFrame(
         [(w,) for w in WINNOW_W_SWEEP], "w bigint"
     )
     per = (
         ws.join(F.broadcast(n_fps), "w", "left")
-        .join(F.broadcast(cand_counts), "w", "left")
-        .join(F.broadcast(hit_counts), "w", "left")
+        .join(F.broadcast(counts), "w", "left")
         .crossJoin(F.broadcast(n_true))
         .select(
             "w",

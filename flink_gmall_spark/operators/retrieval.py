@@ -1759,6 +1759,40 @@ FROM pranked WHERE rank <= {RETR_TOPK}
 PROX_WINDOW = 5  # ordered window: 1 <= p2 - p1 <= 5
 
 
+def _position_pair_rows(
+    qbg: DataFrame, idx: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """One (query_id, w2, doc_id, p1, p2) row per (adjacent query pair ×
+    matched corpus position pair), BEFORE any window filter — the shared
+    two-leg core of every positional-window consumer (ADVICE r15: the
+    SDM fusion had inlined a near-verbatim copy of this machinery; one
+    definition keeps the df-cap/broadcast discipline from drifting).
+    Leg 1 fans the (broadcast) query pairs onto the w1 postings
+    map-side; leg 2 is an equi-join on (doc_id, w2) — under broadcast
+    the band leg is first pruned to the query vocabulary (broadcast
+    semi-join) so the shuffle only ever moves query-term postings.
+    Callers apply their window inequality, which Catalyst folds into
+    the join as its range residual, so the executed plan is unchanged
+    from the former inline forms (string-key equi join, NOT df["col"]
+    conditions: both legs share the idx lineage, the classic self-join
+    ambiguity)."""
+    left = F.broadcast(qbg) if broadcast else qbg
+    p1 = idx.select(F.col("tok").alias("w1"), "doc_id", F.col("pos").alias("p1"))
+    m1 = (
+        left.join(p1, "w1")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "w2", "doc_id", "p1")
+    )
+    p2 = idx.select(F.col("tok").alias("w2"), "doc_id", F.col("pos").alias("p2"))
+    if broadcast:
+        p2 = p2.join(
+            F.broadcast(qbg.select(F.col("w2").alias("tok")).distinct()),
+            F.col("w2") == F.col("tok"),
+            "left_semi",
+        )
+    return m1.join(p2, ["doc_id", "w2"])
+
+
 def proximity_matches(
     qbg: DataFrame,
     idx: DataFrame,
@@ -1781,34 +1815,13 @@ def proximity_matches(
     leg 1 (and under broadcast, only query-vocabulary postings), each
     (doc_id, w2) group no larger than that term's in-document
     positions."""
-    left = F.broadcast(qbg) if broadcast else qbg
-    p1 = idx.select(F.col("tok").alias("w1"), "doc_id", F.col("pos").alias("p1"))
-    m1 = (
-        left.join(p1, "w1")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "w2", "doc_id", "p1")
-    )
-    p2 = idx.select(F.col("tok").alias("w2"), "doc_id", F.col("pos").alias("p2"))
-    if broadcast:
-        # batch: prune the band leg to the query vocabulary (broadcast
-        # semi-join) — the (doc_id, w2) shuffle then only ever moves
-        # query-term postings, the phrase-leg-2 discipline
-        p2 = p2.join(
-            F.broadcast(qbg.select(F.col("w2").alias("tok")).distinct()),
-            F.col("w2") == F.col("tok"),
-            "left_semi",
-        )
-    # string-key equi join + residual filter (NOT df["col"] conditions:
-    # both legs share the idx lineage, the classic self-join ambiguity);
-    # Catalyst folds the pushed filter into the join as its range
-    # residual, so the executed plan is the band join described above
     gap = (
         (F.col("p2") - F.col("p1"))
         if ordered
         else F.abs(F.col("p2") - F.col("p1"))
     )
     return (
-        m1.join(p2, ["doc_id", "w2"])
+        _position_pair_rows(qbg, idx, broadcast)
         .filter((gap >= 1) & (gap <= PROX_WINDOW))
         .select(
             "query_id",
@@ -2013,25 +2026,12 @@ def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serve's oracle equality is exactly this equivalence). Replaces two
     # proximity_matches legs + two aggs + two left joins with one of
     # each: rows matched only unordered contribute 0 to po, which is
-    # what the former ordered-leg LEFT join's NULL coalesced to.
-    left = F.broadcast(qbg)
-    p1 = idx.select(F.col("tok").alias("w1"), "doc_id", F.col("pos").alias("p1"))
-    m1 = (
-        left.join(p1, "w1")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "w2", "doc_id", "p1")
-    )
-    p2 = idx.select(F.col("tok").alias("w2"), "doc_id", F.col("pos").alias("p2"))
-    # batch regime: prune the band leg to the query vocabulary (the
-    # proximity_matches broadcast discipline)
-    p2 = p2.join(
-        F.broadcast(qbg.select(F.col("w2").alias("tok")).distinct()),
-        F.col("w2") == F.col("tok"),
-        "left_semi",
-    )
+    # what the former ordered-leg LEFT join's NULL coalesced to. The
+    # two-leg machinery itself is the shared _position_pair_rows
+    # (ADVICE r15: no more inline copy to drift).
     gap = F.col("p2") - F.col("p1")
     prox = (
-        m1.join(p2, ["doc_id", "w2"])
+        _position_pair_rows(qbg, idx)
         .filter((F.abs(gap) >= 1) & (F.abs(gap) <= PROX_WINDOW))
         .groupBy("query_id", "doc_id")
         .agg(

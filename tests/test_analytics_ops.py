@@ -1722,3 +1722,39 @@ def test_stream_blocklist_scrub_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, blocklist_scrub(spark, sf_dir).collect()))
     assert served == batch
     assert any(r[-1] > 0 for r in batch)  # non-vacuous: real hits
+
+
+def test_copurchase_edges_symmetric(spark, tmp_path):
+    """_pr_round's union-aggregate only preserves the node set because
+    the edge list is SYMMETRIC (ADVICE r15): dst ⊆ src must hold for
+    _copurchase_edges(canonical=False), or dst-only nodes would enter
+    the rank vector with deg=NULL. Pin the precondition at the
+    producer — every dst value appears as a src and vice versa."""
+    from flink_gmall_spark.plans import ads
+
+    pairs = [
+        (1, 1), (1, 2), (2, 1), (2, 2),
+        (3, 2), (3, 3), (4, 2), (4, 3),
+    ]
+    d = _write_lineitem(spark, tmp_path, pairs)
+    und = ads._copurchase_edges(spark, d)
+    src = {r.src for r in und.select("src").distinct().collect()}
+    dst = {r.dst for r in und.select("dst").distinct().collect()}
+    assert src == dst and src  # symmetric and non-vacuous
+
+
+def test_release_local_checkpoint_unpersists(spark):
+    """_release_local_checkpoint reaches through private Spark internals
+    (queryExecution().logical().rdd()) and swallows exceptions, so on an
+    internals move it silently degrades to a no-op and round vectors
+    accumulate until GC (ADVICE r15). Assert the reflection path still
+    actually unpersists an eagerly checkpointed frame — if Spark moves
+    the cheese, THIS fails loudly instead of a slow memory regression."""
+    from flink_gmall_spark.plans import ads
+
+    df = spark.range(100).localCheckpoint(eager=True)
+    rdd = df._jdf.queryExecution().logical().rdd()
+    assert rdd.getStorageLevel().useMemory() or rdd.getStorageLevel().useDisk()
+    ads._release_local_checkpoint(df)
+    lvl = rdd.getStorageLevel()
+    assert not lvl.useMemory() and not lvl.useDisk()
