@@ -918,6 +918,9 @@ def lm_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-filter shape with actual log-probabilities (corpus LM
     table ⋈ document n-grams → per-doc reduce), hash-exact end to end."""
     tune(spark)
+    # NO spread_small_scan — measured at sf0.1 (r16, interleaved):
+    # 1.93 s spread vs 1.59 s unspread; the bigram fold is too cheap to
+    # amortize an injected repartition of the docs scan.
     docs = load(spark, sf_dir, "documents")
     return lm_logprob_finish(lm_log_tables(docs))
 

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from flink_gmall_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_col
 from flink_gmall_spark.session import tune
-from flink_gmall_spark.sources import load
+from flink_gmall_spark.sources import load, spread_small_scan
 
 SHINGLE_K = 3
 MAX_SHINGLE_DF = 100  # frequent-shingle guard (see module docstring)
@@ -302,6 +302,12 @@ def minhash_lsh_pairs(
     MANY separate actions (e.g. iterative connected components over a
     fresh corpus)."""
     tune(spark)
+    # NO spread_small_scan here — measured at sf0.1 (r16, two
+    # interleaved pairs): 2.77 vs 2.39 s / 2.48 vs 2.40 s — this plan
+    # stays declarative (no checkpoint), and the spread exchange feeds
+    # consumers AQE exchange reuse already dedupes, so it is pure
+    # added cost; contrast minhash_band_tuning, whose eager shingle
+    # CHECKPOINT is a real single-task barrier the spread does break.
     docs = load(spark, sf_dir, "documents")
     sh = _shingles(docs)
     if materialize_shingles:
@@ -537,6 +543,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hand-computed bits) and the DuckDB oracle (unchanged).
     """
     tune(spark)
+    # NO spread_small_scan here — measured at sf0.1 (r16, two
+    # interleaved pairs): 1.63/1.83 s spread vs 1.39/1.53 s unspread;
+    # the per-token md5 fold is too cheap to amortize the extra
+    # exchange against a 5000-doc scan.
     docs = load(spark, sf_dir, "documents")
     # bit j (0..63, MSB-first over md5's leading 16 hex chars) lives in
     # hi (chars 1-8) for j < 32, lo (chars 9-16) for j >= 32; conv() of
@@ -1356,7 +1366,9 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus serving path stays minhash_lsh_pairs, which deliberately
     does NOT materialize (its docstring records that measurement)."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-row-group scan so the checkpointed shingle build
+    # parallelizes (guide §2.5; identity when splits >= cores)
+    docs = spread_small_scan(load(spark, sf_dir, "documents"))
     sh = _shingles(docs).localCheckpoint(eager=True)
     sig_wide, _ = _band_sigs(sh)
     sig_wide = sig_wide.localCheckpoint(eager=True)
@@ -1722,6 +1734,9 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact — the oracle applies the identical winnow + cap — so the
     entry is hash-checked, not best-effort."""
     tune(spark)
+    # NO spread_small_scan — measured at sf0.1 (r16, interleaved):
+    # 1.98 s spread vs 1.65 s unspread; one winnow width over one scan
+    # is too light to amortize an injected repartition.
     docs = load(spark, sf_dir, "documents")
     # DF cap via the module's window idiom (_shingles FREQ_FILTER_STRATEGY
     # = "window"): one pass over the fingerprint rows instead of a
@@ -1814,7 +1829,10 @@ def winnowing_w_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (or an empty corpus) still reports its row, mirroring
     the oracle's unconditional per-W selects."""
     tune(spark)
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-row-group scan: the fused 4-width k-gram-md5
+    # Generate above it was the sf1 ladder's serial wall (~20 s in one
+    # task; guide §2.5; identity when splits >= cores)
+    docs = spread_small_scan(load(spark, sf_dir, "documents"))
     per_w = ", ".join(
         f"transform({_winnow_fp_expr(w)},"
         f" f -> named_struct('w', CAST({w} AS BIGINT), 'fp', f))"

@@ -2012,6 +2012,11 @@ def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped index, which implies a BM25 term match (pinned by
     test_sdm_prox_pairs_subset_of_bm25)."""
     tune(spark)
+    # NO spread_small_scan on the docs scan — measured at sf0.1 (r16,
+    # interleaved): 4.07 s spread vs 2.88 s unspread (proximity_topk
+    # 2.52 vs 2.17, lm_logprob 1.93 vs 1.59 — same pattern): the
+    # retrieval probes' map work is light and the query legs broadcast,
+    # so an injected repartition is pure added exchange here.
     docs = load(spark, sf_dir, "documents")
     bm = (
         bm25_match(query_occurrences(docs), scored_postings(docs))

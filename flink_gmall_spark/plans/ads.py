@@ -1922,7 +1922,15 @@ def _order_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~one row per (order × map partition) instead of every lineitem row
     (guide §2.3: aggregate before you shuffle). Basket cardinality is
     bounded by order size (single-digit in TPC-H-shaped data), so the
-    per-row set is small by construction at any scale factor."""
+    per-row set is small by construction at any scale factor.
+
+    NO spread_small_scan on the single-row-group fixture scan (r16,
+    measured interleaved at sf0.1): the map-side partial collect_set
+    compresses 600 k lineitem rows to ~147 k basket rows INSIDE the one
+    scan task before the exchange; an injected repartition ships the
+    raw rows instead and lost more than the parallel aggregation won
+    (association_rules 2.37 s spread vs 1.97 unspread, triangles 2.54
+    vs 1.93; pagerank_deep alone read -9 %, within noise)."""
     return (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

